@@ -1,0 +1,67 @@
+"""Operator registry — the Spark analog of the reference's plugin registries.
+
+The reference registers processors by name into ``pipeline.Processors[name]``
+(Go, plugins/processor/*/init()) or the C++ ``PluginRegistry``. Here the
+registry maps a config ``Type`` to a factory; the factory takes the config
+dict (same key names as the reference's YAML, e.g. ``SourceKey``, ``Regex``,
+``Keys``) and returns a pure ``DataFrame -> DataFrame`` function built from
+native Spark expressions — so a pipeline config compiles to one Catalyst
+plan, whole-stage-codegen fused.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+OperatorFn = Callable[[DataFrame], DataFrame]
+Factory = Callable[[dict], OperatorFn]
+
+REGISTRY: dict[str, Factory] = {}
+
+
+def register(name: str) -> Callable[[Factory], Factory]:
+    def deco(fn: Factory) -> Factory:
+        REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def build_operator(config: dict[str, Any]) -> OperatorFn:
+    """Config dict (with ``Type``) → DataFrame transform."""
+    typ = config["Type"]
+    if typ not in REGISTRY:
+        raise KeyError(f"unknown operator type {typ!r}; known: {sorted(REGISTRY)}")
+    return REGISTRY[typ]({k: v for k, v in config.items() if k != "Type"})
+
+
+def build_chain(configs: list[dict[str, Any]]) -> OperatorFn:
+    """Processor chain: sequential composition, like the reference's
+    pipeline processor line (CollectionPipeline.cpp:438-443) — Catalyst
+    fuses the narrow stages into one codegen pass."""
+    ops = [build_operator(c) for c in configs]
+
+    def run(df: DataFrame) -> DataFrame:
+        for op in ops:
+            df = op(df)
+        return df
+
+    return run
+
+
+# import for side effect: populates REGISTRY
+from loongcollector_spark.operators import (  # noqa: E402,F401
+    condops,
+    enrich,
+    fieldops,
+    filterops,
+    grok,
+    metricops,
+    parse,
+    ratelimit,
+    splitops,
+    timeops,
+)

@@ -1,0 +1,76 @@
+"""Shared parse-fail semantics (the CommonParserOptions matrix).
+
+Reference behavior (core/plugin/processor/CommonParserOptions.h:27-40 and
+its use in ProcessorParseRegexNative.cpp:186-253):
+
+* ``KeepingSourceWhenParseFail`` (default True here): failed rows keep the
+  raw source value (optionally renamed); if False, failed rows are
+  DISCARDED (the reference deletes the event).
+* ``KeepingSourceWhenParseSucceed`` (default False): successful rows keep
+  the raw source too.
+* ``RenamedSourceKey``: the column name the kept raw value lands under
+  (default: the source key itself).
+
+We additionally emit a boolean ``_parse_ok`` column — the Spark-friendly
+replacement for the reference's per-processor success/fail counters
+(mDiscardedEventsTotal etc.) and the hook the error-routing sink uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PARSE_OK = "_parse_ok"
+
+
+def apply_parse_result(
+    df: DataFrame,
+    source_key: str,
+    ok: Column,
+    extracted: dict[str, Column],
+    cfg: dict,
+) -> DataFrame:
+    """Uniform post-parse handling for every parse_* operator.
+
+    ``extracted`` maps new column name -> Column (already typed). Values are
+    nulled on failed rows. Returns the dataframe with extraction columns,
+    ``_parse_ok``, and source-key retention per the config matrix.
+    """
+    keep_fail = cfg.get("KeepingSourceWhenParseFail", True)
+    keep_ok = cfg.get("KeepingSourceWhenParseSucceed", False)
+    renamed = cfg.get("RenamedSourceKey") or source_key
+
+    cols = dict(extracted)
+    out = df
+    for name, col in cols.items():
+        out = out.withColumn(name, F.when(ok, col))
+    out = out.withColumn(PARSE_OK, ok)
+
+    if not keep_fail:
+        # reference: parse-fail + not keeping source ⇒ discard the event
+        out = out.filter(ok)
+        keep_fail = keep_ok  # remaining rows are all successes
+    if keep_fail and keep_ok:
+        pass  # keep raw on every row
+    elif keep_fail and not keep_ok:
+        # keep raw only on failed rows
+        out = out.withColumn(source_key, F.when(~F.col(PARSE_OK), F.col(source_key)))
+    elif not keep_fail and not keep_ok:
+        out = out.drop(source_key)
+        renamed = None
+    if renamed and renamed != source_key and source_key in out.columns:
+        out = out.withColumnRenamed(source_key, renamed)
+    return out
+
+
+def anchored(pattern: str) -> str:
+    """Full-match semantics: the reference uses boost regex_match /
+    Go regexp full-match-at-[0,len) (aggregator_router.go:97-111), which
+    require the WHOLE value to match. Anchor unless already anchored."""
+    p = pattern
+    if not p.startswith("^"):
+        p = "^" + p
+    if not p.endswith("$") or p.endswith("\\$"):
+        p = p + "$"
+    return p

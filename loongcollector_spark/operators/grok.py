@@ -1,0 +1,192 @@
+"""Grok: plan-time pattern compiler + extraction operator.
+
+Semantics matched (plugins/processor/grok/processor_grok.go):
+* ``%{NAME}`` / ``%{NAME:alias}`` / ``%{NAME:alias:type}`` syntax, type ∈
+  {string,int,float} (the validation pattern at processor_grok.go:378);
+* patterns denormalize recursively against a pattern library — the
+  reference topo-sorts the library then substitutes (go:238-315); we
+  substitute recursively with cycle detection (equivalent result);
+* ``Match`` is an ordered list; the FIRST pattern that matches wins
+  (go:147-193);
+* ``KeepSource`` / ``IgnoreParseFailure`` map onto the shared
+  CommonParserOptions matrix.
+
+The compiler runs in plain Python at PLAN time; execution is pure
+``rlike`` + ``regexp_extract`` codegen — no Python on the data path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import register
+from loongcollector_spark.operators.common import apply_parse_result
+from loongcollector_spark.operators.parse import _cast
+
+# A compact default pattern library. These are the standard public grok
+# base patterns (same ones shipped by logstash/grok ports everywhere, incl.
+# the reference's processor_grok_default_patterns.go) — reproduced from
+# public knowledge of the grok format, restricted to RE2/Java-compatible
+# constructs.
+DEFAULT_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?)|\.[0-9]+)",
+    "NUMBER": r"(?:%{BASE10NUM})",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IPV6": r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{ISO8601_TIMEZONE}",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",
+    "MONTHDAY": r"(?:3[01]|[12][0-9]|0?[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "TIME": r"(?:2[0123]|[01]?[0-9]):(?:[0-5][0-9]):(?:[0-5][0-9])(?:\.[0-9]+)?",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-](?:2[0123]|[01][0-9])(?::?(?:[0-5][0-9])))",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-(?:0[1-9]|1[0-2])-%{MONTHDAY}[T ]%{TIME}%{ISO8601_TIMEZONE}?",
+    "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+.-]+)+",
+    "URIHOST": r"%{IPORHOST}(?::%{INT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+}
+
+_GROK_RX = re.compile(r"%\{(\w+)(?::([\w.\-\[\]]+))?(?::(string|int|float))?\}")
+
+
+def _count_capturing(rx: str) -> int:
+    """Count capturing groups in a regex fragment: '(' not escaped and not
+    followed by '?' (and '(?<name>' named groups DO capture)."""
+    n = 0
+    i = 0
+    in_class = False
+    while i < len(rx):
+        c = rx[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            nxt = rx[i + 1 : i + 2]
+            if nxt != "?":
+                n += 1  # plain capturing group
+            elif rx[i + 2 : i + 3] == "<" and rx[i + 3 : i + 4] not in ("=", "!"):
+                n += 1  # (?<name>...) named group captures; lookbehind doesn't
+        i += 1
+    return n
+
+
+class GrokCompiler:
+    """Compile grok expressions to (java_regex, [(group_idx, alias, type)]).
+
+    Equivalent outcome to the reference's topo-sort + denormalize
+    (processor_grok.go:238-315): library entries are substituted
+    recursively (cycle-checked); un-aliased sub-patterns become
+    NON-capturing groups so alias→group-index bookkeeping stays exact even
+    when library bodies contain their own parentheses.
+    """
+
+    def __init__(self, custom_patterns: dict[str, str] | None = None):
+        self.lib = dict(DEFAULT_PATTERNS)
+        if custom_patterns:
+            self.lib.update(custom_patterns)
+
+    def _expand(self, pattern: str, stack: tuple[str, ...], captures: list, counter: list):
+        out = []
+        pos = 0
+        for m in _GROK_RX.finditer(pattern):
+            out.append(pattern[pos : m.start()])
+            name, alias, typ = m.group(1), m.group(2), m.group(3)
+            if name not in self.lib:
+                raise KeyError(f"unknown grok pattern %{{{name}}}")
+            if name in stack:
+                raise ValueError(f"grok pattern cycle at {name}")
+            if alias:
+                counter[0] += 1
+                captures.append((counter[0], alias, typ or "string"))
+                out.append("(")
+            else:
+                out.append("(?:")
+            out.append(self._expand(self.lib[name], stack + (name,), captures, counter))
+            out.append(")")
+            pos = m.end()
+        tail = pattern[pos:]
+        counter[0] += _count_capturing(tail)
+        out.append(tail)
+        return "".join(out)
+
+    def compile(self, pattern: str) -> tuple[str, list[tuple[int, str, str]]]:
+        captures: list[tuple[int, str, str]] = []
+        counter = [0]
+        rx = self._expand(pattern, (), captures, counter)
+        return rx, captures
+
+
+@register("processor_grok")
+def grok_op(cfg: dict):
+    """Grok extraction with ordered first-match-wins cascade.
+
+    ``Match``: ordered list of grok expressions; first that matches the
+    value wins (processor_grok.go:147-193). ``CustomPatterns`` extends the
+    library. ``KeepSource`` (default True) ~ KeepingSourceWhenParseSucceed;
+    ``IgnoreParseFailure`` (default True) ~ KeepingSourceWhenParseFail.
+
+    Spark: per pattern an ``rlike`` ok-bit; each output key is a
+    ``when(ok1, extract1).when(ok2, extract2)...`` priority chain —
+    the coalesce-cascade preserving match order, all codegen.
+    """
+    src = cfg.get("SourceKey", "text")
+    compiler = GrokCompiler(cfg.get("CustomPatterns"))
+    compiled = [compiler.compile(p) for p in cfg["Match"]]
+    cfg = dict(cfg)
+    cfg.setdefault("KeepingSourceWhenParseSucceed", cfg.get("KeepSource", True))
+    cfg.setdefault("KeepingSourceWhenParseFail", cfg.get("IgnoreParseFailure", True))
+
+    all_keys: list[str] = []
+    for _, caps in compiled:
+        for _, alias, _t in caps:
+            if alias not in all_keys:
+                all_keys.append(alias)
+    key_type = {}
+    for _, caps in compiled:
+        for _, alias, typ in caps:
+            key_type.setdefault(alias, typ)
+
+    def run(df):
+        c = F.col(src)
+        # anchored full match per reference (grok wraps with ^...$ when
+        # FullMatch; we follow the regex-parse convention)
+        oks = [c.rlike("^" + rx + "$") for rx, _ in compiled]
+        ok_any = oks[0]
+        for o in oks[1:]:
+            ok_any = ok_any | o
+        extracted = {}
+        for key in all_keys:
+            expr = None
+            for (rx, caps), okb in zip(compiled, oks):
+                idx = next((i for i, a, _t in caps if a == key), None)
+                if idx is None:
+                    continue
+                val = F.regexp_extract(c, "^" + rx + "$", idx)
+                expr = F.when(okb, val) if expr is None else expr.when(okb, val)
+            extracted[key] = _cast(expr, key_type[key])
+        return apply_parse_result(df, src, ok_any, extracted, cfg)
+
+    return run

@@ -1,0 +1,58 @@
+"""Log→metric reshaping and value-group aggregation.
+
+* processor_log_to_sls_metric (processor_log_to_sls_metric.go:32-51):
+  log → metric event with ``__name__/__labels__/__value__/__time_nano__``,
+  labels sorted by key and joined ``k1#$#v1|k2#$#v2`` — we use the sorted
+  ``|``-joined convention with ``=`` (documented deviation: separator is
+  config-able).
+* aggregator_content_value_group (aggregator_content_value_group.go:66-80):
+  group logs by the values of GroupKeys → per-group counts/tags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import register
+
+
+@register("processor_log_to_metric")
+def log_to_metric(cfg: dict):
+    label_keys = sorted(cfg.get("MetricLabelKeys", []))
+    values = cfg["MetricValues"]  # {name_literal_or_key: value_key}
+    label_sep = cfg.get("LabelSeparator", "|")
+    ts_key = cfg.get("TsKey", "ts")
+
+    def run(df):
+        labels = F.concat_ws(
+            label_sep,
+            *[F.concat(F.lit(k + "="), F.col(k).cast("string")) for k in label_keys],
+        )
+        frames = []
+        for name, value_key in values.items():
+            frames.append(
+                df.select(
+                    F.lit(name).alias("__name__"),
+                    labels.alias("__labels__"),
+                    F.col(value_key).cast("double").alias("__value__"),
+                    (F.unix_micros(F.col(ts_key)) * 1000).alias("__time_nano__"),
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    return run
+
+
+@register("aggregator_content_value_group")
+def content_value_group(cfg: dict):
+    """Count per distinct GroupKeys combo; the per-group tags of the
+    reference become the grouping columns themselves."""
+    keys = cfg["GroupKeys"]
+
+    def run(df):
+        return df.groupBy(*keys).agg(F.count("*").alias("group_count"))
+
+    return run

@@ -1,0 +1,270 @@
+"""Parse / projection operators.
+
+Each mirrors one reference processor's semantics (citation in each factory)
+but is expressed as native Spark SQL expressions so Catalyst fuses the whole
+parse chain into one codegen stage — the Spark analog of the reference's
+single-pass in-place group processing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from loongcollector_spark.operators import register
+from loongcollector_spark.operators.common import anchored, apply_parse_result
+
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "int": T.LongType(),
+    "long": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _cast(col, typ: str | None):
+    if not typ or typ == "string":
+        return col
+    return col.cast(_TYPE_MAP[typ])
+
+
+@register("processor_parse_regex")
+def parse_regex(cfg: dict):
+    """Regex field extraction.
+
+    Semantics matched: ProcessorParseRegexNative.cpp:186-253 — full-match
+    the value of ``SourceKey`` against ``Regex``; capture group i becomes
+    ``Keys[i]``; fail/success source handling per CommonParserOptions.
+    Optional ``KeyTypes[i]`` casts (grok-style :int/:float hints).
+
+    Spark: one anchored pattern, ``rlike`` for the success bit plus
+    ``regexp_extract`` per key — all whole-stage-codegen, the regex is
+    compiled once per generated stage (the analog of the reference's
+    thread-local compiled regex, .cpp:255-257).
+    """
+    src = cfg.get("SourceKey", "text")
+    pattern = anchored(cfg["Regex"])
+    keys = cfg["Keys"]
+    types = cfg.get("KeyTypes") or [None] * len(keys)
+
+    def run(df):
+        ok = F.col(src).rlike(pattern)
+        extracted = {
+            k: _cast(F.regexp_extract(F.col(src), pattern, i + 1), t)
+            for i, (k, t) in enumerate(zip(keys, types))
+        }
+        return apply_parse_result(df, src, ok, extracted, cfg)
+
+    return run
+
+
+def _flatten_schema(schema: T.StructType, prefix: str, connector: str, depth: int,
+                    max_depth: int):
+    """Plan-time recursive flatten: nested struct fields become top-level
+    ``a_b_c`` columns — the semantics of processor_json's ExpandDepth /
+    ExpandConnector (processor_json.go:29-43: depth 0 = unlimited,
+    connector default '_')."""
+    out = []
+    for f in schema.fields:
+        name = f"{prefix}{f.name}" if prefix else f.name
+        if isinstance(f.dataType, T.StructType) and (max_depth == 0 or depth < max_depth):
+            out += _flatten_schema(
+                f.dataType, f"{name}{connector}", connector, depth + 1, max_depth
+            )
+        else:
+            out.append((name,))
+    return out
+
+
+def _flatten_columns(parsed_col, schema: T.StructType, prefix: str, connector: str,
+                     depth: int, max_depth: int):
+    cols = {}
+    for f in schema.fields:
+        name = f"{prefix}{f.name}" if prefix else f.name
+        child = parsed_col.getField(f.name)
+        if isinstance(f.dataType, T.StructType) and (max_depth == 0 or depth < max_depth):
+            cols.update(
+                _flatten_columns(child, f.dataType, f"{name}{connector}",
+                                 connector, depth + 1, max_depth)
+            )
+        else:
+            cols[name] = child
+    return cols
+
+
+@register("processor_parse_json")
+def parse_json(cfg: dict):
+    """JSON expansion.
+
+    Semantics matched: processor_parse_json_native (scalars stringified,
+    ProcessorParseJsonNative.cpp:177) + Go processor_json flattening
+    (ExpandDepth 0=∞, ExpandConnector '_', Prefix — processor_json.go:29-43).
+
+    Two modes:
+    * ``Schema`` given (Spark DDL string) → ``from_json`` with typed
+      columns, nested structs flattened plan-time with the connector.
+    * no Schema → dynamic top-level expansion into a ``map<string,string>``
+      column named ``AttrsKey`` (default ``attrs``) — the schema-less path.
+    """
+    src = cfg.get("SourceKey", "text")
+    connector = cfg.get("ExpandConnector", "_")
+    prefix = cfg.get("Prefix", "")
+    max_depth = cfg.get("ExpandDepth", 0)
+    schema_ddl = cfg.get("Schema")
+    attrs_key = cfg.get("AttrsKey", "attrs")
+
+    def run(df):
+        if schema_ddl:
+            schema = T.StructType.fromDDL(schema_ddl)
+            parsed = F.from_json(F.col(src), schema)
+            ok = parsed.isNotNull() & F.col(src).rlike(r"^\s*\{")
+            cols = _flatten_columns(parsed, schema, prefix, connector, 1, max_depth)
+            return apply_parse_result(df, src, ok, cols, cfg)
+        parsed = F.from_json(F.col(src), "map<string,string>")
+        ok = parsed.isNotNull() & F.col(src).rlike(r"^\s*\{")
+        return apply_parse_result(df, src, ok, {attrs_key: parsed}, cfg)
+
+    return run
+
+
+@register("processor_parse_delimiter")
+def parse_delimiter(cfg: dict):
+    """Delimiter/CSV split.
+
+    Semantics matched: ProcessorParseDelimiterNative.cpp:245-335 —
+    ``Separator`` split into ``Keys``; ``AllowingShortenedFields`` permits
+    fewer fields than keys (missing → null ⇒ fail if False);
+    ``OverflowedFieldsTreatment``: keep (extras folded into last key),
+    discard (dropped), extend (extra ``__column{N}__`` columns, cpp:368-400).
+    ``Quote`` set → from_csv quote-aware FSM path (DelimiterModeFsmParser).
+    """
+    src = cfg.get("SourceKey", "text")
+    sep = cfg.get("Separator", ",")
+    quote = cfg.get("Quote")
+    keys = cfg["Keys"]
+    allow_short = cfg.get("AllowingShortenedFields", False)
+    overflow = cfg.get("OverflowedFieldsTreatment", "extend")
+    n_extend = cfg.get("ExtendedColumns", 3)  # plan-time bound for 'extend'
+
+    def run(df):
+        if quote:
+            ddl = ", ".join(f"`{k}` string" for k in keys)
+            parsed = F.from_csv(F.col(src), ddl, {"sep": sep, "quote": quote})
+            ok = parsed.isNotNull()
+            cols = {k: parsed.getField(k) for k in keys}
+            return apply_parse_result(df, src, ok, cols, cfg)
+        parts = F.split(F.col(src), re.escape(sep))
+        n = F.size(parts)
+        ok = (n >= len(keys)) if not allow_short else (n >= 1)
+        cols = {}
+        for i, k in enumerate(keys):
+            c = F.when(n > i, F.element_at(parts, i + 1))
+            if i == len(keys) - 1 and overflow == "keep":
+                # fold overflow back into the last key
+                c = F.when(
+                    n > len(keys),
+                    F.array_join(F.slice(parts, len(keys), 2**31 - 1), sep),
+                ).otherwise(c)
+            cols[k] = c
+        if overflow == "extend":
+            for j in range(n_extend):
+                idx = len(keys) + j
+                cols[f"__column{j}__"] = F.when(n > idx, F.element_at(parts, idx + 1))
+        return apply_parse_result(df, src, ok, cols, cfg)
+
+    return run
+
+
+@register("processor_split_key_value")
+def parse_kv(cfg: dict):
+    """Key/value splitting (``a=1&b=2``).
+
+    Semantics matched: key_value_splitter.go:26-45 — ``Delimiter`` between
+    pairs, ``Separator`` between key and value. With ``Keys`` given, each
+    listed key becomes a typed top-level column; otherwise the pairs land in
+    a ``map<string,string>`` column ``AttrsKey``.
+
+    Spark: ``str_to_map`` — one codegen expression, no UDF.
+    """
+    src = cfg.get("SourceKey", "text")
+    delim = cfg.get("Delimiter", "&")
+    sep = cfg.get("Separator", "=")
+    keys = cfg.get("Keys")
+    attrs_key = cfg.get("AttrsKey", "attrs")
+
+    def run(df):
+        m = F.str_to_map(F.col(src), F.lit(re.escape(delim)), F.lit(re.escape(sep)))
+        ok = F.col(src).contains(sep)
+        if keys:
+            cols = {k: m.getItem(k) for k in keys}
+            if not cfg.get("AllowingMissingKeys", False):
+                for k in keys:
+                    ok = ok & m.getItem(k).isNotNull()
+        else:
+            cols = {attrs_key: m}
+        return apply_parse_result(df, src, ok, cols, cfg)
+
+    return run
+
+
+@register("processor_parse_apsara")
+def parse_apsara(cfg: dict):
+    """Apsara log format: ``[2026-01-01 00:00:00.123456]\\t[LEVEL]\\t[thread]
+    \\t[file:line]\\tk:v\\tk:v...`` (ProcessorParseApsaraNative.cpp:205-232).
+
+    Spark composition: regexp_extract for the bracketed header fields +
+    str_to_map for the trailing kv pairs.
+    """
+    src = cfg.get("SourceKey", "text")
+    attrs_key = cfg.get("AttrsKey", "attrs")
+    header = r"^\[([^\]]+)\]\t\[(\w+)\]\t\[(\d+)\]\t\[([^\]:]+):(\d+)\]\t?(.*)$"
+
+    def run(df):
+        c = F.col(src)
+        ok = c.rlike(header)
+        rest = F.regexp_extract(c, header, 6)
+        cols = {
+            "microtime": F.regexp_extract(c, header, 1),
+            "__LEVEL__": F.regexp_extract(c, header, 2),
+            "__THREAD__": F.regexp_extract(c, header, 3).cast("long"),
+            "__FILE__": F.regexp_extract(c, header, 4),
+            "__LINE__": F.regexp_extract(c, header, 5).cast("long"),
+            attrs_key: F.when(
+                rest != "", F.str_to_map(rest, F.lit("\t"), F.lit(":"))
+            ),
+        }
+        return apply_parse_result(df, src, ok, cols, cfg)
+
+    return run
+
+
+@register("processor_parse_timestamp")
+def parse_timestamp(cfg: dict):
+    """strptime-style event-time extraction.
+
+    Semantics matched: ProcessorParseTimestampNative.cpp:140-205 — parse
+    ``SourceKey`` with ``SourceFormat`` (Spark datetime pattern), optional
+    ``SourceTimezone`` ('GMT+08:00' style), set the event time column
+    (``DestKey``, default ``ts``); rows whose time can't parse are dropped
+    iff ``DropIfFail`` (the reference's discard-unmatched behavior).
+    """
+    src = cfg["SourceKey"]
+    fmt = cfg.get("SourceFormat", "yyyy-MM-dd HH:mm:ss")
+    tz = cfg.get("SourceTimezone")
+    dest = cfg.get("DestKey", "ts")
+    drop_fail = cfg.get("DropIfFail", False)
+
+    def run(df):
+        parsed = F.to_timestamp(F.col(src), fmt)
+        if tz:
+            parsed = F.to_utc_timestamp(parsed, tz)
+        out = df.withColumn(dest, parsed)
+        if drop_fail:
+            out = out.filter(F.col(dest).isNotNull())
+        return out
+
+    return run
