@@ -1,0 +1,74 @@
+"""Checkpoint manifest + idempotent writes + resume.
+
+The reference's exactly-once story is per-file range checkpoints bound to
+event groups with replay detection (core/file_server/checkpoint/
+CheckPointManager.h:40-53, ExactlyOnceQueueManager.h:41-96). The batch-
+Spark equivalent is simpler and stronger:
+
+* every sink write is an OVERWRITE of a deterministic output path —
+  re-running a completed stage produces byte-identical output, so a
+  replayed stage is harmless (idempotence instead of dedup);
+* a JSON **manifest** records, per stage: status, row count, and the input
+  fingerprint. Resume = skip stages whose manifest entry is 'done' AND
+  whose input fingerprint matches; any fingerprint change invalidates
+  everything downstream.
+
+The manifest is written atomically (tmp + rename) after each stage
+completes — a kill between stages loses at most the in-flight stage,
+which re-runs idempotently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+
+@dataclass
+class Manifest:
+    path: str
+    data: dict
+
+    @classmethod
+    def load(cls, out_dir: str) -> "Manifest":
+        p = os.path.join(out_dir, "_manifest.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return cls(p, json.load(f))
+        return cls(p, {"input_fingerprint": None, "stages": {}})
+
+    def save(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def reset_if_input_changed(self, fingerprint: str) -> bool:
+        """New/changed input invalidates all completed stages."""
+        if self.data.get("input_fingerprint") != fingerprint:
+            self.data = {"input_fingerprint": fingerprint, "stages": {}}
+            self.save()
+            return True
+        return False
+
+    def is_done(self, stage: str) -> bool:
+        return self.data["stages"].get(stage, {}).get("status") == "done"
+
+    def mark_done(self, stage: str, **info) -> None:
+        self.data["stages"][stage] = {"status": "done", **info}
+        self.save()
+
+
+def input_fingerprint(df) -> str:
+    """Deterministic fingerprint of the input: row count + xor of per-row
+    hashes over the key columns. One cheap scan; order-insensitive."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("h"),
+    ).first()
+    return f"{row['n']}:{row['h']}"

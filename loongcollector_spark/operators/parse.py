@@ -29,7 +29,7 @@ _TYPE_MAP = {
 def _cast(col, typ: str | None):
     if not typ or typ == "string":
         return col
-    return col.cast(_TYPE_MAP[typ])
+    return col.try_cast(_TYPE_MAP[typ])
 
 
 @register("processor_parse_regex")
@@ -230,9 +230,9 @@ def parse_apsara(cfg: dict):
         cols = {
             "microtime": F.regexp_extract(c, header, 1),
             "__LEVEL__": F.regexp_extract(c, header, 2),
-            "__THREAD__": F.regexp_extract(c, header, 3).cast("long"),
+            "__THREAD__": F.regexp_extract(c, header, 3).try_cast("long"),
             "__FILE__": F.regexp_extract(c, header, 4),
-            "__LINE__": F.regexp_extract(c, header, 5).cast("long"),
+            "__LINE__": F.regexp_extract(c, header, 5).try_cast("long"),
             attrs_key: F.when(
                 rest != "", F.str_to_map(rest, F.lit("\t"), F.lit(":"))
             ),
@@ -259,7 +259,7 @@ def parse_timestamp(cfg: dict):
     drop_fail = cfg.get("DropIfFail", False)
 
     def run(df):
-        parsed = F.to_timestamp(F.col(src), fmt)
+        parsed = F.try_to_timestamp(F.col(src), F.lit(fmt))
         if tz:
             parsed = F.to_utc_timestamp(parsed, tz)
         out = df.withColumn(dest, parsed)

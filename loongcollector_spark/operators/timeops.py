@@ -34,10 +34,10 @@ def gotime(cfg: dict):
         if src_fmt in _EPOCH_UNITS:
             unit = _EPOCH_UNITS[src_fmt]
             parsed = F.timestamp_micros(
-                (c.cast("decimal(20,0)") * (1_000_000 // unit)).cast("long")
+                (c.try_cast("decimal(20,0)") * (1_000_000 // unit)).try_cast("long")
             )
         else:
-            parsed = F.to_timestamp(c, src_fmt)
+            parsed = F.try_to_timestamp(c, F.lit(src_fmt))
             if src_tz:
                 parsed = F.to_utc_timestamp(parsed, src_tz)
         out = F.date_format(parsed, dest_fmt) if dest_fmt else parsed
@@ -58,7 +58,7 @@ def strptime(cfg: dict):
     precise_key = cfg.get("PreciseTimestampKey", "precise_timestamp")
 
     def run(df):
-        parsed = F.to_timestamp(F.col(src), fmt)
+        parsed = F.try_to_timestamp(F.col(src), F.lit(fmt))
         if adjust_h:
             parsed = parsed + F.expr(f"INTERVAL {int(adjust_h)} HOURS")
         df = df.withColumn("ts", parsed)

@@ -1,0 +1,290 @@
+"""The flagship transcript pipeline: parse → enrich → route → aggregate.
+
+Mirrors the reference's canonical file→parse→route→flush pipeline
+(CollectionPipeline.cpp:413-474) over the transcripts table
+(conv_id, turn_idx, role, text, tool, ts):
+
+  Stage P  parse     — per-format field extraction from `text` (nginx
+                       regex / JSON / KV / grok app-line — the parser
+                       matrix of FIXTURES.md §1.1), one codegen pass.
+  Stage E  enrich    — dictmap broadcast enrichment: tool→tool_category,
+                       role→route_class.
+  Stage R  route     — boolean sink bits over ONE cached frame
+                       (Router.cpp copy-minimization analog).
+  Stage A  aggregate — per-sink hourly windowed counters.
+  Sinks              — per-sink parquet + _counters + _lineage + _metrics
+                       + _manifest (resume gate).
+
+Scale shape: stages P/E/R are narrow (zero shuffle; Catalyst fuses them
+into one WholeStageCodegen over the scan). The only wide operations are
+the ONE salted repartition before the sink writes (hot-conv skew spread)
+and the tiny additive counter aggregations.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from loongcollector_spark import routing
+from loongcollector_spark.aggregate import sink_counters, with_pack_id, windowed_counts
+from loongcollector_spark.checkpoint import Manifest, input_fingerprint
+from loongcollector_spark.datagen import ROLE_DICT, TOOL_DICT
+from loongcollector_spark.metrics import MetricsCollector, partition_lineage
+from loongcollector_spark.operators import build_operator
+from loongcollector_spark.operators.common import PARSE_OK
+from loongcollector_spark.operators.grok import GrokCompiler
+from loongcollector_spark.routing import SinkRule
+
+# the reference's 11-capture-group nginx benchmark regex shape
+# (test/benchmark/.../performance_file_to_file_loongcollector/loongcollector.yaml)
+NGINX_RX = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" '
+    r'(\d{3}) (\d+) "([^"]*)" "([^"]*)"$'
+)
+NGINX_KEYS = [
+    "ip", "ident", "auth", "time_local", "method", "request", "http_version",
+    "response_code", "bytes", "referrer", "user_agent",
+]
+JSON_SCHEMA = "action string, lat_ms bigint, ok boolean, meta struct<model:string, tok:bigint>"
+GROK_PATTERN = "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes:int} %{NUMBER:duration:float}"
+
+DEFAULT_SINK_RULES = [
+    SinkRule("sink_tool", kind="expr", expr="tool_category != ''"),
+    SinkRule(
+        "sink_errors",
+        kind="expr",
+        expr=f"(NOT {PARSE_OK}) OR (response_code IS NOT NULL "
+             "AND response_code RLIKE '^5[0-9][0-9]$')",
+    ),
+    SinkRule("sink_assistant", kind="tag", key="role", value="assistant"),
+    SinkRule("sink_default", kind="always"),
+]
+
+
+def parse_stage(df: DataFrame) -> DataFrame:
+    """Stage P: sniff the payload format, extract per-format fields,
+    consolidate into one typed schema. All codegen — no UDFs, no shuffle."""
+    t = F.col("text")
+    fmt = (
+        F.when(t.startswith("{"), "json")
+        .when(t.contains(" - - ["), "nginx")
+        .when(t.rlike(r"^\w+=[^ ]*&"), "kv")
+        .when(t.rlike(r"^\d+\.\d+\.\d+\.\d+ \w+ /"), "app")
+        .otherwise("unknown")
+    )
+    df = df.withColumn("_fmt", fmt)
+
+    nginx_ok = t.rlike(NGINX_RX)
+    jparsed = F.from_json(t, JSON_SCHEMA)
+    json_ok = jparsed.isNotNull() & jparsed.getField("action").isNotNull()
+    kvmap = F.str_to_map(t, F.lit("&"), F.lit("="))
+    kv_ok = (
+        kvmap.getItem("action").isNotNull()
+        & kvmap.getItem("lat_ms").isNotNull()
+        & kvmap.getItem("tok").isNotNull()
+    )
+    grok_rx, grok_caps = GrokCompiler().compile(GROK_PATTERN)
+    grok_rx = "^" + grok_rx + "$"
+    app_ok = t.rlike(grok_rx)
+    gidx = {alias: i for i, alias, _t in grok_caps}
+
+    is_fmt = {k: F.col("_fmt") == k for k in ("nginx", "json", "kv", "app")}
+    ok = (
+        F.when(is_fmt["nginx"], nginx_ok)
+        .when(is_fmt["json"], json_ok)
+        .when(is_fmt["kv"], kv_ok)
+        .when(is_fmt["app"], app_ok)
+        .otherwise(F.lit(False))
+    )
+
+    def nginx_f(i):
+        return F.regexp_extract(t, NGINX_RX, i)
+
+    out = (
+        df.withColumn(PARSE_OK, ok)
+        # consolidated extraction columns (null where not applicable/failed)
+        .withColumn(
+            "client_ip",
+            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(1)).when(
+                is_fmt["app"] & app_ok, F.regexp_extract(t, grok_rx, gidx["client"])
+            ),
+        )
+        .withColumn(
+            "method",
+            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(5)).when(
+                is_fmt["app"] & app_ok, F.regexp_extract(t, grok_rx, gidx["method"])
+            ),
+        )
+        .withColumn(
+            "request",
+            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(6)).when(
+                is_fmt["app"] & app_ok, F.regexp_extract(t, grok_rx, gidx["request"])
+            ),
+        )
+        .withColumn("response_code", F.when(is_fmt["nginx"] & nginx_ok, nginx_f(8)))
+        .withColumn(
+            "bytes",
+            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(9).cast("long")).when(
+                is_fmt["app"] & app_ok,
+                F.regexp_extract(t, grok_rx, gidx["bytes"]).cast("long"),
+            ),
+        )
+        .withColumn(
+            "action",
+            F.when(is_fmt["json"] & json_ok, jparsed.getField("action")).when(
+                is_fmt["kv"] & kv_ok, kvmap.getItem("action")
+            ),
+        )
+        .withColumn(
+            "lat_ms",
+            F.when(is_fmt["json"] & json_ok, jparsed.getField("lat_ms")).when(
+                is_fmt["kv"] & kv_ok, kvmap.getItem("lat_ms").cast("long")
+            ),
+        )
+        .withColumn(
+            "tok",
+            F.when(
+                is_fmt["json"] & json_ok, jparsed.getField("meta").getField("tok")
+            ).when(is_fmt["kv"] & kv_ok, kvmap.getItem("tok").cast("long")),
+        )
+        .withColumn(
+            "model",
+            F.when(is_fmt["json"] & json_ok, jparsed.getField("meta").getField("model")),
+        )
+    )
+    return out
+
+
+def enrich_stage(df: DataFrame) -> DataFrame:
+    """Stage E: dictmap broadcast enrichment (processor_dict_map
+    semantics; '' maps to '' so non-tool turns stay untagged while
+    unregistered tools get Missing='Unknown')."""
+    tool_map = dict(TOOL_DICT)
+    tool_map[""] = ""
+    enrich_tool = build_operator(
+        {
+            "Type": "processor_dict_map",
+            "SourceKey": "tool",
+            "DestKey": "tool_category",
+            "MapDict": tool_map,
+            "HandleMissing": True,
+            "Missing": "Unknown",
+        }
+    )
+    enrich_role = build_operator(
+        {
+            "Type": "processor_dict_map",
+            "SourceKey": "role",
+            "DestKey": "route_class",
+            "MapDict": ROLE_DICT,
+            "HandleMissing": True,
+            "Missing": "Unknown",
+        }
+    )
+    return enrich_role(enrich_tool(df))
+
+
+def route_stage(df: DataFrame, rules: list[SinkRule] | None = None) -> DataFrame:
+    return routing.apply_router(df, rules or DEFAULT_SINK_RULES)
+
+
+def transcript_pipeline(df: DataFrame, rules: list[SinkRule] | None = None) -> DataFrame:
+    """P+E+R as one pure transform (no writes) — the frame every sink
+    branch filters from."""
+    return route_stage(enrich_stage(parse_stage(df)), rules)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    rules: list[SinkRule] | None = None,
+    window_duration: str = "1 hour",
+    counter_keys: tuple[str, ...] = ("role",),
+    salt_mod: int = 16,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    fail_after_stage: int | None = None,
+) -> dict:
+    """Execute the pipeline with sinks, counters, lineage, metrics and a
+    checkpoint manifest. Returns a summary dict.
+
+    ``fail_after_stage`` injects a crash after N completed sink stages —
+    the kill/resume test hook.
+    """
+    rules = rules or DEFAULT_SINK_RULES
+    mc = MetricsCollector()
+    manifest = Manifest.load(out_dir)
+
+    t0 = time.monotonic()
+    fp = input_fingerprint(df)
+    if not resume:
+        manifest.data = {"input_fingerprint": None, "stages": {}}
+    manifest.reset_if_input_changed(fp)
+
+    in_rows_row = df.count()
+
+    routed = transcript_pipeline(df, rules)
+    routed = with_pack_id(routed)
+    # THE one shuffle: salted conv partitioning + in-partition stable order
+    routed = routing.salted_repartition(
+        routed, salt_mod=salt_mod, num_partitions=num_partitions
+    )
+    routed = routed.persist()
+    try:
+        routed_rows = mc.timed_count("parse+enrich+route", in_rows_row, routed)
+
+        completed = 0
+        sink_frames: dict[str, DataFrame] = {}
+        for rule in rules:
+            sink_frames[rule.name] = routing.sink_frame(routed, rule, rules)
+
+        for rule in rules:
+            stage = f"sink:{rule.name}"
+            path = f"{out_dir}/sinks/{rule.name}"
+            if resume and manifest.is_done(stage):
+                mc.record_stage(stage + " (skipped:resume)", 0, 0, 0.0)
+                completed += 1
+                continue
+            t1 = time.monotonic()
+            sdf = sink_frames[rule.name]
+            sdf.write.mode("overwrite").parquet(path)
+            n = spark.read.parquet(path).count()
+            mc.record_stage(stage, routed_rows, n, (time.monotonic() - t1) * 1e3)
+            manifest.mark_done(stage, rows=n, path=path)
+            completed += 1
+            if fail_after_stage is not None and completed >= fail_after_stage:
+                raise RuntimeError(f"injected failure after {completed} sink stages")
+
+        # Stage A: per-sink windowed counters (re-reads the written sinks so
+        # counters always reflect what's on disk, incl. resumed stages)
+        stage = "counters"
+        cpath = f"{out_dir}/counters"
+        if not (resume and manifest.is_done(stage)):
+            t1 = time.monotonic()
+            sink_outs = {
+                r.name: spark.read.parquet(f"{out_dir}/sinks/{r.name}") for r in rules
+            }
+            counters = sink_counters(sink_outs, window_duration, counter_keys)
+            counters.write.mode("overwrite").parquet(cpath)
+            mc.record_stage(stage, routed_rows, spark.read.parquet(cpath).count(),
+                            (time.monotonic() - t1) * 1e3)
+            manifest.mark_done(stage, path=cpath)
+
+        # lineage + metrics (always rewritten — cheap, and they describe
+        # THIS run)
+        partition_lineage(routed).write.mode("overwrite").parquet(f"{out_dir}/_lineage")
+        mc.to_df(spark).coalesce(1).write.mode("overwrite").json(f"{out_dir}/_metrics")
+        manifest.mark_done("run", wall_s=time.monotonic() - t0)
+    finally:
+        routed.unpersist()
+
+    return {
+        "in_rows": in_rows_row,
+        "routed_rows": routed_rows,
+        "wall_s": time.monotonic() - t0,
+        "metrics": mc.to_rows(),
+        "out_dir": out_dir,
+    }

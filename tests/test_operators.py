@@ -1,0 +1,418 @@
+"""Per-operator golden tests — the pytest analog of the reference's
+core/unittest/processor suites: tiny in-memory frames, hand-computed
+expected outputs, parse-fail branches included."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import build_operator, build_chain
+
+
+def rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+# ---------------------------------------------------------------- parse ops
+
+def test_parse_regex_success_and_fail(spark):
+    df = spark.createDataFrame(
+        [("a 1",), ("b 2",), ("nope",)], "text string"
+    )
+    op = build_operator({
+        "Type": "processor_parse_regex",
+        "SourceKey": "text",
+        "Regex": r"(\w) (\d)",
+        "Keys": ["k", "v"],
+        "KeyTypes": [None, "int"],
+    })
+    out = op(df).orderBy("k").collect()
+    assert [(r["k"], r["v"], r["_parse_ok"]) for r in out] == [
+        (None, None, False), ("a", 1, True), ("b", 2, True)]
+    # keep-source-on-fail default: failed row keeps raw, success rows drop it
+    assert [r["text"] for r in out] == ["nope", None, None]
+
+
+def test_parse_regex_discard_on_fail(spark):
+    df = spark.createDataFrame([("a 1",), ("zz",)], "text string")
+    op = build_operator({
+        "Type": "processor_parse_regex", "SourceKey": "text",
+        "Regex": r"(\w) (\d)", "Keys": ["k", "v"],
+        "KeepingSourceWhenParseFail": False,
+    })
+    assert op(df).count() == 1
+
+
+def test_parse_regex_renamed_source(spark):
+    df = spark.createDataFrame([("bad",)], "text string")
+    op = build_operator({
+        "Type": "processor_parse_regex", "SourceKey": "text",
+        "Regex": r"(\d+)", "Keys": ["n"], "RenamedSourceKey": "raw_log",
+    })
+    out = op(df).collect()[0]
+    assert out["raw_log"] == "bad" and out["n"] is None
+
+
+def test_parse_json_schema_flatten(spark):
+    df = spark.createDataFrame(
+        [('{"a":"x","meta":{"b":2}}',), ("notjson",)], "text string"
+    )
+    op = build_operator({
+        "Type": "processor_parse_json", "SourceKey": "text",
+        "Schema": "a string, meta struct<b:bigint>",
+    })
+    out = op(df).orderBy(F.col("a").asc_nulls_last()).collect()
+    assert (out[0]["a"], out[0]["meta_b"], out[0]["_parse_ok"]) == ("x", 2, True)
+    assert out[1]["_parse_ok"] is False and out[1]["text"] == "notjson"
+
+
+def test_parse_json_dynamic_map(spark):
+    df = spark.createDataFrame([('{"k1":"v1","k2":"2"}',)], "text string")
+    op = build_operator({"Type": "processor_parse_json", "SourceKey": "text"})
+    out = op(df).collect()[0]
+    assert out["attrs"] == {"k1": "v1", "k2": "2"}
+
+
+def test_parse_delimiter_modes(spark):
+    df = spark.createDataFrame([("a,b,c,d,e",), ("a,b",)], "text string")
+    # extend: extras become __column{N}__ (ProcessorParseDelimiterNative.cpp:368-400)
+    op = build_operator({
+        "Type": "processor_parse_delimiter", "SourceKey": "text",
+        "Separator": ",", "Keys": ["x", "y", "z"],
+        "OverflowedFieldsTreatment": "extend", "ExtendedColumns": 2,
+    })
+    out = op(df).orderBy(F.col("x").asc_nulls_last()).collect()
+    assert (out[0]["x"], out[0]["__column0__"], out[0]["__column1__"]) == ("a", "d", "e")
+    assert out[1]["_parse_ok"] is False  # shortened not allowed by default
+    # keep: overflow folded into last key
+    op2 = build_operator({
+        "Type": "processor_parse_delimiter", "SourceKey": "text",
+        "Separator": ",", "Keys": ["x", "y", "z"],
+        "OverflowedFieldsTreatment": "keep",
+    })
+    out2 = op2(df).filter("x = 'a'").collect()[0]
+    assert out2["z"] == "c,d,e"
+
+
+def test_parse_delimiter_quoted(spark):
+    df = spark.createDataFrame([('a,"b,c",d',)], "text string")
+    op = build_operator({
+        "Type": "processor_parse_delimiter", "SourceKey": "text",
+        "Separator": ",", "Quote": '"', "Keys": ["x", "y", "z"],
+    })
+    out = op(df).collect()[0]
+    assert (out["x"], out["y"], out["z"]) == ("a", "b,c", "d")
+
+
+def test_parse_kv(spark):
+    df = spark.createDataFrame([("a=1&b=two",), ("junk",)], "text string")
+    op = build_operator({
+        "Type": "processor_split_key_value", "SourceKey": "text",
+        "Delimiter": "&", "Separator": "=", "Keys": ["a", "b"],
+    })
+    out = op(df).orderBy(F.col("a").asc_nulls_last()).collect()
+    assert (out[0]["a"], out[0]["b"]) == ("1", "two")
+    assert out[1]["_parse_ok"] is False
+
+
+def test_parse_apsara(spark):
+    line = "[2026-01-01 00:00:00.123456]\t[INFO]\t[123]\t[main.cpp:42]\tk1:v1\tk2:v2"
+    df = spark.createDataFrame([(line,)], "text string")
+    op = build_operator({"Type": "processor_parse_apsara", "SourceKey": "text"})
+    out = op(df).collect()[0]
+    assert out["__LEVEL__"] == "INFO" and out["__THREAD__"] == 123
+    assert out["__FILE__"] == "main.cpp" and out["__LINE__"] == 42
+    assert out["attrs"] == {"k1": "v1", "k2": "v2"}
+
+
+def test_grok_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1 GET /a 100 0.01",), ("hello world",)], "text string"
+    )
+    op = build_operator({
+        "Type": "processor_grok", "SourceKey": "text",
+        "Match": [
+            "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes:int} %{NUMBER:duration:float}",
+            "%{WORD:w1} %{WORD:w2}",
+        ],
+    })
+    out = op(df).orderBy(F.col("client").asc_nulls_last()).collect()
+    assert (out[0]["client"], out[0]["bytes"], out[0]["duration"]) == ("10.0.0.1", 100, 0.01)
+    assert out[0]["w1"] is None  # first pattern won; second not applied
+    assert (out[1]["w1"], out[1]["w2"]) == ("hello", "world")
+
+
+def test_parse_timestamp(spark):
+    df = spark.createDataFrame([("2026-02-03 04:05:06",), ("bad",)], "t string")
+    op = build_operator({
+        "Type": "processor_parse_timestamp", "SourceKey": "t",
+        "SourceFormat": "yyyy-MM-dd HH:mm:ss", "DestKey": "ts", "DropIfFail": True,
+    })
+    out = op(df).collect()
+    assert len(out) == 1 and str(out[0]["ts"]).startswith("2026-02-03 04:05:06")
+
+
+# ---------------------------------------------------------------- field ops
+
+def test_field_ops_chain(spark):
+    df = spark.createDataFrame([("v", "x")], "a string, b string")
+    chain = build_chain([
+        {"Type": "processor_add_fields", "Fields": {"env": "prod"}},
+        {"Type": "processor_rename", "SourceKeys": ["a"], "DestKeys": ["a2"]},
+        {"Type": "processor_drop", "DropKeys": ["b"]},
+    ])
+    out = chain(df)
+    assert out.columns == ["a2", "env"] and out.collect()[0]["env"] == "prod"
+
+
+def test_pick_key(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    op = build_operator({"Type": "processor_pick_key", "Include": ["a", "c"]})
+    assert op(df).columns == ["a", "c"]
+
+
+def test_pack_json(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    op = build_operator({"Type": "processor_pack_json", "SourceKeys": ["a", "b"], "DestKey": "p"})
+    assert op(df).collect()[0]["p"] == '{"a":1,"b":"x"}'
+
+
+def test_appender_and_anchor(spark):
+    df = spark.createDataFrame([("val", "pre[TARGET]post")], "k string, t string")
+    out = build_operator({"Type": "processor_appender", "Key": "k", "Value": "-suffix"})(df)
+    assert out.collect()[0]["k"] == "val-suffix"
+    out2 = build_operator({
+        "Type": "processor_anchor", "SourceKey": "t",
+        "Anchors": [{"Start": "pre[", "Stop": "]post", "FieldName": "mid"}],
+    })(df)
+    assert out2.collect()[0]["mid"] == "TARGET"
+
+
+def test_base64_md5(spark):
+    df = spark.createDataFrame([("abc",)], "v string")
+    enc = build_operator({"Type": "processor_base64_encoding", "SourceKey": "v", "NewKey": "e"})(df)
+    assert enc.collect()[0]["e"] == "YWJj"
+    dec = build_operator({"Type": "processor_base64_decoding", "SourceKey": "e", "NewKey": "d"})(enc)
+    assert dec.collect()[0]["d"] == "abc"
+    md5 = build_operator({"Type": "processor_md5", "SourceKey": "v", "MD5Key": "h"})(df)
+    assert md5.collect()[0]["h"] == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_string_replace(spark):
+    df = spark.createDataFrame([("ab12cd",)], "v string")
+    out = build_operator({
+        "Type": "processor_string_replace", "SourceKey": "v",
+        "Method": "regex", "Match": r"\d+", "ReplaceString": "#",
+    })(df)
+    assert out.collect()[0]["v"] == "ab#cd"
+    out2 = build_operator({
+        "Type": "processor_string_replace", "SourceKey": "v",
+        "Method": "const", "Match": "ab", "ReplaceString": "XY", "DestKey": "w",
+    })(df)
+    assert out2.collect()[0]["w"] == "XY12cd"
+
+
+def test_desensitize_const_and_md5(spark):
+    df = spark.createDataFrame([("user=bob,pwd=secret123,x=1",)], "v string")
+    out = build_operator({
+        "Type": "processor_desensitize", "SourceKey": "v", "Method": "const",
+        "RegexBegin": "pwd=", "RegexContent": r"[^,]+", "ReplacingString": "***",
+    })(df)
+    assert out.collect()[0]["v"] == "user=bob,pwd=***,x=1"
+    out2 = build_operator({
+        "Type": "processor_desensitize", "SourceKey": "v", "Method": "md5",
+        "RegexBegin": "pwd=", "RegexContent": r"secret\d+",
+    })(df)
+    import hashlib
+    exp = "user=bob,pwd=" + hashlib.md5(b"secret123").hexdigest() + ",x=1"
+    assert out2.collect()[0]["v"] == exp
+
+
+# ---------------------------------------------------------------- filters
+
+def test_filter_expression_ast(spark):
+    df = spark.createDataFrame(
+        [("ERROR", "a"), ("INFO", "b"), ("ERROR", "b")], "lvl string, svc string"
+    )
+    op = build_operator({
+        "Type": "processor_filter",
+        "ConditionExp": {
+            "operator": "and",
+            "operands": [
+                {"key": "lvl", "exp": "ERROR"},
+                {"operator": "not", "operands": [{"key": "svc", "exp": "a"}]},
+            ],
+        },
+    })
+    out = op(df).collect()
+    assert len(out) == 1 and out[0]["svc"] == "b"
+
+
+def test_filter_regex_include_exclude(spark):
+    df = spark.createDataFrame([("abc",), ("abd",), ("xyz",)], "v string")
+    op = build_operator({
+        "Type": "processor_filter_regex",
+        "Include": {"v": "ab."}, "Exclude": {"v": "abd"},
+    })
+    assert [r["v"] for r in op(df).collect()] == ["abc"]
+
+
+def test_filter_full_match_semantics(spark):
+    # reference full-match: 'ab' must NOT match 'abc'
+    df = spark.createDataFrame([("abc",)], "v string")
+    op = build_operator({"Type": "processor_filter", "Include": {"v": "ab"}})
+    assert op(df).count() == 0
+
+
+def test_timestamp_filter(spark):
+    df = spark.createDataFrame(
+        [("2026-01-01 00:00:00",), ("2026-06-01 00:00:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    op = build_operator({
+        "Type": "processor_timestamp_filter", "SourceKey": "ts",
+        "LowerBound": "2026-01-01 00:00:00", "UpperBound": "2026-02-01 00:00:00",
+    })
+    assert op(df).count() == 1
+
+
+# ----------------------------------------------------------- enrich / cond
+
+def test_dict_map_modes(spark):
+    df = spark.createDataFrame([("search",), ("unknown_tool",)], "tool string")
+    op = build_operator({
+        "Type": "processor_dict_map", "SourceKey": "tool", "DestKey": "cat",
+        "MapDict": {"search": "retrieval"}, "HandleMissing": True, "Missing": "Unknown",
+    })
+    out = {r["tool"]: r["cat"] for r in op(df).collect()}
+    assert out == {"search": "retrieval", "unknown_tool": "Unknown"}
+
+
+def test_dict_map_broadcast_path(spark):
+    # >64 entries forces the broadcast-join path
+    mapping = {f"k{i}": f"v{i}" for i in range(100)}
+    df = spark.createDataFrame([("k5",), ("nope",)], "k string")
+    op = build_operator({
+        "Type": "processor_dict_map", "SourceKey": "k", "DestKey": "v",
+        "MapDict": mapping, "Missing": "Unknown",
+    })
+    out = {r["k"]: r["v"] for r in op(df).collect()}
+    assert out == {"k5": "v5", "nope": "Unknown"}
+
+
+def test_fields_with_condition_first_match_wins(spark):
+    df = spark.createDataFrame([("ERROR x",), ("WARN y",), ("ok",)], "msg string")
+    op = build_operator({
+        "Type": "processor_fields_with_condition",
+        "Switch": [
+            {"Condition": {"FieldConditions": [
+                {"Key": "msg", "ComparisonOperator": "startwith", "Value": "ERROR"}]},
+             "Actions": [{"type": "processor_add_fields", "Fields": {"sev": "high"}}]},
+            {"Condition": {"FieldConditions": [
+                {"Key": "msg", "ComparisonOperator": "contains", "Value": "R"}]},
+             "Actions": [{"type": "processor_add_fields", "Fields": {"sev": "mid"}}]},
+        ],
+    })
+    out = {r["msg"]: r["sev"] for r in op(df).collect()}
+    # 'ERROR x' matches both cases but FIRST wins
+    assert out == {"ERROR x": "high", "WARN y": "mid", "ok": None}
+
+
+def test_fields_with_condition_drop_no_match(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    op = build_operator({
+        "Type": "processor_fields_with_condition", "DropIfNotMatchCondition": True,
+        "Switch": [{"Condition": {"FieldConditions": [
+            {"Key": "v", "ComparisonOperator": "equals", "Value": "a"}]},
+            "Actions": []}],
+    })
+    assert op(df).count() == 1
+
+
+# --------------------------------------------------------------- split ops
+
+def test_split_log_string(spark):
+    df = spark.createDataFrame([("c1", 0, "l1\nl2\nl3")], "conv_id string, turn_idx int, text string")
+    op = build_operator({"Type": "processor_split_log_string", "SourceKey": "text"})
+    out = op(df).orderBy("line_idx").collect()
+    assert [r["text"] for r in out] == ["l1", "l2", "l3"]
+    assert [r["line_idx"] for r in out] == [0, 1, 2]
+
+
+def test_split_log_regex_multiline(spark):
+    blob = "2026-01-01 start A\n  cont A1\n  cont A2\n2026-01-02 start B\n  cont B1"
+    df = spark.createDataFrame([("c1", 0, blob)], "conv_id string, turn_idx int, text string")
+    op = build_operator({
+        "Type": "processor_split_log_regex", "SourceKey": "text",
+        "SplitRegex": r"\d{4}-\d{2}-\d{2} ",
+    })
+    out = op(df).orderBy("line_idx").collect()
+    assert len(out) == 2
+    assert out[0]["text"] == "2026-01-01 start A\n  cont A1\n  cont A2"
+    assert out[1]["text"] == "2026-01-02 start B\n  cont B1"
+
+
+def test_merge_conversation(spark, kv_df):
+    op = build_operator({"Type": "processor_merge_conversation"})
+    out = {r["conv_id"]: r for r in op(kv_df).collect()}
+    assert out["c1"]["n_turns"] == 2
+    assert out["c1"]["merged_text"].startswith("action=ask")
+    assert "\n" in out["c1"]["merged_text"]
+
+
+# ---------------------------------------------------------------- time ops
+
+def test_gotime_epoch_and_format(spark):
+    df = spark.createDataFrame([("1767225600",)], "t string")  # 2026-01-01
+    op = build_operator({
+        "Type": "processor_gotime", "SourceKey": "t", "SourceFormat": "seconds",
+        "DestKey": "d", "DestFormat": "yyyy-MM-dd",
+    })
+    assert op(df).collect()[0]["d"] == "2026-01-01"
+
+
+def test_strptime_precise(spark):
+    df = spark.createDataFrame([("2026-01-01 00:00:01",)], "t string")
+    op = build_operator({
+        "Type": "processor_strptime", "SourceKey": "t",
+        "Format": "yyyy-MM-dd HH:mm:ss", "EnablePreciseTimestamp": True,
+    })
+    out = op(df).collect()[0]
+    assert out["precise_timestamp"] == 1767225601000
+
+
+# ------------------------------------------------------------- rate limit
+
+def test_rate_limit_deterministic(spark):
+    rows = [("k", f"c{i}", i, f"2026-01-01 00:00:{i%2:02d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "f string, conv_id string, turn_idx int, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    op = build_operator({
+        "Type": "processor_rate_limit", "Fields": ["f"], "Limit": "3/s",
+    })
+    out = op(df)
+    assert out.count() == 6  # two 1-second windows × 3 admitted
+    out2 = op(df.repartition(7))
+    assert sorted(r["turn_idx"] for r in out.collect()) == \
+           sorted(r["turn_idx"] for r in out2.collect())
+
+
+# ------------------------------------------------------------- metric ops
+
+def test_log_to_metric(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5, "2026-01-01 00:00:00")], "svc string, lat double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    op = build_operator({
+        "Type": "processor_log_to_metric", "MetricLabelKeys": ["svc"],
+        "MetricValues": {"latency": "lat"},
+    })
+    out = op(df).collect()[0]
+    assert out["__name__"] == "latency" and out["__value__"] == 1.5
+    assert out["__labels__"] == "svc=a"
+    assert out["__time_nano__"] == 1767225600000000000
+
+
+def test_content_value_group(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    op = build_operator({"Type": "aggregator_content_value_group", "GroupKeys": ["k"]})
+    out = {r["k"]: r["group_count"] for r in op(df).collect()}
+    assert out == {"a": 2, "b": 1}

@@ -1,0 +1,133 @@
+"""End-to-end pipeline test vs the pure-pandas oracle (FIXTURES.md §4):
+per-sink routed-row SET equality (not deduped across sinks), exact
+windowed counter equality, per-turn text equality under the canonical
+(conv_id, turn_idx) sort, and partition-invariance."""
+
+import pandas as pd
+import pytest
+
+from loongcollector_spark.datagen import gen_transcripts, gen_transcripts_pdf
+from loongcollector_spark.oracle import run_oracle
+from loongcollector_spark.plans.pipeline import run_pipeline, transcript_pipeline
+
+N_TURNS, N_CONVS = 6_000, 600
+SINKS = ("sink_tool", "sink_errors", "sink_assistant", "sink_default")
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    df = gen_transcripts(spark, N_TURNS, N_CONVS)
+    summary = run_pipeline(spark, df, out)
+    golden = run_oracle(gen_transcripts_pdf(N_TURNS, N_CONVS))
+    return out, summary, golden
+
+
+def _sink_pdf(spark, out, sink):
+    return (
+        spark.read.parquet(f"{out}/sinks/{sink}")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_per_sink_routed_row_set_equality(spark, outputs):
+    out, _, golden = outputs
+    for sink in SINKS:
+        got = _sink_pdf(spark, out, sink)
+        want = golden["sinks"][sink]
+        got_set = set(zip(got.conv_id, got.turn_idx))
+        want_set = set(zip(want.conv_id, want.turn_idx))
+        assert got_set == want_set, f"{sink}: row set mismatch"
+        assert len(got) == len(want), f"{sink}: duplicate rows"
+
+
+def test_per_turn_text_equality_under_stable_order(spark, outputs):
+    out, _, golden = outputs
+    for sink in SINKS:
+        got = _sink_pdf(spark, out, sink)
+        want = golden["sinks"][sink]
+        # canonical (conv_id, turn_idx) order ⇒ positional text equality
+        assert got["text_raw" if "text_raw" in got else "text"].fillna("__PARSED__").tolist() != []
+        # compare the original raw text: spark nulls text on parse success
+        # (keep-source-on-fail); reconstruct comparable view via parse flag
+        merged = got.merge(
+            want[["conv_id", "turn_idx", "text", "_parse_ok"]],
+            on=["conv_id", "turn_idx"], suffixes=("_s", "_o"),
+        )
+        assert (merged["_parse_ok_s"] == merged["_parse_ok_o"]).all()
+        failed = merged[~merged["_parse_ok_o"]]
+        assert (failed["text_s"] == failed["text_o"]).all(), f"{sink}: raw text mismatch"
+
+
+def test_parsed_field_equality(spark, outputs):
+    out, _, golden = outputs
+    got = _sink_pdf(spark, out, "sink_default")
+    want = golden["sinks"]["sink_default"]
+    m = got.merge(want, on=["conv_id", "turn_idx"], suffixes=("_s", "_o"))
+    assert len(m) == len(want)
+    for col in ("method", "request", "response_code", "action", "model",
+                "tool_category", "route_class", "_fmt"):
+        s, o = m[f"{col}_s"], m[f"{col}_o"]
+        assert (s.fillna("∅") == o.fillna("∅")).all(), f"field {col} mismatch"
+    for col in ("bytes", "lat_ms", "tok"):
+        s = pd.to_numeric(m[f"{col}_s"]),
+        o = pd.to_numeric(m[f"{col}_o"])
+        assert (m[f"{col}_s"].astype("float64").fillna(-1)
+                == m[f"{col}_o"].astype("float64").fillna(-1)).all(), f"field {col}"
+
+
+def test_exact_counter_equality(spark, outputs):
+    out, _, golden = outputs
+    got = (
+        spark.read.parquet(f"{out}/counters")
+        .toPandas()
+        .sort_values(["sink", "window_start", "role"])
+        .reset_index(drop=True)
+    )
+    want = golden["counters"].sort_values(["sink", "window_start", "role"]).reset_index(drop=True)
+    got["window_start"] = pd.to_datetime(got["window_start"])
+    want["window_start"] = pd.to_datetime(want["window_start"])
+    pd.testing.assert_frame_equal(
+        got[["sink", "window_start", "role", "n_rows"]].astype({"n_rows": "int64"}),
+        want[["sink", "window_start", "role", "n_rows"]].astype({"n_rows": "int64"}),
+    )
+
+
+def test_metrics_and_lineage_written(spark, outputs):
+    out, summary, golden = outputs
+    lineage = spark.read.parquet(f"{out}/_lineage").toPandas()
+    assert lineage["n_rows"].sum() == golden["metrics"]["routed_rows"]
+    assert (lineage["n_rows"] > 0).all()
+    metrics = spark.read.json(f"{out}/_metrics").toPandas()
+    assert set(metrics["stage"]) >= {"parse+enrich+route"} | {f"sink:{s}" for s in SINKS}
+    sink_rows = {
+        r.stage.split(":", 1)[1]: r.out_rows
+        for r in metrics.itertuples() if r.stage.startswith("sink:")
+    }
+    assert sink_rows == golden["metrics"]["per_sink_rows"]
+
+
+def test_partition_invariance(spark, tmp_path):
+    """Same input at different parallelism ⇒ identical sorted output
+    (plan-invariance, SURVEY §5.4)."""
+    df = gen_transcripts(spark, 2_000, 200)
+    a = transcript_pipeline(df.repartition(2)).drop("_to_sink_default")
+    b = transcript_pipeline(df.repartition(17)).drop("_to_sink_default")
+    pa = a.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_pack_id_deterministic(spark):
+    from loongcollector_spark.aggregate import with_pack_id
+    df = gen_transcripts(spark, 1_000, 100)
+    a = with_pack_id(df).select("conv_id", "turn_idx", "__pack_id__").toPandas()
+    b = with_pack_id(df.repartition(13)).select("conv_id", "turn_idx", "__pack_id__").toPandas()
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # same conv + same 1024-block ⇒ same pack id
+    one = a[a.conv_id == "conv_00000000"]
+    assert one[one.turn_idx < 1024]["__pack_id__"].nunique() == 1
