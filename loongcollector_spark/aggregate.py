@@ -26,10 +26,10 @@ def with_pack_id(df: DataFrame, group_key: str = "conv_id",
     conversation share a pack id — the analog of the reference's ≤1024-log
     LogGroup with its __pack_id__ tag (aggregator_base.go:93-147), derived
     purely from data so a resumed run reproduces identical ids."""
-    prefix = F.substring(F.sha1(F.col(group_key)), 1, 16)
-    seq = (F.col(order_key).cast("long") / F.lit(block)).cast("long")
+    prefix = F.substring(F.md5(F.col(group_key).cast("binary")), 1, 16)
+    seq = F.floor(F.col(order_key).cast("long") / F.lit(block)).cast("long")
     return df.withColumn(
-        "__pack_id__", F.concat_ws("-", prefix, F.conv(seq.cast("string"), 10, 16))
+        "__pack_id__", F.concat_ws("-", prefix, F.format_string("%x", seq))
     )
 
 

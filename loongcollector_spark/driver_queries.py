@@ -1,0 +1,700 @@
+"""Driver-contract queries: one entry per implemented operator, each with a
+DuckDB oracle over the SAME parquet tables.
+
+The transcripts table the pipeline operates on is derived 100%
+deterministically from the driver's ``events`` table by a SQL expression
+that runs IDENTICALLY on Spark and DuckDB (verified byte-equal) — so every
+pipeline query has a true independent oracle.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver hash-compares values after
+sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from loongcollector_spark.operators import build_operator
+from loongcollector_spark.operators.grok import GrokCompiler
+from loongcollector_spark.plans.pipeline import (
+    DEFAULT_SINK_RULES,
+    NGINX_RX,
+    transcript_pipeline,
+)
+from loongcollector_spark.routing import SINK_PREFIX, logstore_router_column
+
+# --------------------------------------------------------------------------
+# transcripts derivation — ONE SQL text, runs on both engines byte-equal
+# --------------------------------------------------------------------------
+
+TRANSCRIPTS_SQL = """
+SELECT conv_id, turn_idx, role,
+  CASE WHEN event_id % 47 = 0 THEN substr(rawtext, 1, 9) ELSE rawtext END AS text,
+  tool, ts
+FROM (
+  SELECT *,
+    CASE fmt
+      WHEN 0 THEN '10.' || cast(event_id % 250 AS STRING) || '.0.' || cast(user_id % 250 AS STRING) || ' - - [01/Jan/2026:00:00:07 +0000] "' || method || ' ' || path || ' HTTP/1.1" ' || status || ' ' || bytes || ' "-" "agent-bench/1.0"'
+      WHEN 1 THEN '{"action":"' || event_type || '","lat_ms":' || lat || ',"ok":' || ok || ',"meta":{"model":"m-base","tok":' || tok || '}}'
+      WHEN 2 THEN 'action=' || event_type || '&lat_ms=' || lat || '&ok=' || ok || '&tok=' || tok
+      ELSE '10.0.0.' || cast(event_id % 10 AS STRING) || ' ' || method || ' ' || path || ' ' || bytes || ' 0.0' || cast(1 + event_id % 9 AS STRING)
+    END AS rawtext
+  FROM (
+    SELECT event_id, user_id, ts, event_type,
+      'conv_' || lpad(cast(user_id AS STRING), 8, '0') AS conv_id,
+      cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+      CASE cast(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+      CASE WHEN event_id % 4 = 2 THEN
+        CASE cast(event_id % 6 AS INT) WHEN 0 THEN 'search' WHEN 1 THEN 'browser' WHEN 2 THEN 'python' WHEN 3 THEN 'calculator' WHEN 4 THEN 'sql' ELSE 'none_registered' END
+      ELSE '' END AS tool,
+      cast(event_id % 7 AS INT) % 4 AS fmt,
+      cast(100 + (event_id * 37) % 65436 AS STRING) AS bytes,
+      CASE cast(event_id % 6 AS INT) WHEN 0 THEN '500' WHEN 1 THEN '404' WHEN 2 THEN '301' ELSE '200' END AS status,
+      CASE cast(event_id % 3 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END AS method,
+      CASE cast(user_id % 4 AS INT) WHEN 0 THEN '/index.html' WHEN 1 THEN '/api/v1/items' WHEN 2 THEN '/login' ELSE '/healthz' END AS path,
+      cast(1 + event_id % 4999 AS STRING) AS lat,
+      cast(1 + event_id % 4096 AS STRING) AS tok,
+      CASE WHEN event_id % 6 < 3 THEN 'true' ELSE 'false' END AS ok
+    FROM events
+  ) base
+) raw
+"""
+
+
+def _q(s: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+APP_RX, APP_CAPS = GrokCompiler().compile(
+    "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} "
+    "%{NUMBER:bytes_out:int} %{NUMBER:duration:float}"
+)
+APP_GIDX = {alias: i for i, alias, _t in APP_CAPS}
+
+# DuckDB CTE implementing the parse+enrich stages (the oracle twin of
+# plans/pipeline.parse_stage + enrich_stage)
+_ORACLE_PARSED = f"""
+p AS (
+  SELECT *,
+    CASE WHEN text LIKE '{{%' THEN 'json'
+         WHEN contains(text, ' - - [') THEN 'nginx'
+         WHEN regexp_matches(text, '^\\w+=[^ ]*&') THEN 'kv'
+         WHEN regexp_matches(text, '^\\d+\\.\\d+\\.\\d+\\.\\d+ \\w+ /') THEN 'app'
+         ELSE 'unknown' END AS fmt
+  FROM t
+),
+q AS (
+  SELECT *,
+    CASE fmt WHEN 'json' THEN json_valid(text)
+             WHEN 'nginx' THEN regexp_full_match(text, '{_q(NGINX_RX)}')
+             WHEN 'kv' THEN true
+             WHEN 'app' THEN regexp_full_match(text, '{_q(APP_RX)}')
+             ELSE false END AS parse_ok,
+    CASE WHEN fmt = 'nginx' AND regexp_full_match(text, '{_q(NGINX_RX)}')
+         THEN regexp_extract(text, '{_q(NGINX_RX)}', 8) END AS response_code,
+    CASE tool WHEN '' THEN '' WHEN 'search' THEN 'retrieval'
+              WHEN 'browser' THEN 'retrieval' WHEN 'python' THEN 'execution'
+              WHEN 'calculator' THEN 'execution' WHEN 'sql' THEN 'execution'
+              ELSE 'Unknown' END AS tool_category,
+    CASE role WHEN 'user' THEN 'ingress' WHEN 'assistant' THEN 'egress'
+              WHEN 'system' THEN 'control' WHEN 'tool' THEN 'egress'
+              ELSE 'Unknown' END AS route_class
+  FROM p
+)"""
+
+_ORACLE_T = f"WITH t AS ({TRANSCRIPTS_SQL})"
+_ORACLE_TPQ = f"WITH t AS ({TRANSCRIPTS_SQL}),{_ORACLE_PARSED}"
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_SQL)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# pipeline queries (transcripts)
+# --------------------------------------------------------------------------
+
+def q_pipeline_sink_counts(spark, sf_dir):
+    """FLAGSHIP: full parse→enrich→route→aggregate; per-sink hourly counts."""
+    df = transcripts_from_events(spark, sf_dir)
+    routed = transcript_pipeline(df)
+    parts = []
+    for rule in DEFAULT_SINK_RULES:
+        parts.append(
+            routed.filter(F.col(SINK_PREFIX + rule.name))
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "role")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("sink", F.lit(rule.name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("sink", "window_start", "role", "n_rows")
+
+
+_SINK_CONDS = {
+    "sink_tool": "tool_category != ''",
+    "sink_errors": "(NOT parse_ok) OR (response_code IS NOT NULL AND regexp_full_match(response_code, '5[0-9][0-9]'))",
+    "sink_assistant": "role = 'assistant'",
+    "sink_default": "true",
+}
+
+O_PIPELINE_SINK_COUNTS = _ORACLE_TPQ + "\n" + "\nUNION ALL\n".join(
+    f"SELECT '{s}' AS sink, date_trunc('hour', ts) AS window_start, role, "
+    f"count(*) AS n_rows FROM q WHERE {cond} GROUP BY 2, 3"
+    for s, cond in _SINK_CONDS.items()
+)
+
+
+def q_parse_regex_nginx(spark, sf_dir):
+    """processor_parse_regex on the 11-group nginx benchmark pattern."""
+    df = transcripts_from_events(spark, sf_dir).filter(F.col("text").contains(" - - ["))
+    op = build_operator({
+        "Type": "processor_parse_regex", "SourceKey": "text", "Regex": NGINX_RX,
+        "Keys": ["ip", "ident", "auth", "time_local", "method", "request",
+                 "http_version", "response_code", "bytes_out", "referrer", "user_agent"],
+        "KeyTypes": [None, None, None, None, None, None, None, None, "int", None, None],
+    })
+    return op(df).filter("_parse_ok").select(
+        "conv_id", "turn_idx", "ip", "method", "request", "response_code", "bytes_out"
+    )
+
+
+O_PARSE_REGEX_NGINX = _ORACLE_T + f"""
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_q(NGINX_RX)}', 1) AS ip,
+  regexp_extract(text, '{_q(NGINX_RX)}', 5) AS method,
+  regexp_extract(text, '{_q(NGINX_RX)}', 6) AS request,
+  regexp_extract(text, '{_q(NGINX_RX)}', 8) AS response_code,
+  cast(regexp_extract(text, '{_q(NGINX_RX)}', 9) AS BIGINT) AS bytes_out
+FROM t WHERE contains(text, ' - - [') AND regexp_full_match(text, '{_q(NGINX_RX)}')
+"""
+
+
+def q_parse_json_fields(spark, sf_dir):
+    """processor_parse_json with typed schema + nested flatten."""
+    df = transcripts_from_events(spark, sf_dir).filter(F.col("text").startswith("{"))
+    op = build_operator({
+        "Type": "processor_parse_json", "SourceKey": "text",
+        "Schema": "action string, lat_ms bigint, ok boolean, meta struct<model:string, tok:bigint>",
+    })
+    return op(df).filter("_parse_ok").select(
+        "conv_id", "turn_idx", "action", "lat_ms",
+        F.col("meta_tok").alias("tok"), F.col("meta_model").alias("model"),
+    )
+
+
+O_PARSE_JSON_FIELDS = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  json_extract_string(text, '$.action') AS action,
+  cast(json_extract_string(text, '$.lat_ms') AS BIGINT) AS lat_ms,
+  cast(json_extract_string(text, '$.meta.tok') AS BIGINT) AS tok,
+  json_extract_string(text, '$.meta.model') AS model
+FROM t WHERE text LIKE '{%' AND json_valid(text)
+"""
+
+
+def q_parse_kv_fields(spark, sf_dir):
+    """processor_split_key_value (str_to_map) with typed projection."""
+    df = transcripts_from_events(spark, sf_dir).filter(F.col("text").rlike(r"^\w+=[^ ]*&"))
+    op = build_operator({
+        "Type": "processor_split_key_value", "SourceKey": "text",
+        "Delimiter": "&", "Separator": "=", "Keys": ["action", "lat_ms", "ok", "tok"],
+    })
+    out = op(df).filter("_parse_ok")
+    return out.select(
+        "conv_id", "turn_idx", "action",
+        F.col("lat_ms").cast("long").alias("lat_ms"),
+        F.col("ok").alias("ok_flag"),
+        F.col("tok").cast("long").alias("tok"),
+    )
+
+
+O_PARSE_KV_FIELDS = _ORACLE_T + r"""
+SELECT conv_id, turn_idx,
+  regexp_extract(text, 'action=([^&]*)', 1) AS action,
+  cast(regexp_extract(text, 'lat_ms=([^&]*)', 1) AS BIGINT) AS lat_ms,
+  regexp_extract(text, 'ok=([^&]*)', 1) AS ok_flag,
+  cast(regexp_extract(text, '[&]tok=([^&]*)', 1) AS BIGINT) AS tok
+FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+"""
+
+
+def q_grok_app_fields(spark, sf_dir):
+    """processor_grok: compiled pattern cascade on the app-line format."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\d+\.\d+\.\d+\.\d+ \w+ /")
+    )
+    op = build_operator({
+        "Type": "processor_grok", "SourceKey": "text",
+        "Match": ["%{IP:client} %{WORD:method} %{URIPATHPARAM:request} "
+                  "%{NUMBER:bytes_out:int} %{NUMBER:duration:float}"],
+    })
+    return op(df).filter("_parse_ok").select(
+        "conv_id", "turn_idx", "client", "method", "request", "bytes_out", "duration"
+    )
+
+
+O_GROK_APP_FIELDS = _ORACLE_T + f"""
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_q(APP_RX)}', {APP_GIDX["client"]}) AS client,
+  regexp_extract(text, '{_q(APP_RX)}', {APP_GIDX["method"]}) AS method,
+  regexp_extract(text, '{_q(APP_RX)}', {APP_GIDX["request"]}) AS request,
+  cast(regexp_extract(text, '{_q(APP_RX)}', {APP_GIDX["bytes_out"]}) AS BIGINT) AS bytes_out,
+  cast(regexp_extract(text, '{_q(APP_RX)}', {APP_GIDX["duration"]}) AS DOUBLE) AS duration
+FROM t WHERE regexp_matches(text, '^\\d+\\.\\d+\\.\\d+\\.\\d+ \\w+ /')
+  AND regexp_full_match(text, '{_q(APP_RX)}')
+"""
+
+
+def q_filter_expression(spark, sf_dir):
+    """processor_filter EXPRESSION AST + full-match semantics."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "processor_filter",
+        "ConditionExp": {
+            "operator": "and",
+            "operands": [
+                {"key": "role", "exp": "assistant|tool"},
+                {"operator": "not", "operands": [{"key": "tool", "exp": ".+"}]},
+            ],
+        },
+    })
+    return op(df).select("conv_id", "turn_idx", "role")
+
+
+O_FILTER_EXPRESSION = _ORACLE_T + """
+SELECT conv_id, turn_idx, role FROM t
+WHERE regexp_full_match(role, 'assistant|tool') AND NOT regexp_full_match(tool, '.+')
+"""
+
+
+def q_dict_map_categories(spark, sf_dir):
+    """processor_dict_map enrichment → per-category counts."""
+    from loongcollector_spark.plans.pipeline import enrich_stage
+
+    df = enrich_stage(transcripts_from_events(spark, sf_dir))
+    return df.groupBy("tool_category", "route_class").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+O_DICT_MAP_CATEGORIES = _ORACLE_TPQ + """
+SELECT tool_category, route_class, count(*) AS n_rows FROM q GROUP BY 1, 2
+"""
+
+
+def q_route_first_match(spark, sf_dir):
+    """aggregator_logstore_router: ordered regex rules, full-match,
+    first-match-wins, default sink."""
+    from loongcollector_spark.plans.pipeline import parse_stage
+
+    df = parse_stage(transcripts_from_events(spark, sf_dir))
+    sink = logstore_router_column(
+        "response_code",
+        [(r"5\d\d", "errors"), (r"4\d\d", "client_err"), (r"\d+", "ok_codes")],
+        default="unrouted",
+    )
+    return df.withColumn("sink_name", sink).groupBy("sink_name").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+O_ROUTE_FIRST_MATCH = _ORACLE_TPQ + r"""
+SELECT CASE
+    WHEN response_code IS NOT NULL AND regexp_full_match(response_code, '5\d\d') THEN 'errors'
+    WHEN response_code IS NOT NULL AND regexp_full_match(response_code, '4\d\d') THEN 'client_err'
+    WHEN response_code IS NOT NULL AND regexp_full_match(response_code, '\d+') THEN 'ok_codes'
+    ELSE 'unrouted' END AS sink_name,
+  count(*) AS n_rows
+FROM q GROUP BY 1
+"""
+
+
+def q_fields_with_condition(spark, sf_dir):
+    """processor_fields_with_condition: first-match-wins switch-case."""
+    from loongcollector_spark.plans.pipeline import parse_stage
+
+    df = parse_stage(transcripts_from_events(spark, sf_dir))
+    op = build_operator({
+        "Type": "processor_fields_with_condition",
+        "Switch": [
+            {"Condition": {"FieldConditions": [
+                {"Key": "response_code", "ComparisonOperator": "startwith", "Value": "5"}]},
+             "Actions": [{"type": "processor_add_fields", "Fields": {"severity": "high"}}]},
+            {"Condition": {"FieldConditions": [
+                {"Key": "response_code", "ComparisonOperator": "startwith", "Value": "4"}]},
+             "Actions": [{"type": "processor_add_fields", "Fields": {"severity": "mid"}}]},
+            {"Condition": {"FieldConditions": [
+                {"Key": "_parse_ok", "ComparisonOperator": "equals", "Value": "true"}]},
+             "Actions": [{"type": "processor_add_fields", "Fields": {"severity": "low"}}]},
+        ],
+    })
+    return op(df).groupBy(
+        F.coalesce(F.col("severity"), F.lit("none")).alias("severity")
+    ).agg(F.count("*").alias("n_rows"))
+
+
+O_FIELDS_WITH_CONDITION = _ORACLE_TPQ + """
+SELECT CASE
+    WHEN response_code IS NOT NULL AND starts_with(response_code, '5') THEN 'high'
+    WHEN response_code IS NOT NULL AND starts_with(response_code, '4') THEN 'mid'
+    WHEN parse_ok THEN 'low'
+    ELSE 'none' END AS severity,
+  count(*) AS n_rows
+FROM q GROUP BY 1
+"""
+
+
+def q_desensitize_md5(spark, sf_dir):
+    """processor_desensitize md5 mode (whole value) + processor_md5."""
+    df = transcripts_from_events(spark, sf_dir).filter("role = 'user'")
+    op = build_operator({"Type": "processor_md5", "SourceKey": "text", "MD5Key": "text_md5"})
+    return op(df).select("conv_id", "turn_idx", "text_md5")
+
+
+O_DESENSITIZE_MD5 = _ORACLE_T + """
+SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM t WHERE role = 'user'
+"""
+
+
+def q_rate_limit(spark, sf_dir):
+    """processor_rate_limit, deterministic batch variant: ≤3 per
+    (role, hour window) in stable event-time order."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "processor_rate_limit", "Fields": ["role"], "Limit": "3/h",
+        "OrderKeys": ["conv_id", "turn_idx"],
+    })
+    return op(df).groupBy("role").agg(F.count("*").alias("n_admitted"))
+
+
+O_RATE_LIMIT = _ORACLE_T + """
+SELECT role, count(*) AS n_admitted FROM (
+  SELECT role, row_number() OVER (
+      PARTITION BY role, date_trunc('hour', ts)
+      ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM t
+) WHERE rn <= 3 GROUP BY role
+"""
+
+
+def q_shardhash_distribution(spark, sf_dir):
+    """aggregator_shardhash semantics with an engine-portable hash
+    (md5-byte bucket) so the oracle can reproduce the distribution."""
+    df = transcripts_from_events(spark, sf_dir)
+    h = F.md5(F.col("conv_id").cast("binary"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 32
+    return (
+        df.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("conv_id").alias("n_convs"))
+    )
+
+
+O_SHARDHASH_DISTRIBUTION = _ORACLE_T + """
+SELECT cast((ascii(substr(md5(conv_id), 1, 1)) * 256 + ascii(substr(md5(conv_id), 2, 1))) % 32 AS INT) AS bucket,
+  count(*) AS n_rows, count(DISTINCT conv_id) AS n_convs
+FROM t GROUP BY 1
+"""
+
+
+def q_window_hourly_counts(spark, sf_dir):
+    """event-time tumbling-window counters (Batcher/flush analog)."""
+    df = transcripts_from_events(spark, sf_dir)
+    return (
+        df.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "role")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+O_WINDOW_HOURLY_COUNTS = _ORACLE_T + """
+SELECT date_trunc('hour', ts) AS window_start, role, count(*) AS n_rows
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_merge_conversation(spark, sf_dir):
+    """processor_merge_multiline analog: merge turns per conversation in
+    stable turn order; fingerprint the merged text."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({"Type": "processor_merge_conversation"})
+    out = op(df)
+    return out.select(
+        "conv_id", "n_turns", "ts_first", "ts_last",
+        F.md5(F.col("merged_text").cast("binary")).alias("merged_md5"),
+    )
+
+
+O_MERGE_CONVERSATION = _ORACLE_T + """
+SELECT conv_id, count(*) AS n_turns, min(ts) AS ts_first, max(ts) AS ts_last,
+  md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS merged_md5
+FROM t GROUP BY conv_id
+"""
+
+
+def q_pack_id_lineage(spark, sf_dir):
+    """deterministic __pack_id__ lineage ids (aggregator_base __pack_id__
+    analog): distinct pack ids per conversation at block=8."""
+    from loongcollector_spark.aggregate import with_pack_id
+
+    df = with_pack_id(transcripts_from_events(spark, sf_dir), block=8)
+    return df.groupBy("conv_id").agg(
+        F.countDistinct("__pack_id__").alias("n_packs"),
+        F.min("__pack_id__").alias("first_pack_id"),
+    )
+
+
+O_PACK_ID_LINEAGE = _ORACLE_T + """
+SELECT conv_id, count(DISTINCT pack_id) AS n_packs, min(pack_id) AS first_pack_id
+FROM (
+  SELECT conv_id,
+    substr(md5(conv_id), 1, 16) || '-' || printf('%x', cast(floor(turn_idx / 8) AS BIGINT)) AS pack_id
+  FROM t
+) GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup: hash-groupBy on normalized text fingerprint."""
+    from loongcollector_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+O_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+  min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from loongcollector_spark.functions.text import with_token_count
+
+    return with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+
+
+O_TOKEN_COUNT = """
+SELECT doc_id, cast(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    from loongcollector_spark.functions.text import with_quality
+
+    return with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "q_len", "pct_alpha", "pct_space", "quality_bucket"
+    )
+
+
+O_QUALITY_SCORE = """
+SELECT doc_id,
+  cast(length(text) AS INT) AS q_len,
+  cast(floor(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) AS INT) AS pct_alpha,
+  cast(floor(100.0 * (length(text) - length(replace(text, ' ', ''))) / length(text)) AS INT) AS pct_space,
+  CASE WHEN length(text) >= 200 AND floor(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) >= 70 THEN 'high'
+       WHEN length(text) >= 100 THEN 'mid' ELSE 'low' END AS quality_bucket
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from loongcollector_spark.functions.text import with_lang_guess
+
+    return with_lang_guess(_docs(spark, sf_dir)).select("doc_id", "lang_guess")
+
+
+O_LANG_ID = """
+SELECT doc_id,
+  CASE WHEN len(regexp_extract_all(' ' || text || ' ', '[^A-Za-z ]')) > 0 THEN 'other'
+       WHEN len(regexp_extract_all(' ' || text || ' ', ' (the|a|of|and|to) ')) >= 2 THEN 'en'
+       ELSE 'unknown' END AS lang_guess
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from loongcollector_spark.functions.text import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+O_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from loongcollector_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=4, shingle=3)
+
+
+def _o_minhash(n_hashes: int = 4, shingle: int = 3) -> str:
+    cols = ",\n  ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}' || s))) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {shingle}
+      THEN list_transform(range(1, len(words) - {shingle} + 2),
+                          i -> array_to_string(words[i:i+{shingle - 1}], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+)
+SELECT doc_id, {cols} FROM sh
+"""
+
+
+O_MINHASH_SIGNATURES = _o_minhash()
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """near-dup candidate pairs: band-bucket equality join on minhash
+    bands (the LSH shuffle path)."""
+    from loongcollector_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=4, shingle=3, bands=2)
+
+
+O_MINHASH_LSH_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_transform(range(1, len(words) - 3 + 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+    md5(list_min(list_transform(shingles, s -> md5('0' || s)))
+     || list_min(list_transform(shingles, s -> md5('1' || s)))) AS band0,
+    md5(list_min(list_transform(shingles, s -> md5('2' || s)))
+     || list_min(list_transform(shingles, s -> md5('3' || s)))) AS band1
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band0 AS band, 0 AS band_idx FROM sig
+  UNION ALL SELECT doc_id, band1, 1 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from loongcollector_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+O_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_dot_product(
+    list_transform(embedding, x -> cast(x AS DOUBLE)),
+    list_transform(qe, x -> cast(x AS DOUBLE))
+  ) / (sqrt(list_dot_product(list_transform(embedding, x -> cast(x AS DOUBLE)),
+                             list_transform(embedding, x -> cast(x AS DOUBLE))))
+     * sqrt(list_dot_product(list_transform(qe, x -> cast(x AS DOUBLE)),
+                             list_transform(qe, x -> cast(x AS DOUBLE))))), 4) AS cos_sim
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    from loongcollector_spark.functions.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
+
+
+O_ANN_LSH_BUCKETED = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,
+    cast(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+       + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+       + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+  FROM embeddings
+), q AS (SELECT emb AS qe, bucket AS qb FROM e WHERE vec_id = 0)
+SELECT vec_id, bucket, round(list_dot_product(emb, qe)
+    / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+FROM e, q WHERE vec_id != 0 AND bucket = qb
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from loongcollector_spark.functions.dedup import ngram_jaccard_adjacent
+
+    return ngram_jaccard_adjacent(_docs(spark, sf_dir))
+
+
+O_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  cast(floor(1000.0 * len(list_intersect(a.words, b.words))
+       / len(list_distinct(list_concat(a.words, b.words)))) AS INT) AS jaccard_1e3
+FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+"""
+
+
+QUERIES = {
+    "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
+    "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
+    "parse_json_fields": (q_parse_json_fields, O_PARSE_JSON_FIELDS),
+    "parse_kv_fields": (q_parse_kv_fields, O_PARSE_KV_FIELDS),
+    "grok_app_fields": (q_grok_app_fields, O_GROK_APP_FIELDS),
+    "filter_expression": (q_filter_expression, O_FILTER_EXPRESSION),
+    "dict_map_categories": (q_dict_map_categories, O_DICT_MAP_CATEGORIES),
+    "route_first_match": (q_route_first_match, O_ROUTE_FIRST_MATCH),
+    "fields_with_condition": (q_fields_with_condition, O_FIELDS_WITH_CONDITION),
+    "desensitize_md5": (q_desensitize_md5, O_DESENSITIZE_MD5),
+    "rate_limit": (q_rate_limit, O_RATE_LIMIT),
+    "shardhash_distribution": (q_shardhash_distribution, O_SHARDHASH_DISTRIBUTION),
+    "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
+    "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
+    "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "token_count": (q_token_count, O_TOKEN_COUNT),
+    "quality_score": (q_quality_score, O_QUALITY_SCORE),
+    "lang_id": (q_lang_id, O_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
+    "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, O_MINHASH_LSH_PAIRS),
+    "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
+    "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
+}

@@ -1,0 +1,76 @@
+"""Text analysis over document tables: token counting, quality scoring,
+language-ID heuristic, fingerprinting.
+
+All pure Spark expressions (codegen, no UDF) — at 100 TB these run inside
+the scan stage with full column pruning. Integer-quantized scores (floor
+×100 / ×1000) keep results engine-portable for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization count (the BPE-ish variant is
+    with_bpe_token_estimate below)."""
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("int")
+    )
+
+
+def with_bpe_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token estimate: count sub-word chunks (runs of letters ≤4
+    chars after greedy split, digits, punctuation) via one regex —
+    the cheap proxy for tokenizer budgeting at corpus scale."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).cast("int"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    n = F.length(t)
+    pct_alpha = F.floor(
+        100.0 * F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / n
+    ).cast("int")
+    pct_space = F.floor(
+        100.0 * (n - F.length(F.replace(t, F.lit(" "), F.lit("")))) / n
+    ).cast("int")
+    bucket = (
+        F.when((n >= 200) & (pct_alpha >= 70), "high")
+        .when(n >= 100, "mid")
+        .otherwise("low")
+    )
+    return (
+        df.withColumn("q_len", n.cast("int"))
+        .withColumn("pct_alpha", pct_alpha)
+        .withColumn("pct_space", pct_space)
+        .withColumn("quality_bucket", bucket)
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language heuristic: non-[A-Za-z ] chars ⇒ 'other';
+    ≥2 English function-word hits ⇒ 'en'; else 'unknown'."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    non_alpha = F.size(F.regexp_extract_all(padded, F.lit("[^A-Za-z ]"), F.lit(0)))
+    en_hits = F.size(
+        F.regexp_extract_all(padded, F.lit(" (the|a|of|and|to) "), F.lit(0))
+    )
+    guess = (
+        F.when(non_alpha > 0, "other").when(en_hits >= 2, "en").otherwise("unknown")
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized lowercase md5 — the document fingerprint used
+    by exact dedup."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm.cast("binary")))

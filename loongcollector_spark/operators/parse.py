@@ -118,10 +118,14 @@ def parse_json(cfg: dict):
     attrs_key = cfg.get("AttrsKey", "attrs")
 
     def run(df):
+        # validity probe: struct-mode from_json is PERMISSIVE (returns a
+        # null-filled struct on corrupt input), but map-mode returns NULL —
+        # use it as the is-valid-JSON-object bit on both paths
+        valid = F.from_json(F.col(src), "map<string,string>").isNotNull()
         if schema_ddl:
             schema = T.StructType.fromDDL(schema_ddl)
             parsed = F.from_json(F.col(src), schema)
-            ok = parsed.isNotNull() & F.col(src).rlike(r"^\s*\{")
+            ok = valid & F.col(src).rlike(r"^\s*\{")
             cols = _flatten_columns(parsed, schema, prefix, connector, 1, max_depth)
             return apply_parse_result(df, src, ok, cols, cfg)
         parsed = F.from_json(F.col(src), "map<string,string>")
