@@ -80,19 +80,37 @@ def _flatten_schema(schema: T.StructType, prefix: str, connector: str, depth: in
     return out
 
 
-def _flatten_columns(parsed_col, schema: T.StructType, prefix: str, connector: str,
+def _flatten_columns(src_col, schema: T.StructType, prefix: str, connector: str,
                      depth: int, max_depth: int):
+    """Typed columns from a JSON string column via map<string,string> parse
+    + per-leaf casts (NOT a struct-schema from_json).
+
+    Why: Spark's JsonToStructs with a StructType schema serializes badly
+    under many concurrent tasks (measured 3x slower at local[32] than
+    local[8] on this box), while the MapType path scales linearly. The map
+    path is also the closer semantic match: the reference stringifies every
+    scalar (ProcessorParseJsonNative.cpp:177) and treats contents as string
+    KVs (LogEvent.h:23-24); types are re-applied at the edge by casts.
+    Nested objects surface as their raw JSON text in the map, so struct
+    fields recurse with another map parse. Identical from_json subtrees are
+    deduplicated by codegen subexpression elimination — one parse per row
+    per nesting level."""
+    m = F.from_json(src_col, "map<string,string>")
     cols = {}
     for f in schema.fields:
         name = f"{prefix}{f.name}" if prefix else f.name
-        child = parsed_col.getField(f.name)
+        child = m.getItem(f.name)
         if isinstance(f.dataType, T.StructType) and (max_depth == 0 or depth < max_depth):
             cols.update(
                 _flatten_columns(child, f.dataType, f"{name}{connector}",
                                  connector, depth + 1, max_depth)
             )
-        else:
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols[name] = F.from_json(child, f.dataType)
+        elif isinstance(f.dataType, T.StringType):
             cols[name] = child
+        else:
+            cols[name] = child.try_cast(f.dataType)
     return cols
 
 
@@ -124,9 +142,8 @@ def parse_json(cfg: dict):
         valid = F.from_json(F.col(src), "map<string,string>").isNotNull()
         if schema_ddl:
             schema = T.StructType.fromDDL(schema_ddl)
-            parsed = F.from_json(F.col(src), schema)
             ok = valid & F.col(src).rlike(r"^\s*\{")
-            cols = _flatten_columns(parsed, schema, prefix, connector, 1, max_depth)
+            cols = _flatten_columns(F.col(src), schema, prefix, connector, 1, max_depth)
             return apply_parse_result(df, src, ok, cols, cfg)
         parsed = F.from_json(F.col(src), "map<string,string>")
         ok = parsed.isNotNull() & F.col(src).rlike(r"^\s*\{")

@@ -76,21 +76,58 @@ def parse_stage(df: DataFrame) -> DataFrame:
     )
     df = df.withColumn("_fmt", fmt)
 
+    is_fmt = {k: F.col("_fmt") == k for k in ("nginx", "json", "kv", "app")}
+
+    # Every shared parse subtree below is UNCONDITIONAL (input masked to
+    # null off-format instead of wrapped in per-column when()s): codegen
+    # subexpression elimination only dedups unconditional trees, so this is
+    # what gets each format parsed ONCE per row no matter how many columns
+    # read from it. The conditional-when() formulation re-parsed per output
+    # column and lost 5x at local[32] (from_json contention under threads).
+    sep = "\x01"
+
+    # nginx: 2 regex passes total — one rlike for validity, one
+    # regexp_replace that maps the whole match to its needed capture groups
+    # (vs one regexp_extract full match PER column)
     nginx_ok = t.rlike(NGINX_RX)
-    jparsed = F.from_json(t, JSON_SCHEMA)
-    json_ok = jparsed.isNotNull() & jparsed.getField("action").isNotNull()
-    kvmap = F.str_to_map(t, F.lit("&"), F.lit("="))
+    nginx_src = F.when(is_fmt["nginx"] & nginx_ok, t)
+    nginx_arr = F.split(
+        F.regexp_replace(nginx_src, NGINX_RX, sep.join(f"${i}" for i in (1, 5, 6, 8, 9))),
+        sep,
+    )
+    nginx_f = {k: F.element_at(nginx_arr, i + 1)
+               for i, k in enumerate(("ip", "method", "request", "code", "bytes"))}
+
+    # json: map<string,string> parse, NOT a struct schema — the StructType
+    # JsonToStructs path anti-scales under concurrent tasks, the MapType
+    # path scales linearly, and string KVs + casts match the reference's
+    # stringify-all-scalars contents model (ProcessorParseJsonNative.cpp:177)
+    jmap = F.from_json(F.when(is_fmt["json"], t), "map<string,string>")
+    jmeta = F.from_json(jmap.getItem("meta"), "map<string,string>")
+    json_ok = jmap.getItem("action").isNotNull()
+
+    kvmap = F.str_to_map(F.when(is_fmt["kv"], t), F.lit("&"), F.lit("="))
     kv_ok = (
         kvmap.getItem("action").isNotNull()
         & kvmap.getItem("lat_ms").isNotNull()
         & kvmap.getItem("tok").isNotNull()
     )
+
     grok_rx, grok_caps = GrokCompiler().compile(GROK_PATTERN)
     grok_rx = "^" + grok_rx + "$"
-    app_ok = t.rlike(grok_rx)
     gidx = {alias: i for i, alias, _t in grok_caps}
+    app_ok = t.rlike(grok_rx)
+    app_src = F.when(is_fmt["app"] & app_ok, t)
+    app_arr = F.split(
+        F.regexp_replace(
+            app_src, grok_rx,
+            sep.join(f"${gidx[k]}" for k in ("client", "method", "request", "bytes")),
+        ),
+        sep,
+    )
+    app_f = {k: F.element_at(app_arr, i + 1)
+             for i, k in enumerate(("client", "method", "request", "bytes"))}
 
-    is_fmt = {k: F.col("_fmt") == k for k in ("nginx", "json", "kv", "app")}
     ok = (
         F.when(is_fmt["nginx"], nginx_ok)
         .when(is_fmt["json"], json_ok)
@@ -99,60 +136,37 @@ def parse_stage(df: DataFrame) -> DataFrame:
         .otherwise(F.lit(False))
     )
 
-    def nginx_f(i):
-        return F.regexp_extract(t, NGINX_RX, i)
-
     out = (
         df.withColumn(PARSE_OK, ok)
-        # consolidated extraction columns (null where not applicable/failed)
-        .withColumn(
-            "client_ip",
-            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(1)).when(
-                is_fmt["app"] & app_ok, F.regexp_extract(t, grok_rx, gidx["client"])
-            ),
-        )
-        .withColumn(
-            "method",
-            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(5)).when(
-                is_fmt["app"] & app_ok, F.regexp_extract(t, grok_rx, gidx["method"])
-            ),
-        )
-        .withColumn(
-            "request",
-            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(6)).when(
-                is_fmt["app"] & app_ok, F.regexp_extract(t, grok_rx, gidx["request"])
-            ),
-        )
-        .withColumn("response_code", F.when(is_fmt["nginx"] & nginx_ok, nginx_f(8)))
+        # consolidated extraction columns (null where not applicable/failed;
+        # the masked sources already carry the fmt+ok guard)
+        .withColumn("client_ip", F.coalesce(nginx_f["ip"], app_f["client"]))
+        .withColumn("method", F.coalesce(nginx_f["method"], app_f["method"]))
+        .withColumn("request", F.coalesce(nginx_f["request"], app_f["request"]))
+        .withColumn("response_code", nginx_f["code"])
         .withColumn(
             "bytes",
-            F.when(is_fmt["nginx"] & nginx_ok, nginx_f(9).cast("long")).when(
-                is_fmt["app"] & app_ok,
-                F.regexp_extract(t, grok_rx, gidx["bytes"]).cast("long"),
-            ),
+            F.coalesce(nginx_f["bytes"].cast("long"), app_f["bytes"].cast("long")),
         )
         .withColumn(
             "action",
-            F.when(is_fmt["json"] & json_ok, jparsed.getField("action")).when(
-                is_fmt["kv"] & kv_ok, kvmap.getItem("action")
-            ),
+            F.coalesce(jmap.getItem("action"), kvmap.getItem("action")),
         )
         .withColumn(
             "lat_ms",
-            F.when(is_fmt["json"] & json_ok, jparsed.getField("lat_ms")).when(
-                is_fmt["kv"] & kv_ok, kvmap.getItem("lat_ms").cast("long")
+            F.coalesce(
+                jmap.getItem("lat_ms").try_cast("long"),
+                kvmap.getItem("lat_ms").cast("long"),
             ),
         )
         .withColumn(
             "tok",
-            F.when(
-                is_fmt["json"] & json_ok, jparsed.getField("meta").getField("tok")
-            ).when(is_fmt["kv"] & kv_ok, kvmap.getItem("tok").cast("long")),
+            F.coalesce(
+                jmeta.getItem("tok").try_cast("long"),
+                kvmap.getItem("tok").cast("long"),
+            ),
         )
-        .withColumn(
-            "model",
-            F.when(is_fmt["json"] & json_ok, jparsed.getField("meta").getField("model")),
-        )
+        .withColumn("model", jmeta.getItem("model"))
     )
     return out
 
@@ -224,7 +238,8 @@ def run_pipeline(
         manifest.data = {"input_fingerprint": None, "stages": {}}
     manifest.reset_if_input_changed(fp)
 
-    in_rows_row = df.count()
+    # fingerprint is "n:hash" — reuse its count, one input scan not two
+    in_rows_row = int(fp.split(":", 1)[0])
 
     routed = transcript_pipeline(df, rules)
     routed = with_pack_id(routed)
