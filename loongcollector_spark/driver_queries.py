@@ -215,9 +215,9 @@ def q_parse_kv_fields(spark, sf_dir):
     out = op(df).filter("_parse_ok")
     return out.select(
         "conv_id", "turn_idx", "action",
-        F.col("lat_ms").cast("long").alias("lat_ms"),
+        F.col("lat_ms").try_cast("long").alias("lat_ms"),
         F.col("ok").alias("ok_flag"),
-        F.col("tok").cast("long").alias("tok"),
+        F.col("tok").try_cast("long").alias("tok"),
     )
 
 
@@ -472,6 +472,152 @@ FROM (
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
 
+GEO_RANGES = [
+    ["10.0.0.0", "10.63.255.255", "CN", "Zhejiang", "Hangzhou"],
+    ["10.64.0.0", "10.127.255.255", "CN", "Beijing", "Beijing"],
+    ["10.128.0.0", "10.191.255.255", "US", "CA", "SF"],
+    ["10.192.0.0", "10.255.255.255", "DE", "BE", "Berlin"],
+]
+
+
+def q_geoip_enrich(spark, sf_dir):
+    """processor_geoip: broadcast range join ip→(country,province,city)."""
+    df = q_parse_regex_nginx(spark, sf_dir)
+    op = build_operator({
+        "Type": "processor_geoip", "SourceKey": "ip", "Ranges": GEO_RANGES,
+    })
+    return op(df).groupBy("ip_country", "ip_province", "ip_city").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+O_GEOIP_ENRICH = _ORACLE_T + f"""
+, nginx AS (
+  SELECT regexp_extract(text, '{_q(NGINX_RX)}', 1) AS ip
+  FROM t WHERE contains(text, ' - - [') AND regexp_full_match(text, '{_q(NGINX_RX)}')
+), ipn AS (
+  SELECT cast(string_split(ip, '.')[1] AS BIGINT) * 16777216
+       + cast(string_split(ip, '.')[2] AS BIGINT) * 65536
+       + cast(string_split(ip, '.')[3] AS BIGINT) * 256
+       + cast(string_split(ip, '.')[4] AS BIGINT) AS ip_num FROM nginx
+), ranges(lo, hi, ip_country, ip_province, ip_city) AS (VALUES
+""" + ",\n".join(
+    f"  ({(lambda q: sum(int(o) * 256 ** (3 - i) for i, o in enumerate(q.split('.'))))(lo)}, "
+    f"{(lambda q: sum(int(o) * 256 ** (3 - i) for i, o in enumerate(q.split('.'))))(hi)}, "
+    f"'{c}', '{p}', '{ci}')"
+    for lo, hi, c, p, ci in GEO_RANGES
+) + """
+)
+SELECT coalesce(r.ip_country, 'Unknown') AS ip_country,
+       coalesce(r.ip_province, 'Unknown') AS ip_province,
+       coalesce(r.ip_city, 'Unknown') AS ip_city,
+       count(*) AS n_rows
+FROM ipn LEFT JOIN ranges r ON ipn.ip_num BETWEEN r.lo AND r.hi
+GROUP BY 1, 2, 3
+"""
+
+
+def q_merge_multiline(spark, sf_dir):
+    """processor_merge_multiline_log BY_REGEX: turns whose text starts an
+    nginx/app record begin a merged event; others append (sessionization)."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "processor_merge_multiline_log",
+        "StartPattern": r"\d+\.\d+\.\d+\.\d+.*",
+        "UnmatchedContentTreatment": "single_line",
+    })
+    out = op(df)
+    return out.select(
+        "conv_id", "turn_idx", "n_merged",
+        F.md5(F.col("text").cast("binary")).alias("merged_md5"),
+    )
+
+
+O_MERGE_MULTILINE = _ORACLE_T + r"""
+, flagged AS (
+  SELECT conv_id, turn_idx, text, ts,
+    sum(CASE WHEN regexp_full_match(text, '\d+\.\d+\.\d+\.\d+.*') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gid
+  FROM t
+), grouped AS (
+  SELECT conv_id,
+    CASE WHEN gid > 0 THEN gid ELSE -turn_idx - 1 END AS mgid,
+    min(turn_idx) AS turn_idx, count(*) AS n_merged,
+    md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS merged_md5
+  FROM flagged GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, n_merged, merged_md5 FROM grouped
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """embedding-cosine near-dup pairs via sign-bucket blocking."""
+    from loongcollector_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), min_cos_1e4=5000)
+
+
+O_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,
+    cast(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+       + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+       + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  cast(floor(10000 * list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS INT) AS cos_1e4
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE floor(10000 * list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) >= 5000
+"""
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (pandas-UDF signature + chunk-blocked join).
+    No SQL oracle — the 64-bit majority-vote signature isn't expressible
+    in DuckDB SQL; correctness is unit-tested against a Python model."""
+    from loongcollector_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+def q_encrypt_fields(spark, sf_dir):
+    """processor_encrypt: AES-ECB hex output (JVM-native aes_encrypt).
+    No SQL oracle (DuckDB lacks AES); determinism is unit-tested."""
+    df = transcripts_from_events(spark, sf_dir).filter("role = 'system'")
+    op = build_operator({
+        "Type": "processor_encrypt", "SourceKeys": ["text"],
+        "EncryptionParameters": {"Key": "0123456789abcdef"},
+    })
+    return op(df).select("conv_id", "turn_idx", "text")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """multimodal decode→feature plumbing: binary payload column through
+    Arrow mapInPandas (decode step stubbed deterministically)."""
+    from loongcollector_spark.functions.multimodal import (
+        documents_as_media, extract_features,
+    )
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media).select(
+        "doc_id", "media_type", F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MULTIMODAL_FEATURES = """
+SELECT doc_id, 'image' AS media_type,
+  cast(floor(100.0 * list_sum(list_transform(string_split_regex(text, ''), c -> unicode(c)))
+       / octet_length(encode(text))) AS BIGINT) AS feat_mean_1e2,
+  cast(octet_length(encode(text)) AS INT) AS feat_dim,
+  octet_length(encode(text)) > 0 AS ok
+FROM documents
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """exact dedup: hash-groupBy on normalized text fingerprint."""
     from loongcollector_spark.functions.dedup import exact_dedup
@@ -687,6 +833,12 @@ QUERIES = {
     "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "geoip_enrich": (q_geoip_enrich, O_GEOIP_ENRICH),
+    "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
+    "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),
+    "simhash_near_pairs": (q_simhash_near_pairs, None),
+    "encrypt_fields": (q_encrypt_fields, None),
+    "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality_score, O_QUALITY_SCORE),

@@ -118,9 +118,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             if not text:
                 continue
             acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for w in text.split():
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                bits = (h >> np.arange(64)) & 1
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                )
+                bits = (h >> shifts) & np.uint64(1)
                 acc += np.where(bits == 1, 1, -1)
             sig = 0
             for bit_i in range(64):

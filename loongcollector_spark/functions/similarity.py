@@ -56,6 +56,40 @@ def sign_bucket(vec_col, n_bits: int = 3):
     return b.cast("int")
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame, min_cos_1e4: int = 9000,
+    vec_col: str = "embedding", id_col: str = "vec_id", n_bits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs: block on the sign-bucket
+    (two near-identical vectors share it unless a blocked dim sits at ~0),
+    self-join within buckets, keep pairs with cosine ≥ threshold.
+
+    Scale shape: the self-join shuffles on the bucket key only; within a
+    bucket the candidate set is ~corpus/2^n_bits. Threshold kept as an
+    integer 1e4 score so the DuckDB oracle hashes identically.
+    """
+    e = df.select(
+        id_col,
+        _as_double(F.col(vec_col)).alias("emb"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_expr(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.floor(cos * 10000).cast("int").alias("cos_1e4"),
+        )
+        .filter(F.col("cos_1e4") >= min_cos_1e4)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame, query_vec_id: int = 0, k: int = 5,
     vec_col: str = "embedding", id_col: str = "vec_id", n_bits: int = 3,

@@ -56,6 +56,7 @@ def build_chain(configs: list[dict[str, Any]]) -> OperatorFn:
 from loongcollector_spark.operators import (  # noqa: E402,F401
     condops,
     enrich,
+    extras,
     fieldops,
     filterops,
     grok,

@@ -1,0 +1,244 @@
+"""Remaining reference processors: geo enrichment, encryption, host/cloud
+tags, multiline merge BY_REGEX, passthrough, and the Go-twin aliases whose
+semantics are already covered by a registered factory under the native name.
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import SparkSession, Window, functions as F
+
+from loongcollector_spark.operators import REGISTRY, register
+
+
+@register("processor_default")
+def default_passthrough(cfg: dict):
+    """No-op processor (plugins/processor/defaultone/processor_default.go:23)."""
+    return lambda df: df
+
+
+@register("processor_tag")
+def tag_native(cfg: dict):
+    """Group-tag stamping (ProcessorTagNative.cpp:64-97): adds
+    HOST_NAME/HOST_ID/HOST_IP-style constants from driver-side context,
+    with optional renames — plain ``lit()`` columns, zero per-row cost.
+
+    Config: ``Tags`` {key: value}; ``Renames`` {old: new} applied first.
+    """
+    tags = cfg.get("Tags", {})
+    renames = cfg.get("Renames", {})
+
+    def run(df):
+        for old, new in renames.items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        for k, v in tags.items():
+            df = df.withColumn(k, F.lit(v))
+        return df
+
+    return run
+
+
+@register("processor_cloud_meta")
+def cloud_meta(cfg: dict):
+    """Cloud platform metadata fields (cloud_meta.go:33-44): constant
+    driver-context enrichment — ``Platform`` + ``Metadata`` {key: value},
+    keys optionally prefixed ``__cloud_instance_id__``-style."""
+    platform = cfg.get("Platform", "mock")
+    meta = cfg.get("Metadata", {})
+    prefix = cfg.get("KeyPrefix", "")
+
+    def run(df):
+        df = df.withColumn(f"{prefix}cloud_platform", F.lit(platform))
+        for k, v in meta.items():
+            df = df.withColumn(f"{prefix}{k}", F.lit(v))
+        return df
+
+    return run
+
+
+def _ip_to_long(col):
+    """Dotted-quad string → uint32-as-long, pure codegen (no UDF).
+    try_cast: a malformed IP yields null (joins to no range → NoMatch)
+    instead of failing the job under ANSI mode."""
+    p = F.split(col, r"\.")
+    return (
+        F.element_at(p, 1).try_cast("long") * 16777216
+        + F.element_at(p, 2).try_cast("long") * 65536
+        + F.element_at(p, 3).try_cast("long") * 256
+        + F.element_at(p, 4).try_cast("long")
+    )
+
+
+@register("processor_geoip")
+def geoip(cfg: dict):
+    """IP → country/province/city (processor_geoip.go:35-49, MaxMind-style
+    interval db) as a BROADCAST RANGE JOIN: the range table is small by
+    contract, so Spark plans BroadcastNestedLoopJoin — the fact table never
+    shuffles; at 100 TB each task probes an in-memory sorted range list.
+
+    Config: ``SourceKey`` (ip string column); ``Ranges`` inline rows
+    [start_ip, end_ip, country, province, city] or ``DictFilePath`` CSV
+    with the same 5 columns; ``NoMatch`` default "Unknown".
+    """
+    src = cfg["SourceKey"]
+    no_match = cfg.get("NoMatch", "Unknown")
+    ranges = cfg.get("Ranges")
+    if ranges is None:
+        with open(cfg["DictFilePath"], newline="") as f:
+            ranges = [row[:5] for row in csv.reader(f) if len(row) >= 5]
+
+    def run(df):
+        spark = SparkSession.getActiveSession()
+        rdf = spark.createDataFrame(
+            [tuple(r) for r in ranges],
+            "__geo_start string, __geo_end string, __geo_country string, "
+            "__geo_province string, __geo_city string",
+        ).select(
+            _ip_to_long(F.col("__geo_start")).alias("__geo_lo"),
+            _ip_to_long(F.col("__geo_end")).alias("__geo_hi"),
+            "__geo_country", "__geo_province", "__geo_city",
+        )
+        ip_num = _ip_to_long(F.col(src))
+        joined = df.join(
+            F.broadcast(rdf),
+            (ip_num >= F.col("__geo_lo")) & (ip_num <= F.col("__geo_hi")),
+            "left",
+        )
+        for out_col, geo_col in (
+            ("ip_country", "__geo_country"),
+            ("ip_province", "__geo_province"),
+            ("ip_city", "__geo_city"),
+        ):
+            joined = joined.withColumn(
+                out_col, F.coalesce(F.col(geo_col), F.lit(no_match))
+            )
+        return joined.drop("__geo_lo", "__geo_hi", "__geo_country",
+                           "__geo_province", "__geo_city")
+
+    return run
+
+
+@register("processor_encrypt")
+def encrypt(cfg: dict):
+    """AES field encryption, hex output (processor_encrypt.go:57-68).
+    ``aes_encrypt`` is JVM-native (Spark 3.3+); ECB mode is used so output
+    is deterministic/testable like the reference's fixed-IV CBC.
+
+    Config: ``SourceKeys`` [cols], ``EncryptionParameters.Key`` (16/24/32
+    bytes), ``KeepSource`` (default False: source replaced in place).
+    """
+    keys = cfg["SourceKeys"]
+    enc_key = cfg["EncryptionParameters"]["Key"]
+    keep_source = cfg.get("KeepSource", False)
+
+    def run(df):
+        for k in keys:
+            enc = F.hex(
+                F.aes_encrypt(
+                    F.col(k).cast("binary"), F.lit(enc_key), F.lit("ECB")
+                )
+            )
+            if keep_source:
+                df = df.withColumn(f"{k}_encrypt", enc)
+            else:
+                df = df.withColumn(k, enc)
+        return df
+
+    return run
+
+
+@register("processor_merge_multiline_log")
+def merge_multiline_log(cfg: dict):
+    """BY_REGEX multiline merge (ProcessorMergeMultilineLogNative.cpp:
+    176-271): rows whose ``SourceKey`` full-matches ``StartPattern`` begin
+    a new merged event; following rows append until the next start.
+    ``UnmatchedContentTreatment``: 'single_line' keeps each leading
+    unmatched row as its own event (cpp: treat as complete log),
+    'discard' drops them.
+
+    Spark shape: sessionization — windowed cumulative sum of start flags
+    partitioned on the group key produces the merge group id; one shuffle
+    on (group key), identical to the salted pipeline partitioning, then a
+    partial-agg-friendly groupBy.
+    """
+    src = cfg.get("SourceKey", "text")
+    start_rx = cfg["StartPattern"]
+    unmatched = cfg.get("UnmatchedContentTreatment", "single_line")
+    group_keys = cfg.get("GroupKeys", ["conv_id"])
+    order_key = cfg.get("OrderKey", "turn_idx")
+
+    def run(df):
+        w = Window.partitionBy(*group_keys).orderBy(order_key)
+        starts = F.col(src).rlike("^" + start_rx + "$")
+        gid = F.sum(F.when(starts, 1).otherwise(0)).over(w)
+        df = df.withColumn("_mgid", gid)
+        if unmatched == "discard":
+            df = df.filter(F.col("_mgid") > 0)
+        else:  # single_line: every pre-start row is its own group
+            df = df.withColumn(
+                "_mgid",
+                F.when(F.col("_mgid") > 0, F.col("_mgid"))
+                .otherwise(-F.col(order_key).cast("long") - 1),
+            )
+        return (
+            df.groupBy(*group_keys, "_mgid")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(order_key, src))),
+                        lambda s: s[src],
+                    ),
+                ).alias(src),
+                F.min(order_key).alias(order_key),
+                F.count("*").alias("n_merged"),
+                F.min("ts").alias("ts"),
+            )
+            .drop("_mgid")
+        )
+
+    return run
+
+
+def _alias(new_name: str, base_name: str, key_map: dict[str, str],
+           defaults: dict | None = None):
+    """Register a Go-twin plugin name that delegates to an existing factory
+    with its config keys translated (same semantics, different YAML keys)."""
+
+    @register(new_name)
+    def factory(cfg: dict):
+        translated = dict(defaults or {})
+        for k, v in cfg.items():
+            translated[key_map.get(k, k)] = v
+        return REGISTRY[base_name](translated)
+
+    return factory
+
+
+# processor_regex (plugins/processor/regex/regex.go:32-44) — Go twin of the
+# native regex parse; FullMatch/KeepSourceIfParseError map onto the common
+# parse-result options.
+_alias("processor_regex", "processor_parse_regex",
+       {"KeepSourceIfParseError": "KeepingSourceWhenParseFail"})
+
+# processor_json (plugins/processor/json/processor_json.go:29-43) — JSON
+# expansion with connector flattening; same engine as processor_parse_json.
+_alias("processor_json", "processor_parse_json",
+       {"KeepSourceIfParseError": "KeepingSourceWhenParseFail"})
+
+# processor_csv (plugins/processor/csv/processor_csv.go:30-44)
+_alias("processor_csv", "processor_parse_delimiter",
+       {"SplitSep": "Separator", "SplitKeys": "Keys"},
+       defaults={"OverflowedFieldsTreatment": "extend"})
+
+# processor_split_char / processor_split_string
+# (split/char/split_char.go:34-49, split/string/split_string.go:33-45):
+# split ONE field value into SplitKeys — parse_delimiter semantics.
+_alias("processor_split_char", "processor_parse_delimiter",
+       {"SplitSep": "Separator", "SplitKeys": "Keys", "QuoteFlag": "_ignored",
+        "Quote": "Quote"})
+_alias("processor_split_string", "processor_parse_delimiter",
+       {"SplitSep": "Separator", "SplitKeys": "Keys",
+        "ExpandOthers": "_expand_others"})

@@ -34,7 +34,7 @@ def log_to_metric(cfg: dict):
                 df.select(
                     F.lit(name).alias("__name__"),
                     labels.alias("__labels__"),
-                    F.col(value_key).cast("double").alias("__value__"),
+                    F.col(value_key).try_cast("double").alias("__value__"),
                     (F.unix_micros(F.col(ts_key)) * 1000).alias("__time_nano__"),
                 )
             )

@@ -146,7 +146,8 @@ def parse_stage(df: DataFrame) -> DataFrame:
         .withColumn("response_code", nginx_f["code"])
         .withColumn(
             "bytes",
-            F.coalesce(nginx_f["bytes"].cast("long"), app_f["bytes"].cast("long")),
+            F.coalesce(nginx_f["bytes"].try_cast("long"),
+                       app_f["bytes"].try_cast("long")),
         )
         .withColumn(
             "action",
@@ -156,14 +157,14 @@ def parse_stage(df: DataFrame) -> DataFrame:
             "lat_ms",
             F.coalesce(
                 jmap.getItem("lat_ms").try_cast("long"),
-                kvmap.getItem("lat_ms").cast("long"),
+                kvmap.getItem("lat_ms").try_cast("long"),
             ),
         )
         .withColumn(
             "tok",
             F.coalesce(
                 jmeta.getItem("tok").try_cast("long"),
-                kvmap.getItem("tok").cast("long"),
+                kvmap.getItem("tok").try_cast("long"),
             ),
         )
         .withColumn("model", jmeta.getItem("model"))

@@ -1,0 +1,179 @@
+"""Golden tests for the extras operators (geoip, encrypt, tags, multiline
+merge, aliases) and the multimodal / similarity additions."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import build_operator
+
+
+def test_geoip_range_join(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.64.1.1",), ("10.200.0.9",), ("192.168.1.1",)],
+        "ip string",
+    )
+    op = build_operator({
+        "Type": "processor_geoip", "SourceKey": "ip",
+        "Ranges": [
+            ["10.0.0.0", "10.63.255.255", "CN", "ZJ", "HZ"],
+            ["10.64.0.0", "10.127.255.255", "CN", "BJ", "BJ"],
+            ["10.128.0.0", "10.255.255.255", "US", "CA", "SF"],
+        ],
+    })
+    got = {r["ip"]: (r["ip_country"], r["ip_city"]) for r in op(df).collect()}
+    assert got == {
+        "10.0.0.5": ("CN", "HZ"),
+        "10.64.1.1": ("CN", "BJ"),
+        "10.200.0.9": ("US", "SF"),
+        "192.168.1.1": ("Unknown", "Unknown"),  # outside all ranges
+    }
+
+
+def test_encrypt_deterministic_and_reversible(spark):
+    df = spark.createDataFrame([("secret",), ("secret",), ("other",)], "text string")
+    op = build_operator({
+        "Type": "processor_encrypt", "SourceKeys": ["text"],
+        "EncryptionParameters": {"Key": "0123456789abcdef"},
+    })
+    vals = [r["text"] for r in op(df).collect()]
+    assert vals[0] == vals[1] != vals[2]          # ECB: deterministic
+    assert all(set(v) <= set("0123456789ABCDEF") for v in vals)  # hex out
+    # round-trip through the JVM decrypt proves it's real AES, not a hash
+    dec = spark.createDataFrame([(vals[0],)], "c string").select(
+        F.aes_decrypt(F.unhex("c"), F.lit("0123456789abcdef"), F.lit("ECB"))
+        .cast("string").alias("p")
+    ).first()["p"]
+    assert dec == "secret"
+
+
+def test_tag_and_cloud_meta_and_default(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    chain = [
+        {"Type": "processor_tag", "Tags": {"__hostname__": "h1"},
+         "Renames": {"text": "content"}},
+        {"Type": "processor_cloud_meta", "Platform": "mock",
+         "Metadata": {"instance_id": "i-123"}},
+        {"Type": "processor_default"},
+    ]
+    out = df
+    for cfg in chain:
+        out = build_operator(cfg)(out)
+    r = out.first()
+    assert (r["content"], r["__hostname__"], r["cloud_platform"],
+            r["instance_id"]) == ("x", "h1", "mock", "i-123")
+
+
+def test_merge_multiline_by_regex(spark):
+    rows = [
+        ("c1", 0, "ERROR boom", "2026-01-01 00:00:00"),
+        ("c1", 1, "  at frame1", "2026-01-01 00:00:01"),
+        ("c1", 2, "  at frame2", "2026-01-01 00:00:02"),
+        ("c1", 3, "ERROR again", "2026-01-01 00:00:03"),
+        ("c2", 0, "stray continuation", "2026-01-01 00:00:00"),
+        ("c2", 1, "ERROR solo", "2026-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    op = build_operator({
+        "Type": "processor_merge_multiline_log", "StartPattern": r"ERROR.*",
+        "UnmatchedContentTreatment": "single_line",
+    })
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["n_merged"])
+           for r in op(df).collect()}
+    assert got[("c1", 0)] == ("ERROR boom\n  at frame1\n  at frame2", 3)
+    assert got[("c1", 3)] == ("ERROR again", 1)
+    assert got[("c2", 0)] == ("stray continuation", 1)   # kept as own event
+    assert got[("c2", 1)] == ("ERROR solo", 1)
+
+    # discard mode drops the pre-start row
+    op2 = build_operator({
+        "Type": "processor_merge_multiline_log", "StartPattern": r"ERROR.*",
+        "UnmatchedContentTreatment": "discard",
+    })
+    assert ("c2", 0) not in {
+        (r["conv_id"], r["turn_idx"]) for r in op2(df).collect()
+    }
+
+
+def test_go_twin_aliases(spark):
+    df = spark.createDataFrame([("a,b,c",)], "text string")
+    op = build_operator({
+        "Type": "processor_csv", "SourceKey": "text",
+        "SplitSep": ",", "SplitKeys": ["x", "y", "z"],
+    })
+    r = op(df).first()
+    assert (r["x"], r["y"], r["z"]) == ("a", "b", "c")
+
+    op = build_operator({
+        "Type": "processor_regex", "SourceKey": "text",
+        "Regex": r"(\w+),.*", "Keys": ["first"],
+    })
+    r = op(spark.createDataFrame([("hi,there",)], "text string")).first()
+    assert r["first"] == "hi"
+
+
+def test_simhash_matches_python_model(spark):
+    texts = ["the quick brown fox", "the quick brown fix", "something else"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from loongcollector_spark.functions.dedup import simhash_signatures
+
+    got = {r["doc_id"]: r["simhash64"] for r in simhash_signatures(df).collect()}
+
+    def model(text):
+        acc = [0] * 64
+        for w in text.split():
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        sig = sum(1 << i for i in range(64) if acc[i] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for i, t in enumerate(texts):
+        assert got[i] == model(t)
+    # near-identical texts must be close in hamming, unrelated text far
+    ham = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far
+
+
+def test_multimodal_plumbing(spark):
+    from loongcollector_spark.functions.multimodal import (
+        _decode_stub, documents_as_media, extract_features, frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "")], "doc_id long, text string"
+    )
+    media = documents_as_media(docs, "video")
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feat_dim"] == 3 and feats[1]["ok"]
+    assert feats[1]["feat_mean"] == pytest.approx((97 + 98 + 99) / 3)
+    assert feats[2]["feat_dim"] == 0 and not feats[2]["ok"]
+
+    frames = frame_sample(media, every_n=10)
+    assert frames.count() > 0
+    assert frames.columns == ["doc_id", "frame_idx", "payload"]
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"x", "hologram")
+
+
+def test_embedding_near_dup_blocks_and_thresholds(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0, 3.01]),     # near-dup of 1, same sign bucket
+        (3, [-1.0, 2.0, 3.0]),     # different bucket
+        (4, [3.0, -2.0, 1.0]),     # same bucket as nothing similar
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from loongcollector_spark.functions.similarity import embedding_near_dup_pairs
+
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos_1e4"]
+             for r in embedding_near_dup_pairs(df, min_cos_1e4=9990).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 9990
+    assert all(a != 3 and b != 3 for a, b in pairs)  # blocked out by bucket

@@ -53,6 +53,11 @@ def main():
             continue
         try:
             got = canon(fn(spark, sf_dir).toPandas())
+            if oracle is None:
+                # rows-only check (driver's weaker gate for non-SQL ops)
+                print(f"PASS {name} (rows-only: {len(got)} rows)")
+                n_pass += 1
+                continue
             want = canon(con.sql(oracle).df())
             assert list(got.columns) == list(want.columns), (
                 f"columns {list(got.columns)} vs {list(want.columns)}")
