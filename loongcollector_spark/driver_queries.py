@@ -472,6 +472,30 @@ FROM (
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
 
+def q_spl_pipeline(spark, sf_dir):
+    """SPL front-end (processor_spl analog): where + parse-kv + extend +
+    project over the transcripts table, compiled to one Catalyst plan."""
+    from loongcollector_spark.spl import spl_run
+
+    df = transcripts_from_events(spark, sf_dir)
+    out = spl_run(df, r"""
+* | where regexp_like(text, '^\w+=[^ ]*&.*')
+  | parse-kv -delims='&' text
+  | extend lat_bucket = cast(cast(lat_ms as bigint) / 1000 as bigint)
+  | project conv_id, turn_idx, action, lat_bucket, ok
+""")["out"]
+    return out.withColumnRenamed("ok", "ok_flag")
+
+
+O_SPL_PIPELINE = _ORACLE_T + r"""
+SELECT conv_id, turn_idx,
+  regexp_extract(text, 'action=([^&]*)', 1) AS action,
+  cast(floor(cast(regexp_extract(text, 'lat_ms=([^&]*)', 1) AS BIGINT) / 1000) AS BIGINT) AS lat_bucket,
+  regexp_extract(text, 'ok=([^&]*)', 1) AS ok_flag
+FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+"""
+
+
 GEO_RANGES = [
     ["10.0.0.0", "10.63.255.255", "CN", "Zhejiang", "Hangzhou"],
     ["10.64.0.0", "10.127.255.255", "CN", "Beijing", "Beijing"],
@@ -833,6 +857,7 @@ QUERIES = {
     "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "spl_pipeline": (q_spl_pipeline, O_SPL_PIPELINE),
     "geoip_enrich": (q_geoip_enrich, O_GEOIP_ENRICH),
     "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),

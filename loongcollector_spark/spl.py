@@ -1,0 +1,453 @@
+"""SPL front-end: compile an SPL script to DataFrame transforms.
+
+The reference executes SPL via processor_spl on a Velox-backed engine
+(core/plugin/processor/ProcessorSPL.cpp:34-154); its testable surface is
+the corpus core/unittest/spl/spl.txt and SplUnittest.cpp. An SPL pipeline
+IS a DataFrame expression DAG, so the compiler here is thin:
+
+* commands: where / extend / project / project-away / project-rename /
+  parse-regexp / parse-csv / parse-kv / parse-json;
+* multi-branch scripts: ``.let ds = $src | ...;  $ds1;  $ds2;`` — the
+  1-group-in-N-groups-out fan-out (SplUnittest.cpp TestMultiParse),
+  which is exactly the routing pattern: a let-bound frame referenced by
+  more than one branch is persisted once and each branch filters it;
+* scalar expressions: SPL's function library is Presto-lineage, as is
+  Spark SQL's, so most expressions pass through verbatim; a small rename
+  table covers the spelling differences (chr→char, strpos→locate,
+  VARBINARY→BINARY, ARRAY [..]→array(..)); unsupported names raise
+  ``SplUnsupported`` at compile time — same posture as the reference's
+  Init-time script validation (ProcessorSPL.cpp:69-87).
+
+parse-json / parse-kv with no key list are schema-dynamic in SPL; Spark
+plans need columns at compile time, so the compiler samples a few rows
+(driver-side, ≤SAMPLE_ROWS) to discover keys — the same move
+spark.read.json makes for schema inference, done once at plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+SAMPLE_ROWS = 20
+
+
+class SplError(ValueError):
+    pass
+
+
+class SplUnsupported(SplError):
+    pass
+
+
+_UNSUPPORTED = {
+    "spooky_hash_v2_32", "spooky_hash_v2_64", "empty_approx_set",
+    "combinations", "classify", "features",
+    "hmac_md5", "hmac_sha1", "hmac_sha256", "hmac_sha512",
+}
+
+
+def _translate_expr(expr: str) -> str:
+    """SPL/Presto scalar expression → Spark SQL expression string."""
+    # SPL string literals are raw (Presto semantics: backslash is a normal
+    # character) but Spark's SQL parser backslash-escapes inside '...' —
+    # double every backslash inside quoted literals so '\w+' survives
+    out, in_q = "", None
+    for ch in expr:
+        if in_q:
+            if ch == "\\":
+                out += "\\\\"
+                continue
+            if ch == in_q:
+                in_q = None
+        elif ch in "'\"":
+            in_q = ch
+        out += ch
+
+    # ARRAY [..] literal → array(..): balance the bracket
+    def arr_sub(s: str) -> str:
+        m = re.search(r"\bARRAY\s*\[", s, re.IGNORECASE)
+        if not m:
+            return s
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            depth += {"[": 1, "]": -1}.get(s[i], 0)
+            i += 1
+        inner = s[m.end():i - 1]
+        return s[:m.start()] + "array(" + arr_sub(inner) + ")" + arr_sub(s[i:])
+
+    out = arr_sub(out)
+    # MAP(ARRAY..,ARRAY..) → map_from_arrays(...)
+    out = re.sub(r"\bMAP\s*\(", "map_from_arrays(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bVARBINARY\b", "BINARY", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bVARCHAR\b", "STRING", out, flags=re.IGNORECASE)
+
+    # function spelling fixes
+    for name in re.findall(r"\b([a-z_][a-z0-9_]*)\s*\(", out):
+        if name in _UNSUPPORTED:
+            raise SplUnsupported(f"SPL function {name!r} has no Spark analog")
+    out = re.sub(r"\bchr\s*\(", "char(", out)
+    out = re.sub(r"\bcodepoint\s*\(", "ascii(", out)
+    out = re.sub(r"\ball_match\s*\(", "forall(", out)
+    out = re.sub(r"\bany_match\s*\(", "exists(", out)
+    out = re.sub(r"\bcardinality\s*\(", "size(", out)
+    out = re.sub(r"\bjson_extract_scalar\s*\(", "get_json_object(", out)
+    out = re.sub(r"\bis_json_scalar\s*\(", "__isjs__(", out)
+    if "__isjs__" in out:
+        raise SplUnsupported("is_json_scalar has no Spark builtin")
+    # to_utf8(x)/from_utf8(x) == encode/decode(x, 'utf-8')
+    out = re.sub(r"\bto_utf8\s*\(", "encode(", out)
+    out = _append_arg(out, "encode", "'utf-8'", only_if_single=True)
+    out = re.sub(r"\bfrom_utf8\s*\(", "decode__utf8(", out)
+    out = _append_arg(out, "decode__utf8", "'utf-8'", only_if_single=True)
+    out = out.replace("decode__utf8(", "decode(")
+    # sha256(x)/sha512(x) → sha2(x, bits)
+    for bits in (256, 512):
+        out = re.sub(rf"\bsha{bits}\s*\(", f"sha2__{bits}(", out)
+        out = _append_arg(out, f"sha2__{bits}", str(bits))
+        out = out.replace(f"sha2__{bits}(", "sha2(")
+    # strpos(str, sub[, inst]) → locate(sub, str[, ...]) : swap first two args
+    out = _swap_two_args(out, "strpos", "locate")
+    out = _swap_two_args(out, "strrpos", "__strrpos__")
+    if "__strrpos__" in out:
+        raise SplUnsupported("strrpos has no Spark builtin")
+    return out
+
+
+def _split_args(s: str) -> list[str]:
+    args, depth, cur, q = [], 0, "", None
+    for ch in s:
+        if q:
+            cur += ch
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(cur.strip())
+            cur = ""
+            continue
+        cur += ch
+    if cur.strip():
+        args.append(cur.strip())
+    return args
+
+
+def _find_call(s: str, fname: str):
+    m = re.search(rf"\b{fname}\s*\(", s)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(s) and depth:
+        depth += {"(": 1, ")": -1}.get(s[i], 0)
+        i += 1
+    return m.start(), m.end(), i - 1  # call start, args start, args end
+
+
+def _append_arg(s: str, fname: str, extra: str, only_if_single=False) -> str:
+    pos = 0
+    while True:
+        found = _find_call(s[pos:], fname)
+        if not found:
+            return s
+        st, a0, a1 = (p + pos for p in found)
+        args = _split_args(s[a0:a1])
+        if not only_if_single or len(args) == 1:
+            s = s[:a1] + ", " + extra + s[a1:]
+        pos = a1 + 1
+
+
+def _swap_two_args(s: str, fname: str, new_name: str) -> str:
+    while True:
+        found = _find_call(s, fname)
+        if not found:
+            return s
+        st, a0, a1 = found
+        args = _split_args(s[a0:a1])
+        if len(args) >= 2:
+            args[0], args[1] = args[1], args[0]
+        s = s[:st] + new_name + "(" + ", ".join(args) + s[a1:]
+
+
+def _parse_flags(body: str):
+    """Leading ``-name='value'`` / ``-flag`` options of a parse-* command."""
+    flags = {}
+    while True:
+        m = re.match(r"\s*-([a-z-]+)(?:=('[^']*'|\S+))?\s+", body)
+        if not m:
+            return flags, body.strip()
+        val = m.group(2)
+        if val is not None and val.startswith("'"):
+            val = val[1:-1]
+        flags[m.group(1)] = True if val is None else val
+        body = body[m.end():]
+
+
+def _unescape(s: str) -> str:
+    return (s.replace(r"\x09", "\t").replace(r"\11", "\t")
+            .replace(r"\t", "\t").replace(r"\n", "\n"))
+
+
+@dataclass
+class _Cmd:
+    name: str
+    body: str
+
+
+def _compile_cmd(cmd: _Cmd):
+    """One SPL command → DataFrame transform."""
+    name, body = cmd.name, cmd.body
+
+    if name == "where":
+        expr = _translate_expr(body)
+        return lambda df: df.filter(F.expr(expr))
+
+    if name == "extend":
+        assigns = [
+            (k.strip().strip('"'), _translate_expr(v.strip()))
+            for k, v in (a.split("=", 1) for a in _split_args(body))
+        ]
+        def run_extend(df, assigns=assigns):
+            for k, v in assigns:
+                df = df.withColumn(k, F.expr(v))
+            return df
+        return run_extend
+
+    if name == "project":
+        cols = []
+        for a in _split_args(body):
+            if "=" in a and not re.match(r"^[\w.\"']+$", a):
+                k, v = a.split("=", 1)
+                cols.append(F.expr(_translate_expr(v.strip())).alias(k.strip()))
+            else:
+                cols.append(F.col(a.strip().strip('"')))
+        return lambda df: df.select(*cols)
+
+    if name == "project-away":
+        names = [a.strip().strip('"') for a in _split_args(body)]
+        return lambda df: df.drop(*names)
+
+    if name == "project-rename":
+        pairs = [
+            (k.strip().strip('"'), v.strip().strip('"'))
+            for k, v in (a.split("=", 1) for a in _split_args(body))
+        ]
+        def run_rename(df, pairs=pairs):
+            for new, old in pairs:
+                df = df.withColumnRenamed(old, new)
+            return df
+        return run_rename
+
+    if name == "parse-regexp":
+        m = re.match(r"\s*([\w\"]+)\s*,\s*'((?:[^'\\]|\\.)*)'\s*(?:as\s+(.*))?$",
+                     body, re.DOTALL)
+        if not m:
+            raise SplError(f"bad parse-regexp: {body!r}")
+        col, rx, aliases = m.group(1).strip('"'), m.group(2), m.group(3)
+        named = re.findall(r"\(\?P?<(\w+)>", rx)
+        rx_plain = re.sub(r"\(\?P?<\w+>", "(", rx)
+        keys = ([a.strip() for a in aliases.split(",")] if aliases else named)
+        if not keys:
+            raise SplError("parse-regexp needs 'as' aliases or named groups")
+        def run_rx(df, col=col, rx=rx_plain, keys=keys):
+            for i, k in enumerate(keys):
+                df = df.withColumn(k, F.regexp_extract(F.col(col), rx, i + 1))
+            return df
+        return run_rx
+
+    if name == "parse-csv":
+        flags, rest = _parse_flags(body)
+        m = re.match(r"([\w\"]+)\s+as\s+(.*)$", rest, re.DOTALL)
+        if not m:
+            raise SplError(f"bad parse-csv: {rest!r}")
+        col = m.group(1).strip('"')
+        keys = [a.strip() for a in m.group(2).split(",")]
+        delim = _unescape(flags.get("delim", ","))
+        quote = flags.get("quote")
+        strict = flags.get("strict", False)
+        def run_csv(df, col=col, keys=keys, delim=delim, quote=quote, strict=strict):
+            if quote:
+                ddl = ", ".join(f"`{k}` string" for k in keys)
+                parsed = F.from_csv(F.col(col), F.lit(ddl),
+                                    {"sep": delim, "quote": quote})
+                for k in keys:
+                    df = df.withColumn(k, parsed.getField(k))
+                return df
+            parts = F.split(F.col(col), re.escape(delim))
+            n = F.size(parts)
+            for i, k in enumerate(keys):
+                v = F.when(n > i, F.element_at(parts, i + 1))
+                if strict:
+                    # -strict: field count must equal key count exactly
+                    v = F.when(n == len(keys), F.element_at(parts, i + 1))
+                df = df.withColumn(k, v)
+            return df
+        return run_csv
+
+    if name == "parse-kv":
+        flags, rest = _parse_flags(body)
+        col = rest.strip().strip('"')
+        delims = flags.get("delims", "&")
+        kv_sep = flags.get("kv-sep", "=")
+        prefix = flags.get("prefix", "")
+        delim_rx = "[" + re.escape(delims) + "]"
+        def run_kv(df, col=col, delim_rx=delim_rx, kv_sep=kv_sep, prefix=prefix):
+            mcol = F.str_to_map(F.col(col), F.lit(delim_rx), F.lit(re.escape(kv_sep)))
+            keys = _sample_kv_keys(df, col, delim_rx, kv_sep)
+            for k in keys:
+                df = df.withColumn(prefix + k, mcol.getItem(k))
+            return df
+        return run_kv
+
+    if name == "parse-json":
+        flags, rest = _parse_flags(body)
+        col = rest.strip().strip('"')
+        prefix = flags.get("prefix", "")
+        path = flags.get("path")
+        def run_json(df, col=col, prefix=prefix, path=path):
+            src = (F.get_json_object(F.col(col), path) if path else F.col(col))
+            mcol = F.from_json(src, "map<string,string>")
+            keys = _sample_json_keys(df, col, path)
+            for k in keys:
+                df = df.withColumn(prefix + k, mcol.getItem(k))
+            return df
+        return run_json
+
+    raise SplUnsupported(f"SPL command {name!r} not supported")
+
+
+def _sample_json_keys(df: DataFrame, col: str, path: str | None) -> list[str]:
+    src = F.get_json_object(F.col(col), path) if path else F.col(col)
+    rows = df.select(src.alias("v")).filter(F.col("v").isNotNull()).limit(SAMPLE_ROWS).collect()
+    keys: list[str] = []
+    for r in rows:
+        try:
+            obj = json.loads(r["v"])
+        except (TypeError, ValueError):
+            continue
+        if isinstance(obj, dict):
+            for k in obj:
+                if k not in keys:
+                    keys.append(k)
+    return keys
+
+
+def _sample_kv_keys(df: DataFrame, col: str, delim_rx: str, kv_sep: str) -> list[str]:
+    rows = df.select(col).filter(F.col(col).isNotNull()).limit(SAMPLE_ROWS).collect()
+    keys: list[str] = []
+    for r in rows:
+        for pair in re.split(delim_rx, r[col] or ""):
+            if kv_sep in pair:
+                k = pair.split(kv_sep, 1)[0]
+                if k and k not in keys:
+                    keys.append(k)
+    return keys
+
+
+def _split_pipeline(text: str) -> list[_Cmd]:
+    """'* | where a | extend b = 1' → command list (quote-aware split)."""
+    parts, depth, cur, q = [], 0, "", None
+    for ch in text:
+        if q:
+            cur += ch
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append(cur.strip())
+            cur = ""
+            continue
+        cur += ch
+    parts.append(cur.strip())
+    cmds = []
+    for p in parts[1:]:  # parts[0] is the source ('*' or '$name')
+        m = re.match(r"([a-z-]+)\s*(.*)$", p, re.DOTALL)
+        if not m:
+            raise SplError(f"bad command {p!r}")
+        cmds.append(_Cmd(m.group(1), m.group(2).strip()))
+    return cmds
+
+
+def spl_run(df: DataFrame, script: str) -> dict[str, DataFrame]:
+    """Execute an SPL script against a DataFrame.
+
+    Returns {output_name: DataFrame} — one entry per emitted branch
+    (``$name;`` statements), or {"out": frame} for a bare pipeline.
+    Let-bound frames used by ≥2 branches are persisted (the router
+    copy-minimization analog — one upstream materialization, N branch
+    filters).
+    """
+    statements, cur, q = [], "", None
+    for ch in script:
+        if q:
+            cur += ch
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur += ch
+        elif ch == ";":
+            statements.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        statements.append(cur.strip())
+    statements = [s for s in statements if s]
+    if not statements:
+        raise SplError("empty SPL script")
+
+    bindings: dict[str, DataFrame] = {}
+    use_count: dict[str, int] = {}
+    outputs: dict[str, DataFrame] = {}
+
+    # pass 1: count references to each let-binding
+    for st in statements:
+        for ref in re.findall(r"\$(\w+)", st):
+            use_count[ref] = use_count.get(ref, 0) + 1
+
+    def resolve(source: str) -> DataFrame:
+        if source == "*":
+            return df
+        if source.startswith("$"):
+            name = source[1:]
+            if name not in bindings:
+                raise SplError(f"unknown SPL binding ${name}")
+            return bindings[name]
+        raise SplError(f"bad SPL source {source!r}")
+
+    for st in statements:
+        if st.startswith(".let"):
+            m = re.match(r"\.let\s+(\w+)\s*=\s*(.*)$", st, re.DOTALL)
+            if not m:
+                raise SplError(f"bad .let: {st!r}")
+            name, rest = m.group(1), m.group(2).strip()
+            src = rest.split("|", 1)[0].strip()
+            frame = resolve(src)
+            for cmd in _split_pipeline(rest):
+                frame = _compile_cmd(cmd)(frame)
+            if use_count.get(name, 0) >= 2:
+                frame = frame.persist()
+            bindings[name] = frame
+        elif re.fullmatch(r"\$\w+", st):
+            outputs[st[1:]] = resolve(st)
+        else:  # bare pipeline
+            frame = resolve(st.split("|", 1)[0].strip())
+            for cmd in _split_pipeline(st):
+                frame = _compile_cmd(cmd)(frame)
+            outputs["out"] = frame
+    return outputs

@@ -1,0 +1,116 @@
+"""Structured Streaming mode — the continuous-collector analog.
+
+The reference is a long-running agent: file tails feed bounded queues,
+processors run per group, batchers flush on size/count/timeout
+(Batcher.h:41-140, FlushStrategy.h:39-58). The Spark mapping:
+
+* source: ``readStream`` file source over the transcripts directory — new
+  files are the "tailed" input (per-file event order preserved by the
+  (conv_id, turn_idx) sort contract instead of file offsets);
+* processors: the SAME parse→enrich→route transform as batch mode
+  (plans/pipeline.transcript_pipeline) — per-batch semantics are pure
+  functions, so one code path serves both engines;
+* sinks: ``foreachBatch`` writes every routed sink branch from one
+  cached micro-batch (router copy-minimization, Router.cpp:60-82), plus
+  a per-batch metrics/lineage record keyed by batch_id — the streaming
+  equivalent of the ``__pack_id__`` lineage;
+* flush timeout: the trigger interval; ``availableNow`` drains bounded
+  input for tests;
+* exactly-once: the streaming checkpoint (WAL + file-source log) replaces
+  the batch manifest; sink writes are append-per-batch with batch_id
+  columns so replays are idempotent to dedup.
+* event-time windows + watermark: ``windowed_counter_stream`` — a
+  SUPERSET of the reference (processing-time-only flush, no watermarks:
+  FlushStrategy.h:54-58); late rows beyond the watermark are dropped
+  instead of mis-bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from loongcollector_spark import routing
+from loongcollector_spark.plans.pipeline import DEFAULT_SINK_RULES, transcript_pipeline
+from loongcollector_spark.routing import SinkRule
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def transcripts_stream(spark: SparkSession, input_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a transcripts parquet directory (the
+    input_file tail analog; maxFilesPerTrigger = the bounded-queue knob)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def run_streaming_pipeline(
+    stream_df: DataFrame,
+    out_dir: str,
+    rules: list[SinkRule] | None = None,
+    available_now: bool = True,
+):
+    """parse→enrich→route each micro-batch; write all sinks + metrics from
+    ONE cached frame per batch. Returns the StreamingQuery."""
+    rules = rules or DEFAULT_SINK_RULES
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        routed = transcript_pipeline(batch_df, rules).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        routed = routed.persist()
+        try:
+            metrics = []
+            for rule in rules:
+                sdf = routing.sink_frame(routed, rule, rules)
+                sdf.write.mode("append").parquet(f"{out_dir}/sinks/{rule.name}")
+                metrics.append((batch_id, f"sink:{rule.name}"))
+            spark.createDataFrame(
+                metrics, "batch_id long, stage string"
+            ).write.mode("append").json(f"{out_dir}/_stream_metrics")
+        finally:
+            routed.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counter_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("role",),
+    available_now: bool = True,
+):
+    """Event-time windowed counters with a watermark — append-mode parquet
+    (a window finalizes once the watermark passes; late data beyond it is
+    dropped, the documented superset of the reference's processing-time
+    flush)."""
+    agg = (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), *keys)
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_rows")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_dir}/counters")
+        .option("checkpointLocation", f"{out_dir}/_counter_checkpoint")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

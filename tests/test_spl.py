@@ -1,0 +1,184 @@
+"""SPL front-end tests: semantic goldens + a corpus smoke replay.
+
+Mirrors the reference's SPL test strategy (core/unittest/spl/
+SplUnittest.cpp replays spl.txt pipelines against fixed events): a fixture
+frame shaped like the corpus events (content / content_csv / content_kv /
+map_str columns) and a list of corpus-representative pipelines that must
+compile and run.
+"""
+
+import pytest
+
+from loongcollector_spark.spl import SplUnsupported, spl_run
+
+
+@pytest.fixture()
+def spl_df(spark):
+    rows = [
+        (
+            "10.0.0.1 GET /index 200",
+            "1.1.1.1,12:00,web01",
+            "k1=v1&k2=v2?k3=v3",
+            '{"a1":"x","b1":"2"}',
+            '{"type":"kv","message":"u=1&v=2"}',
+        ),
+        (
+            "10.0.0.2 POST /login 500",
+            '"quoted,ip",13:00,web02',
+            "k1=other&k2=z?k3=w",
+            '{"a1":"y","b1":"3"}',
+            '{"type":"csv","message":"a,b,c"}',
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "content string, content_csv string, content_kv string, "
+        "map_str string, routed string",
+    )
+
+
+def test_parse_regexp_aliases_and_named(spl_df):
+    out = spl_run(
+        spl_df, r"* | parse-regexp content, '(\S+)\s+(\w+)' as ip, method"
+    )["out"]
+    r = out.orderBy("ip").first()
+    assert (r["ip"], r["method"]) == ("10.0.0.1", "GET")
+
+    out = spl_run(
+        spl_df, r"* | parse-regexp content, '(?P<ip2>\S+)\s+(?P<m2>\w+)'"
+    )["out"]
+    r = out.orderBy("ip2").first()
+    assert (r["ip2"], r["m2"]) == ("10.0.0.1", "GET")
+
+
+def test_parse_csv_plain_quote_strict(spl_df):
+    out = spl_run(spl_df, "* | parse-csv content_csv as ip, time, host")["out"]
+    got = {r["host"]: r["ip"] for r in out.collect()}
+    assert got["web01"] == "1.1.1.1"
+
+    out = spl_run(
+        spl_df, "* | parse-csv -quote='\"' content_csv as ip, time, host"
+    )["out"]
+    got = {r["host"]: r["ip"] for r in out.collect()}
+    assert got["web02"] == "quoted,ip"   # quote-aware FSM path
+
+    # -strict: exactly 2 keys vs 3 fields -> nulls
+    out = spl_run(spl_df, "* | parse-csv -strict content_csv as ip, time")["out"]
+    assert all(r["ip"] is None for r in out.collect())
+
+
+def test_parse_kv_delims_and_prefix(spl_df):
+    out = spl_run(spl_df, "* | parse-kv -delims='&?' content_kv")["out"]
+    r = out.orderBy("k1").first()
+    assert (r["k1"], r["k2"], r["k3"]) == ("k1=other".split("=")[1], "z", "w")
+
+    out = spl_run(
+        spl_df, "* | parse-kv -prefix='p_' -delims='&?' content_kv"
+    )["out"]
+    assert "p_k1" in out.columns
+
+
+def test_parse_json_with_prefix_and_where(spl_df):
+    out = spl_run(spl_df, "* | parse-json map_str | where b1 = '2'")["out"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["a1"] == "x"
+
+    out = spl_run(spl_df, "* | parse-json -prefix='j_' map_str")["out"]
+    assert "j_a1" in out.columns and "j_b1" in out.columns
+
+
+def test_extend_project_rename_away(spl_df):
+    out = spl_run(
+        spl_df,
+        "* | extend a = 23, b = upper('x') | extend c = concat(b, 'y') "
+        "| project-rename d=a | project-away content_csv, content_kv, map_str, routed",
+    )["out"]
+    r = out.first()
+    assert (r["d"], r["b"], r["c"]) == (23, "X", "Xy")
+    assert "content_csv" not in out.columns
+
+
+def test_presto_spellings(spl_df):
+    out = spl_run(
+        spl_df,
+        "* | extend a = chr(65), b = codepoint('t'), "
+        "c = strpos('hello volex', 'volex'), "
+        "d = cast('4444' as VARBINARY) "
+        "| extend e = md5(d), f = ARRAY [1, 2, 3] "
+        "| extend g = element_at(f, 2), h = to_utf8('hi')",
+    )["out"]
+    r = out.first()
+    assert r["a"] == "A" and r["b"] == 116 and r["c"] == 7
+    assert r["g"] == 2 and bytes(r["h"]) == b"hi"
+
+
+def test_multibranch_let_dag(spl_df):
+    """The TestMultiParse fan-out (SplUnittest.cpp:560-576): one source,
+    two filtered+parsed branches, both emitted."""
+    script = """
+.let src = * | parse-json routed;
+.let ds1 = $src | where type = 'kv' | parse-kv -delims='&' message;
+$ds1;
+.let ds2 = $src | where type = 'csv' | parse-csv message as x, y, z;
+$ds2;
+"""
+    outs = spl_run(spl_df, script)
+    assert set(outs) == {"ds1", "ds2"}
+    r1 = outs["ds1"].collect()
+    assert len(r1) == 1 and r1[0]["u"] == "1" and r1[0]["v"] == "2"
+    r2 = outs["ds2"].collect()
+    assert len(r2) == 1 and (r2[0]["x"], r2[0]["y"], r2[0]["z"]) == ("a", "b", "c")
+
+
+def test_unsupported_raises_at_compile(spl_df):
+    with pytest.raises(SplUnsupported):
+        spl_run(spl_df, "* | extend a = spooky_hash_v2_32(content)")
+
+
+CORPUS_SMOKE = [
+    r"*| parse-regexp content, '(\S+)' as ip",
+    r"*| parse-regexp content, '\S+\s+(\w+)' as method",
+    "*| parse-json map_str",
+    "*| parse-json -prefix='prefix_' map_str",
+    "*| parse-json -path='$.message' routed",
+    "*| parse-csv content_csv as ip, time, host",
+    "*| parse-csv -delim=';' content_csv as ip, time, host",
+    "*| parse-kv -delims='&?' content_kv",
+    "*| parse-kv -kv-sep='=' -delims='&?' content_kv",
+    "* | extend a = 23 | extend b = chr(a)",
+    "* | extend a = 'hello', b = 'world', c = '111' | extend d = concat(a, b, c)",
+    "* | extend a = 'this is word 555' | extend b = length(a)",
+    "* | extend a = 'hello volex' | extend b = lpad(a, 100, 'rep')",
+    "* | extend a = 'hello,volex,world,hello' | extend b = split(a, ',')",
+    "* | extend a = 'hello,volex,world,hello' | extend b = split_part(a, ',', 2)",
+    "* | extend a = 'hello velox' | extend d = substr(a, 1, 3)",
+    "* | extend a = cast('4444' as VARBINARY) | extend b = crc32(a)",
+    "* | extend a = cast('4444' as VARBINARY) | extend b = sha256(a)",
+    "* | extend a = ARRAY ['cat', 'leopard', 'mouse'] | extend b = element_at(a, 2)",
+    "* | extend a = ARRAY [5, 20, NULL, 50] | extend b = filter(a, x -> x IS NOT NULL)",
+    "* | extend a = ARRAY [5, 20, NULL, 50] | extend b = reduce(a, 0, (s, x) -> IF(x IS NULL, s, s + x), s -> s)",
+    "* | extend a = sequence(0, 10, 2)",
+    "* | extend a = ARRAY [5, NULL, 6] | extend b = transform(a, x -> COALESCE(x, 0) + 1)",
+    "* | extend a = ARRAY[1, 3, 5] | extend b = all_match(a, x -> x > 3)",
+    "* | extend a = 'this is word 555' | extend b = regexp_extract(a, '(\\d+)', 1)",
+    "* | extend a = 'this is word 555' | extend b = regexp_like(a, '(\\d+)')",
+    "* | extend a = '1a 2b 14m' | extend b = regexp_replace(a, '(\\d+)([ab]) ', '3c$2' )",
+    "* | extend a = 30 | extend b = abs(a)",
+    "* | extend a = 30 | extend b = ceiling(a)",
+    "* | extend a = 30 | extend b = exp(a)",
+    "* | extend a = 1321, b = 8 | extend c = mod(a, b)",
+    "* | extend a = 30 | extend b = pow(a, 3)",
+    "* | extend a = 3.14 | extend b = round(a, 5)",
+    "* | extend a = 30 | extend b = sqrt(a)",
+    "* | extend a = 500 | extend b = width_bucket(a, 100, 5000, 10)",
+    "* | extend a = MAP(ARRAY['k'], ARRAY['v']) | extend b = element_at(a, 'k')",
+    "* | where length(content) > 3 | project content",
+]
+
+
+def test_corpus_smoke(spl_df):
+    """Every supported corpus pipeline compiles and executes."""
+    for script in CORPUS_SMOKE:
+        outs = spl_run(spl_df, script)
+        for frame in outs.values():
+            assert frame.count() >= 0, script

@@ -1,0 +1,99 @@
+"""Streaming mode: the streamed pipeline must produce the same per-sink
+row sets as the batch pipeline over the same input, and incremental files
+arriving later must be picked up from the checkpoint (resume semantics)."""
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.plans.pipeline import DEFAULT_SINK_RULES, transcript_pipeline
+from loongcollector_spark import routing
+from loongcollector_spark.routing import SINK_PREFIX
+from loongcollector_spark.streaming import (
+    run_streaming_pipeline, transcripts_stream, windowed_counter_stream,
+)
+
+
+@pytest.fixture()
+def stream_dirs(spark):
+    src = tempfile.mkdtemp(prefix="lcs_stream_src_")
+    out = tempfile.mkdtemp(prefix="lcs_stream_out_")
+    yield src, out
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _gen(spark, n, conv_prefix=""):
+    from loongcollector_spark.datagen import gen_transcripts
+
+    df = gen_transcripts(spark, n_turns=n, n_convs=max(n // 5, 1), partitions=2)
+    if conv_prefix:
+        df = df.withColumn("conv_id", F.concat(F.lit(conv_prefix), F.col("conv_id")))
+    return df
+
+
+def _sink_set(spark, path):
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return set()
+    return {(r["conv_id"], r["turn_idx"]) for r in df.select("conv_id", "turn_idx").collect()}
+
+
+def test_stream_matches_batch(spark, stream_dirs):
+    src, out = stream_dirs
+    _gen(spark, 500).write.mode("overwrite").parquet(src)
+
+    q = run_streaming_pipeline(transcripts_stream(spark, src), out)
+    q.awaitTermination(120)
+
+    batch_routed = transcript_pipeline(spark.read.parquet(src))
+    for rule in DEFAULT_SINK_RULES:
+        want = {
+            (r["conv_id"], r["turn_idx"])
+            for r in batch_routed.filter(F.col(SINK_PREFIX + rule.name))
+            .select("conv_id", "turn_idx").collect()
+        }
+        got = _sink_set(spark, f"{out}/sinks/{rule.name}")
+        assert got == want, f"sink {rule.name}: stream != batch"
+
+
+def test_stream_resume_picks_up_new_files(spark, stream_dirs):
+    src, out = stream_dirs
+    _gen(spark, 200).write.mode("overwrite").parquet(src)
+    q = run_streaming_pipeline(transcripts_stream(spark, src), out)
+    q.awaitTermination(120)
+    n1 = len(_sink_set(spark, f"{out}/sinks/sink_default"))
+    assert n1 == 200
+
+    # new files land; restart from the SAME checkpoint -> only the delta
+    # is processed (no duplicates: append is per new batch)
+    _gen(spark, 100, conv_prefix="b2_").write.mode("append").parquet(src)
+    q2 = run_streaming_pipeline(transcripts_stream(spark, src), out)
+    q2.awaitTermination(120)
+    got = _sink_set(spark, f"{out}/sinks/sink_default")
+    assert len(got) == 300
+
+
+def test_windowed_counter_stream(spark, stream_dirs):
+    src, out = stream_dirs
+    _gen(spark, 300).write.mode("overwrite").parquet(src)
+    q = windowed_counter_stream(transcripts_stream(spark, src), out,
+                                window_duration="1 hour")
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/counters")
+    assert got.columns == ["window_start", "role", "n_rows"]
+    # watermark-append mode emits only FINALIZED windows; totals per
+    # emitted window must match the batch count for that window
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "role")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    joined = got.alias("g").join(
+        batch.alias("b"), ["window_start", "role"], "inner"
+    ).filter("g.n_rows != b.n_rows")
+    assert joined.count() == 0
