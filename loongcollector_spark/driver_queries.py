@@ -126,21 +126,30 @@ def _emb(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_pipeline_sink_counts(spark, sf_dir):
-    """FLAGSHIP: full parse→enrich→route→aggregate; per-sink hourly counts."""
+    """FLAGSHIP: full parse→enrich→route→aggregate; per-sink hourly counts.
+
+    Single pass: the sink bits melt into an exploded sink-name column so
+    parse+enrich+route runs ONCE and one partial-aggregated shuffle
+    produces every sink's counters (vs. 4 filtered re-computations — the
+    same one-scan-N-sinks shape run_pipeline uses via persist)."""
     df = transcripts_from_events(spark, sf_dir)
     routed = transcript_pipeline(df)
-    parts = []
-    for rule in DEFAULT_SINK_RULES:
-        parts.append(
-            routed.filter(F.col(SINK_PREFIX + rule.name))
-            .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "role")
-            .agg(F.count("*").alias("n_rows"))
-            .withColumn("sink", F.lit(rule.name))
+    sink_names = F.filter(
+        F.array(*[
+            F.when(F.col(SINK_PREFIX + r.name), F.lit(r.name))
+            for r in DEFAULT_SINK_RULES
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        routed.select(
+            F.explode(sink_names).alias("sink"),
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "role",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("sink", "window_start", "role", "n_rows")
+        .groupBy("sink", "window_start", "role")
+        .agg(F.count("*").alias("n_rows"))
+    )
 
 
 _SINK_CONDS = {
@@ -722,7 +731,7 @@ def q_minhash_signatures(spark, sf_dir):
 
 def _o_minhash(n_hashes: int = 4, shingle: int = 3) -> str:
     cols = ",\n  ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}' || s))) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> substr(md5(s), {8 * i + 1}, 8))) AS mh{i}"
         for i in range(n_hashes)
     )
     return f"""
@@ -766,10 +775,10 @@ sh AS (
 ),
 sig AS (
   SELECT doc_id,
-    md5(list_min(list_transform(shingles, s -> md5('0' || s)))
-     || list_min(list_transform(shingles, s -> md5('1' || s)))) AS band0,
-    md5(list_min(list_transform(shingles, s -> md5('2' || s)))
-     || list_min(list_transform(shingles, s -> md5('3' || s)))) AS band1
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))) AS band0,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))) AS band1
   FROM sh
 ),
 bands AS (

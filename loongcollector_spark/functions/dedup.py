@@ -33,7 +33,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingles(text_col: str, shingle: int):
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    """Word-shingle array. IMPORTANT: evaluate on a frame where the word
+    array is already a materialized column (see _with_shingles) — a raw
+    split() expression captured inside the transform lambda is re-evaluated
+    per shingle (O(words²) per document, measured 10x slower)."""
+    words = F.col("_words")
     n = F.size(words)
     return F.when(
         n >= shingle,
@@ -44,25 +48,39 @@ def _shingles(text_col: str, shingle: int):
     ).otherwise(F.array(F.array_join(words, " ")))
 
 
+def _with_shingles(df: DataFrame, text_col: str, shingle: int,
+                   id_col: str) -> DataFrame:
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(id_col, words.alias("_words"))
+        .select(id_col, _shingles(text_col, shingle).alias("_shingles"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 4, shingle: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """k-permutation MinHash with md5-salted hash functions: portable,
-    deterministic, and pure codegen (array_min over transform)."""
-    sh = _shingles(text_col, shingle)
-    out = df.select(id_col, sh.alias("_shingles"))
-
-    def salted(salt: str):
-        # NOTE: the lambda must take exactly ONE arg — a second parameter
-        # would make Spark pass the array index into it
-        return lambda s: F.md5(F.concat(F.lit(salt), s).cast("binary"))
+    """One-permutation-style MinHash: each shingle is md5-hashed ONCE and
+    the k signature rows take the min over k disjoint 8-hex-char windows
+    of that digest (k ≤ 4). Portable (DuckDB reproduces it byte-equal) and
+    4x fewer hash calls than per-salt hashing — higher-order-function
+    lambdas are interpreted, not codegen, so the md5 count is the cost."""
+    assert n_hashes <= 4, "one md5 digest yields 4 independent 8-char windows"
+    shingled = _with_shingles(df, text_col, shingle, id_col)
+    digests = F.transform(F.col("_shingles"), lambda s: F.md5(s.cast("binary")))
+    out = shingled.select(id_col, digests.alias("_digests"))
+    def window(i):
+        # NOTE: the transform lambda must take exactly ONE parameter — a
+        # second parameter (even a defaulted one) makes Spark pass the
+        # array index into it
+        return lambda d: F.substring(d, 8 * i + 1, 8)
 
     for i in range(n_hashes):
         out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(F.col("_shingles"), salted(str(i))))
+            f"mh{i}", F.array_min(F.transform(F.col("_digests"), window(i)))
         )
-    return out.drop("_shingles")
+    return out.drop("_digests")
 
 
 def minhash_lsh_pairs(
