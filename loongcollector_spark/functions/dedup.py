@@ -132,23 +132,26 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     @pandas_udf("long")
     def simhash(s: pd.Series) -> pd.Series:
         out = np.zeros(len(s), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for row_i, text in enumerate(s):
             if not text:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for w in text.split():
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = 0
-            for bit_i in range(64):
-                if acc[bit_i] > 0:
-                    sig |= 1 << bit_i
-            # fold to signed 64-bit
-            out[row_i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+            # one numpy pass per doc: concat all word digests, unpack to a
+            # (n_words, 64) bit matrix, majority-vote per bit column
+            digests = b"".join(
+                hashlib.md5(w.encode()).digest()[:8] for w in text.split()
+            )
+            bits = np.unpackbits(
+                np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
+                axis=1, bitorder="big",
+            )
+            n_words = bits.shape[0]
+            # column j of the big-endian bit matrix is bit (63-j) of the
+            # uint64 value h: votes[j] > n/2  <=>  bit (63-j) majority-set
+            votes = bits.sum(axis=0)
+            set_bits = votes * 2 > n_words
+            sig = np.uint64(weights[63 - np.arange(64)][set_bits].sum(dtype=np.uint64))
+            out[row_i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
     return df.select(id_col, simhash(F.col(text_col)).alias("simhash64"))
