@@ -202,6 +202,51 @@ def merge_multiline_log(cfg: dict):
     return run
 
 
+@register("processor_parse_container_log")
+def parse_container_log(cfg: dict):
+    """Container stdout parsing (ProcessorParseContainerLogNative.cpp):
+    containerd CRI format ``<rfc3339-time> <stream> <P|F> <body>`` or
+    docker json-file ``{"log":..,"stream":..,"time":..}``. Emits
+    ``_time_``/``_source_``(stream)/``content`` + the partial flag the
+    BY_FLAG multiline merge consumes; optional stdout/stderr drops.
+    """
+    src = cfg.get("SourceKey", "text")
+    fmt = cfg.get("Format", "containerd")
+    ignore_stdout = cfg.get("IgnoringStdout", False)
+    ignore_stderr = cfg.get("IgnoringStderr", False)
+    cri_rx = r"^(\S+) (stdout|stderr) ([PF]) ?(.*)$"
+
+    def run(df):
+        c = F.col(src)
+        if fmt == "containerd":
+            ok = c.rlike(cri_rx)
+            out = (
+                df.withColumn("_parse_ok", ok)
+                .withColumn("_time_", F.regexp_extract(c, cri_rx, 1))
+                .withColumn("_source_", F.regexp_extract(c, cri_rx, 2))
+                .withColumn("_part_", F.regexp_extract(c, cri_rx, 3) == "P")
+                .withColumn("content", F.regexp_extract(c, cri_rx, 4))
+            )
+        else:  # docker json-file
+            m = F.from_json(c, "map<string,string>")
+            ok = m.getItem("log").isNotNull()
+            out = (
+                df.withColumn("_parse_ok", ok)
+                .withColumn("_time_", m.getItem("time"))
+                .withColumn("_source_", m.getItem("stream"))
+                # docker appends \n to complete lines; absence = partial
+                .withColumn("_part_", ~m.getItem("log").endswith("\n"))
+                .withColumn("content", F.regexp_replace(m.getItem("log"), r"\n$", ""))
+            )
+        if ignore_stdout:
+            out = out.filter(F.col("_source_") != "stdout")
+        if ignore_stderr:
+            out = out.filter(F.col("_source_") != "stderr")
+        return out
+
+    return run
+
+
 def _alias(new_name: str, base_name: str, key_map: dict[str, str],
            defaults: dict | None = None):
     """Register a Go-twin plugin name that delegates to an existing factory
@@ -242,3 +287,8 @@ _alias("processor_split_char", "processor_parse_delimiter",
 _alias("processor_split_string", "processor_parse_delimiter",
        {"SplitSep": "Separator", "SplitKeys": "Keys",
         "ExpandOthers": "_expand_others"})
+
+# aggregator_metadata_group (metadatagroup/aggregator_metadata_group.go:
+# 170-248): regroup on metadata keys — in the Spark model metadata is just
+# columns, so the semantics are content_value_group's.
+_alias("aggregator_metadata_group", "aggregator_content_value_group", {})

@@ -1,0 +1,146 @@
+"""Source adapters — the input-plugin layer.
+
+Maps the reference's input configs onto Spark readers. The reference
+guarantees per-file event order via sequential reads + file offsets
+(core/file_server/reader/LogFileReader.h:158-231); the Spark contract is
+the explicit (conv_id, turn_idx) sort instead, so every adapter just
+needs to deliver rows + provenance columns.
+
+| Reference input | Adapter | Citation |
+|---|---|---|
+| input_file (tail, glob, multiline) | ``input_file`` batch glob read + optional line split/multiline merge via the operator registry; streaming twin in streaming.py | core/plugin/input/InputFile.h:47-50 |
+| input_static_file_onetime | ``input_static_file`` (one-shot bounded) | core/plugin/input/InputStaticFile.h |
+| service_kafka | ``service_kafka`` → spark.read/readStream format("kafka") | plugins/input/kafka |
+| service_mysql/pgsql/mssql | ``service_jdbc`` → JDBC with partitioned reads | plugins/input/mysql etc. |
+| metric_mock / service_mock | ``service_mock`` → rate source / seeded generator | plugins/input/mock |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def input_file(
+    spark: SparkSession,
+    path_glob: str,
+    fmt: str = "text",
+    multiline_start_rx: str | None = None,
+    with_provenance: bool = True,
+) -> DataFrame:
+    """Glob file read with provenance columns. ``_ingest_file`` +
+    ``_line_idx`` stand in for the reference's (file path, offset)
+    metadata (EventGroupMetaKey LOG_FILE_PATH/LOG_FILE_OFFSET). With a
+    multiline start regex, continuation lines merge onto their record
+    (the LogFileReader multiline state machine as sessionization)."""
+    if fmt == "text":
+        df = spark.read.text(path_glob).withColumnRenamed("value", "text")
+    else:
+        df = spark.read.format(fmt).load(path_glob)
+    if with_provenance:
+        df = df.withColumn("_ingest_file", F.input_file_name())
+        if fmt == "text":
+            from pyspark.sql import Window
+
+            # per-file line index: the order-by-offset contract
+            w = Window.partitionBy("_ingest_file").orderBy(F.monotonically_increasing_id())
+            df = df.withColumn("_line_idx", F.row_number().over(w) - 1)
+    if multiline_start_rx and fmt == "text":
+        from loongcollector_spark.operators import build_operator
+
+        merge = build_operator({
+            "Type": "processor_merge_multiline_log",
+            "StartPattern": multiline_start_rx,
+            "SourceKey": "text",
+            "GroupKeys": ["_ingest_file"],
+            "OrderKey": "_line_idx",
+        })
+        df = merge(df.withColumn("ts", F.lit(None).cast("timestamp")))
+    return df
+
+
+def input_static_file(spark: SparkSession, path_glob: str, fmt: str = "parquet") -> DataFrame:
+    """One-shot bounded scan (input_static_file_onetime)."""
+    return spark.read.format(fmt).load(path_glob)
+
+
+def service_kafka(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    streaming: bool = True,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (service_kafka / flusher_kafka round-trip peer).
+    Requires the spark-sql-kafka package on the cluster — the adapter
+    only owns the option mapping, value decode, and provenance columns."""
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    df = (
+        reader.option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return df.select(
+        F.col("value").cast("string").alias("text"),
+        F.col("topic").alias("_ingest_topic"),
+        F.col("partition").alias("_ingest_partition"),
+        F.col("offset").alias("_line_idx"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def service_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC source (service_mysql/pgsql/mssql/canal-snapshot). Partitioned
+    reads when a numeric partition column is given — the scale path; an
+    unpartitioned JDBC read is a single-task scan."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option("upperBound", upper_bound if upper_bound is not None else 1 << 31)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def service_mock(
+    spark: SparkSession,
+    n_turns: int = 10_000,
+    streaming: bool = False,
+    rows_per_second: int = 1000,
+) -> DataFrame:
+    """Mock source (service_mock / metric_mock): seeded transcript
+    generator in batch, rate source shaped to the transcript schema in
+    streaming."""
+    if not streaming:
+        from loongcollector_spark.datagen import gen_transcripts
+
+        return gen_transcripts(spark, n_turns=n_turns, n_convs=max(n_turns // 10, 1))
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.concat(F.lit("conv_"), F.lpad((F.col("value") % 1000).cast("string"), 8, "0")).alias("conv_id"),
+        (F.col("value") / 1000).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")),
+            (F.col("value") % 4 + 1).cast("int"),
+        ).alias("role"),
+        F.concat(F.lit("mock text "), F.col("value").cast("string")).alias("text"),
+        F.lit("").alias("tool"),
+        F.col("timestamp").alias("ts"),
+    )

@@ -1,0 +1,80 @@
+"""Source adapters + container-log parser tests."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import build_operator
+from loongcollector_spark.sources import input_file, input_static_file, service_mock
+
+
+@pytest.fixture()
+def text_dir():
+    d = tempfile.mkdtemp(prefix="lcs_src_")
+    with open(f"{d}/a.log", "w") as f:
+        f.write("ERROR first\n  detail 1\n  detail 2\nERROR second\n")
+    with open(f"{d}/b.log", "w") as f:
+        f.write("ERROR other-file\n  tail\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_input_file_provenance_and_order(spark, text_dir):
+    df = input_file(spark, f"{text_dir}/*.log")
+    rows = df.orderBy("_ingest_file", "_line_idx").collect()
+    assert rows[0]["text"] == "ERROR first" and rows[0]["_line_idx"] == 0
+    assert rows[3]["text"] == "ERROR second" and rows[3]["_line_idx"] == 3
+    assert len({r["_ingest_file"] for r in rows}) == 2
+
+
+def test_input_file_multiline_merge(spark, text_dir):
+    df = input_file(spark, f"{text_dir}/*.log", multiline_start_rx=r"ERROR.*")
+    texts = sorted(r["text"] for r in df.collect())
+    assert "ERROR first\n  detail 1\n  detail 2" in texts
+    assert "ERROR other-file\n  tail" in texts
+    assert "ERROR second" in texts
+
+
+def test_input_static_file_and_mock(spark):
+    df = input_static_file(spark, "/root/testdata/sf0.001/events.parquet")
+    assert df.count() > 0
+    mock = service_mock(spark, n_turns=100)
+    assert mock.count() == 100
+    assert mock.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_parse_container_log_containerd(spark):
+    rows = [
+        ("2026-01-01T00:00:00.123Z stdout F hello world",),
+        ("2026-01-01T00:00:01.000Z stderr P partial chunk",),
+        ("not a cri line",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    op = build_operator({"Type": "processor_parse_container_log"})
+    got = {r["content"]: r for r in op(df).filter("_parse_ok").collect()}
+    assert got["hello world"]["_source_"] == "stdout"
+    assert not got["hello world"]["_part_"]
+    assert got["partial chunk"]["_part_"]
+    assert op(df).filter("NOT _parse_ok").count() == 1
+
+    # IgnoringStderr drops the stderr stream
+    op2 = build_operator({
+        "Type": "processor_parse_container_log", "IgnoringStderr": True,
+    })
+    assert op2(df).filter("_source_ = 'stderr'").count() == 0
+
+
+def test_parse_container_log_docker_json(spark):
+    rows = [
+        ('{"log":"line done\\n","stream":"stdout","time":"2026-01-01T00:00:00Z"}',),
+        ('{"log":"partial...","stream":"stdout","time":"2026-01-01T00:00:01Z"}',),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    op = build_operator({
+        "Type": "processor_parse_container_log", "Format": "docker_json",
+    })
+    got = op(df).orderBy("_time_").collect()
+    assert got[0]["content"] == "line done" and not got[0]["_part_"]
+    assert got[1]["content"] == "partial..." and got[1]["_part_"]
