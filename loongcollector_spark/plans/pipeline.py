@@ -257,22 +257,45 @@ def run_pipeline(
         for rule in rules:
             sink_frames[rule.name] = routing.sink_frame(routed, rule, rules)
 
+        pending: list[SinkRule] = []
         for rule in rules:
-            stage = f"sink:{rule.name}"
-            path = f"{out_dir}/sinks/{rule.name}"
-            if resume and manifest.is_done(stage):
-                mc.record_stage(stage + " (skipped:resume)", 0, 0, 0.0)
+            if resume and manifest.is_done(f"sink:{rule.name}"):
+                mc.record_stage(f"sink:{rule.name} (skipped:resume)", 0, 0, 0.0)
                 completed += 1
-                continue
+            else:
+                pending.append(rule)
+
+        def write_sink(rule: SinkRule):
             t1 = time.monotonic()
-            sdf = sink_frames[rule.name]
-            sdf.write.mode("overwrite").parquet(path)
+            path = f"{out_dir}/sinks/{rule.name}"
+            sink_frames[rule.name].write.mode("overwrite").parquet(path)
             n = spark.read.parquet(path).count()
-            mc.record_stage(stage, routed_rows, n, (time.monotonic() - t1) * 1e3)
-            manifest.mark_done(stage, rows=n, path=path)
-            completed += 1
-            if fail_after_stage is not None and completed >= fail_after_stage:
-                raise RuntimeError(f"injected failure after {completed} sink stages")
+            return rule, path, n, (time.monotonic() - t1) * 1e3
+
+        if fail_after_stage is None and len(pending) > 1:
+            # all sinks read the same cached frame — submit their write
+            # jobs concurrently so the scheduler overlaps them (tasks of
+            # one job fill cores the previous job's tail leaves idle);
+            # manifest updates stay on this thread
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(pending)) as ex:
+                for rule, path, n, ms in ex.map(write_sink, pending):
+                    mc.record_stage(f"sink:{rule.name}", routed_rows, n, ms)
+                    manifest.mark_done(f"sink:{rule.name}", rows=n, path=path)
+                    completed += 1
+        else:
+            # sequential path keeps deterministic stage order for the
+            # fail_after_stage crash-injection hook (resume tests)
+            for rule in pending:
+                rule, path, n, ms = write_sink(rule)
+                mc.record_stage(f"sink:{rule.name}", routed_rows, n, ms)
+                manifest.mark_done(f"sink:{rule.name}", rows=n, path=path)
+                completed += 1
+                if fail_after_stage is not None and completed >= fail_after_stage:
+                    raise RuntimeError(
+                        f"injected failure after {completed} sink stages"
+                    )
 
         # Stage A: per-sink windowed counters (re-reads the written sinks so
         # counters always reflect what's on disk, incl. resumed stages)
