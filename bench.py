@@ -98,8 +98,8 @@ def main():
                 break  # re-run wasn't faster: the number is real
         efficiency = low["wall_s"] / high["wall_s"]
 
-        # --- phase 3: peak throughput at local[CPUS] ----------------------
-        peak = (_sub("bench_worker.py", CPUS, f"{base}/high", high_turns)
+        # --- phase 3: peak throughput at local[CPUS] (1 timed run) --------
+        peak = (_sub("bench_worker.py", CPUS, f"{base}/high", high_turns, 1)
                 if CPUS > high_cpus else high)
     finally:
         shutil.rmtree(base, ignore_errors=True)

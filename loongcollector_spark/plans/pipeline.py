@@ -222,6 +222,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     resume: bool = True,
     fail_after_stage: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> dict:
     """Execute the pipeline with sinks, counters, lineage, metrics and a
     checkpoint manifest. Returns a summary dict.
@@ -268,7 +269,12 @@ def run_pipeline(
         def write_sink(rule: SinkRule):
             t1 = time.monotonic()
             path = f"{out_dir}/sinks/{rule.name}"
-            sink_frames[rule.name].write.mode("overwrite").parquet(path)
+            w = sink_frames[rule.name].write.mode("overwrite")
+            if max_records_per_file:
+                # Batcher MaxLogCount flush analog (Batcher.h:131-140):
+                # bound output file sizes regardless of partition size
+                w = w.option("maxRecordsPerFile", max_records_per_file)
+            w.parquet(path)
             n = spark.read.parquet(path).count()
             return rule, path, n, (time.monotonic() - t1) * 1e3
 
