@@ -87,6 +87,62 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def rate_limit_stream(
+    stream_df: DataFrame,
+    fields: tuple[str, ...] = ("role",),
+    rate_per_sec: float = 10.0,
+    burst: int | None = None,
+):
+    """Streaming token-bucket rate limit per distinct ``fields`` combo —
+    the stateful twin of processor_rate_limit (token_bucket.go:21-50):
+    each key's bucket refills ``rate_per_sec`` tokens per event-time
+    second up to ``burst``; rows that find an empty bucket are dropped.
+
+    This is the custom-stateful-operator pattern: applyInPandasWithState
+    keeps (tokens, last event-time) per key across micro-batches; within
+    a batch rows are admitted in event-time order, vectorized per Arrow
+    batch. Returns a DataFrame of admitted rows (same schema as input).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    burst = burst if burst is not None else max(int(rate_per_sec), 1)
+    out_schema = stream_df.schema
+    state_schema = "tokens double, last_ts double"
+
+    def limit(key, pdf_iter, state: GroupState):
+        if state.exists:
+            tokens, last_ts = state.get
+        else:
+            tokens, last_ts = float(burst), float("-inf")
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+            ts = pdf["ts"].astype("int64").to_numpy() / 1e9
+            keep = []
+            for t in ts:
+                if last_ts != float("-inf") and t > last_ts:
+                    tokens = min(float(burst), tokens + (t - last_ts) * rate_per_sec)
+                last_ts = max(last_ts, t)
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+        state.update((tokens, last_ts))
+
+    return (
+        stream_df.groupBy(*[F.col(f) for f in fields])
+        .applyInPandasWithState(
+            limit, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_counter_stream(
     stream_df: DataFrame,
     out_dir: str,

@@ -97,3 +97,43 @@ def test_windowed_counter_stream(spark, stream_dirs):
         batch.alias("b"), ["window_start", "role"], "inner"
     ).filter("g.n_rows != b.n_rows")
     assert joined.count() == 0
+
+
+def test_rate_limit_stream_token_bucket(spark, stream_dirs):
+    """Stateful applyInPandasWithState rate limiter: per-key admissions
+    must match a Python token-bucket model over the same event order."""
+    src, out = stream_dirs
+    rows = []
+    base = datetime.datetime(2026, 1, 1)
+    # role 'a': 5 rows in the same second (burst 2 -> only 2 admitted),
+    # then 1 row 10s later (refilled -> admitted)
+    for i in range(5):
+        rows.append(("c1", i, "a", f"t{i}", "", base))
+    rows.append(("c1", 5, "a", "t5", "", base + datetime.timedelta(seconds=10)))
+    # role 'b': 1 row/sec for 4s at rate 1/s -> all admitted
+    for i in range(4):
+        rows.append(("c2", i, "b", f"u{i}", "", base + datetime.timedelta(seconds=i)))
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+
+    from loongcollector_spark.streaming import rate_limit_stream
+
+    admitted = rate_limit_stream(
+        transcripts_stream(spark, src), fields=("role",), rate_per_sec=1.0, burst=2
+    )
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", f"{out}/admitted")
+        .option("checkpointLocation", f"{out}/_rl_checkpoint")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["role"], r["turn_idx"])
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    }
+    a_turns = sorted(t for role, t in got if role == "a")
+    b_turns = sorted(t for role, t in got if role == "b")
+    assert len(a_turns) == 3 and 5 in a_turns  # 2 burst + 1 refilled
+    assert b_turns == [0, 1, 2, 3]             # rate matches arrival rate
