@@ -481,6 +481,77 @@ FROM (
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
 
+def q_parse_delimiter_quoted(spark, sf_dir):
+    """processor_parse_delimiter with Quote (the FSM/from_csv path):
+    CSV text derived deterministically from events on both engines."""
+    df = transcripts_from_events(spark, sf_dir).filter("role = 'tool'")
+    df = df.withColumn(
+        "csv_line",
+        F.concat(F.col("conv_id"), F.lit(',"'), F.col("tool"), F.lit('",'),
+                 F.col("turn_idx").cast("string")),
+    )
+    op = build_operator({
+        "Type": "processor_parse_delimiter", "SourceKey": "csv_line",
+        "Separator": ",", "Quote": '"', "Keys": ["cid", "tool_q", "tix"],
+    })
+    return op(df).select(
+        "conv_id", "turn_idx", "cid", "tool_q",
+        F.col("tix").cast("int").alias("tix"),
+    )
+
+
+O_PARSE_DELIMITER_QUOTED = _ORACLE_T + """
+SELECT conv_id, turn_idx, conv_id AS cid, tool AS tool_q,
+  cast(turn_idx AS INT) AS tix
+FROM t WHERE role = 'tool'
+"""
+
+
+def q_string_replace_mask(spark, sf_dir):
+    """processor_string_replace + desensitize: regex-mask digits in user
+    text, md5 the rest (const replace + hash modes in one chain)."""
+    df = transcripts_from_events(spark, sf_dir).filter("role = 'user'")
+    chain = [
+        {"Type": "processor_string_replace", "SourceKey": "text",
+         "Method": "regex", "Match": r"\d", "ReplaceString": "*",
+         "DestKey": "masked"},
+        {"Type": "processor_md5", "SourceKey": "masked", "MD5Key": "masked_md5"},
+    ]
+    out = df
+    for cfg in chain:
+        out = build_operator(cfg)(out)
+    return out.select("conv_id", "turn_idx", "masked_md5")
+
+
+O_STRING_REPLACE_MASK = _ORACLE_T + r"""
+SELECT conv_id, turn_idx, md5(regexp_replace(text, '\d', '*', 'g')) AS masked_md5
+FROM t WHERE role = 'user'
+"""
+
+
+def q_anchor_extract(spark, sf_dir):
+    """processor_anchor: substring between Start/Stop literals on the
+    nginx request line ('"GET ' ... ' HTTP')."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").contains(' - - [')
+    )
+    op = build_operator({
+        "Type": "processor_anchor", "SourceKey": "text",
+        "Anchors": [{"Start": '"', "Stop": ' HTTP/1.1"', "FieldName": "req_line"}],
+    })
+    return op(df).select("conv_id", "turn_idx", "req_line")
+
+
+O_ANCHOR_EXTRACT = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  CASE WHEN strpos(text, '"') > 0 AND strpos(text, ' HTTP/1.1"') > strpos(text, '"')
+       THEN substr(text, strpos(text, '"') + 1,
+                   strpos(text, ' HTTP/1.1"') - strpos(text, '"') - 1)
+  END AS req_line
+FROM t WHERE contains(text, ' - - [')
+"""
+
+
 def q_spl_pipeline(spark, sf_dir):
     """SPL front-end (processor_spl analog): where + parse-kv + extend +
     project over the transcripts table, compiled to one Catalyst plan."""
@@ -866,6 +937,9 @@ QUERIES = {
     "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "parse_delimiter_quoted": (q_parse_delimiter_quoted, O_PARSE_DELIMITER_QUOTED),
+    "string_replace_mask": (q_string_replace_mask, O_STRING_REPLACE_MASK),
+    "anchor_extract": (q_anchor_extract, O_ANCHOR_EXTRACT),
     "spl_pipeline": (q_spl_pipeline, O_SPL_PIPELINE),
     "geoip_enrich": (q_geoip_enrich, O_GEOIP_ENRICH),
     "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
