@@ -121,6 +121,8 @@ def main():
             "scaling_mode": "weak (input scaled with cores)",
             "scaling_efficiency": round(efficiency, 3),
             f"peak_turns_per_sec_local{CPUS}": peak["turns_per_sec"],
+            f"peak_mb_per_sec_local{CPUS}": peak.get("mb_per_sec"),
+            f"mb_per_sec_local{high_cpus}": high.get("mb_per_sec"),
         },
     }))
 

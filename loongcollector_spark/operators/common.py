@@ -30,12 +30,19 @@ def apply_parse_result(
     ok: Column,
     extracted: dict[str, Column],
     cfg: dict,
+    already_masked: bool = False,
 ) -> DataFrame:
     """Uniform post-parse handling for every parse_* operator.
 
     ``extracted`` maps new column name -> Column (already typed). Values are
     nulled on failed rows. Returns the dataframe with extraction columns,
     ``_parse_ok``, and source-key retention per the config matrix.
+
+    ``already_masked``: the extracted columns are built from an input
+    masked to null on failed rows, so the per-column ``when(ok, ...)``
+    wrap is skipped — the wrap would make the shared parse subtree
+    CONDITIONAL, which defeats codegen subexpression elimination and
+    re-evaluates it once per output column.
     """
     keep_fail = cfg.get("KeepingSourceWhenParseFail", True)
     keep_ok = cfg.get("KeepingSourceWhenParseSucceed", False)
@@ -44,7 +51,7 @@ def apply_parse_result(
     cols = dict(extracted)
     out = df
     for name, col in cols.items():
-        out = out.withColumn(name, F.when(ok, col))
+        out = out.withColumn(name, col if already_masked else F.when(ok, col))
     out = out.withColumn(PARSE_OK, ok)
 
     if not keep_fail:

@@ -173,6 +173,25 @@ def grok_op(cfg: dict):
         c = F.col(src)
         # anchored full match per reference (grok wraps with ^...$ when
         # FullMatch; we follow the regex-parse convention)
+        if len(compiled) == 1:
+            # single-pattern fast path: 2 regex passes total (validity +
+            # one regexp_replace mapping all captures), masked input so
+            # the shared split tree stays unconditional and dedup'd
+            rx, caps = compiled[0]
+            rx = "^" + rx + "$"
+            ok = c.rlike(rx)
+            sep = "\x01"
+            arr = F.split(
+                F.regexp_replace(F.when(ok, c), rx,
+                                 sep.join(f"${i}" for i, _a, _t in caps)),
+                sep,
+            )
+            extracted = {
+                alias: _cast(F.element_at(arr, j + 1), typ)
+                for j, (_i, alias, typ) in enumerate(caps)
+            }
+            return apply_parse_result(df, src, ok, extracted, cfg,
+                                      already_masked=True)
         oks = [c.rlike("^" + rx + "$") for rx, _ in compiled]
         ok_any = oks[0]
         for o in oks[1:]:

@@ -30,6 +30,8 @@ def main():
     from loongcollector_spark.plans.pipeline import run_pipeline
     from loongcollector_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(
         app_name=f"lcs-bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
@@ -37,6 +39,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(input_path)
     num_partitions = max(cpus * 2, 16)
+    # payload bytes: what the reference's MB/s numbers meter (raw log text)
+    payload_bytes = df.select(F.sum(F.octet_length("text"))).first()[0] or 0
 
     walls = []
     try:
@@ -58,6 +62,8 @@ def main():
     print(json.dumps({
         "cpus": cpus, "n_turns": n_turns, "wall_s": best,
         "turns_per_sec": round(n_turns / best, 1), "runs": walls,
+        "payload_mb": round(payload_bytes / 1e6, 1),
+        "mb_per_sec": round(payload_bytes / 1e6 / best, 1),
     }))
 
 
