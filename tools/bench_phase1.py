@@ -21,6 +21,16 @@ def main():
     spark = get_spark(app_name="lcs-bench-q", master=f"local[{cpus}]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: run every query once at the smallest sf so codegen + JIT
+    # compile each plan shape before timing (steady-state metering — a
+    # cold first query otherwise absorbs the whole JVM warm-up)
+    warm_dir = sf_dir.replace("sf0.1", "sf0.001")
+    if warm_dir != sf_dir:
+        for name, (fn, _sql) in QUERIES.items():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass
     times = {}
     t0 = time.monotonic()
     for name, (fn, _sql) in QUERIES.items():
