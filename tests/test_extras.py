@@ -177,3 +177,40 @@ def test_embedding_near_dup_blocks_and_thresholds(spark):
              for r in embedding_near_dup_pairs(df, min_cos_1e4=9990).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 9990
     assert all(a != 3 and b != 3 for a, b in pairs)  # blocked out by bucket
+
+
+def test_grok_combined_apache_pattern(spark):
+    """Full default-library chain: COMBINEDAPACHELOG expands through
+    COMMONAPACHELOG/HTTPDATE/QS/... to a working extraction."""
+    line = ('203.0.113.9 - frank [10/Oct/2026:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+            '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98)"')
+    df = spark.createDataFrame([(line,), ("not a log line",)], "text string")
+    op = build_operator({
+        "Type": "processor_grok", "SourceKey": "text",
+        "Match": ["%{COMBINEDAPACHELOG}"],
+    })
+    out = op(df)
+    ok = out.filter("_parse_ok").collect()
+    assert len(ok) == 1
+    r = ok[0]
+    assert r["clientip"] == "203.0.113.9"
+    assert r["verb"] == "GET" and r["request"] == "/apache_pb.gif"
+    assert r["response"] == "200" and r["bytes"] == "2326"
+    assert r["referrer"] == '"http://www.example.com/start.html"'
+    assert out.filter("NOT _parse_ok").count() == 1
+
+
+def test_grok_syslog_and_uuid_patterns(spark):
+    df = spark.createDataFrame(
+        [("Oct 11 22:14:15 myhost su[1024]: 550e8400-e29b-41d4-a716-446655440000",)],
+        "text string",
+    )
+    op = build_operator({
+        "Type": "processor_grok", "SourceKey": "text",
+        "Match": ["%{SYSLOGBASE} %{UUID:req_id}"],
+    })
+    r = op(df).filter("_parse_ok").first()
+    assert r is not None
+    assert r["logsource"] == "myhost" and r["program"] == "su" and r["pid"] == "1024"
+    assert r["req_id"] == "550e8400-e29b-41d4-a716-446655440000"
