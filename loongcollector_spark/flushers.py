@@ -1,0 +1,136 @@
+"""Flusher adapters — the sink-plugin layer.
+
+Each factory takes a config dict (reference YAML key names) and returns a
+``write(df)`` callable. The heavy lifting is Spark's writers; the adapter
+owns option mapping, serialization shape, and partitioning semantics.
+
+| Reference flusher | Adapter | Notes |
+|---|---|---|
+| flusher_file (C++) | ``flusher_file`` | JSON-lines golden format (serializer.py) |
+| flusher_sls | ``flusher_table`` | partitioned parquet table; shard keys → repartition |
+| flusher_blackhole | ``flusher_blackhole`` | noop sink (benchmarks) |
+| flusher_stdout (Go) | ``flusher_stdout`` | driver console, bounded rows |
+| flusher_kafka_v2 | ``flusher_kafka`` | format("kafka"); PartitionerType=hash → key column from HashKeys (needs the kafka package on the cluster) |
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+FLUSHERS: dict[str, Callable[[dict], Callable[[DataFrame], None]]] = {}
+
+
+def register_flusher(name: str):
+    def deco(fn):
+        FLUSHERS[name] = fn
+        return fn
+
+    return deco
+
+
+def build_flusher(config: dict) -> Callable[[DataFrame], None]:
+    typ = config["Type"]
+    if typ not in FLUSHERS:
+        raise KeyError(f"unknown flusher type {typ!r}; known: {sorted(FLUSHERS)}")
+    return FLUSHERS[typ]({k: v for k, v in config.items() if k != "Type"})
+
+
+@register_flusher("flusher_file")
+def flusher_file(cfg: dict):
+    """JSON-lines file sink (FlusherFile.h:31-52 + JsonSerializer)."""
+    from loongcollector_spark.serializer import write_json_sink
+
+    path = cfg["FilePath"]
+    tags = cfg.get("Tags")
+    compression = cfg.get("Compression", "gzip")
+
+    def write(df: DataFrame) -> None:
+        write_json_sink(df, path, tags=tags, compression=compression)
+
+    return write
+
+
+@register_flusher("flusher_table")
+def flusher_table(cfg: dict):
+    """Columnar table sink (the flusher_sls analog): partitioned parquet
+    with optional shard-key repartition (mShardHashKeys semantics,
+    FlusherSLS.h:157-158) and bounded file sizes."""
+    path = cfg["Path"]
+    partition_by = cfg.get("PartitionBy", [])
+    shard_keys = cfg.get("ShardHashKeys", [])
+    shard_count = cfg.get("ShardCount", 32)
+    max_records = cfg.get("MaxRecordsPerFile")
+
+    def write(df: DataFrame) -> None:
+        if shard_keys:
+            from loongcollector_spark.routing import shardhash_bucket
+
+            df = df.repartition(shard_count, shardhash_bucket(shard_keys, shard_count))
+        w = df.write.mode(cfg.get("Mode", "overwrite"))
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if max_records:
+            w = w.option("maxRecordsPerFile", max_records)
+        w.parquet(path)
+
+    return write
+
+
+@register_flusher("flusher_blackhole")
+def flusher_blackhole(cfg: dict):
+    def write(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    return write
+
+
+@register_flusher("flusher_stdout")
+def flusher_stdout(cfg: dict):
+    """Driver-console sink (flusher_stdout.go:47-57): bounded row dump,
+    optionally as JSON events."""
+    max_rows = cfg.get("MaxRows", 20)
+    as_json = cfg.get("KeyValuePairs", True)
+
+    def write(df: DataFrame) -> None:
+        if as_json:
+            from loongcollector_spark.serializer import to_json_events
+
+            to_json_events(df).show(max_rows, truncate=False)
+        else:
+            df.show(max_rows, truncate=False)
+
+    return write
+
+
+@register_flusher("flusher_kafka")
+def flusher_kafka(cfg: dict):
+    """Kafka sink (flusher_kafka_v2.go:43-83). PartitionerType 'hash' maps
+    HashKeys onto the kafka message key (broker-side hash partitioning);
+    random/roundrobin leave the key null. Requires the kafka package."""
+    brokers = cfg["Brokers"]
+    topic = cfg["Topic"]
+    partitioner = cfg.get("PartitionerType", "random")
+    hash_keys = cfg.get("HashKeys", [])
+
+    def write(df: DataFrame) -> None:
+        from loongcollector_spark.serializer import serializable_columns
+
+        cols = [c for c in serializable_columns(df) if c != "ts"]
+        value = F.to_json(
+            F.struct(F.unix_timestamp("ts").alias("__time__"),
+                     *[F.col(c) for c in cols]),
+            {"ignoreNullFields": "true"},
+        )
+        sel = [value.alias("value")]
+        if partitioner == "hash" and hash_keys:
+            sel.insert(0, F.concat_ws(
+                "_", *[F.col(k).cast("string") for k in hash_keys]
+            ).alias("key"))
+        (df.select(*sel).write.format("kafka")
+         .option("kafka.bootstrap.servers", brokers)
+         .option("topic", topic)
+         .save())
+
+    return write
