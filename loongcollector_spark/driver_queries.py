@@ -552,6 +552,63 @@ FROM t WHERE contains(text, ' - - [')
 """
 
 
+def q_parse_apsara_fields(spark, sf_dir):
+    """processor_parse_apsara: bracketed-header + tab-KV format, built
+    deterministically from events on both engines."""
+    df = transcripts_from_events(spark, sf_dir).filter("role = 'system'")
+    df = df.withColumn(
+        "apsara_line",
+        F.concat(
+            F.lit("[2026-01-01 00:00:00.123456]\t[INFO]\t["),
+            F.col("turn_idx").cast("string"),
+            F.lit("]\t[pipeline.cpp:42]\tconv:"), F.col("conv_id"),
+            F.lit("\tturn:"), F.col("turn_idx").cast("string"),
+        ),
+    )
+    op = build_operator({
+        "Type": "processor_parse_apsara", "SourceKey": "apsara_line",
+    })
+    out = op(df).filter("_parse_ok")
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("__LEVEL__").alias("level"),
+        F.col("__THREAD__").alias("thread_id"),
+        F.col("__FILE__").alias("src_file"),
+        F.col("__LINE__").alias("src_line"),
+        F.col("attrs").getItem("conv").alias("conv_attr"),
+    )
+
+
+O_PARSE_APSARA_FIELDS = _ORACLE_T + """
+SELECT conv_id, turn_idx, 'INFO' AS level,
+  cast(turn_idx AS BIGINT) AS thread_id,
+  'pipeline.cpp' AS src_file, cast(42 AS BIGINT) AS src_line,
+  conv_id AS conv_attr
+FROM t WHERE role = 'system'
+"""
+
+
+def q_strptime_roundtrip(spark, sf_dir):
+    """processor_strptime / parse_timestamp: format the event time to a
+    string, parse it back, emit epoch seconds (must equal the original)."""
+    df = transcripts_from_events(spark, sf_dir)
+    df = df.withColumn("ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    op = build_operator({
+        "Type": "processor_parse_timestamp", "SourceKey": "ts_str",
+        "SourceFormat": "yyyy-MM-dd HH:mm:ss", "DestKey": "ts_parsed",
+        "DropIfFail": True,
+    })
+    return op(df).select(
+        "conv_id", "turn_idx",
+        F.unix_timestamp("ts_parsed").alias("unix_s"),
+    )
+
+
+O_STRPTIME_ROUNDTRIP = _ORACLE_T + """
+SELECT conv_id, turn_idx, cast(floor(epoch(ts)) AS BIGINT) AS unix_s FROM t
+"""
+
+
 def q_spl_pipeline(spark, sf_dir):
     """SPL front-end (processor_spl analog): where + parse-kv + extend +
     project over the transcripts table, compiled to one Catalyst plan."""
@@ -937,6 +994,8 @@ QUERIES = {
     "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "parse_apsara_fields": (q_parse_apsara_fields, O_PARSE_APSARA_FIELDS),
+    "strptime_roundtrip": (q_strptime_roundtrip, O_STRPTIME_ROUNDTRIP),
     "parse_delimiter_quoted": (q_parse_delimiter_quoted, O_PARSE_DELIMITER_QUOTED),
     "string_replace_mask": (q_string_replace_mask, O_STRING_REPLACE_MASK),
     "anchor_extract": (q_anchor_extract, O_ANCHOR_EXTRACT),
