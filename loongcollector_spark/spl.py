@@ -104,6 +104,65 @@ def _translate_expr(expr: str) -> str:
     out = re.sub(r"\bfrom_utf8\s*\(", "decode__utf8(", out)
     out = _append_arg(out, "decode__utf8", "'utf-8'", only_if_single=True)
     out = out.replace("decode__utf8(", "decode(")
+    # --- Presto date/time family → Spark spellings ---
+    # day_of_week: Presto ISO (Mon=1..Sun=7); Spark weekday() is Mon=0
+    out = re.sub(r"\bday_of_week\s*\(", "__dow__(", out)
+    out = re.sub(r"\bdow\s*\(", "__dow__(", out)
+    while "__dow__(" in out:
+        found = _find_call(out, "__dow__")
+        st, a0, a1 = found
+        inner = out[a0:a1]
+        out = out[:st] + f"(weekday({inner}) + 1)" + out[a1 + 1:]
+    out = re.sub(r"\bday_of_year\s*\(", "dayofyear(", out)
+    out = re.sub(r"\bdoy\s*\(", "dayofyear(", out)
+    out = re.sub(r"\bday_of_month\s*\(", "dayofmonth(", out)
+    out = re.sub(r"\bweek_of_year\s*\(", "weekofyear(", out)
+    out = re.sub(r"\bweek\s*\(", "weekofyear(", out)
+    out = re.sub(r"\byear_of_week\s*\(", "__yow__(", out)
+    if "__yow__" in out:
+        raise SplUnsupported("year_of_week has no Spark builtin")
+    # date_add('unit', n, ts) → timestampadd(unit, n, ts); date_diff
+    # ('unit', a, b) → timestampdiff(unit, a, b) (unit literal unquoted)
+    for presto, spark_fn in (("date_add", "timestampadd"),
+                             ("date_diff", "timestampdiff")):
+        while True:
+            found = _find_call(out, presto)
+            if not found:
+                break
+            st, a0, a1 = found
+            args = _split_args(out[a0:a1])
+            if len(args) != 3:
+                break
+            unit = args[0].strip().strip("'\"")
+            out = (out[:st] + f"{spark_fn}({unit}, {args[1]}, {args[2]}"
+                   + out[a1:])
+    # date_parse(str, '%Y-%m-%d %H:%i:%s') → to_timestamp(str, java fmt)
+    while True:
+        found = _find_call(out, "date_parse")
+        if not found:
+            break
+        st, a0, a1 = found
+        args = _split_args(out[a0:a1])
+        fmt = args[1].strip().strip("'")
+        java = (fmt.replace("%Y", "yyyy").replace("%y", "yy")
+                .replace("%m", "MM").replace("%d", "dd")
+                .replace("%H", "HH").replace("%h", "hh")
+                .replace("%i", "mm").replace("%s", "ss")
+                .replace("%f", "SSSSSS").replace("%T", "HH:mm:ss"))
+        out = out[:st] + f"to_timestamp({args[0]}, '{java}'" + out[a1:]
+    out = re.sub(r"\bformat_datetime\s*\(", "date_format(", out)
+    out = re.sub(r"\bparse_datetime\s*\(", "to_timestamp(", out)
+    out = re.sub(r"\bto_unixtime\s*\(", "unix_timestamp(", out)
+    out = re.sub(r"\bcurrent_timezone\s*\(\s*\)", "current_timezone()", out)
+    out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out)
+    out = re.sub(r"\blocaltimestamp\b", "current_timestamp()", out)
+    out = re.sub(r"\bmillisecond\s*\(", "__ms__(", out)
+    while "__ms__(" in out:
+        found = _find_call(out, "__ms__")
+        st, a0, a1 = found
+        inner = out[a0:a1]
+        out = (out[:st]
+               + f"(cast(date_format({inner}, 'SSS') as int))" + out[a1 + 1:])
     # sha256(x)/sha512(x) → sha2(x, bits)
     for bits in (256, 512):
         out = re.sub(rf"\bsha{bits}\s*\(", f"sha2__{bits}(", out)

@@ -182,3 +182,43 @@ def test_corpus_smoke(spl_df):
         outs = spl_run(spl_df, script)
         for frame in outs.values():
             assert frame.count() >= 0, script
+
+
+DATETIME_CORPUS = [
+    "* | extend a = date_parse('2026-01-02 03:04:05', '%Y-%m-%d %H:%i:%s') | extend b = to_unixtime(a)",
+    "* | extend a = from_unixtime(1767322800) | extend b = year(a), c = month(a), d = hour(a)",
+    "* | extend a = date_parse('2026-01-02', '%Y-%m-%d') | extend b = date_trunc('hour', a)",
+    "* | extend a = date_parse('2026-01-05', '%Y-%m-%d') | extend b = day_of_week(a), c = day_of_year(a)",
+    "* | extend a = date_parse('2026-01-02 03:04:05', '%Y-%m-%d %H:%i:%s') | extend b = date_add('hour', 2, a)",
+    "* | extend a = date_parse('2026-01-02', '%Y-%m-%d'), b = date_parse('2026-02-02', '%Y-%m-%d') | extend c = date_diff('day', a, b)",
+    "* | extend a = date_parse('2026-01-02 03:04:05', '%Y-%m-%d %H:%i:%s') | extend b = format_datetime(a, 'yyyy/MM/dd')",
+    "* | extend a = now() | extend b = minute(a)",
+]
+
+
+def test_spl_datetime_family(spl_df):
+    for script in DATETIME_CORPUS:
+        outs = spl_run(spl_df, script)
+        for frame in outs.values():
+            assert frame.count() >= 0, script
+
+    # semantic spot checks
+    r = spl_run(
+        spl_df,
+        "* | extend a = date_parse('2026-01-05', '%Y-%m-%d') "
+        "| extend dw = day_of_week(a), dy = day_of_year(a) | project dw, dy",
+    )["out"].first()
+    assert r["dw"] == 1 and r["dy"] == 5   # 2026-01-05 is a Monday (ISO 1)
+
+    r = spl_run(
+        spl_df,
+        "* | extend a = date_parse('2026-01-02 03:00:00', '%Y-%m-%d %H:%i:%s') "
+        "| extend b = date_add('hour', 2, a) | extend c = hour(b) | project c",
+    )["out"].first()
+    assert r["c"] == 5
+
+    r = spl_run(
+        spl_df,
+        "* | extend u = to_unixtime(date_parse('1970-01-01 00:01:00', '%Y-%m-%d %H:%i:%s')) | project u",
+    )["out"].first()
+    assert r["u"] == 60  # UTC session timezone
