@@ -104,6 +104,51 @@ def _translate_expr(expr: str) -> str:
     out = re.sub(r"\bfrom_utf8\s*\(", "decode__utf8(", out)
     out = _append_arg(out, "decode__utf8", "'utf-8'", only_if_single=True)
     out = out.replace("decode__utf8(", "decode(")
+    # --- Presto URL family → parse_url ---
+    for part, spark_part in (("host", "HOST"), ("path", "PATH"),
+                             ("protocol", "PROTOCOL"),
+                             ("query", "QUERY"), ("fragment", "REF")):
+        fname = f"url_extract_{part}"
+        while True:
+            found = _find_call(out, fname)
+            if not found:
+                break
+            st, a0, a1 = found
+            inner = out[a0:a1]
+            out = out[:st] + f"parse_url({inner}, '{spark_part}')" + out[a1 + 1:]
+    while True:  # no PORT key in Spark's parse_url: take it off AUTHORITY
+        found = _find_call(out, "url_extract_port")
+        if not found:
+            break
+        st, a0, a1 = found
+        inner = out[a0:a1]
+        out = (out[:st]
+               + f"try_cast(regexp_extract(parse_url({inner}, 'AUTHORITY'),"
+               + r" ':(\\d+)$', 1) as bigint)" + out[a1 + 1:])
+    while True:  # url_extract_parameter(u, 'k') → parse_url(u,'QUERY','k')
+        found = _find_call(out, "url_extract_parameter")
+        if not found:
+            break
+        st, a0, a1 = found
+        args = _split_args(out[a0:a1])
+        out = (out[:st] + f"parse_url({args[0]}, 'QUERY', {args[1]})"
+               + out[a1 + 1:])
+    # --- Presto bitwise family ---
+    out = re.sub(r"\bbitwise_and\s*\(", "__band__(", out)
+    out = re.sub(r"\bbitwise_or\s*\(", "__bor__(", out)
+    out = re.sub(r"\bbitwise_xor\s*\(", "__bxor__(", out)
+    out = re.sub(r"\bbitwise_not\s*\(", "__bnot__(", out)
+    for marker, op in (("__band__", "&"), ("__bor__", "|"), ("__bxor__", "^")):
+        while f"{marker}(" in out:
+            st, a0, a1 = _find_call(out, marker)
+            a, b = _split_args(out[a0:a1])
+            out = out[:st] + f"({a} {op} {b})" + out[a1 + 1:]
+    while "__bnot__(" in out:
+        st, a0, a1 = _find_call(out, "__bnot__")
+        out = out[:st] + f"(~({out[a0:a1]}))" + out[a1 + 1:]
+    out = re.sub(r"\bbitwise_left_shift\s*\(", "shiftleft(", out)
+    out = re.sub(r"\bbitwise_right_shift\s*\(", "shiftright(", out)
+    out = re.sub(r"\bbit_count\s*\(", "bit_count(", out)
     # --- Presto date/time family → Spark spellings ---
     # day_of_week: Presto ISO (Mon=1..Sun=7); Spark weekday() is Mon=0
     out = re.sub(r"\bday_of_week\s*\(", "__dow__(", out)

@@ -222,3 +222,22 @@ def test_spl_datetime_family(spl_df):
         "* | extend u = to_unixtime(date_parse('1970-01-01 00:01:00', '%Y-%m-%d %H:%i:%s')) | project u",
     )["out"].first()
     assert r["u"] == 60  # UTC session timezone
+
+
+def test_spl_url_and_bitwise(spl_df):
+    r = spl_run(
+        spl_df,
+        "* | extend u = 'https://ex.com:8443/a/b?k=v&x=1#frag' "
+        "| extend h = url_extract_host(u), p = url_extract_path(u), "
+        "prt = url_extract_port(u), q = url_extract_parameter(u, 'k') "
+        "| project h, p, prt, q",
+    )["out"].first()
+    assert (r["h"], r["p"], r["prt"], r["q"]) == ("ex.com", "/a/b", 8443, "v")
+
+    r = spl_run(
+        spl_df,
+        "* | extend a = bitwise_and(12, 10), b = bitwise_or(12, 10), "
+        "c = bitwise_xor(12, 10), d = bitwise_not(0), "
+        "e = bitwise_left_shift(1, 4) | project a, b, c, d, e",
+    )["out"].first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8, 14, 6, -1, 16)
