@@ -609,6 +609,59 @@ SELECT conv_id, turn_idx, cast(floor(epoch(ts)) AS BIGINT) AS unix_s FROM t
 """
 
 
+def q_log_to_metric(spark, sf_dir):
+    """processor_log_to_sls_metric: kv rows reshape into metric events
+    (__name__/__labels__/__value__/__time_nano__, labels key-sorted)."""
+    df = q_parse_kv_fields(spark, sf_dir)  # conv_id, turn_idx, action, lat_ms...
+    df = transcripts_from_events(spark, sf_dir).join(
+        df.select("conv_id", "turn_idx", "action", "lat_ms", "tok"),
+        ["conv_id", "turn_idx"],
+    )
+    op = build_operator({
+        "Type": "processor_log_to_metric",
+        "MetricLabelKeys": ["role", "action"],
+        "MetricValues": {"latency_ms": "lat_ms", "tokens": "tok"},
+    })
+    return op(df).groupBy("__name__", "__labels__").agg(
+        F.sum("__value__").alias("value_sum"),
+        F.count("*").alias("n_points"),
+    )
+
+
+O_LOG_TO_METRIC = _ORACLE_T + r"""
+, kv AS (
+  SELECT role,
+    regexp_extract(text, 'action=([^&]*)', 1) AS action,
+    cast(regexp_extract(text, 'lat_ms=([^&]*)', 1) AS BIGINT) AS lat_ms,
+    cast(regexp_extract(text, '[&]tok=([^&]*)', 1) AS BIGINT) AS tok
+  FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+), m AS (
+  SELECT 'latency_ms' AS __name__,
+    'action=' || action || '|role=' || role AS __labels__,
+    cast(lat_ms AS DOUBLE) AS v FROM kv
+  UNION ALL
+  SELECT 'tokens', 'action=' || action || '|role=' || role,
+    cast(tok AS DOUBLE) FROM kv
+)
+SELECT __name__, __labels__, sum(v) AS value_sum, count(*) AS n_points
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_content_value_group(spark, sf_dir):
+    """aggregator_content_value_group: per distinct (role, tool) combo."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "aggregator_content_value_group", "GroupKeys": ["role", "tool"],
+    })
+    return op(df)
+
+
+O_CONTENT_VALUE_GROUP = _ORACLE_T + """
+SELECT role, tool, count(*) AS group_count FROM t GROUP BY 1, 2
+"""
+
+
 def q_spl_pipeline(spark, sf_dir):
     """SPL front-end (processor_spl analog): where + parse-kv + extend +
     project over the transcripts table, compiled to one Catalyst plan."""
@@ -994,6 +1047,8 @@ QUERIES = {
     "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "log_to_metric": (q_log_to_metric, O_LOG_TO_METRIC),
+    "content_value_group": (q_content_value_group, O_CONTENT_VALUE_GROUP),
     "parse_apsara_fields": (q_parse_apsara_fields, O_PARSE_APSARA_FIELDS),
     "strptime_roundtrip": (q_strptime_roundtrip, O_STRPTIME_ROUNDTRIP),
     "parse_delimiter_quoted": (q_parse_delimiter_quoted, O_PARSE_DELIMITER_QUOTED),

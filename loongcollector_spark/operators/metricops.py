@@ -35,7 +35,10 @@ def log_to_metric(cfg: dict):
                     F.lit(name).alias("__name__"),
                     labels.alias("__labels__"),
                     F.col(value_key).try_cast("double").alias("__value__"),
-                    (F.unix_micros(F.col(ts_key)) * 1000).alias("__time_nano__"),
+                    # cast: unix_micros rejects TIMESTAMP_NTZ inputs (UTC
+                    # session, so ntz->tz is identity)
+                    (F.unix_micros(F.col(ts_key).cast("timestamp")) * 1000
+                     ).alias("__time_nano__"),
                 )
             )
         out = frames[0]
