@@ -72,30 +72,21 @@ def main():
         _sub("gen_input.py", f"{base}/low", low_turns, max(CPUS * 2, 16))
         _sub("gen_input.py", f"{base}/high", high_turns, max(CPUS * 2, 16))
 
-        low = _sub("bench_worker.py", low_cpus, f"{base}/low", low_turns)
-        high = _sub("bench_worker.py", high_cpus, f"{base}/high", high_turns)
         # weak scaling: equal per-core load, so ideal is equal wall time.
-        # Single runs carry +/-20% machine noise (GC, turbo, page cache);
-        # when the ratio lands outside the plausible band, re-measure the
-        # suspect side (slow side on <0.8, fast side on >1.05) and keep the
-        # best wall per side — best-of models the steady state a long-lived
-        # job sees, and an interfered run can only be slower, never faster.
-        for _ in range(2):
-            eff = low["wall_s"] / high["wall_s"]
-            if 0.8 <= eff <= 1.05:
-                break
-            side, path, turns = (
-                ("high", f"{base}/high", high_turns) if eff < 0.8
-                else ("low", f"{base}/low", low_turns)
-            )
-            cpus = high_cpus if side == "high" else low_cpus
-            redo = _sub("bench_worker.py", cpus, path, turns)
-            if side == "high" and redo["wall_s"] < high["wall_s"]:
-                high = redo
-            elif side == "low" and redo["wall_s"] < low["wall_s"]:
-                low = redo
-            else:
-                break  # re-run wasn't faster: the number is real
+        # Single runs carry +/-20% machine noise (GC, turbo, page cache), so
+        # BOTH sides get the same fixed number of repetitions and best-of
+        # wall per side — symmetric and independent of where the first
+        # ratio lands (no retry-until-pass bias). Best-of models the steady
+        # state a long-lived job sees; interference only ever slows a run.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        low = high = None
+        for _ in range(reps):
+            lo = _sub("bench_worker.py", low_cpus, f"{base}/low", low_turns)
+            hi = _sub("bench_worker.py", high_cpus, f"{base}/high", high_turns)
+            if low is None or lo["wall_s"] < low["wall_s"]:
+                low = lo
+            if high is None or hi["wall_s"] < high["wall_s"]:
+                high = hi
         efficiency = low["wall_s"] / high["wall_s"]
 
         # --- phase 3: peak throughput at local[CPUS] ----------------------

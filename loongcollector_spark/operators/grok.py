@@ -245,9 +245,17 @@ def grok_op(cfg: dict):
                                  sep.join(f"${i}" for i, _a, _t in caps)),
                 sep,
             )
+            # same separator-collision guard as parse_regex: a capture that
+            # contains a literal \x01 misaligns the split — size-mismatch
+            # rows fall back to per-group regexp_extract
+            safe = F.size(arr) == len(caps)
             extracted = {
-                alias: _cast(F.element_at(arr, j + 1), typ)
-                for j, (_i, alias, typ) in enumerate(caps)
+                alias: _cast(
+                    F.when(safe, F.element_at(arr, j + 1))
+                    .when(ok, F.regexp_extract(c, rx, i)),
+                    typ,
+                )
+                for j, (i, alias, typ) in enumerate(caps)
             }
             return apply_parse_result(df, src, ok, extracted, cfg,
                                       already_masked=True)

@@ -68,8 +68,17 @@ def parse_regex(cfg: dict):
                 ),
                 sep,
             )
+            # per-row guard: a greedy group can CAPTURE a literal \x01 from
+            # the data, misaligning the split — those rows (size mismatch)
+            # fall back to per-key regexp_extract; rows with ok=false stay
+            # null (the already_masked contract)
+            safe = F.size(arr) == len(keys)
             extracted = {
-                k: _cast(F.element_at(arr, i + 1), t)
+                k: _cast(
+                    F.when(safe, F.element_at(arr, i + 1))
+                    .when(ok, F.regexp_extract(F.col(src), pattern, i + 1)),
+                    t,
+                )
                 for i, (k, t) in enumerate(zip(keys, types))
             }
             return apply_parse_result(df, src, ok, extracted, cfg,

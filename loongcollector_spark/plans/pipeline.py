@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from loongcollector_spark import routing
 from loongcollector_spark.aggregate import sink_counters, with_pack_id, windowed_counts
@@ -138,8 +138,14 @@ def parse_stage(df: DataFrame) -> DataFrame:
 
     out = (
         df.withColumn(PARSE_OK, ok)
-        # consolidated extraction columns (null where not applicable/failed;
-        # the masked sources already carry the fmt+ok guard)
+        # consolidated extraction columns. The nginx/app sources are masked
+        # at the source (fmt+ok guard on the regexp input), but jmap/kvmap
+        # are masked only by format — a kv row missing `tok` or a json row
+        # missing `action` parses partially while ok=false. The outer
+        # when(ok, ...) enforces the invariant "failed rows keep every
+        # extraction column null"; the shared jmap/kvmap subtrees stay
+        # UNCONDITIONAL underneath, so codegen subexpression elimination
+        # still parses each format once per row.
         .withColumn("client_ip", F.coalesce(nginx_f["ip"], app_f["client"]))
         .withColumn("method", F.coalesce(nginx_f["method"], app_f["method"]))
         .withColumn("request", F.coalesce(nginx_f["request"], app_f["request"]))
@@ -151,23 +157,23 @@ def parse_stage(df: DataFrame) -> DataFrame:
         )
         .withColumn(
             "action",
-            F.coalesce(jmap.getItem("action"), kvmap.getItem("action")),
+            F.when(ok, F.coalesce(jmap.getItem("action"), kvmap.getItem("action"))),
         )
         .withColumn(
             "lat_ms",
-            F.coalesce(
+            F.when(ok, F.coalesce(
                 jmap.getItem("lat_ms").try_cast("long"),
                 kvmap.getItem("lat_ms").try_cast("long"),
-            ),
+            )),
         )
         .withColumn(
             "tok",
-            F.coalesce(
+            F.when(ok, F.coalesce(
                 jmeta.getItem("tok").try_cast("long"),
                 kvmap.getItem("tok").try_cast("long"),
-            ),
+            )),
         )
-        .withColumn("model", jmeta.getItem("model"))
+        .withColumn("model", F.when(ok, jmeta.getItem("model")))
     )
     return out
 
@@ -269,13 +275,19 @@ def run_pipeline(
         def write_sink(rule: SinkRule):
             t1 = time.monotonic()
             path = f"{out_dir}/sinks/{rule.name}"
-            w = sink_frames[rule.name].write.mode("overwrite")
+            # row count piggybacks on the write job itself via observe() —
+            # no second read-back scan of what was just written
+            obs = Observation(f"sink_rows:{rule.name}")
+            frame = sink_frames[rule.name].observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            w = frame.write.mode("overwrite")
             if max_records_per_file:
                 # Batcher MaxLogCount flush analog (Batcher.h:131-140):
                 # bound output file sizes regardless of partition size
                 w = w.option("maxRecordsPerFile", max_records_per_file)
             w.parquet(path)
-            n = spark.read.parquet(path).count()
+            n = int(obs.get["n"])
             return rule, path, n, (time.monotonic() - t1) * 1e3
 
         if fail_after_stage is None and len(pending) > 1:
@@ -303,18 +315,20 @@ def run_pipeline(
                         f"injected failure after {completed} sink stages"
                     )
 
-        # Stage A: per-sink windowed counters (re-reads the written sinks so
-        # counters always reflect what's on disk, incl. resumed stages)
+        # Stage A: per-sink windowed counters. Computed from the cached
+        # routed frame, not a disk re-read: the manifest's input
+        # fingerprint guarantees resumed sinks were written from the same
+        # input, and the sink frames are deterministic functions of it,
+        # so in-memory frames == on-disk content.
         stage = "counters"
         cpath = f"{out_dir}/counters"
         if not (resume and manifest.is_done(stage)):
             t1 = time.monotonic()
-            sink_outs = {
-                r.name: spark.read.parquet(f"{out_dir}/sinks/{r.name}") for r in rules
-            }
-            counters = sink_counters(sink_outs, window_duration, counter_keys)
+            counters = sink_counters(sink_frames, window_duration, counter_keys)
+            cobs = Observation("counter_rows")
+            counters = counters.observe(cobs, F.count(F.lit(1)).alias("n"))
             counters.write.mode("overwrite").parquet(cpath)
-            mc.record_stage(stage, routed_rows, spark.read.parquet(cpath).count(),
+            mc.record_stage(stage, routed_rows, int(cobs.get["n"]),
                             (time.monotonic() - t1) * 1e3)
             manifest.mark_done(stage, path=cpath)
 

@@ -52,20 +52,46 @@ _UNSUPPORTED = {
 
 def _translate_expr(expr: str) -> str:
     """SPL/Presto scalar expression → Spark SQL expression string."""
-    # SPL string literals are raw (Presto semantics: backslash is a normal
-    # character) but Spark's SQL parser backslash-escapes inside '...' —
-    # double every backslash inside quoted literals so '\w+' survives
-    out, in_q = "", None
-    for ch in expr:
-        if in_q:
-            if ch == "\\":
-                out += "\\\\"
-                continue
-            if ch == in_q:
-                in_q = None
-        elif ch in "'\"":
-            in_q = ch
-        out += ch
+    # Quoted literals are stashed behind \x00<i>\x7f sentinels for the whole
+    # translation so the rename/rewrite passes only ever see code — a literal
+    # like 'now() strpos(a,b)' must survive verbatim. While stashing, every
+    # backslash inside a literal is doubled: SPL literals are raw (Presto:
+    # backslash is a normal character) but Spark's SQL parser
+    # backslash-escapes inside '...', so '\w+' must become '\\w+'.
+    lits: list[str] = []
+
+    def stash(text: str) -> str:
+        lits.append(text)
+        return f"\x00{len(lits) - 1}\x7f"
+
+    def lit_val(tok: str) -> str:
+        """Literal content of an argument token (sentinel or plain)."""
+        tok = tok.strip()
+        m = re.fullmatch("\x00(\\d+)\x7f", tok)
+        if m:
+            tok = lits[int(m.group(1))]
+        return tok.strip("'\"")
+
+    out, i, n = "", 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in "'\"":
+            q, j, buf = ch, i + 1, ch
+            while j < n:
+                c2 = expr[j]
+                if c2 == "\\":
+                    buf += "\\\\"
+                    j += 1
+                    continue
+                buf += c2
+                j += 1
+                if c2 == q:
+                    break
+            out += stash(buf)
+            i = j
+        else:
+            out += ch
+            i += 1
 
     # ARRAY [..] literal → array(..): balance the bracket
     def arr_sub(s: str) -> str:
@@ -115,7 +141,9 @@ def _translate_expr(expr: str) -> str:
                 break
             st, a0, a1 = found
             inner = out[a0:a1]
-            out = out[:st] + f"parse_url({inner}, '{spark_part}')" + out[a1 + 1:]
+            out = (out[:st]
+                   + f"parse_url({inner}, {stash(repr(spark_part))})"
+                   + out[a1 + 1:])
     while True:  # no PORT key in Spark's parse_url: take it off AUTHORITY
         found = _find_call(out, "url_extract_port")
         if not found:
@@ -123,15 +151,17 @@ def _translate_expr(expr: str) -> str:
         st, a0, a1 = found
         inner = out[a0:a1]
         out = (out[:st]
-               + f"try_cast(regexp_extract(parse_url({inner}, 'AUTHORITY'),"
-               + r" ':(\\d+)$', 1) as bigint)" + out[a1 + 1:])
+               + f"try_cast(regexp_extract(parse_url({inner}, "
+               + stash("'AUTHORITY'") + "), "
+               + stash(r"':(\\d+)$'") + ", 1) as bigint)" + out[a1 + 1:])
     while True:  # url_extract_parameter(u, 'k') → parse_url(u,'QUERY','k')
         found = _find_call(out, "url_extract_parameter")
         if not found:
             break
         st, a0, a1 = found
         args = _split_args(out[a0:a1])
-        out = (out[:st] + f"parse_url({args[0]}, 'QUERY', {args[1]})"
+        out = (out[:st]
+               + f"parse_url({args[0]}, {stash(repr('QUERY'))}, {args[1]})"
                + out[a1 + 1:])
     # --- Presto bitwise family ---
     out = re.sub(r"\bbitwise_and\s*\(", "__band__(", out)
@@ -170,17 +200,22 @@ def _translate_expr(expr: str) -> str:
     # ('unit', a, b) → timestampdiff(unit, a, b) (unit literal unquoted)
     for presto, spark_fn in (("date_add", "timestampadd"),
                              ("date_diff", "timestampdiff")):
+        pos = 0
         while True:
-            found = _find_call(out, presto)
+            found = _find_call(out[pos:], presto)
             if not found:
                 break
-            st, a0, a1 = found
+            st, a0, a1 = (p + pos for p in found)
             args = _split_args(out[a0:a1])
             if len(args) != 3:
-                break
-            unit = args[0].strip().strip("'\"")
+                # Spark's own 2-arg date_add(date, days) — leave it, but
+                # keep scanning past this call for later translatable ones
+                pos = a0
+                continue
+            unit = lit_val(args[0])
             out = (out[:st] + f"{spark_fn}({unit}, {args[1]}, {args[2]}"
                    + out[a1:])
+            pos = st
     # date_parse(str, '%Y-%m-%d %H:%i:%s') → to_timestamp(str, java fmt)
     while True:
         found = _find_call(out, "date_parse")
@@ -188,13 +223,14 @@ def _translate_expr(expr: str) -> str:
             break
         st, a0, a1 = found
         args = _split_args(out[a0:a1])
-        fmt = args[1].strip().strip("'")
+        fmt = lit_val(args[1])
         java = (fmt.replace("%Y", "yyyy").replace("%y", "yy")
                 .replace("%m", "MM").replace("%d", "dd")
                 .replace("%H", "HH").replace("%h", "hh")
                 .replace("%i", "mm").replace("%s", "ss")
                 .replace("%f", "SSSSSS").replace("%T", "HH:mm:ss"))
-        out = out[:st] + f"to_timestamp({args[0]}, '{java}'" + out[a1:]
+        out = (out[:st] + f"to_timestamp({args[0]}, {stash(repr(java))}"
+               + out[a1:])
     out = re.sub(r"\bformat_datetime\s*\(", "date_format(", out)
     out = re.sub(r"\bparse_datetime\s*\(", "to_timestamp(", out)
     out = re.sub(r"\bto_unixtime\s*\(", "unix_timestamp(", out)
@@ -213,12 +249,27 @@ def _translate_expr(expr: str) -> str:
         out = re.sub(rf"\bsha{bits}\s*\(", f"sha2__{bits}(", out)
         out = _append_arg(out, f"sha2__{bits}", str(bits))
         out = out.replace(f"sha2__{bits}(", "sha2(")
-    # strpos(str, sub[, inst]) → locate(sub, str[, ...]) : swap first two args
-    out = _swap_two_args(out, "strpos", "locate")
+    # strpos(str, sub) → locate(sub, str): swap the args. Presto's 3-arg
+    # strpos means "position of the Nth occurrence" while locate's third
+    # arg is a search START position — different semantics, so reject.
+    pos = 0
+    while True:
+        found = _find_call(out[pos:], "strpos")
+        if not found:
+            break
+        st, a0, a1 = (p + pos for p in found)
+        args = _split_args(out[a0:a1])
+        if len(args) >= 3:
+            raise SplUnsupported(
+                "3-arg strpos (nth occurrence) has no Spark analog")
+        args[0], args[1] = args[1], args[0]
+        out = out[:st] + "locate(" + ", ".join(args) + out[a1:]
+        pos = st
     out = _swap_two_args(out, "strrpos", "__strrpos__")
     if "__strrpos__" in out:
         raise SplUnsupported("strrpos has no Spark builtin")
-    return out
+    # put the stashed literals back
+    return re.sub("\x00(\\d+)\x7f", lambda m: lits[int(m.group(1))], out)
 
 
 def _split_args(s: str) -> list[str]:

@@ -23,6 +23,14 @@ text_strategy = st.one_of(
     st.builds(lambda s: "10.0.0.1 - - [" + s, st.text(max_size=30)),
     st.builds(lambda s: "a=" + s + "&b=2", st.text(max_size=20)),
     st.builds(lambda s: "10.1.2.3 GET /" + s, st.text(max_size=20)),
+    # PARTIAL structured payloads: parse partially but fail the format's ok
+    # bit (kv missing tok, json missing action) — the null-on-fail invariant
+    # regression ADVICE r01 found was invisible to the generators above
+    st.just("action=x&lat_ms=1"),
+    st.just('{"lat_ms":5}'),
+    st.just("lat_ms=9&tok=3&x=1"),
+    st.just('{"meta":{"tok":7,"model":"m"}}'),
+    st.builds(lambda s: "action=" + s + "&lat_ms=2", st.text(max_size=10)),
 )
 
 
@@ -44,8 +52,10 @@ def test_parse_stage_total_on_any_text(spark, texts):
         if r["_parse_ok"] and r["_fmt"] == "kv":
             assert r["action"] is not None
         if not r["_parse_ok"]:
-            # failed rows keep every extraction column null
-            assert r["response_code"] is None and r["action"] is None
+            # failed rows keep EVERY extraction column null
+            for c in ("client_ip", "method", "request", "response_code",
+                      "bytes", "action", "lat_ms", "tok", "model"):
+                assert r[c] is None, (c, r["text"])
 
 
 def test_salted_repartition_order_contract(spark):
