@@ -788,24 +788,92 @@ WHERE floor(10000 * list_dot_product(a.emb, b.emb)
 """
 
 
+def q_simhash_signatures(spark, sf_dir):
+    """SimHash 64-bit signatures as four 16-bit chunks — all-JVM
+    expressions, byte-equal to the generated DuckDB oracle."""
+    from loongcollector_spark.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (pandas-UDF signature + chunk-blocked join).
-    No SQL oracle — the 64-bit majority-vote signature isn't expressible
-    in DuckDB SQL; correctness is unit-tested against a Python model."""
+    """SimHash near-dup pairs: 4-chunk pigeonhole blocking + per-chunk
+    bit_count hamming ≤ 3 (Manku et al. WWW'07 threshold). The oracle is a
+    FULL O(n²) self-join, so it also proves the blocking loses no pairs."""
     from loongcollector_spark.functions.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _o_simhash_sig_cte(table: str = "documents") -> str:
+    """DuckDB twin of functions.dedup.simhash_signatures (same bit/chunk
+    convention: word hash = first 16 hex digits of md5, bit k = bit (k%4)
+    of digit k//4, chunk c packs bits 16c..16c+15 LSB-first)."""
+    def hexv(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+
+    def vote(k: int) -> str:
+        return ("list_sum(list_transform(hx, h -> CASE WHEN "
+                f"(({hexv(k // 4)} >> {k % 4}) & 1) = 1 THEN 1 ELSE -1 END))")
+
+    def chunk(c: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {vote(16 * c + j)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+
+    chunks = ", ".join(f"cast({chunk(c)} AS INT) AS sh{c}" for c in range(4))
+    return (
+        f"w AS (SELECT doc_id, list_transform(string_split_regex(trim(text),"
+        f" '\\s+'), x -> md5(x)) AS hx FROM {table}),\n"
+        f"sig AS (SELECT doc_id, {chunks} FROM w)"
+    )
+
+
+O_SIMHASH_SIGNATURES = f"WITH {_o_simhash_sig_cte()}\nSELECT * FROM sig"
+
+O_SIMHASH_NEAR_PAIRS = f"""WITH {_o_simhash_sig_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  cast(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1))
+     + bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3)) AS INT) AS hamming
+FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1))
+    + bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3)) <= 3
+"""
+
+
+_AES_KEY = "0123456789abcdef"
 
 
 def q_encrypt_fields(spark, sf_dir):
-    """processor_encrypt: AES-ECB hex output (JVM-native aes_encrypt).
-    No SQL oracle (DuckDB lacks AES); determinism is unit-tested."""
+    """processor_encrypt: AES-128-ECB via JVM aes_encrypt. Oracle surface:
+    the JVM aes_decrypt round-trip of the ciphertext must reproduce the
+    plaintext exactly, and the ciphertext length must equal the PKCS#7
+    prediction — both DuckDB-checkable. Algorithm identity (real FIPS-197
+    AES, not any self-inverse stand-in) is pinned by
+    tests/test_extras.py::test_encrypt_known_answer_vs_python_aes against
+    a pure-Python AES model."""
     df = transcripts_from_events(spark, sf_dir).filter("role = 'system'")
     op = build_operator({
         "Type": "processor_encrypt", "SourceKeys": ["text"],
-        "EncryptionParameters": {"Key": "0123456789abcdef"},
+        "EncryptionParameters": {"Key": _AES_KEY},
     })
-    return op(df).select("conv_id", "turn_idx", "text")
+    enc = op(df)
+    roundtrip = F.aes_decrypt(
+        F.unhex(F.col("text")), F.lit(_AES_KEY), F.lit("ECB")
+    ).cast("string")
+    return enc.select(
+        "conv_id", "turn_idx",
+        roundtrip.alias("text_rt"),
+        (F.length("text") / 2).cast("int").alias("cipher_bytes"),
+    )
+
+
+O_ENCRYPT_FIELDS = _ORACLE_T + """
+SELECT conv_id, turn_idx, text AS text_rt,
+  cast(16 * (octet_length(encode(text)) // 16 + 1) AS INT) AS cipher_bytes
+FROM t WHERE role = 'system'
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1058,8 +1126,9 @@ QUERIES = {
     "geoip_enrich": (q_geoip_enrich, O_GEOIP_ENRICH),
     "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),
-    "simhash_near_pairs": (q_simhash_near_pairs, None),
-    "encrypt_fields": (q_encrypt_fields, None),
+    "simhash_signatures": (q_simhash_signatures, O_SIMHASH_SIGNATURES),
+    "simhash_near_pairs": (q_simhash_near_pairs, O_SIMHASH_NEAR_PAIRS),
+    "encrypt_fields": (q_encrypt_fields, O_ENCRYPT_FIELDS),
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "token_count": (q_token_count, O_TOKEN_COUNT),

@@ -5,16 +5,14 @@
 * MinHash + LSH: shingle → k portable hashes (md5, engine-reproducible)
   → band buckets → equality self-join on (band, band_idx). At scale the
   join shuffles only (doc_id, band) pairs, never text;
-* SimHash: 64-bit near-dup signature via an Arrow-vectorized pandas UDF
-  (bit-level majority vote isn't expressible as a cheap SQL expression);
+* SimHash: 64-bit near-dup signature as four 16-bit chunk columns, pure
+  JVM expressions (one md5 per word + array folds — no Python anywhere);
 * n-gram Jaccard: set-similarity over distinct word arrays.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
 
 from loongcollector_spark.functions.text import with_fingerprint
 
@@ -123,58 +121,87 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens — Arrow-vectorized pandas UDF
-    (per-batch numpy bit matrix, no per-row Python in the hot loop)."""
-    import hashlib
+    """64-bit SimHash over whitespace tokens, emitted as FOUR 16-bit chunk
+    columns ``sh0..sh3`` — entirely JVM-side expressions (one md5 per word,
+    then interpreted array folds), no Python in the path at all.
 
-    import numpy as np
-
-    @pandas_udf("long")
-    def simhash(s: pd.Series) -> pd.Series:
-        out = np.zeros(len(s), dtype=np.int64)
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for row_i, text in enumerate(s):
-            if not text:
-                continue
-            # one numpy pass per doc: concat all word digests, unpack to a
-            # (n_words, 64) bit matrix, majority-vote per bit column
-            digests = b"".join(
-                hashlib.md5(w.encode()).digest()[:8] for w in text.split()
+    Definition (shared byte-for-byte with the DuckDB oracle and the
+    pytest Python model): word hash = the first 16 hex digits of
+    md5(word); bit k (k = 0..63) of the hash = bit (k mod 4) of hex digit
+    floor(k/4); vote_k = Σ_words (2·bit_k − 1); signature bit k is set iff
+    vote_k > 0; chunk c = Σ_{j<16} sigbit(16c+j) << j.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialize each intermediate array as a column between selects so
+    # higher-order lambdas don't recompute the parent per element (md5
+    # once per word, not once per word*digit)
+    step = df.select(
+        id_col,
+        F.transform(words, lambda w: F.md5(w.cast("binary"))).alias("_hx"),
+    )
+    # per word: 16 hex-digit values (0..15)
+    digs = F.transform(
+        F.col("_hx"),
+        lambda h: F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda d: F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int"),
+        ),
+    )
+    step = step.select(id_col, digs.alias("_digs"))
+    # per word: 64 ±1 votes (digit-major, LSB-first within a digit)
+    bitvotes = F.transform(
+        F.col("_digs"),
+        lambda dv: F.flatten(
+            F.transform(
+                dv,
+                lambda d: F.array(*[
+                    F.shiftright(d, j).bitwiseAND(F.lit(1)) * 2 - 1
+                    for j in range(4)
+                ]),
             )
-            bits = np.unpackbits(
-                np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
-                axis=1, bitorder="big",
-            )
-            n_words = bits.shape[0]
-            # column j of the big-endian bit matrix is bit (63-j) of the
-            # uint64 value h: votes[j] > n/2  <=>  bit (63-j) majority-set
-            votes = bits.sum(axis=0)
-            set_bits = votes * 2 > n_words
-            sig = np.uint64(weights[63 - np.arange(64)][set_bits].sum(dtype=np.uint64))
-            out[row_i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return df.select(id_col, simhash(F.col(text_col)).alias("simhash64"))
+        ),
+    )
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    votes = F.aggregate(
+        bitvotes, zeros, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    step = step.select(id_col, votes.alias("_votes"))
+    weights = F.array(*[F.lit(1 << j) for j in range(16)])
+    chunk_cols = []
+    for c in range(4):
+        bits = F.transform(
+            F.slice(F.col("_votes"), 16 * c + 1, 16),
+            lambda v: F.when(v > 0, 1).otherwise(0),
+        )
+        chunk = F.aggregate(
+            F.zip_with(bits, weights, lambda b, w: b * w),
+            F.lit(0), lambda acc, x: acc + x,
+        )
+        chunk_cols.append(chunk.alias(f"sh{c}"))
+    return step.select(id_col, *chunk_cols)
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k: block on 16-bit
-    chunks (a pair within hamming 3 of 4 chunks shares ≥1 exact chunk —
-    pigeonhole), then verify with bit_count. Join carries ids + chunks."""
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``: block
+    on the four 16-bit chunks (pigeonhole — Manku et al., WWW'07: a pair
+    within hamming k of c chunks shares ≥1 exact chunk iff k < c, hence
+    the k=3 default for 4 chunks), then verify with per-chunk bit_count.
+    The join shuffles ids + four small ints, never text."""
+    assert max_hamming < 4, (
+        "4-chunk pigeonhole blocking only guarantees recall for hamming <= 3; "
+        "raise the chunk count before raising max_hamming"
+    )
     sig = simhash_signatures(df, text_col, id_col)
     chunks = sig.select(
-        id_col, "simhash64",
+        id_col, "sh0", "sh1", "sh2", "sh3",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk_idx"),
-                    F.shiftright("simhash64", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                )
+                F.struct(F.lit(i).alias("chunk_idx"), F.col(f"sh{i}").alias("chunk"))
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select(id_col, "simhash64", "c.chunk_idx", "c.chunk")
+    ).select(id_col, "sh0", "sh1", "sh2", "sh3", "c.chunk_idx", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -186,13 +213,15 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash64").alias("sig_a"),
-            F.col("b.simhash64").alias("sig_b"),
+            *[F.col(f"a.sh{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"b.sh{i}").alias(f"b{i}") for i in range(4)],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).filter(
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return cand.withColumn("hamming", hamming.cast("int")).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
 

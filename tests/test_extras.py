@@ -48,6 +48,27 @@ def test_encrypt_deterministic_and_reversible(spark):
     assert dec == "secret"
 
 
+def test_encrypt_known_answer_vs_python_aes(spark):
+    """Pin the JVM aes_encrypt output to the public FIPS-197 algorithm via
+    the independent pure-Python model (tools/pyaes self-checks the FIPS-197
+    C.1 vector on import)."""
+    from tools.pyaes import aes_ecb_encrypt
+
+    vectors = ["hello world", "x" * 16, "", "conv_00000001 turn 7",
+               "白日依山尽"]  # incl. multi-byte UTF-8
+    for key in ("0123456789abcdef", "0123456789abcdef01234567",
+                "0123456789abcdef0123456789abcdef"):
+        df = spark.createDataFrame([(v,) for v in vectors], "t string")
+        op = build_operator({
+            "Type": "processor_encrypt", "SourceKeys": ["t"],
+            "EncryptionParameters": {"Key": key},
+        })
+        got = [r["t"] for r in op(df).collect()]
+        exp = [aes_ecb_encrypt(v.encode(), key.encode()).hex().upper()
+               for v in vectors]
+        assert got == exp
+
+
 def test_tag_and_cloud_meta_and_default(spark):
     df = spark.createDataFrame([("x",)], "text string")
     chain = [
@@ -122,23 +143,33 @@ def test_simhash_matches_python_model(spark):
     )
     from loongcollector_spark.functions.dedup import simhash_signatures
 
-    got = {r["doc_id"]: r["simhash64"] for r in simhash_signatures(df).collect()}
+    got = {
+        r["doc_id"]: [r["sh0"], r["sh1"], r["sh2"], r["sh3"]]
+        for r in simhash_signatures(df).collect()
+    }
 
     def model(text):
+        # the shared definition: word hash = first 16 hex digits of md5;
+        # bit k = bit (k%4) of hex digit k//4; chunk c packs bits 16c..16c+15
         acc = [0] * 64
         for w in text.split():
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-            for i in range(64):
-                acc[i] += 1 if (h >> i) & 1 else -1
-        sig = sum(1 << i for i in range(64) if acc[i] > 0)
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
+            hx = hashlib.md5(w.encode()).hexdigest()[:16]
+            for k in range(64):
+                bit = (int(hx[k // 4], 16) >> (k % 4)) & 1
+                acc[k] += 1 if bit else -1
+        return [
+            sum(1 << j for j in range(16) if acc[16 * c + j] > 0)
+            for c in range(4)
+        ]
 
     for i, t in enumerate(texts):
-        assert got[i] == model(t)
+        assert got[i] == model(t), t
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
     # near-identical texts must be close in hamming, unrelated text far
-    ham = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
-    ham_far = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
-    assert ham < ham_far
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
 
 
 def test_multimodal_plumbing(spark):
