@@ -20,22 +20,49 @@ OperatorFn = Callable[[DataFrame], DataFrame]
 Factory = Callable[[dict], OperatorFn]
 
 REGISTRY: dict[str, Factory] = {}
+# accepted config keys per operator — build_operator REJECTS configs with
+# keys outside this set, mirroring the reference's Init-time config
+# validation posture (a silently-dropped key is a misconfigured pipeline)
+KNOWN_KEYS: dict[str, frozenset] = {}
+# alias name -> (base name, extra keys): resolved into KNOWN_KEYS after all
+# operator modules have imported (aliases can precede their base in import
+# order)
+DEFERRED_KEYS: dict[str, tuple] = {}
+
+# the CommonParserOptions matrix every parse_* operator accepts
+# (core/plugin/processor/CommonParserOptions.h:27-40)
+COMMON_PARSE_KEYS = frozenset({
+    "SourceKey", "KeepingSourceWhenParseFail", "KeepingSourceWhenParseSucceed",
+    "RenamedSourceKey",
+})
 
 
-def register(name: str) -> Callable[[Factory], Factory]:
+def register(name: str, keys=None) -> Callable[[Factory], Factory]:
     def deco(fn: Factory) -> Factory:
         REGISTRY[name] = fn
+        if keys is not None:
+            KNOWN_KEYS[name] = frozenset(keys)
         return fn
 
     return deco
 
 
 def build_operator(config: dict[str, Any]) -> OperatorFn:
-    """Config dict (with ``Type``) → DataFrame transform."""
+    """Config dict (with ``Type``) → DataFrame transform. Raises at build
+    time on unknown operator types AND on unknown config keys."""
     typ = config["Type"]
     if typ not in REGISTRY:
         raise KeyError(f"unknown operator type {typ!r}; known: {sorted(REGISTRY)}")
-    return REGISTRY[typ]({k: v for k, v in config.items() if k != "Type"})
+    cfg = {k: v for k, v in config.items() if k != "Type"}
+    known = KNOWN_KEYS.get(typ)
+    if known is not None:
+        unknown = set(cfg) - set(known)
+        if unknown:
+            raise ValueError(
+                f"{typ}: unknown/unhandled config keys {sorted(unknown)}; "
+                f"accepted: {sorted(known)}"
+            )
+    return REGISTRY[typ](cfg)
 
 
 def build_chain(configs: list[dict[str, Any]]) -> OperatorFn:
@@ -66,3 +93,6 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     splitops,
     timeops,
 )
+
+for _name, (_base, _extra) in DEFERRED_KEYS.items():
+    KNOWN_KEYS[_name] = KNOWN_KEYS[_base] | _extra

@@ -44,7 +44,7 @@ def compile_case_condition(cond: dict) -> Column:
     return out
 
 
-@register("processor_fields_with_condition")
+@register("processor_fields_with_condition", keys={"Switch", "DropIfNotMatchCondition"})
 def fields_with_condition(cfg: dict):
     switch = cfg["Switch"]
     drop_no_match = cfg.get("DropIfNotMatchCondition", False)

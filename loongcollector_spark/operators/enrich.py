@@ -38,7 +38,7 @@ def load_dict(cfg: dict) -> dict[str, str]:
     return d
 
 
-@register("processor_dict_map")
+@register("processor_dict_map", keys={"SourceKey", "DestKey", "Mode", "HandleMissing", "Missing", "MapDict", "DictFilePath", "MaxDictSize"})
 def dict_map(cfg: dict):
     src = cfg["SourceKey"]
     dest = cfg.get("DestKey", src)

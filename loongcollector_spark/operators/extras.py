@@ -12,13 +12,13 @@ from pyspark.sql import SparkSession, Window, functions as F
 from loongcollector_spark.operators import REGISTRY, register
 
 
-@register("processor_default")
+@register("processor_default", keys=set())
 def default_passthrough(cfg: dict):
     """No-op processor (plugins/processor/defaultone/processor_default.go:23)."""
     return lambda df: df
 
 
-@register("processor_tag")
+@register("processor_tag", keys={"Tags", "Renames"})
 def tag_native(cfg: dict):
     """Group-tag stamping (ProcessorTagNative.cpp:64-97): adds
     HOST_NAME/HOST_ID/HOST_IP-style constants from driver-side context,
@@ -40,7 +40,7 @@ def tag_native(cfg: dict):
     return run
 
 
-@register("processor_cloud_meta")
+@register("processor_cloud_meta", keys={"Platform", "Metadata", "KeyPrefix"})
 def cloud_meta(cfg: dict):
     """Cloud platform metadata fields (cloud_meta.go:33-44): constant
     driver-context enrichment — ``Platform`` + ``Metadata`` {key: value},
@@ -71,7 +71,7 @@ def _ip_to_long(col):
     )
 
 
-@register("processor_geoip")
+@register("processor_geoip", keys={"SourceKey", "Ranges", "DictFilePath", "NoMatch"})
 def geoip(cfg: dict):
     """IP → country/province/city (processor_geoip.go:35-49, MaxMind-style
     interval db) as a BROADCAST RANGE JOIN: the range table is small by
@@ -120,7 +120,7 @@ def geoip(cfg: dict):
     return run
 
 
-@register("processor_encrypt")
+@register("processor_encrypt", keys={"SourceKeys", "EncryptionParameters", "KeepSource"})
 def encrypt(cfg: dict):
     """AES field encryption, hex output (processor_encrypt.go:57-68).
     ``aes_encrypt`` is JVM-native (Spark 3.3+); ECB mode is used so output
@@ -149,7 +149,7 @@ def encrypt(cfg: dict):
     return run
 
 
-@register("processor_merge_multiline_log")
+@register("processor_merge_multiline_log", keys={"SourceKey", "StartPattern", "UnmatchedContentTreatment", "GroupKeys", "OrderKey"})
 def merge_multiline_log(cfg: dict):
     """BY_REGEX multiline merge (ProcessorMergeMultilineLogNative.cpp:
     176-271): rows whose ``SourceKey`` full-matches ``StartPattern`` begin
@@ -202,7 +202,7 @@ def merge_multiline_log(cfg: dict):
     return run
 
 
-@register("processor_parse_container_log")
+@register("processor_parse_container_log", keys={"SourceKey", "Format", "IgnoringStdout", "IgnoringStderr"})
 def parse_container_log(cfg: dict):
     """Container stdout parsing (ProcessorParseContainerLogNative.cpp):
     containerd CRI format ``<rfc3339-time> <stream> <P|F> <body>`` or
@@ -250,7 +250,12 @@ def parse_container_log(cfg: dict):
 def _alias(new_name: str, base_name: str, key_map: dict[str, str],
            defaults: dict | None = None):
     """Register a Go-twin plugin name that delegates to an existing factory
-    with its config keys translated (same semantics, different YAML keys)."""
+    with its config keys translated (same semantics, different YAML keys).
+    Accepted keys = the twin's renamed keys + everything the base accepts
+    (resolved after all operator modules import — see DEFERRED_KEYS)."""
+    from loongcollector_spark.operators import DEFERRED_KEYS
+
+    DEFERRED_KEYS[new_name] = (base_name, frozenset(key_map))
 
     @register(new_name)
     def factory(cfg: dict):
@@ -280,15 +285,51 @@ _alias("processor_csv", "processor_parse_delimiter",
 
 # processor_split_char / processor_split_string
 # (split/char/split_char.go:34-49, split/string/split_string.go:33-45):
-# split ONE field value into SplitKeys — parse_delimiter semantics.
-_alias("processor_split_char", "processor_parse_delimiter",
-       {"SplitSep": "Separator", "SplitKeys": "Keys", "QuoteFlag": "_ignored",
-        "Quote": "Quote"})
-_alias("processor_split_string", "processor_parse_delimiter",
-       {"SplitSep": "Separator", "SplitKeys": "Keys",
-        "ExpandOthers": "_expand_others"})
+# split ONE field value into SplitKeys — parse_delimiter semantics with
+# the Go twins' extra options mapped, not dropped.
+
+
+@register("processor_split_char",
+          keys={"SourceKey", "SplitSep", "SplitKeys", "QuoteFlag", "Quote",
+                "KeepSource", "NoKeyError"})
+def split_char(cfg: dict):
+    """Go split/char twin: ``QuoteFlag`` enables the quote-aware FSM split
+    (split_char.go:34-49) — mapped onto parse_delimiter's from_csv path."""
+    t = {
+        "SourceKey": cfg.get("SourceKey", "content"),
+        "Separator": cfg.get("SplitSep", "\t"),
+        "Keys": cfg["SplitKeys"],
+        "OverflowedFieldsTreatment": "discard",
+        "AllowingShortenedFields": True,
+        "KeepingSourceWhenParseSucceed": cfg.get("KeepSource", False),
+    }
+    if cfg.get("QuoteFlag"):
+        t["Quote"] = cfg.get("Quote", '"')
+    return REGISTRY["processor_parse_delimiter"](t)
+
+
+@register("processor_split_string",
+          keys={"SourceKey", "SplitSep", "SplitKeys", "ExpandOthers",
+                "ExpandKeyPrefix", "KeepSource", "NoKeyError"})
+def split_string(cfg: dict):
+    """Go split/string twin: ``ExpandOthers`` expands fields beyond
+    SplitKeys into ``<ExpandKeyPrefix>1..N`` (split_string.go:33-45) —
+    mapped onto parse_delimiter's extend mode with a key prefix."""
+    t = {
+        "SourceKey": cfg.get("SourceKey", "content"),
+        "Separator": cfg.get("SplitSep", "\t"),
+        "Keys": cfg["SplitKeys"],
+        "AllowingShortenedFields": True,
+        "KeepingSourceWhenParseSucceed": cfg.get("KeepSource", False),
+        "OverflowedFieldsTreatment":
+            "extend" if cfg.get("ExpandOthers") else "discard",
+    }
+    if cfg.get("ExpandOthers"):
+        t["ExtendKeyPrefix"] = cfg.get("ExpandKeyPrefix", "expand_")
+    return REGISTRY["processor_parse_delimiter"](t)
 
 # aggregator_metadata_group (metadatagroup/aggregator_metadata_group.go:
 # 170-248): regroup on metadata keys — in the Spark model metadata is just
 # columns, so the semantics are content_value_group's.
-_alias("aggregator_metadata_group", "aggregator_content_value_group", {})
+_alias("aggregator_metadata_group", "aggregator_content_value_group",
+       {"GroupMetadataKeys": "GroupKeys"})

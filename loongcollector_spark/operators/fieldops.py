@@ -16,7 +16,7 @@ from pyspark.sql.functions import pandas_udf
 from loongcollector_spark.operators import register
 
 
-@register("processor_drop")
+@register("processor_drop", keys={"DropKeys"})
 def drop_fields(cfg: dict):
     """Drop columns (processor_drop.go:24-29: delete fields in DropKeys)."""
     keys = cfg["DropKeys"]
@@ -27,7 +27,7 @@ def drop_fields(cfg: dict):
     return run
 
 
-@register("processor_rename")
+@register("processor_rename", keys={"SourceKeys", "DestKeys", "NoKeyError"})
 def rename_fields(cfg: dict):
     """Rename SourceKeys[i] → DestKeys[i] (processor_rename.go:26-34).
     ``NoKeyError``: raise at plan time if a source column is absent."""
@@ -46,7 +46,7 @@ def rename_fields(cfg: dict):
     return run
 
 
-@register("processor_add_fields")
+@register("processor_add_fields", keys={"Fields", "IgnoreIfExist"})
 def add_fields(cfg: dict):
     """Add constant fields (processor_add_fields.go:26-31); ``IgnoreIfExist``
     keeps a pre-existing column."""
@@ -63,7 +63,7 @@ def add_fields(cfg: dict):
     return run
 
 
-@register("processor_pick_key")
+@register("processor_pick_key", keys={"Include", "Exclude"})
 def pick_key(cfg: dict):
     """Whitelist/blacklist projection (processor_pick_key.go:26-37)."""
     include = cfg.get("Include")
@@ -79,7 +79,7 @@ def pick_key(cfg: dict):
     return run
 
 
-@register("processor_drop_last_key")
+@register("processor_drop_last_key", keys={"DropKey", "Include"})
 def drop_last_key(cfg: dict):
     """Drop the raw key once all Include keys parsed successfully
     (processor_drop_last_key.go:26-33) — per-row: null the raw where every
@@ -96,7 +96,7 @@ def drop_last_key(cfg: dict):
     return run
 
 
-@register("processor_pack_json")
+@register("processor_pack_json", keys={"SourceKeys", "DestKey"})
 def pack_json(cfg: dict):
     """Pack SourceKeys into one JSON object DestKey
     (processor_packjson.go:26-33) — ``to_json(struct(...))``."""
@@ -109,7 +109,7 @@ def pack_json(cfg: dict):
     return run
 
 
-@register("processor_appender")
+@register("processor_appender", keys={"Key", "Value"})
 def appender(cfg: dict):
     """Append constant Value onto Key (processor_appender.go:31-42)."""
     key, value = cfg["Key"], cfg["Value"]
@@ -120,7 +120,7 @@ def appender(cfg: dict):
     return run
 
 
-@register("processor_anchor")
+@register("processor_anchor", keys={"SourceKey", "Anchors"})
 def anchor(cfg: dict):
     """Substring extraction between Start/Stop literals per anchor
     (anchor.go:36-63). Start=='' anchors at string start; Stop=='' runs to
@@ -143,7 +143,7 @@ def anchor(cfg: dict):
     return run
 
 
-@register("processor_base64_encoding")
+@register("processor_base64_encoding", keys={"SourceKey", "NewKey"})
 def base64_encode(cfg: dict):
     src, dest = cfg["SourceKey"], cfg.get("NewKey", cfg["SourceKey"])
 
@@ -153,7 +153,7 @@ def base64_encode(cfg: dict):
     return run
 
 
-@register("processor_base64_decoding")
+@register("processor_base64_decoding", keys={"SourceKey", "NewKey"})
 def base64_decode(cfg: dict):
     src, dest = cfg["SourceKey"], cfg.get("NewKey", cfg["SourceKey"])
 
@@ -163,7 +163,7 @@ def base64_decode(cfg: dict):
     return run
 
 
-@register("processor_md5")
+@register("processor_md5", keys={"SourceKey", "MD5Key"})
 def md5_op(cfg: dict):
     """md5 of a field into MD5Key (processor_md5.go:26-32)."""
     src, dest = cfg["SourceKey"], cfg.get("MD5Key", "md5")
@@ -174,7 +174,7 @@ def md5_op(cfg: dict):
     return run
 
 
-@register("processor_string_replace")
+@register("processor_string_replace", keys={"SourceKey", "Method", "Match", "ReplaceString", "DestKey"})
 def string_replace(cfg: dict):
     """Replace in a field (processor_string_replace.go:41-56):
     Method ∈ {regex, const, unquote}; optional DestKey."""
@@ -226,7 +226,7 @@ def _md5_region_udf(begin_rx: str, content_rx: str):
     return mask
 
 
-@register("processor_desensitize")
+@register("processor_desensitize", keys={"SourceKey", "Method", "RegexBegin", "RegexContent", "ReplacingString"})
 def desensitize(cfg: dict):
     """Mask sensitive content (ProcessorDesensitizeNative.cpp:32-126 + Go
     twin): Method ∈ {const, md5}; whole value or regex-bounded region

@@ -42,15 +42,28 @@ def compile_condition(node: dict) -> Column:
     raise ValueError(f"unknown operator {op!r}")
 
 
-@register("processor_filter")
+@register("processor_filter", keys={"ConditionExp", "Include", "DiscardingNonUTF8"})
 def filter_native(cfg: dict):
     """3 modes (ProcessorFilterNative.cpp:66-144): EXPRESSION
     (ConditionExp AST), RULE (Include map key→regex, ANDed full matches),
-    BYPASS (keep everything)."""
+    BYPASS (keep everything). ``DiscardingNonUTF8``
+    (ProcessorFilterNative.h:28-146) drops rows whose string columns are
+    not valid UTF-8: Spark strings are always valid UTF-16 internally, so
+    the byte-level check is encode→decode stability — a string that came
+    from invalid bytes carries U+FFFD replacement chars, the decode
+    round-trip of which is the identity, so we test for U+FFFD directly
+    (the marker Spark's CSV/text readers emit for undecodable bytes)."""
     cond_exp = cfg.get("ConditionExp")
     include = cfg.get("Include")
+    drop_non_utf8 = cfg.get("DiscardingNonUTF8", False)
 
     def run(df: DataFrame) -> DataFrame:
+        if drop_non_utf8:
+            for c, typ in df.dtypes:
+                if typ == "string":
+                    df = df.filter(
+                        F.col(c).isNull() | ~F.col(c).contains("�")
+                    )
         if cond_exp:
             return df.filter(compile_condition(cond_exp))
         if include:
@@ -63,7 +76,7 @@ def filter_native(cfg: dict):
     return run
 
 
-@register("processor_filter_regex")
+@register("processor_filter_regex", keys={"Include", "Exclude"})
 def filter_regex(cfg: dict):
     """Keep iff all Include[k]~v full-match AND no Exclude[k]~v matches
     (processor_filter_regex.go:33-41, 82, 101)."""
@@ -81,7 +94,7 @@ def filter_regex(cfg: dict):
     return run
 
 
-@register("processor_filter_key_regex")
+@register("processor_filter_key_regex", keys={"Include"})
 def filter_key_regex(cfg: dict):
     """Filter on key NAMES (processor_filter_key_regex.go:28). With a fixed
     schema this is a plan-time projection: keep rows only if the schema has
@@ -100,7 +113,7 @@ def filter_key_regex(cfg: dict):
     return run
 
 
-@register("processor_timestamp_filter")
+@register("processor_timestamp_filter", keys={"SourceKey", "LowerBound", "UpperBound"})
 def timestamp_filter(cfg: dict):
     """Keep events with time ∈ [LowerBound, UpperBound]
     (ProcessorTimestampFilterNative.cpp:36-119)."""

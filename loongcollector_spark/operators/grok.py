@@ -21,7 +21,7 @@ import re
 
 from pyspark.sql import functions as F
 
-from loongcollector_spark.operators import register
+from loongcollector_spark.operators import COMMON_PARSE_KEYS, register
 from loongcollector_spark.operators.common import apply_parse_result
 from loongcollector_spark.operators.parse import _cast
 
@@ -198,7 +198,7 @@ class GrokCompiler:
         return rx, captures
 
 
-@register("processor_grok")
+@register("processor_grok", keys=COMMON_PARSE_KEYS | {"Match", "CustomPatterns", "KeepSource", "IgnoreParseFailure"})
 def grok_op(cfg: dict):
     """Grok extraction with ordered first-match-wins cascade.
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from loongcollector_spark.operators import register
 
 
-@register("processor_log_to_metric")
+@register("processor_log_to_metric", keys={"MetricLabelKeys", "MetricValues", "LabelSeparator", "TsKey"})
 def log_to_metric(cfg: dict):
     label_keys = sorted(cfg.get("MetricLabelKeys", []))
     values = cfg["MetricValues"]  # {name_literal_or_key: value_key}
@@ -49,7 +49,7 @@ def log_to_metric(cfg: dict):
     return run
 
 
-@register("aggregator_content_value_group")
+@register("aggregator_content_value_group", keys={"GroupKeys"})
 def content_value_group(cfg: dict):
     """Count per distinct GroupKeys combo; the per-group tags of the
     reference become the grouping columns themselves."""

@@ -13,7 +13,7 @@ import re
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from loongcollector_spark.operators import register
+from loongcollector_spark.operators import COMMON_PARSE_KEYS, register
 from loongcollector_spark.operators.common import anchored, apply_parse_result
 
 _TYPE_MAP = {
@@ -32,7 +32,7 @@ def _cast(col, typ: str | None):
     return col.try_cast(_TYPE_MAP[typ])
 
 
-@register("processor_parse_regex")
+@register("processor_parse_regex", keys=COMMON_PARSE_KEYS | {"Regex", "Keys", "KeyTypes"})
 def parse_regex(cfg: dict):
     """Regex field extraction.
 
@@ -144,7 +144,7 @@ def _flatten_columns(src_col, schema: T.StructType, prefix: str, connector: str,
     return cols
 
 
-@register("processor_parse_json")
+@register("processor_parse_json", keys=COMMON_PARSE_KEYS | {"ExpandConnector", "Prefix", "ExpandDepth", "Schema", "AttrsKey"})
 def parse_json(cfg: dict):
     """JSON expansion.
 
@@ -182,7 +182,7 @@ def parse_json(cfg: dict):
     return run
 
 
-@register("processor_parse_delimiter")
+@register("processor_parse_delimiter", keys=COMMON_PARSE_KEYS | {"Separator", "Quote", "Keys", "AllowingShortenedFields", "OverflowedFieldsTreatment", "ExtendedColumns", "ExtendKeyPrefix"})
 def parse_delimiter(cfg: dict):
     """Delimiter/CSV split.
 
@@ -200,6 +200,10 @@ def parse_delimiter(cfg: dict):
     allow_short = cfg.get("AllowingShortenedFields", False)
     overflow = cfg.get("OverflowedFieldsTreatment", "extend")
     n_extend = cfg.get("ExtendedColumns", 3)  # plan-time bound for 'extend'
+    # extras named __column{N}__ (ProcessorParseDelimiterNative.cpp:368-400)
+    # by default; the Go split_string twin passes its ExpandKeyPrefix for
+    # <prefix>1..N naming (split_string.go:33-45)
+    ext_prefix = cfg.get("ExtendKeyPrefix")
 
     def run(df):
         if quote:
@@ -224,13 +228,14 @@ def parse_delimiter(cfg: dict):
         if overflow == "extend":
             for j in range(n_extend):
                 idx = len(keys) + j
-                cols[f"__column{j}__"] = F.when(n > idx, F.element_at(parts, idx + 1))
+                name = f"{ext_prefix}{j + 1}" if ext_prefix else f"__column{j}__"
+                cols[name] = F.when(n > idx, F.element_at(parts, idx + 1))
         return apply_parse_result(df, src, ok, cols, cfg)
 
     return run
 
 
-@register("processor_split_key_value")
+@register("processor_split_key_value", keys=COMMON_PARSE_KEYS | {"Delimiter", "Separator", "Keys", "AttrsKey", "AllowingMissingKeys"})
 def parse_kv(cfg: dict):
     """Key/value splitting (``a=1&b=2``).
 
@@ -262,7 +267,7 @@ def parse_kv(cfg: dict):
     return run
 
 
-@register("processor_parse_apsara")
+@register("processor_parse_apsara", keys=COMMON_PARSE_KEYS | {"AttrsKey"})
 def parse_apsara(cfg: dict):
     """Apsara log format: ``[2026-01-01 00:00:00.123456]\\t[LEVEL]\\t[thread]
     \\t[file:line]\\tk:v\\tk:v...`` (ProcessorParseApsaraNative.cpp:205-232).
@@ -293,7 +298,7 @@ def parse_apsara(cfg: dict):
     return run
 
 
-@register("processor_parse_timestamp")
+@register("processor_parse_timestamp", keys={"SourceKey", "SourceFormat", "SourceTimezone", "DestKey", "DropIfFail"})
 def parse_timestamp(cfg: dict):
     """strptime-style event-time extraction.
 

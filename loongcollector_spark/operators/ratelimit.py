@@ -18,7 +18,7 @@ from loongcollector_spark.operators import register
 _UNIT = {"s": "1 second", "m": "1 minute", "h": "1 hour"}
 
 
-@register("processor_rate_limit")
+@register("processor_rate_limit", keys={"Fields", "Limit", "TsKey", "OrderKeys"})
 def rate_limit(cfg: dict):
     fields = cfg.get("Fields", [])
     limit_str = str(cfg.get("Limit", "100/s"))

@@ -20,7 +20,7 @@ from loongcollector_spark.operators import register
 from loongcollector_spark.operators.common import PARSE_OK
 
 
-@register("processor_split_log_string")
+@register("processor_split_log_string", keys={"SourceKey", "SplitChar", "KeepingEmptyLines"})
 def split_log_string(cfg: dict):
     """Split one event into N on SplitChar (default newline)
     (ProcessorSplitLogStringNative.cpp:42-74). Emits ``line_idx`` — the
@@ -41,7 +41,7 @@ def split_log_string(cfg: dict):
     return run
 
 
-@register("processor_split_log_regex")
+@register("processor_split_log_regex", keys={"SourceKey", "SplitRegex", "OrderKeys"})
 def split_log_regex(cfg: dict):
     """1 log → N logs split where SplitRegex matches line starts
     (split_log_regex.go:27-35): split the blob on newlines, then merge
@@ -78,7 +78,7 @@ def split_log_regex(cfg: dict):
     return run
 
 
-@register("processor_merge_conversation")
+@register("processor_merge_conversation", keys={"Joiner", "GroupKey", "OrderKey", "SourceKey"})
 def merge_conversation(cfg: dict):
     """Transcript-native analog of processor_merge_multiline_log_native:
     merge all turns of a conversation into one document, text joined in

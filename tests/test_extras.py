@@ -245,3 +245,75 @@ def test_grok_syslog_and_uuid_patterns(spark):
     assert r is not None
     assert r["logsource"] == "myhost" and r["program"] == "su" and r["pid"] == "1024"
     assert r["req_id"] == "550e8400-e29b-41d4-a716-446655440000"
+
+
+def test_unknown_config_keys_raise_everywhere():
+    """Registry-wide: every operator declares its accepted keys, and
+    build_operator rejects configs with unknown keys at build time (the
+    reference's Init-time validation posture)."""
+    from loongcollector_spark.operators import KNOWN_KEYS, REGISTRY
+
+    assert set(REGISTRY) == set(KNOWN_KEYS)  # no silent-accept operators
+    for name in sorted(REGISTRY):
+        with pytest.raises((ValueError, KeyError)):
+            build_operator({"Type": name, "DefinitelyNotAKey__": 1})
+
+
+def test_split_char_quote(spark):
+    df = spark.createDataFrame([('a,"b,c",d',)], "content string")
+    op = build_operator({
+        "Type": "processor_split_char", "SourceKey": "content",
+        "SplitSep": ",", "SplitKeys": ["x", "y", "z"],
+        "QuoteFlag": True, "Quote": '"',
+    })
+    r = op(df).first()
+    assert (r["x"], r["y"], r["z"]) == ("a", "b,c", "d")
+
+
+def test_split_string_expand_others(spark):
+    df = spark.createDataFrame([("a|b|c|d|e",)], "content string")
+    op = build_operator({
+        "Type": "processor_split_string", "SourceKey": "content",
+        "SplitSep": "|", "SplitKeys": ["k1", "k2"],
+        "ExpandOthers": True, "ExpandKeyPrefix": "ex_",
+    })
+    r = op(df).first()
+    assert (r["k1"], r["k2"]) == ("a", "b")
+    assert (r["ex_1"], r["ex_2"], r["ex_3"]) == ("c", "d", "e")
+    # without ExpandOthers the extras are discarded
+    op2 = build_operator({
+        "Type": "processor_split_string", "SourceKey": "content",
+        "SplitSep": "|", "SplitKeys": ["k1", "k2"],
+    })
+    assert "ex_1" not in op2(df).columns
+
+
+def test_filter_discarding_non_utf8(spark):
+    df = spark.createDataFrame(
+        [("ok line", "a"), ("bad � byte", "b"), (None, "c")],
+        "text string, k string",
+    )
+    op = build_operator({"Type": "processor_filter", "DiscardingNonUTF8": True})
+    kept = [r["k"] for r in op(df).collect()]
+    assert sorted(kept) == ["a", "c"]
+
+
+def test_gotime_go_layouts(spark):
+    from loongcollector_spark.operators.timeops import go_layout_to_jdk
+
+    assert go_layout_to_jdk("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
+    assert go_layout_to_jdk("02/Jan/2006:15:04:05 -0700") == "dd/MMM/yyyy:HH:mm:ss xx"
+    assert go_layout_to_jdk("2006-01-02T15:04:05.000Z07:00") == "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+    assert go_layout_to_jdk("yyyy-MM-dd HH:mm:ss") is None  # already JDK
+
+    df = spark.createDataFrame(
+        [("2026-03-01 10:20:30",), ("01/Mar/2026:10:20:30 +0000",)],
+        "t string",
+    )
+    for fmt, col in (("2006-01-02 15:04:05", 0), ("02/Jan/2006:15:04:05 -0700", 1)):
+        op = build_operator({
+            "Type": "processor_gotime", "SourceKey": "t",
+            "SourceFormat": fmt, "DestKey": "parsed",
+        })
+        rows = op(df).collect()
+        assert str(rows[col]["parsed"]) == "2026-03-01 10:20:30"
