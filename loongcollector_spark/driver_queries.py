@@ -1099,6 +1099,359 @@ FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
 """
 
 
+# --------------------------------------------------------------------------
+# operator-family coverage queries (every registered operator gets an
+# oracle-backed row; grouped as chains mirroring core/unittest/processor/
+# golden-case structure)
+# --------------------------------------------------------------------------
+
+def q_fieldops_chain(spark, sf_dir):
+    """fieldops family end-to-end: add_fields → rename → appender →
+    pack_json → base64 encode → base64 decode round-trip → drop →
+    pick_key. One codegen pass, no shuffle."""
+    from loongcollector_spark.operators import build_chain
+
+    df = transcripts_from_events(spark, sf_dir)
+    chain = build_chain([
+        {"Type": "processor_add_fields", "Fields": {"env": "prod"}},
+        {"Type": "processor_add_fields", "Fields": {"env": "SHOULD_NOT_WIN"},
+         "IgnoreIfExist": True},
+        {"Type": "processor_rename", "SourceKeys": ["role"], "DestKeys": ["actor"]},
+        {"Type": "processor_appender", "Key": "env", "Value": "-v2"},
+        {"Type": "processor_pack_json", "SourceKeys": ["actor", "env"],
+         "DestKey": "packed"},
+        {"Type": "processor_base64_encoding", "SourceKey": "packed",
+         "NewKey": "packed_b64"},
+        {"Type": "processor_base64_decoding", "SourceKey": "packed_b64",
+         "NewKey": "packed_rt"},
+        {"Type": "processor_drop", "DropKeys": ["tool", "text"]},
+        {"Type": "processor_pick_key",
+         "Include": ["conv_id", "turn_idx", "actor", "env", "packed",
+                     "packed_b64", "packed_rt"]},
+    ])
+    return chain(df)
+
+
+O_FIELDOPS_CHAIN = _ORACLE_T + """
+SELECT conv_id, turn_idx, role AS actor, 'prod-v2' AS env,
+  '{"actor":"' || role || '","env":"prod-v2"}' AS packed,
+  to_base64(encode('{"actor":"' || role || '","env":"prod-v2"}')) AS packed_b64,
+  '{"actor":"' || role || '","env":"prod-v2"}' AS packed_rt
+FROM t
+"""
+
+
+def q_filterops_combo(spark, sf_dir):
+    """filterops family: filter_regex (Include + Exclude full-match) →
+    filter_key_regex (schema gate) → timestamp_filter bounds."""
+    from loongcollector_spark.operators import build_chain
+
+    df = transcripts_from_events(spark, sf_dir)
+    chain = build_chain([
+        {"Type": "processor_filter_regex",
+         "Include": {"role": "user|assistant"},
+         "Exclude": {"tool": "none_.*"}},
+        {"Type": "processor_filter_key_regex", "Include": ["conv_.*", "t.*"]},
+        {"Type": "processor_timestamp_filter", "SourceKey": "ts",
+         "LowerBound": "2024-01-08 00:00:00", "UpperBound": "2024-01-22 00:00:00"},
+    ])
+    return chain(df).select("conv_id", "turn_idx", "role", "tool", "ts")
+
+
+O_FILTEROPS_COMBO = _ORACLE_T + """
+SELECT conv_id, turn_idx, role, tool, ts FROM t
+WHERE regexp_full_match(role, 'user|assistant')
+  AND NOT regexp_full_match(tool, 'none_.*')
+  AND ts BETWEEN '2024-01-08 00:00:00' AND '2024-01-22 00:00:00'
+"""
+
+
+def q_split_explode(spark, sf_dir):
+    """processor_string_replace (const) + processor_split_log_string:
+    rewrite kv '&' pairs to newlines, split one event into N with stable
+    line_idx order (the file-offset analog)."""
+    from loongcollector_spark.operators import build_chain
+
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\w+=[^ ]*&")
+    ).select("conv_id", "turn_idx", "text")
+    chain = build_chain([
+        {"Type": "processor_string_replace", "SourceKey": "text",
+         "Method": "const", "Match": "&", "ReplaceString": "\n"},
+        {"Type": "processor_split_log_string", "SourceKey": "text",
+         "SplitChar": "\n"},
+    ])
+    return chain(df).select(
+        "conv_id", "turn_idx", F.col("line_idx").cast("int").alias("line_idx"),
+        F.col("text").alias("line"),
+    )
+
+
+O_SPLIT_EXPLODE = _ORACLE_T + r"""
+, parts AS (
+  SELECT conv_id, turn_idx, string_split(text, '&') AS p
+  FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+)
+SELECT conv_id, turn_idx, cast(unnest(range(len(p))) AS INT) AS line_idx,
+  unnest(p) AS line
+FROM parts
+"""
+
+
+def q_split_log_regex_blob(spark, sf_dir):
+    """processor_merge_conversation → processor_split_log_regex: merge each
+    conversation into one blob, then re-split it on the app/nginx
+    start-pattern state machine (the multiline splitter)."""
+    from loongcollector_spark.operators import build_operator as _op
+
+    df = transcripts_from_events(spark, sf_dir)
+    blob = _op({"Type": "processor_merge_conversation"})(df).select(
+        "conv_id", F.col("merged_text").alias("text")
+    )
+    out = _op({
+        "Type": "processor_split_log_regex",
+        "SplitRegex": r"\d+\.\d+\.\d+\.\d+.*",
+        "OrderKeys": ["conv_id"],
+    })(blob)
+    return out.select(
+        "conv_id", F.col("line_idx").cast("int").alias("line_idx"),
+        F.md5(F.col("text").cast("binary")).alias("part_md5"),
+    )
+
+
+O_SPLIT_LOG_REGEX_BLOB = _ORACLE_T + r"""
+, flagged AS (
+  SELECT conv_id, turn_idx, text,
+    sum(CASE WHEN regexp_matches(text, '^\d+\.\d+\.\d+\.\d+.*') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gid
+  FROM t
+)
+SELECT conv_id, cast(min(turn_idx) AS INT) AS line_idx,
+  md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS part_md5
+FROM flagged GROUP BY conv_id, gid
+"""
+
+
+def q_container_stdio(spark, sf_dir):
+    """processor_parse_container_log (containerd CRI format): derive
+    '<time> <stream> <P|F> <body>' lines from the transcripts, parse, drop
+    stderr (IgnoringStderr)."""
+    df = transcripts_from_events(spark, sf_dir)
+    df = df.withColumn(
+        "cri_line",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z' "),
+            F.when(F.col("role") == "system", "stderr").otherwise("stdout"),
+            F.when(F.col("turn_idx") % 3 == 0, F.lit(" P ")).otherwise(F.lit(" F ")),
+            F.col("text"),
+        ),
+    )
+    op = build_operator({
+        "Type": "processor_parse_container_log", "SourceKey": "cri_line",
+        "Format": "containerd", "IgnoringStderr": True,
+    })
+    return op(df).filter("_parse_ok").select(
+        "conv_id", "turn_idx",
+        F.col("_time_").alias("cri_time"),
+        F.col("_source_").alias("stream"),
+        F.col("_part_").alias("is_partial"),
+        F.md5(F.col("content").cast("binary")).alias("content_md5"),
+    )
+
+
+O_CONTAINER_STDIO = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS cri_time,
+  'stdout' AS stream,
+  (turn_idx % 3 = 0) AS is_partial,
+  md5(text) AS content_md5
+FROM t WHERE role != 'system'
+"""
+
+
+def q_gotime_layouts(spark, sf_dir):
+    """processor_gotime with GO reference-time layouts: format the event
+    time as nginx-CLF and ISO strings, parse them back through translated
+    Go layouts, emit epoch seconds (must round-trip)."""
+    from loongcollector_spark.operators import build_chain
+
+    df = transcripts_from_events(spark, sf_dir)
+    df = df.withColumn("clf", F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss xx"))
+    df = df.withColumn("iso", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+    chain = build_chain([
+        {"Type": "processor_gotime", "SourceKey": "clf",
+         "SourceFormat": "02/Jan/2006:15:04:05 -0700", "DestKey": "t1"},
+        {"Type": "processor_gotime", "SourceKey": "iso",
+         "SourceFormat": "2006-01-02T15:04:05", "DestKey": "t2"},
+    ])
+    out = chain(df)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.unix_timestamp("t1").alias("unix_clf"),
+        F.unix_timestamp("t2").alias("unix_iso"),
+    )
+
+
+O_GOTIME_LAYOUTS = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  cast(floor(epoch(ts)) AS BIGINT) AS unix_clf,
+  cast(floor(epoch(ts)) AS BIGINT) AS unix_iso
+FROM t
+"""
+
+
+def q_json_dynamic_attrs(spark, sf_dir):
+    """processor_parse_json schema-less mode: dynamic top-level keys into a
+    map column, exploded to per-key counts (the schema-discovery path)."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").startswith("{")
+    )
+    op = build_operator({
+        "Type": "processor_parse_json", "SourceKey": "text",
+    })
+    out = op(df).filter("_parse_ok")
+    return (
+        out.select(F.explode(F.map_keys(F.col("attrs"))).alias("attr_key"))
+        .groupBy("attr_key")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+O_JSON_DYNAMIC_ATTRS = _ORACLE_T + """
+SELECT attr_key, count(*) AS n_rows FROM (
+  SELECT unnest(json_keys(text)) AS attr_key
+  FROM t WHERE text LIKE '{%' AND json_valid(text)
+) GROUP BY 1
+"""
+
+
+def q_kv_missing_keys(spark, sf_dir):
+    """processor_split_key_value with AllowingMissingKeys (truncated kv
+    payloads parse partially) + processor_drop_last_key (raw nulled only
+    when every Include key parsed)."""
+    from loongcollector_spark.operators import build_chain
+
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^(action|lat_ms|ok|tok)=")
+    ).select("conv_id", "turn_idx", "text")
+    chain = build_chain([
+        {"Type": "processor_split_key_value", "SourceKey": "text",
+         "Delimiter": "&", "Separator": "=",
+         "Keys": ["action", "lat_ms"], "AllowingMissingKeys": True,
+         "KeepingSourceWhenParseSucceed": True},
+        {"Type": "processor_drop_last_key", "DropKey": "text",
+         "Include": ["action", "lat_ms"]},
+    ])
+    return chain(df).select("conv_id", "turn_idx", "text", "action", "lat_ms")
+
+
+O_KV_MISSING_KEYS = _ORACLE_T + r"""
+, kvs AS (
+  SELECT conv_id, turn_idx, text,
+    CASE WHEN regexp_matches(text, '(^|&)action=') THEN regexp_extract(text, '(^|&)action=([^&]*)', 2) END AS action,
+    CASE WHEN regexp_matches(text, '(^|&)lat_ms=') THEN regexp_extract(text, '(^|&)lat_ms=([^&]*)', 2) END AS lat_ms
+  FROM t WHERE regexp_matches(text, '^(action|lat_ms|ok|tok)=')
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN action IS NOT NULL AND lat_ms IS NOT NULL THEN NULL ELSE text END AS text,
+  action, lat_ms
+FROM kvs
+"""
+
+
+def q_desensitize_region(spark, sf_dir):
+    """processor_desensitize const mode with RegexBegin/RegexContent:
+    mask the digits after 'lat_ms=' in kv payloads."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\w+=[^ ]*&")
+    ).select("conv_id", "turn_idx", "text")
+    op = build_operator({
+        "Type": "processor_desensitize", "SourceKey": "text",
+        "Method": "const", "RegexBegin": "lat_ms=",
+        "RegexContent": "[0-9]+", "ReplacingString": "***",
+    })
+    return op(df).select("conv_id", "turn_idx", F.col("text").alias("masked"))
+
+
+O_DESENSITIZE_REGION = _ORACLE_T + r"""
+SELECT conv_id, turn_idx,
+  regexp_replace(text, '(lat_ms=)[0-9]+', '\1***', 'g') AS masked
+FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+"""
+
+
+def q_tag_meta_defaults(spark, sf_dir):
+    """processor_tag + processor_cloud_meta + processor_default: constant
+    group-tag stamping; counted per stamped combo (1 row proves values)."""
+    from loongcollector_spark.operators import build_chain
+
+    df = transcripts_from_events(spark, sf_dir)
+    chain = build_chain([
+        {"Type": "processor_tag", "Tags": {"__hostname__": "bench-host"},
+         "Renames": {"tool": "tool_name"}},
+        {"Type": "processor_cloud_meta", "Platform": "mock",
+         "Metadata": {"instance_id": "i-bench01"}},
+        {"Type": "processor_default"},
+    ])
+    return chain(df).groupBy(
+        "__hostname__", "cloud_platform", "instance_id"
+    ).agg(F.count("*").alias("n_rows"), F.countDistinct("tool_name").alias("n_tools"))
+
+
+O_TAG_META_DEFAULTS = _ORACLE_T + """
+SELECT 'bench-host' AS __hostname__, 'mock' AS cloud_platform,
+  'i-bench01' AS instance_id, count(*) AS n_rows,
+  count(DISTINCT tool) AS n_tools
+FROM t
+"""
+
+
+def q_split_string_expand(spark, sf_dir):
+    """processor_split_string with ExpandOthers/ExpandKeyPrefix: overflow
+    fields beyond SplitKeys become ex_1..ex_N (split_string.go:33-45)."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\w+=[^ ]*&")
+    ).select("conv_id", "turn_idx", "text")
+    op = build_operator({
+        "Type": "processor_split_string", "SourceKey": "text",
+        "SplitSep": "&", "SplitKeys": ["p1", "p2"],
+        "ExpandOthers": True, "ExpandKeyPrefix": "ex_",
+    })
+    return op(df).select("conv_id", "turn_idx", "p1", "p2", "ex_1", "ex_2")
+
+
+O_SPLIT_STRING_EXPAND = _ORACLE_T + r"""
+, parts AS (
+  SELECT conv_id, turn_idx, string_split(text, '&') AS p
+  FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+)
+SELECT conv_id, turn_idx, p[1] AS p1, p[2] AS p2,
+  CASE WHEN len(p) >= 3 THEN p[3] END AS ex_1,
+  CASE WHEN len(p) >= 4 THEN p[4] END AS ex_2
+FROM parts
+"""
+
+
+def q_strptime_precise(spark, sf_dir):
+    """processor_strptime with EnablePreciseTimestamp: epoch-millis key
+    emitted alongside the parsed event time (strptime.go:59-72)."""
+    df = transcripts_from_events(spark, sf_dir)
+    df = df.withColumn("ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    op = build_operator({
+        "Type": "processor_strptime", "SourceKey": "ts_str",
+        "Format": "yyyy-MM-dd HH:mm:ss", "EnablePreciseTimestamp": True,
+    })
+    return op(df).select(
+        "conv_id", "turn_idx", F.col("precise_timestamp").alias("epoch_ms")
+    )
+
+
+O_STRPTIME_PRECISE = _ORACLE_T + """
+SELECT conv_id, turn_idx, cast(floor(epoch(ts)) AS BIGINT) * 1000 AS epoch_ms
+FROM t
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -1140,4 +1493,16 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
+    "fieldops_chain": (q_fieldops_chain, O_FIELDOPS_CHAIN),
+    "filterops_combo": (q_filterops_combo, O_FILTEROPS_COMBO),
+    "split_explode": (q_split_explode, O_SPLIT_EXPLODE),
+    "split_log_regex_blob": (q_split_log_regex_blob, O_SPLIT_LOG_REGEX_BLOB),
+    "container_stdio": (q_container_stdio, O_CONTAINER_STDIO),
+    "gotime_layouts": (q_gotime_layouts, O_GOTIME_LAYOUTS),
+    "json_dynamic_attrs": (q_json_dynamic_attrs, O_JSON_DYNAMIC_ATTRS),
+    "kv_missing_keys": (q_kv_missing_keys, O_KV_MISSING_KEYS),
+    "desensitize_region": (q_desensitize_region, O_DESENSITIZE_REGION),
+    "tag_meta_defaults": (q_tag_meta_defaults, O_TAG_META_DEFAULTS),
+    "split_string_expand": (q_split_string_expand, O_SPLIT_STRING_EXPAND),
+    "strptime_precise": (q_strptime_precise, O_STRPTIME_PRECISE),
 }
