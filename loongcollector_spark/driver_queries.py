@@ -771,20 +771,35 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_emb(spark, sf_dir), min_cos_1e4=5000)
 
 
-O_EMBEDDING_NEAR_DUP = """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,
-    cast(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-       + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-       + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
-  FROM embeddings
+def _o_band_expr(b: int, per: int = 4) -> str:
+    """DuckDB twin of functions.similarity.band_values (LSB-first sign
+    bits of dims b*per+1 .. b*per+per)."""
+    return "cast(" + " + ".join(
+        f"(CASE WHEN embedding[{b * per + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(per)
+    ) + f" AS INT) AS band{b}"
+
+
+_O_BANDED_E = (
+    "e AS (\n  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,\n    "
+    + ",\n    ".join(_o_band_expr(b) for b in range(4))
+    + "\n  FROM embeddings\n)"
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  cast(floor(10000 * list_dot_product(a.emb, b.emb)
-    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS INT) AS cos_1e4
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE floor(10000 * list_dot_product(a.emb, b.emb)
-    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) >= 5000
+
+_O_SHARES_BAND = " OR ".join(f"a.band{b} = b.band{b}" for b in range(4))
+
+O_EMBEDDING_NEAR_DUP = f"""
+WITH {_O_BANDED_E},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON b.vec_id > a.vec_id AND ({_O_SHARES_BAND})
+)
+SELECT vec_a, vec_b,
+  cast(floor(10000 * list_dot_product(ea.emb, eb.emb)
+    / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) AS INT) AS cos_1e4
+FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
+WHERE floor(10000 * list_dot_product(ea.emb, eb.emb)
+    / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) >= 5000
 """
 
 
@@ -1066,17 +1081,14 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return lsh_bucketed_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
 
 
-O_ANN_LSH_BUCKETED = """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,
-    cast(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-       + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-       + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
-  FROM embeddings
-), q AS (SELECT emb AS qe, bucket AS qb FROM e WHERE vec_id = 0)
-SELECT vec_id, bucket, round(list_dot_product(emb, qe)
+O_ANN_LSH_BUCKETED = f"""
+WITH {_O_BANDED_E},
+q AS (SELECT emb AS qe, band0 AS qb0, band1 AS qb1, band2 AS qb2, band3 AS qb3
+      FROM e WHERE vec_id = 0)
+SELECT vec_id, round(list_dot_product(emb, qe)
     / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
-FROM e, q WHERE vec_id != 0 AND bucket = qb
+FROM e, q WHERE vec_id != 0
+  AND (band0 = qb0 OR band1 = qb1 OR band2 = qb2 OR band3 = qb3)
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 

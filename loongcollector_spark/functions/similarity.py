@@ -47,48 +47,86 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
-def sign_bucket(vec_col, n_bits: int = 3):
-    """Deterministic LSH bucket: sign bits of the first n dims (an
-    IVF-coarse-quantizer stand-in that both engines reproduce exactly)."""
-    b = F.lit(0)
-    for i in range(n_bits):
-        b = b + F.when(F.element_at(vec_col, i + 1) > 0, 2 ** (n_bits - 1 - i)).otherwise(0)
-    return b.cast("int")
+def band_values(vec_col, n_bits: int = 16, bands: int = 4) -> list:
+    """Banded hyperplane LSH: ``n_bits`` sign bits (dim i > 0 — an
+    IVF-coarse-quantizer stand-in both engines reproduce exactly) packed
+    into ``bands`` integer band values, LSB-first within a band — the
+    MinHash banding shape applied to hyperplane bits. Two vectors are
+    near-dup candidates iff they agree on EVERY bit of at least one band:
+    more total bits = finer buckets (superlinear candidate pruning as the
+    corpus grows), banding restores the recall that a single wide bucket
+    key would destroy."""
+    per = n_bits // bands
+    vals = []
+    for b in range(bands):
+        v = F.lit(0)
+        for j in range(per):
+            dim = b * per + j  # F.get is 0-based and null-safe out of bounds
+            v = v + F.when(F.get(vec_col, dim) > 0, 1 << j).otherwise(0)
+        vals.append(v.cast("int"))
+    return vals
+
+
+def _banded(df: DataFrame, vec_col: str, id_col: str, n_bits: int, bands: int):
+    """(id, emb, norm, band0..bandN-1) — norms hoisted out of the pair
+    loop (one fold per row, not three per candidate pair)."""
+    emb = _as_double(F.col(vec_col))
+    return df.select(
+        id_col,
+        emb.alias("emb"),
+        F.sqrt(_dot(emb, emb)).alias("norm"),
+        *[v.alias(f"band{b}")
+          for b, v in enumerate(band_values(F.col(vec_col), n_bits, bands))],
+    )
 
 
 def embedding_near_dup_pairs(
     df: DataFrame, min_cos_1e4: int = 9000,
-    vec_col: str = "embedding", id_col: str = "vec_id", n_bits: int = 3,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_bits: int = 16, bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidate pairs: block on the sign-bucket
-    (two near-identical vectors share it unless a blocked dim sits at ~0),
-    self-join within buckets, keep pairs with cosine ≥ threshold.
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH:
+    candidates share ≥1 exact band of sign bits, then verify by cosine.
 
-    Scale shape: the self-join shuffles on the bucket key only; within a
-    bucket the candidate set is ~corpus/2^n_bits. Threshold kept as an
-    integer 1e4 score so the DuckDB oracle hashes identically.
+    Scale shape: the candidate self-join shuffles (id, band_idx, band_val)
+    ONLY — 12 bytes a row, never the vectors; embeddings are fetched back
+    by two id-equi-joins for the verify stage. With b bands of n/b bits
+    the expected candidate fraction is b/2^(n/b) per pair — raising
+    ``n_bits`` with corpus size drops candidates-per-bucket superlinearly
+    (evidence: BASELINE.md §embedding-lsh), where a fixed 2^3-bucket
+    scheme stayed O(n²/8).
     """
-    emb = _as_double(F.col(vec_col))
-    # hoist the per-vector norm OUT of the pair loop: computed once per
-    # row here, the per-pair work inside the join is a single dot product
-    # (was 3 interpreted array-folds per candidate pair)
-    e = df.select(
-        id_col,
-        emb.alias("emb"),
-        F.sqrt(_dot(emb, emb)).alias("norm"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
-    return (
+    e = _banded(df, vec_col, id_col, n_bits, bands)
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val"))
+        for b in range(bands)
+    ])
+    exploded = e.select(
+        F.col(id_col), F.explode(bands_arr).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_val")
+    a, bb = exploded.alias("a"), exploded.alias("b")
+    cand = (
         a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = e.select(F.col(id_col).alias("vec_a"), F.col("emb").alias("emb_a"),
+                  F.col("norm").alias("norm_a"))
+    eb = e.select(F.col(id_col).alias("vec_b"), F.col("emb").alias("emb_b"),
+                  F.col("norm").alias("norm_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
             F.floor(cos * 10000).cast("int").alias("cos_1e4"),
         )
         .filter(F.col("cos_1e4") >= min_cos_1e4)
@@ -97,25 +135,33 @@ def embedding_near_dup_pairs(
 
 def lsh_bucketed_topk(
     df: DataFrame, query_vec_id: int = 0, k: int = 5,
-    vec_col: str = "embedding", id_col: str = "vec_id", n_bits: int = 3,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_bits: int = 16, bands: int = 4,
 ) -> DataFrame:
-    """ANN: score only the query's sign-bucket. At corpus scale the bucket
-    is the partition key, so the scan prunes to ~1/2^n_bits of the data."""
-    e = df.select(
-        id_col,
-        _as_double(F.col(vec_col)).alias("emb"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    """ANN: score only vectors sharing ≥1 sign-bit band with the query
+    (deterministic multi-probe). At corpus scale the band values are
+    partition keys, so a query touches ~bands/2^(n_bits/bands) of the
+    data instead of a fixed 1/8."""
+    e = _banded(df, vec_col, id_col, n_bits, bands)
     q = e.filter(F.col(id_col) == query_vec_id).select(
-        F.col("emb").alias("qe"), F.col("bucket").alias("qb")
+        F.col("emb").alias("qe"), F.col("norm").alias("qnorm"),
+        *[F.col(f"band{b}").alias(f"qband{b}") for b in range(bands)],
     )
-    cand = e.filter(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q)).filter(
-        F.col("bucket") == F.col("qb")
+    shares_band = None
+    for b in range(bands):
+        m = F.col(f"band{b}") == F.col(f"qband{b}")
+        shares_band = m if shares_band is None else (shares_band | m)
+    cand = (
+        e.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(shares_band)
     )
     return (
         cand.select(
-            id_col, "bucket",
-            F.round(cosine_expr(F.col("emb"), F.col("qe")), 4).alias("cos_sim"),
+            id_col,
+            F.round(
+                _dot(F.col("emb"), F.col("qe")) / (F.col("norm") * F.col("qnorm")), 4
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)

@@ -100,10 +100,29 @@ def geoip(cfg: dict):
             _ip_to_long(F.col("__geo_end")).alias("__geo_hi"),
             "__geo_country", "__geo_province", "__geo_city",
         )
+        # /16-prefix bucketing turns the range join into an EQUI join:
+        # each range is exploded to one row per /16 block it covers, the
+        # fact side computes its block with a shift, and the join key is
+        # the block — Spark plans BroadcastHashJoin with the lo<=ip<=hi
+        # check as a cheap residual, instead of BroadcastNestedLoopJoin
+        # probing every range per row (O(rows x ranges) with a real 10k+
+        # range GeoIP table). Ranges are contiguous CIDR-style blocks, so
+        # the expansion factor is small (one row per /16 spanned).
+        rdf = rdf.select(
+            F.explode(
+                F.sequence(
+                    (F.col("__geo_lo") / 65536).cast("long"),
+                    (F.col("__geo_hi") / 65536).cast("long"),
+                )
+            ).alias("__geo_bucket"),
+            "__geo_lo", "__geo_hi",
+            "__geo_country", "__geo_province", "__geo_city",
+        )
         ip_num = _ip_to_long(F.col(src))
         joined = df.join(
             F.broadcast(rdf),
-            (ip_num >= F.col("__geo_lo")) & (ip_num <= F.col("__geo_hi")),
+            ((ip_num / 65536).cast("long") == F.col("__geo_bucket"))
+            & (ip_num >= F.col("__geo_lo")) & (ip_num <= F.col("__geo_hi")),
             "left",
         )
         for out_col, geo_col in (
@@ -114,8 +133,8 @@ def geoip(cfg: dict):
             joined = joined.withColumn(
                 out_col, F.coalesce(F.col(geo_col), F.lit(no_match))
             )
-        return joined.drop("__geo_lo", "__geo_hi", "__geo_country",
-                           "__geo_province", "__geo_city")
+        return joined.drop("__geo_bucket", "__geo_lo", "__geo_hi",
+                           "__geo_country", "__geo_province", "__geo_city")
 
     return run
 

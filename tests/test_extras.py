@@ -197,9 +197,9 @@ def test_multimodal_plumbing(spark):
 def test_embedding_near_dup_blocks_and_thresholds(spark):
     rows = [
         (1, [1.0, 2.0, 3.0]),
-        (2, [1.0, 2.0, 3.01]),     # near-dup of 1, same sign bucket
-        (3, [-1.0, 2.0, 3.0]),     # different bucket
-        (4, [3.0, -2.0, 1.0]),     # same bucket as nothing similar
+        (2, [1.0, 2.0, 3.01]),     # near-dup of 1: all sign bands agree
+        (3, [-1.0, 2.0, 3.0]),     # differs in band0, shares bands 1-3
+        (4, [3.0, -2.0, 1.0]),     # candidate of nothing similar
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     from loongcollector_spark.functions.similarity import embedding_near_dup_pairs
@@ -207,7 +207,17 @@ def test_embedding_near_dup_blocks_and_thresholds(spark):
     pairs = {(r["vec_a"], r["vec_b"]): r["cos_1e4"]
              for r in embedding_near_dup_pairs(df, min_cos_1e4=9990).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 9990
-    assert all(a != 3 and b != 3 for a, b in pairs)  # blocked out by bucket
+    assert all(a != 3 and b != 3 for a, b in pairs)  # below cos threshold
+
+    # banding recall: a candidate pair must agree on every bit of >=1 band
+    from loongcollector_spark.functions.similarity import band_values
+    bv = df.select(
+        "vec_id", *[v.alias(f"b{i}")
+                    for i, v in enumerate(band_values(F.col("embedding")))]
+    ).collect()
+    by_id = {r["vec_id"]: [r[f"b{i}"] for i in range(4)] for r in bv}
+    assert by_id[1] == by_id[2]
+    assert by_id[1][0] != by_id[3][0] and by_id[1][1:] == by_id[3][1:]
 
 
 def test_grok_combined_apache_pattern(spark):
@@ -317,3 +327,29 @@ def test_gotime_go_layouts(spark):
         })
         rows = op(df).collect()
         assert str(rows[col]["parsed"]) == "2026-03-01 10:20:30"
+
+
+def test_geoip_10k_ranges_equi_join_plan(spark):
+    """Scale posture: with a realistic 10k-range table the plan must be a
+    broadcast HASH join on the /16 prefix bucket, not a nested-loop probe
+    of every range per row."""
+    # 10k contiguous /24-ish blocks under 11.0.0.0/8: 11.x.y.0-11.x.y.255
+    ranges = []
+    for i in range(10_000):
+        x, y = divmod(i, 256)
+        ranges.append([f"11.{x}.{y}.0", f"11.{x}.{y}.255",
+                       f"C{i % 7}", f"P{i % 13}", f"city{i}"])
+    df = spark.createDataFrame(
+        [("11.0.2.9",), ("11.3.1.200",), ("99.9.9.9",)], "ip string"
+    )
+    op = build_operator({
+        "Type": "processor_geoip", "SourceKey": "ip", "Ranges": ranges,
+    })
+    out = op(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r["ip"]: (r["ip_country"], r["ip_city"]) for r in out.collect()}
+    assert got["11.0.2.9"] == ("C2", "city2")          # block index 2
+    assert got["11.3.1.200"] == ("C" + str((3 * 256 + 1) % 7), f"city{3 * 256 + 1}")
+    assert got["99.9.9.9"] == ("Unknown", "Unknown")
