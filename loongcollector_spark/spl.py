@@ -30,6 +30,8 @@ import json
 import re
 from dataclasses import dataclass
 
+import pandas as pd  # noqa: F401 — pandas_udf shim type hints resolve here
+
 from pyspark.sql import DataFrame, functions as F
 
 SAMPLE_ROWS = 20
@@ -45,9 +47,56 @@ class SplUnsupported(SplError):
 
 _UNSUPPORTED = {
     "spooky_hash_v2_32", "spooky_hash_v2_64", "empty_approx_set",
-    "combinations", "classify", "features",
-    "hmac_md5", "hmac_sha1", "hmac_sha256", "hmac_sha512",
+    "classify", "features", "array_normalize", "json_size",
 }
+
+# Presto names with no Spark builtin, shimmed as registered UDFs
+# (registered lazily on the active session by spl_run)
+_SHIMMED = {"hmac_md5", "hmac_sha1", "hmac_sha256", "hmac_sha512",
+            "combinations"}
+
+
+def register_spl_shims(spark) -> None:
+    """Register pandas-UDF shims for the handful of Presto scalars Spark
+    lacks (SURVEY §2.4 plan): hmac_* (RFC 2104 over hashlib) and
+    combinations. Arrow-batched, idempotent re-registration."""
+    import hmac as _hmac
+    from itertools import combinations as _comb
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    for alg in ("md5", "sha1", "sha256", "sha512"):
+        def make(alg=alg):
+            @pandas_udf("binary")
+            def f(data: pd.Series, key: pd.Series) -> pd.Series:
+                return pd.Series([
+                    None if d is None or k is None
+                    else _hmac.new(bytes(k), bytes(d), alg).digest()
+                    for d, k in zip(data, key)
+                ])
+            return f
+        spark.udf.register(f"hmac_{alg}", make())
+
+    @pandas_udf(T.ArrayType(T.ArrayType(T.StringType())))
+    def combos(arr: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if a is None else [list(c) for c in _comb(list(a), int(k))]
+            for a, k in zip(arr, n)
+        ])
+
+    spark.udf.register("combinations", combos)
+
+
+def _pct_fmt_to_jdk(fmt: str) -> str:
+    """MySQL-style %-datetime format → JDK pattern (the SPL/Presto
+    date_parse/date_format vocabulary)."""
+    return (fmt.replace("%Y", "yyyy").replace("%y", "yy")
+            .replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%h", "hh")
+            .replace("%i", "mm").replace("%s", "ss")
+            .replace("%f", "SSSSSS").replace("%T", "HH:mm:ss")
+            .replace("%j", "DDD").replace("%p", "a"))
 
 
 def _translate_expr(expr: str) -> str:
@@ -71,6 +120,24 @@ def _translate_expr(expr: str) -> str:
         if m:
             tok = lits[int(m.group(1))]
         return tok.strip("'\"")
+
+    def rewrite(s: str, fname: str, fn):
+        """Rewrite every fname(...) call: fn(args) returns the replacement
+        text, or None to leave this call untouched (still scanning its
+        arguments for nested calls)."""
+        pos = 0
+        while True:
+            found = _find_call(s[pos:], fname)
+            if not found:
+                return s
+            st, a0, a1 = (p + pos for p in found)
+            args = _split_args(s[a0:a1])
+            rep = fn(args)
+            if rep is None:
+                pos = a0
+                continue
+            s = s[:st] + rep + s[a1 + 1:]
+            pos = st + len(rep)
 
     out, i, n = "", 0, len(expr)
     while i < n:
@@ -121,9 +188,21 @@ def _translate_expr(expr: str) -> str:
     out = re.sub(r"\bany_match\s*\(", "exists(", out)
     out = re.sub(r"\bcardinality\s*\(", "size(", out)
     out = re.sub(r"\bjson_extract_scalar\s*\(", "get_json_object(", out)
-    out = re.sub(r"\bis_json_scalar\s*\(", "__isjs__(", out)
-    if "__isjs__" in out:
-        raise SplUnsupported("is_json_scalar has no Spark builtin")
+    # json family: Spark works on JSON TEXT directly, so json_parse /
+    # json_format are the identity; is_json_scalar = "does not start with
+    # an object/array opener" over valid JSON text
+    out = rewrite(out, "json_parse", lambda a: f"({a[0]})")
+    out = rewrite(out, "json_format", lambda a: f"({a[0]})")
+    out = rewrite(
+        out, "is_json_scalar",
+        lambda a: "(trim(" + a[0] + ") rlike "
+        + stash(repr('^("|-?[0-9.]|true|false|null)')) + ")",
+    )
+    out = rewrite(
+        out, "json_array_contains",
+        lambda a: f"array_contains(from_json({a[0]}, 'array<string>'), "
+        f"cast({a[1]} as string))",
+    )
     # to_utf8(x)/from_utf8(x) == encode/decode(x, 'utf-8')
     out = re.sub(r"\bto_utf8\s*\(", "encode(", out)
     out = _append_arg(out, "encode", "'utf-8'", only_if_single=True)
@@ -176,9 +255,35 @@ def _translate_expr(expr: str) -> str:
     while "__bnot__(" in out:
         st, a0, a1 = _find_call(out, "__bnot__")
         out = out[:st] + f"(~({out[a0:a1]}))" + out[a1 + 1:]
+    # shift family: Presto bitwise_right_shift is LOGICAL, the
+    # *_arithmetic spellings are arithmetic; the 3-arg forms (explicit bit
+    # width) have no Spark analog
+    def _shift(spark_fn, name):
+        def fn(args):
+            if len(args) != 2:
+                raise SplUnsupported(
+                    f"{name} with a bit-width operand has no Spark analog")
+            return f"{spark_fn}({args[0]}, {args[1]})"
+        return fn
+
+    out = rewrite(out, "bitwise_arithmetic_shift_right",
+                  _shift("shiftright", "bitwise_arithmetic_shift_right"))
+    out = rewrite(out, "bitwise_right_shift_arithmetic",
+                  _shift("shiftright", "bitwise_right_shift_arithmetic"))
+    out = rewrite(out, "bitwise_logical_shift_right",
+                  _shift("shiftrightunsigned", "bitwise_logical_shift_right"))
+    out = rewrite(out, "bitwise_shift_left",
+                  _shift("shiftleft", "bitwise_shift_left"))
     out = re.sub(r"\bbitwise_left_shift\s*\(", "shiftleft(", out)
-    out = re.sub(r"\bbitwise_right_shift\s*\(", "shiftright(", out)
-    out = re.sub(r"\bbit_count\s*\(", "bit_count(", out)
+    out = re.sub(r"\bbitwise_right_shift\s*\(", "shiftrightunsigned(", out)
+
+    def bit_count_fn(args):
+        if len(args) == 2:
+            if lit_val(args[1]) != "64":
+                raise SplUnsupported("bit_count with bits != 64")
+            return f"bit_count({args[0]})"
+        return None
+    out = rewrite(out, "bit_count", bit_count_fn)
     # --- Presto date/time family → Spark spellings ---
     # day_of_week: Presto ISO (Mon=1..Sun=7); Spark weekday() is Mon=0
     out = re.sub(r"\bday_of_week\s*\(", "__dow__(", out)
@@ -194,8 +299,9 @@ def _translate_expr(expr: str) -> str:
     out = re.sub(r"\bweek_of_year\s*\(", "weekofyear(", out)
     out = re.sub(r"\bweek\s*\(", "weekofyear(", out)
     out = re.sub(r"\byear_of_week\s*\(", "__yow__(", out)
-    if "__yow__" in out:
-        raise SplUnsupported("year_of_week has no Spark builtin")
+    out = re.sub(r"\byow\s*\(", "__yow__(", out)
+    out = rewrite(out, "__yow__",
+                  lambda a: f"extract(YEAROFWEEK FROM {a[0]})")
     # date_add('unit', n, ts) → timestampadd(unit, n, ts); date_diff
     # ('unit', a, b) → timestampdiff(unit, a, b) (unit literal unquoted)
     for presto, spark_fn in (("date_add", "timestampadd"),
@@ -216,24 +322,35 @@ def _translate_expr(expr: str) -> str:
             out = (out[:st] + f"{spark_fn}({unit}, {args[1]}, {args[2]}"
                    + out[a1:])
             pos = st
-    # date_parse(str, '%Y-%m-%d %H:%i:%s') → to_timestamp(str, java fmt)
-    while True:
-        found = _find_call(out, "date_parse")
-        if not found:
-            break
-        st, a0, a1 = found
-        args = _split_args(out[a0:a1])
-        fmt = lit_val(args[1])
-        java = (fmt.replace("%Y", "yyyy").replace("%y", "yy")
-                .replace("%m", "MM").replace("%d", "dd")
-                .replace("%H", "HH").replace("%h", "hh")
-                .replace("%i", "mm").replace("%s", "ss")
-                .replace("%f", "SSSSSS").replace("%T", "HH:mm:ss"))
-        out = (out[:st] + f"to_timestamp({args[0]}, {stash(repr(java))}"
-               + out[a1:])
+    # date_parse / parse_datetime / date_format carry MySQL %-formats in
+    # SPL; convert the format literal to a JDK pattern
+    def dt_fmt(spark_fn):
+        def fn(args):
+            if len(args) != 2:
+                return None
+            fmt = lit_val(args[1])
+            if "%" not in fmt:
+                return None
+            return (f"{spark_fn}({args[0]}, "
+                    f"{stash(repr(_pct_fmt_to_jdk(fmt)))})")
+        return fn
+
+    out = rewrite(out, "date_parse", dt_fmt("to_timestamp"))
+    out = rewrite(out, "parse_datetime", dt_fmt("to_timestamp"))
+    out = rewrite(out, "date_format", dt_fmt("date_format"))
+    out = re.sub(r"\bdate_parse\s*\(", "to_timestamp(", out)
     out = re.sub(r"\bformat_datetime\s*\(", "date_format(", out)
     out = re.sub(r"\bparse_datetime\s*\(", "to_timestamp(", out)
     out = re.sub(r"\bto_unixtime\s*\(", "unix_timestamp(", out)
+
+    # from_unixtime: Presto returns a TIMESTAMP (Spark's returns a string)
+    def from_unixtime_fn(args):
+        if len(args) == 1:
+            return f"timestamp_seconds({args[0]})"
+        if len(args) == 2:
+            return f"from_utc_timestamp(timestamp_seconds({args[0]}), {args[1]})"
+        return None
+    out = rewrite(out, "from_unixtime", from_unixtime_fn)
     out = re.sub(r"\bcurrent_timezone\s*\(\s*\)", "current_timezone()", out)
     out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out)
     out = re.sub(r"\blocaltimestamp\b", "current_timestamp()", out)
@@ -249,25 +366,98 @@ def _translate_expr(expr: str) -> str:
         out = re.sub(rf"\bsha{bits}\s*\(", f"sha2__{bits}(", out)
         out = _append_arg(out, f"sha2__{bits}", str(bits))
         out = out.replace(f"sha2__{bits}(", "sha2(")
-    # strpos(str, sub) → locate(sub, str): swap the args. Presto's 3-arg
-    # strpos means "position of the Nth occurrence" while locate's third
-    # arg is a search START position — different semantics, so reject.
-    pos = 0
-    while True:
-        found = _find_call(out[pos:], "strpos")
-        if not found:
-            break
-        st, a0, a1 = (p + pos for p in found)
-        args = _split_args(out[a0:a1])
+    # --- binary / hash family ---
+    out = re.sub(r"\bfrom_base64\s*\(", "unbase64(", out)
+    out = re.sub(r"\bto_base64\s*\(", "base64(", out)
+    out = re.sub(r"\bfrom_hex\s*\(", "unhex(", out)
+    out = re.sub(r"\bto_hex\s*\(", "hex(", out)
+    out = rewrite(out, "from_base",
+                  lambda a: f"cast(conv({a[0]}, {a[1]}, 10) as bigint)"
+                  if len(a) == 2 else None)
+    out = rewrite(out, "to_base",
+                  lambda a: f"lower(conv({a[0]}, 10, {a[1]}))"
+                  if len(a) == 2 else None)
+    # --- math specials ---
+    def truncate_fn(args):
+        if len(args) == 1:
+            return f"(sign({args[0]}) * floor(abs({args[0]})))"
+        scale = 10 ** int(lit_val(args[1]))
+        return (f"(sign({args[0]}) * floor(abs({args[0]}) * {scale})"
+                f" / {scale})")
+    out = rewrite(out, "truncate", truncate_fn)
+    out = re.sub(r"\bis_nan\s*\(", "isnan(", out)
+    out = rewrite(out, "is_finite",
+                  lambda a: f"(NOT isnan({a[0]}) AND abs({a[0]}) != "
+                  f"cast({stash(repr('Infinity'))} as double))")
+    out = rewrite(out, "is_infinite",
+                  lambda a: f"(abs({a[0]}) = "
+                  f"cast({stash(repr('Infinity'))} as double))")
+    out = re.sub(r"\binfinity\s*\(\s*\)",
+                 "cast(" + stash(repr("Infinity")) + " as double)", out)
+    out = re.sub(r"\bnan\s*\(\s*\)",
+                 "cast(" + stash(repr("NaN")) + " as double)", out)
+    out = re.sub(r"\brandom\s*\(", "rand(", out)
+    # --- array family ---
+    out = rewrite(out, "array_sum",
+                  lambda a: f"aggregate({a[0]}, cast(0 as double), "
+                  "(acc, x) -> acc + x)")
+    out = rewrite(out, "array_average",
+                  lambda a: f"(aggregate({a[0]}, cast(0 as double), "
+                  f"(acc, x) -> acc + x) / size({a[0]}))")
+
+    def array_position_fn(args):
         if len(args) >= 3:
             raise SplUnsupported(
-                "3-arg strpos (nth occurrence) has no Spark analog")
-        args[0], args[1] = args[1], args[0]
-        out = out[:st] + "locate(" + ", ".join(args) + out[a1:]
-        pos = st
-    out = _swap_two_args(out, "strrpos", "__strrpos__")
-    if "__strrpos__" in out:
-        raise SplUnsupported("strrpos has no Spark builtin")
+                "3-arg array_position (nth instance) has no Spark analog")
+        return None
+    out = rewrite(out, "array_position", array_position_fn)
+
+    def width_bucket_fn(args):
+        if len(args) == 2:
+            raise SplUnsupported(
+                "2-arg width_bucket (bin array) has no Spark analog")
+        return None
+    out = rewrite(out, "width_bucket", width_bucket_fn)
+    out = re.sub(r"\bzip\s*\(", "arrays_zip(", out)
+    out = re.sub(r"\bcontains\s*\(", "array_contains(", out)
+    # map() literal must stay map() — the MAP( rename above is for the
+    # MAP(ARRAY.., ARRAY..) constructor
+    out = out.replace("map_from_arrays()", "map()")
+    # Presto map_concat is last-wins on duplicate keys; Spark's raises
+    # under the default dedup policy — drop overlapped keys from the left
+    out = rewrite(
+        out, "map_concat",
+        lambda a: (
+            f"map_concat(map_filter({a[0]}, (k, v) -> "
+            f"NOT array_contains(map_keys({a[1]}), k)), {a[1]})"
+        ) if len(a) == 2 else None,
+    )
+    # Presto 2-arg regexp_replace deletes matches
+    out = rewrite(out, "regexp_replace",
+                  lambda a: f"regexp_replace({a[0]}, {a[1]}, "
+                  + stash("''") + ")" if len(a) == 2 else None)
+    # strpos(str, sub) → locate(sub, str): swap the args. Presto's 3-arg
+    # strpos means "position of the Nth occurrence": instance 1 is the
+    # 2-arg case, any other instance has no Spark analog.
+    def strpos_fn(args):
+        if len(args) >= 3:
+            if lit_val(args[2]) != "1":
+                raise SplUnsupported(
+                    "strpos with instance != 1 has no Spark analog")
+            args = args[:2]
+        return f"locate({args[1]}, {args[0]})"
+    out = rewrite(out, "strpos", strpos_fn)
+
+    # strrpos(str, sub): LAST occurrence — emulate via reversed locate
+    def strrpos_fn(args):
+        if len(args) >= 3 and lit_val(args[2]) != "1":
+            raise SplUnsupported(
+                "strrpos with instance != 1 has no Spark analog")
+        s, sub = args[0], args[1]
+        probe = f"locate(reverse({sub}), reverse({s}))"
+        return (f"(CASE WHEN {probe} = 0 THEN 0 ELSE "
+                f"length({s}) - {probe} - length({sub}) + 2 END)")
+    out = rewrite(out, "strrpos", strrpos_fn)
     # put the stashed literals back
     return re.sub("\x00(\\d+)\x7f", lambda m: lits[int(m.group(1))], out)
 
@@ -427,6 +617,8 @@ def _compile_cmd(cmd: _Cmd):
         keys = [a.strip() for a in m.group(2).split(",")]
         delim = _unescape(flags.get("delim", ","))
         quote = flags.get("quote")
+        if quote:
+            quote = _unescape(quote)
         strict = flags.get("strict", False)
         def run_csv(df, col=col, keys=keys, delim=delim, quote=quote, strict=strict):
             if quote:
@@ -546,6 +738,8 @@ def spl_run(df: DataFrame, script: str) -> dict[str, DataFrame]:
     copy-minimization analog — one upstream materialization, N branch
     filters).
     """
+    if any(n + "(" in script.replace(" ", "") for n in _SHIMMED):
+        register_spl_shims(df.sparkSession)
     statements, cur, q = [], "", None
     for ch in script:
         if q:
