@@ -104,33 +104,72 @@ def flusher_stdout(cfg: dict):
     return write
 
 
+def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
+                        hash_keys: list | None = None) -> DataFrame:
+    """The (key, value) frame flusher_kafka ships to the broker —
+    factored out so the serialization contract is testable without a
+    kafka package/broker in the container. PartitionerType 'hash' maps
+    HashKeys onto the message key (broker-side hash partitioning,
+    flusher_kafka_v2.go:43-83); random/roundrobin leave the key null."""
+    from loongcollector_spark.serializer import serializable_columns
+
+    cols = [c for c in serializable_columns(df) if c != "ts"]
+    value = F.to_json(
+        F.struct(F.unix_timestamp("ts").alias("__time__"),
+                 *[F.col(c) for c in cols]),
+        {"ignoreNullFields": "true"},
+    )
+    sel = [value.alias("value")]
+    if partitioner == "hash" and hash_keys:
+        sel.insert(0, F.concat_ws(
+            "_", *[F.col(k).cast("string") for k in hash_keys]
+        ).alias("key"))
+    return df.select(*sel)
+
+
 @register_flusher("flusher_kafka")
 def flusher_kafka(cfg: dict):
-    """Kafka sink (flusher_kafka_v2.go:43-83). PartitionerType 'hash' maps
-    HashKeys onto the kafka message key (broker-side hash partitioning);
-    random/roundrobin leave the key null. Requires the kafka package."""
+    """Kafka sink (flusher_kafka_v2.go:43-83). Requires the
+    spark-sql-kafka package on the cluster; the payload shape is
+    kafka_payload_frame (contract-tested in-container)."""
     brokers = cfg["Brokers"]
     topic = cfg["Topic"]
     partitioner = cfg.get("PartitionerType", "random")
     hash_keys = cfg.get("HashKeys", [])
 
     def write(df: DataFrame) -> None:
-        from loongcollector_spark.serializer import serializable_columns
-
-        cols = [c for c in serializable_columns(df) if c != "ts"]
-        value = F.to_json(
-            F.struct(F.unix_timestamp("ts").alias("__time__"),
-                     *[F.col(c) for c in cols]),
-            {"ignoreNullFields": "true"},
-        )
-        sel = [value.alias("value")]
-        if partitioner == "hash" and hash_keys:
-            sel.insert(0, F.concat_ws(
-                "_", *[F.col(k).cast("string") for k in hash_keys]
-            ).alias("key"))
-        (df.select(*sel).write.format("kafka")
+        (kafka_payload_frame(df, partitioner, hash_keys)
+         .write.format("kafka")
          .option("kafka.bootstrap.servers", brokers)
          .option("topic", topic)
          .save())
+
+    return write
+
+
+@register_flusher("flusher_jdbc")
+def flusher_jdbc(cfg: dict):
+    """JDBC table sink — the adapter shape behind flusher_clickhouse /
+    flusher_doris / flusher_elasticsearch-style relational sinks (each is
+    an option mapping over the same write path). ``ShardKeys`` repartition
+    before the write so one loader task owns one shard's rows — the
+    flusher-side analog of aggregator_shardhash."""
+    url = cfg["Url"]
+    table = cfg["Table"]
+    mode = cfg.get("Mode", "append")
+    driver = cfg.get("Driver")
+    shard_keys = cfg.get("ShardKeys", [])
+    num_partitions = cfg.get("NumPartitions")
+
+    def write(df: DataFrame) -> None:
+        if shard_keys:
+            df = df.repartition(num_partitions or 8,
+                                *[F.col(k) for k in shard_keys])
+        w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+        if driver:
+            w = w.option("driver", driver)
+        if num_partitions and not shard_keys:
+            w = w.option("numPartitions", num_partitions)
+        w.mode(mode).save()
 
     return write
