@@ -765,13 +765,19 @@ SELECT conv_id, turn_idx, n_merged, merged_md5 FROM grouped
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """embedding-cosine near-dup pairs via sign-bucket blocking."""
+    """embedding-cosine near-dup pairs via banded hyperplane LSH.
+
+    32 bits / 4 bands: the corpus-sized config (BASELINE.md shows the
+    candidate set at 1.5% of brute force vs 12.5% for round 1's fixed
+    8-bucket scheme); the oracle replays the identical banding."""
     from loongcollector_spark.functions.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), min_cos_1e4=5000)
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), min_cos_1e4=2000, n_bits=32, bands=4
+    )
 
 
-def _o_band_expr(b: int, per: int = 4) -> str:
+def _o_band_expr(b: int, per: int) -> str:
     """DuckDB twin of functions.similarity.band_values (LSB-first sign
     bits of dims b*per+1 .. b*per+per)."""
     return "cast(" + " + ".join(
@@ -780,16 +786,19 @@ def _o_band_expr(b: int, per: int = 4) -> str:
     ) + f" AS INT) AS band{b}"
 
 
-_O_BANDED_E = (
-    "e AS (\n  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,\n    "
-    + ",\n    ".join(_o_band_expr(b) for b in range(4))
-    + "\n  FROM embeddings\n)"
-)
+def _o_banded_e(n_bits: int, bands: int) -> str:
+    per = n_bits // bands
+    return (
+        "e AS (\n  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb,\n    "
+        + ",\n    ".join(_o_band_expr(b, per) for b in range(bands))
+        + "\n  FROM embeddings\n)"
+    )
+
 
 _O_SHARES_BAND = " OR ".join(f"a.band{b} = b.band{b}" for b in range(4))
 
 O_EMBEDDING_NEAR_DUP = f"""
-WITH {_O_BANDED_E},
+WITH {_o_banded_e(32, 4)},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM e a JOIN e b ON b.vec_id > a.vec_id AND ({_O_SHARES_BAND})
@@ -799,7 +808,7 @@ SELECT vec_a, vec_b,
     / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) AS INT) AS cos_1e4
 FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
 WHERE floor(10000 * list_dot_product(ea.emb, eb.emb)
-    / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) >= 5000
+    / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) >= 2000
 """
 
 
@@ -1076,13 +1085,17 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 def q_ann_lsh_bucketed(spark, sf_dir):
+    """ANN top-k over band-sharing candidates (24 bits / 4 bands ≈ 6% of
+    the corpus probed; oracle replays the same banding)."""
     from loongcollector_spark.functions.similarity import lsh_bucketed_topk
 
-    return lsh_bucketed_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
+    return lsh_bucketed_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=5, n_bits=24, bands=4
+    )
 
 
 O_ANN_LSH_BUCKETED = f"""
-WITH {_O_BANDED_E},
+WITH {_o_banded_e(24, 4)},
 q AS (SELECT emb AS qe, band0 AS qb0, band1 AS qb1, band2 AS qb2, band3 AS qb3
       FROM e WHERE vec_id = 0)
 SELECT vec_id, round(list_dot_product(emb, qe)

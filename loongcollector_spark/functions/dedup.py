@@ -131,54 +131,36 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     floor(k/4); vote_k = Σ_words (2·bit_k − 1); signature bit k is set iff
     vote_k > 0; chunk c = Σ_{j<16} sigbit(16c+j) << j.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    # materialize each intermediate array as a column between selects so
-    # higher-order lambdas don't recompute the parent per element (md5
-    # once per word, not once per word*digit)
-    step = df.select(
+    # Shape: explode to one row per (doc, word), md5 once per word, 16
+    # hex-digit columns, then 64 ±1-vote SUM aggregates grouped by doc.
+    # Everything stays inside WholeStageCodegen (no interpreted
+    # higher-order lambdas — an earlier array-fold formulation ran ~50x
+    # slower because transform/aggregate lambdas are interpreted per
+    # element); the groupBy partial-aggregates map-side, so the shuffle
+    # carries one (doc_id, 64 ints) row per doc per input partition.
+    words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
+    w = df.select(id_col, words)
+    h = F.md5(F.col("_w").cast("binary"))
+    w = w.select(
         id_col,
-        F.transform(words, lambda w: F.md5(w.cast("binary"))).alias("_hx"),
+        *[F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int").alias(f"_d{d}")
+          for d in range(16)],
     )
-    # per word: 16 hex-digit values (0..15)
-    digs = F.transform(
-        F.col("_hx"),
-        lambda h: F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda d: F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int"),
-        ),
-    )
-    step = step.select(id_col, digs.alias("_digs"))
-    # per word: 64 ±1 votes (digit-major, LSB-first within a digit)
-    bitvotes = F.transform(
-        F.col("_digs"),
-        lambda dv: F.flatten(
-            F.transform(
-                dv,
-                lambda d: F.array(*[
-                    F.shiftright(d, j).bitwiseAND(F.lit(1)) * 2 - 1
-                    for j in range(4)
-                ]),
-            )
-        ),
-    )
-    zeros = F.array(*[F.lit(0) for _ in range(64)])
-    votes = F.aggregate(
-        bitvotes, zeros, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
-    )
-    step = step.select(id_col, votes.alias("_votes"))
-    weights = F.array(*[F.lit(1 << j) for j in range(16)])
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"_d{k // 4}"), k % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{k}")
+        for k in range(64)
+    ]
+    agg = w.groupBy(id_col).agg(*votes)
     chunk_cols = []
     for c in range(4):
-        bits = F.transform(
-            F.slice(F.col("_votes"), 16 * c + 1, 16),
-            lambda v: F.when(v > 0, 1).otherwise(0),
-        )
-        chunk = F.aggregate(
-            F.zip_with(bits, weights, lambda b, w: b * w),
-            F.lit(0), lambda acc, x: acc + x,
-        )
-        chunk_cols.append(chunk.alias(f"sh{c}"))
-    return step.select(id_col, *chunk_cols)
+        chunk = None
+        for j in range(16):
+            bit = F.when(F.col(f"_v{16 * c + j}") > 0, 1 << j).otherwise(0)
+            chunk = bit if chunk is None else chunk + bit
+        chunk_cols.append(chunk.cast("int").alias(f"sh{c}"))
+    return agg.select(id_col, *chunk_cols)
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
