@@ -510,18 +510,6 @@ def _append_arg(s: str, fname: str, extra: str, only_if_single=False) -> str:
         pos = a1 + 1
 
 
-def _swap_two_args(s: str, fname: str, new_name: str) -> str:
-    while True:
-        found = _find_call(s, fname)
-        if not found:
-            return s
-        st, a0, a1 = found
-        args = _split_args(s[a0:a1])
-        if len(args) >= 2:
-            args[0], args[1] = args[1], args[0]
-        s = s[:st] + new_name + "(" + ", ".join(args) + s[a1:]
-
-
 def _parse_flags(body: str):
     """Leading ``-name='value'`` / ``-flag`` options of a parse-* command."""
     flags = {}
