@@ -47,7 +47,7 @@ class SplUnsupported(SplError):
 
 _UNSUPPORTED = {
     "spooky_hash_v2_32", "spooky_hash_v2_64", "empty_approx_set",
-    "classify", "features", "array_normalize", "json_size",
+    "classify", "features",
 }
 
 # Presto names with no Spark builtin, shimmed as registered UDFs
@@ -203,6 +203,18 @@ def _translate_expr(expr: str) -> str:
         lambda a: f"array_contains(from_json({a[0]}, 'array<string>'), "
         f"cast({a[1]} as string))",
     )
+
+    # json_size(j, path): #keys of an object, #elements of an array, 0 for
+    # a scalar at the path
+    def json_size_fn(args):
+        j, path = args[0], args[1]
+        v = f"get_json_object({j}, {path})"
+        return (
+            f"(CASE WHEN {v} rlike '^\\\\s*\\\\{{' THEN size(json_object_keys({v}))"
+            f" WHEN {v} rlike '^\\\\s*\\\\[' THEN cast(json_array_length({v}) as int)"
+            f" WHEN {v} IS NULL THEN NULL ELSE 0 END)"
+        )
+    out = rewrite(out, "json_size", json_size_fn)
     # to_utf8(x)/from_utf8(x) == encode/decode(x, 'utf-8')
     out = re.sub(r"\bto_utf8\s*\(", "encode(", out)
     out = _append_arg(out, "encode", "'utf-8'", only_if_single=True)
@@ -270,10 +282,24 @@ def _translate_expr(expr: str) -> str:
                   _shift("shiftright", "bitwise_arithmetic_shift_right"))
     out = rewrite(out, "bitwise_right_shift_arithmetic",
                   _shift("shiftright", "bitwise_right_shift_arithmetic"))
-    out = rewrite(out, "bitwise_logical_shift_right",
-                  _shift("shiftrightunsigned", "bitwise_logical_shift_right"))
-    out = rewrite(out, "bitwise_shift_left",
-                  _shift("shiftleft", "bitwise_shift_left"))
+
+    # the 3-arg forms treat x as a `bits`-wide unsigned value
+    def logical_shift_r(args):
+        if len(args) == 2:
+            return f"shiftrightunsigned({args[0]}, {args[1]})"
+        x, sh, bits = args[0], args[1], int(lit_val(args[2]))
+        mask = (1 << bits) - 1
+        return f"shiftrightunsigned(({x}) & {mask}, {sh})"
+
+    def shift_l(args):
+        if len(args) == 2:
+            return f"shiftleft({args[0]}, {args[1]})"
+        x, sh, bits = args[0], args[1], int(lit_val(args[2]))
+        mask = (1 << bits) - 1
+        return f"(shiftleft({x}, {sh}) & {mask})"
+
+    out = rewrite(out, "bitwise_logical_shift_right", logical_shift_r)
+    out = rewrite(out, "bitwise_shift_left", shift_l)
     out = re.sub(r"\bbitwise_left_shift\s*\(", "shiftleft(", out)
     out = re.sub(r"\bbitwise_right_shift\s*\(", "shiftrightunsigned(", out)
 
@@ -405,18 +431,35 @@ def _translate_expr(expr: str) -> str:
                   lambda a: f"(aggregate({a[0]}, cast(0 as double), "
                   f"(acc, x) -> acc + x) / size({a[0]}))")
 
+    # array_normalize(a, p): divide by the p-norm (null-safe on zero norm)
+    out = rewrite(
+        out, "array_normalize",
+        lambda a: (
+            f"transform({a[0]}, __x -> __x / nullif(power(aggregate({a[0]}, "
+            f"cast(0 as double), (__acc, __v) -> __acc + power(abs(__v), "
+            f"{a[1]})), 1.0 / ({a[1]})), 0))"
+        ) if len(a) == 2 else None,
+    )
+
+    # array_position(a, el, instance): position of the Nth occurrence
     def array_position_fn(args):
-        if len(args) >= 3:
-            raise SplUnsupported(
-                "3-arg array_position (nth instance) has no Spark analog")
-        return None
+        if len(args) < 3:
+            return None
+        a, el, inst = args[0], args[1], args[2]
+        return (
+            f"coalesce(try_element_at(filter(transform({a}, (__x, __i) -> "
+            f"CASE WHEN __x = {el} THEN __i + 1 END), "
+            f"__p -> __p IS NOT NULL), {inst}), 0)"
+        )
     out = rewrite(out, "array_position", array_position_fn)
 
+    # width_bucket(x, bins): count of ascending bin bounds <= x
     def width_bucket_fn(args):
-        if len(args) == 2:
-            raise SplUnsupported(
-                "2-arg width_bucket (bin array) has no Spark analog")
-        return None
+        if len(args) != 2:
+            return None
+        x, bins = args[0], args[1]
+        return (f"aggregate({bins}, 0, (__acc, __b) -> "
+                f"__acc + IF(({x}) >= __b, 1, 0))")
     out = rewrite(out, "width_bucket", width_bucket_fn)
     out = re.sub(r"\bzip\s*\(", "arrays_zip(", out)
     out = re.sub(r"\bcontains\s*\(", "array_contains(", out)

@@ -27,13 +27,7 @@ CORPUS_PATH = "/root/reference/core/unittest/spl/spl.txt"
 XFAIL = {
     "spooky_hash_v2": "SpookyHash has no Spark builtin or public shim",
     "empty_approx_set": "HLL sketch type has no Spark analog",
-    "bitwise_logical_shift_right(a, 9, 8)": "explicit bit-width shifts unsupported",
-    "bitwise_shift_left(a, 9, 8)": "explicit bit-width shifts unsupported",
-    "array_normalize": "p-norm normalize has no Spark builtin",
-    "array_position(a, 3, 2)": "nth-instance array_position unsupported",
-    "slice(a, 0, 3)": "0-based slice start rejected by Spark",
-    "width_bucket(3, a)": "bin-array width_bucket has no Spark analog",
-    "json_size": "json_size has no Spark analog",
+    "slice(a, 0, 3)": "0 start index rejected by both Spark and Presto",
 }
 
 
