@@ -50,6 +50,38 @@ def windowed_counts(
     )
 
 
+def melt_sink_counters(
+    routed: DataFrame,
+    rules,
+    window_duration: str = "1 hour",
+    keys: tuple[str, ...] = ("role",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Single-pass counters across ALL sinks: melt the per-sink boolean
+    bits into an exploded sink-name column, then one partial-aggregated
+    groupBy — one scan of the routed frame instead of one filtered scan
+    per sink. Output identical to sink_counters over the sink branches:
+    (sink, window_start, keys..., n_rows)."""
+    from loongcollector_spark.routing import SINK_PREFIX
+
+    sink_names = F.filter(
+        F.array(*[
+            F.when(F.col(SINK_PREFIX + r.name), F.lit(r.name)) for r in rules
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        routed.select(
+            F.explode(sink_names).alias("sink"),
+            F.window(F.col(ts_col), window_duration).getField("start").alias("window_start"),
+            *[F.col(k) for k in keys],
+        )
+        .groupBy("sink", "window_start", *keys)
+        .agg(F.count("*").alias("n_rows"))
+        .select("sink", "window_start", *keys, "n_rows")
+    )
+
+
 def sink_counters(
     sinks: dict[str, DataFrame],
     window_duration: str = "1 hour",

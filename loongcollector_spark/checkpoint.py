@@ -63,8 +63,30 @@ class Manifest:
 
 
 def input_fingerprint(df) -> str:
-    """Deterministic fingerprint of the input: row count + xor of per-row
-    hashes over the key columns. One cheap scan; order-insensitive."""
+    """Deterministic fingerprint of the input.
+
+    File-backed frames (the production path): hash of the sorted input
+    file list plus per-file (size, mtime) where stat-able — O(files), no
+    data scan; at 100 TB a content-hash pass before any work is a full
+    extra read of the input. Non-file frames (in-memory test inputs)
+    fall back to one scan: row count + xor of per-row key hashes,
+    order-insensitive.
+    """
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    if files:
+        h = hashlib.md5()
+        for f in files:
+            h.update(f.encode())
+            path = f[5:] if f.startswith("file:") else f
+            try:
+                st = os.stat(path)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass  # non-local FS: the path list alone fingerprints
+        return f"files:{len(files)}:{h.hexdigest()}"
+
     from pyspark.sql import functions as F
 
     row = df.select(

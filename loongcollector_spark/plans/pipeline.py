@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from loongcollector_spark import routing
-from loongcollector_spark.aggregate import sink_counters, with_pack_id, windowed_counts
+from loongcollector_spark.aggregate import melt_sink_counters, with_pack_id, windowed_counts
 from loongcollector_spark.checkpoint import Manifest, input_fingerprint
 from loongcollector_spark.datagen import ROLE_DICT, TOOL_DICT
 from loongcollector_spark.metrics import MetricsCollector, partition_lineage
@@ -246,8 +246,10 @@ def run_pipeline(
         manifest.data = {"input_fingerprint": None, "stages": {}}
     manifest.reset_if_input_changed(fp)
 
-    # fingerprint is "n:hash" — reuse its count, one input scan not two
-    in_rows_row = int(fp.split(":", 1)[0])
+    # a scan-based fingerprint is "n:hash" — reuse its count; the
+    # file-metadata fingerprint ("files:...") carries no count, so input
+    # rows = routed rows (routing never drops rows)
+    in_rows_row = None if fp.startswith("files:") else int(fp.split(":", 1)[0])
 
     routed = transcript_pipeline(df, rules)
     routed = with_pack_id(routed)
@@ -257,7 +259,14 @@ def run_pipeline(
     )
     routed = routed.persist()
     try:
-        routed_rows = mc.timed_count("parse+enrich+route", in_rows_row, routed)
+        routed_rows = mc.timed_count(
+            "parse+enrich+route",
+            in_rows_row if in_rows_row is not None else -1, routed,
+        )
+        if in_rows_row is None:
+            in_rows_row = routed_rows
+            mc.records[-1].in_rows = routed_rows
+            mc.records[-1].dropped_rows = 0
 
         completed = 0
         sink_frames: dict[str, DataFrame] = {}
@@ -315,16 +324,20 @@ def run_pipeline(
                         f"injected failure after {completed} sink stages"
                     )
 
-        # Stage A: per-sink windowed counters. Computed from the cached
-        # routed frame, not a disk re-read: the manifest's input
-        # fingerprint guarantees resumed sinks were written from the same
-        # input, and the sink frames are deterministic functions of it,
-        # so in-memory frames == on-disk content.
+        # Stage A: per-sink windowed counters, computed in ONE melt pass
+        # over the cached routed frame (explode sink bits → one
+        # partial-agg shuffle) rather than a filtered scan per sink or a
+        # disk re-read: the manifest's input fingerprint guarantees
+        # resumed sinks were written from the same input, and the sink
+        # bits are deterministic functions of it, so in-memory content ==
+        # on-disk content.
         stage = "counters"
         cpath = f"{out_dir}/counters"
         if not (resume and manifest.is_done(stage)):
             t1 = time.monotonic()
-            counters = sink_counters(sink_frames, window_duration, counter_keys)
+            counters = melt_sink_counters(
+                routed, rules, window_duration, counter_keys
+            )
             cobs = Observation("counter_rows")
             counters = counters.observe(cobs, F.count(F.lit(1)).alias("n"))
             counters.write.mode("overwrite").parquet(cpath)

@@ -77,3 +77,26 @@ def test_manifest_atomic_shape(spark, tmp_path):
         data = json.load(f)
     assert data["input_fingerprint"]
     assert all(v["status"] == "done" for v in data["stages"].values())
+
+
+def test_file_fingerprint_metadata_path(spark, tmp_path):
+    """File-backed inputs fingerprint from file metadata (no data scan);
+    rewriting the input changes the fingerprint, re-reading does not."""
+    import time as _time
+
+    from loongcollector_spark.checkpoint import input_fingerprint
+
+    p = str(tmp_path / "in.parquet")
+    gen_transcripts(spark, 500, 50).write.mode("overwrite").parquet(p)
+    f1 = input_fingerprint(spark.read.parquet(p))
+    f2 = input_fingerprint(spark.read.parquet(p))
+    assert f1 == f2 and f1.startswith("files:")
+
+    _time.sleep(0.05)  # ensure mtime moves
+    gen_transcripts(spark, 600, 50).write.mode("overwrite").parquet(p)
+    f3 = input_fingerprint(spark.read.parquet(p))
+    assert f3 != f1
+
+    # in-memory frames fall back to the scan fingerprint
+    f4 = input_fingerprint(gen_transcripts(spark, 100, 10))
+    assert not f4.startswith("files:") and ":" in f4
