@@ -78,3 +78,26 @@ def test_parse_container_log_docker_json(spark):
     got = op(df).orderBy("_time_").collect()
     assert got[0]["content"] == "line done" and not got[0]["_part_"]
     assert got[1]["content"] == "partial..." and got[1]["_part_"]
+
+
+def test_table_adapter_parquet_fallback(spark, tmp_path):
+    """tables.py: without the Iceberg runtime every entry point degrades
+    to parquet with the same logical layout; the Iceberg DDL carries the
+    bucket/days partition spec and write order."""
+    from loongcollector_spark import tables
+
+    assert not tables.iceberg_available(spark)  # none in this container
+
+    ddl = tables.transcripts_ddl("transcripts")
+    assert f"bucket({tables.N_BUCKETS}, conv_id)" in ddl
+    assert "days(ts)" in ddl and "USING iceberg" in ddl
+    assert "ORDERED BY conv_id, turn_idx" in tables.transcripts_write_order_ddl("transcripts")
+
+    from loongcollector_spark.datagen import gen_transcripts
+
+    df = gen_transcripts(spark, 200, 20)
+    p = str(tmp_path / "t")
+    tables.write_table(df, p, mode="overwrite", partition_by=("role",))
+    back = tables.read_table(spark, p)
+    assert back.count() == 200
+    assert set(back.columns) == set(df.columns)
