@@ -1,0 +1,95 @@
+"""Plan-shape regression tests — the scale contracts, asserted on the
+physical plan so a refactor cannot silently reintroduce a shuffle, lose
+predicate pushdown, or downgrade a broadcast join.
+
+These encode the 100 TB posture the flagship claims:
+* parse→enrich→route is shuffle-free (one fused codegen pass);
+* the whole pipeline has exactly ONE exchange (the salted repartition);
+* parquet scans receive pushed filters and pruned schemas;
+* dict enrichment never shuffles the fact table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark import routing
+from loongcollector_spark.datagen import gen_transcripts
+from loongcollector_spark.plans.pipeline import parse_stage, transcript_pipeline
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    gen_transcripts(spark, 2_000, 200).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_parse_enrich_route_is_shuffle_free(parquet_transcripts):
+    plan = _plan(transcript_pipeline(parquet_transcripts))
+    assert "Exchange" not in plan  # narrow end to end: scan → project
+    assert "*(1)" in plan  # whole-stage-codegen span marker
+
+
+def test_pipeline_has_exactly_one_exchange(parquet_transcripts):
+    routed = routing.salted_repartition(
+        transcript_pipeline(parquet_transcripts), num_partitions=8
+    )
+    plan = _plan(routed)
+    # the ONE salted repartition; AQE may annotate but not add exchanges
+    assert plan.count("Exchange") == 1
+
+
+def test_parquet_pushdown_and_pruning(parquet_transcripts):
+    df = (
+        parquet_transcripts
+        .filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,assistant)" in plan
+    # column pruning: the scan must read only the 3 referenced columns
+    schema_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" not in schema_line and "tool" not in schema_line
+
+
+def test_dict_enrichment_never_shuffles_fact_table(parquet_transcripts):
+    from loongcollector_spark.plans.pipeline import enrich_stage
+
+    plan = _plan(enrich_stage(parquet_transcripts))
+    # small dicts inline as create_map literals: no join, no exchange
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_large_dict_uses_broadcast_join(spark, parquet_transcripts):
+    from loongcollector_spark.operators import build_operator
+
+    big = {f"tool_{i}": f"cat_{i % 7}" for i in range(500)}  # > inline cap
+    op = build_operator({
+        "Type": "processor_dict_map", "SourceKey": "tool",
+        "DestKey": "cat", "MapDict": big,
+    })
+    plan = _plan(op(parquet_transcripts))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must never sort-shuffle
+
+
+def test_minhash_lsh_join_carries_ids_and_bands_only(spark):
+    from loongcollector_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 7} repeated tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs))
+    # any shuffle in the pair join partitions on the band digest (+ ids),
+    # never on/with the document text
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    for ln in exchanges:
+        assert "text" not in ln
+        assert "band" in ln or "doc_" in ln
