@@ -188,6 +188,7 @@ def _translate_expr(expr: str) -> str:
     out = re.sub(r"\bany_match\s*\(", "exists(", out)
     out = re.sub(r"\bcardinality\s*\(", "size(", out)
     out = re.sub(r"\bjson_extract_scalar\s*\(", "get_json_object(", out)
+    out = re.sub(r"\bjson_extract\s*\(", "get_json_object(", out)
     # json family: Spark works on JSON TEXT directly, so json_parse /
     # json_format are the identity; is_json_scalar = "does not start with
     # an object/array opener" over valid JSON text
@@ -672,6 +673,25 @@ def _compile_cmd(cmd: _Cmd):
 
     if name == "parse-kv":
         flags, rest = _parse_flags(body)
+        if flags.get("regexp"):
+            # regex-KV mode (SplUnittest.cpp TestRegexKV): pairs are the
+            # (key)(value) captures of a 2-group pattern
+            m = re.match(r"([\w\"]+)\s*,\s*'((?:[^'\\]|\\.)*)'\s*$",
+                         rest, re.DOTALL)
+            if not m:
+                raise SplError(f"bad parse-kv -regexp: {rest!r}")
+            col, rx = m.group(1).strip('"'), m.group(2)
+
+            def run_rxkv(df, col=col, rx=rx):
+                mcol = F.map_from_arrays(
+                    F.regexp_extract_all(F.col(col), F.lit(rx), F.lit(1)),
+                    F.regexp_extract_all(F.col(col), F.lit(rx), F.lit(2)),
+                )
+                keys = _sample_rx_keys(df, col, rx)
+                for k in keys:
+                    df = df.withColumn(k, mcol.getItem(k))
+                return df
+            return run_rxkv
         col = rest.strip().strip('"')
         delims = flags.get("delims", "&")
         kv_sep = flags.get("kv-sep", "=")
@@ -715,6 +735,20 @@ def _sample_json_keys(df: DataFrame, col: str, path: str | None) -> list[str]:
             for k in obj:
                 if k not in keys:
                     keys.append(k)
+    return keys
+
+
+def _sample_rx_keys(df: DataFrame, col: str, rx: str) -> list[str]:
+    """Plan-time key discovery for regex-KV mode (same move as the other
+    schema-dynamic parse commands)."""
+    crx = re.compile(rx)
+    rows = df.select(col).filter(F.col(col).isNotNull()).limit(SAMPLE_ROWS).collect()
+    keys: list[str] = []
+    for r in rows:
+        for m in crx.finditer(r[col] or ""):
+            k = m.group(1)
+            if k and k not in keys:
+                keys.append(k)
     return keys
 
 
