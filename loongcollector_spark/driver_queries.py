@@ -924,6 +924,53 @@ FROM documents
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """multimodal frame sampling: explode n_frames into sampled indexes
+    (codegen sequence+explode), payload fingerprinted for the compare."""
+    from loongcollector_spark.functions.multimodal import (
+        documents_as_media, frame_sample,
+    )
+
+    media = documents_as_media(_docs(spark, sf_dir), "video")
+    return frame_sample(media, every_n=7).select(
+        "doc_id", "frame_idx", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
+O_FRAME_SAMPLE = """
+SELECT doc_id, cast(unnest(range(0, (doc_id % 30) + 1, 7)) AS INT) AS frame_idx,
+  md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q_serialized_events(spark, sf_dir):
+    """JsonSerializer / flusher_file golden format: one JSON object per
+    event — __time__ + tag + contents, null-free — byte-compared (via
+    md5) against a DuckDB reconstruction of the exact same text."""
+    from loongcollector_spark.serializer import json_event_column
+
+    df = transcripts_from_events(spark, sf_dir)
+    line = json_event_column(df, tags={"__hostname__": "bench-host"})
+    return df.select(
+        "conv_id", "turn_idx",
+        F.md5(line.cast("binary")).alias("line_md5"),
+    )
+
+
+O_SERIALIZED_EVENTS = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  md5('{"__time__":' || cast(floor(epoch(ts)) AS BIGINT)
+   || ',"__hostname__":"bench-host"'
+   || ',"conv_id":' || to_json(conv_id)
+   || ',"turn_idx":' || turn_idx
+   || ',"role":' || to_json(role)
+   || ',"text":' || to_json(text)
+   || ',"tool":' || to_json(tool) || '}') AS line_md5
+FROM t
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """exact dedup: hash-groupBy on normalized text fingerprint."""
     from loongcollector_spark.functions.dedup import exact_dedup
@@ -1508,6 +1555,8 @@ QUERIES = {
     "simhash_near_pairs": (q_simhash_near_pairs, O_SIMHASH_NEAR_PAIRS),
     "encrypt_fields": (q_encrypt_fields, O_ENCRYPT_FIELDS),
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
+    "frame_sample": (q_frame_sample, O_FRAME_SAMPLE),
+    "serialized_events": (q_serialized_events, O_SERIALIZED_EVENTS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality_score, O_QUALITY_SCORE),

@@ -24,18 +24,23 @@ def serializable_columns(df: DataFrame) -> list[str]:
             if not any(c.startswith(p) for p in _INTERNAL_PREFIXES)]
 
 
-def to_json_events(df: DataFrame, time_col: str = "ts",
-                   tags: dict[str, str] | None = None) -> DataFrame:
-    """One JSON string per row: ``__time__`` + contents (+ constant tags),
-    null fields dropped like the reference omits absent contents."""
+def json_event_column(df: DataFrame, time_col: str = "ts",
+                      tags: dict[str, str] | None = None):
+    """The serialized-event Column: ``__time__`` + constant tags +
+    contents, null fields dropped like the reference omits absent
+    contents."""
     cols = [c for c in serializable_columns(df) if c != time_col]
     fields = [F.unix_timestamp(F.col(time_col)).alias("__time__")]
     for k, v in (tags or {}).items():
         fields.append(F.lit(v).alias(k))
     fields += [F.col(c) for c in cols]
-    return df.select(
-        F.to_json(F.struct(*fields), {"ignoreNullFields": "true"}).alias("value")
-    )
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
+
+
+def to_json_events(df: DataFrame, time_col: str = "ts",
+                   tags: dict[str, str] | None = None) -> DataFrame:
+    """One JSON string per row (see json_event_column)."""
+    return df.select(json_event_column(df, time_col, tags).alias("value"))
 
 
 def write_json_sink(df: DataFrame, path: str, time_col: str = "ts",
