@@ -1,0 +1,116 @@
+"""Reference-style pipeline YAML → executable Spark pipeline.
+
+A user of the reference writes collection configs like
+``test/benchmark/local/test_cases/performance_file_to_file_loongcollector/
+loongcollector.yaml``::
+
+    enable: true
+    inputs:
+      - Type: input_file
+        FilePaths: [/path/*.log]
+    processors:
+      - Type: processor_parse_regex_native
+        SourceKey: content
+        Regex: ...
+        Keys: [...]
+    flushers:
+      - Type: flusher_file
+        FilePath: /path/test.out
+
+This module runs THAT file shape on Spark: inputs map to the source
+adapters (raw field named ``content``, reference convention),
+``*_native`` type suffixes resolve to the registered factories,
+processors/aggregators compile through ``build_operator`` (with its
+config-key validation), and flushers through ``build_flusher``. One
+YAML, one Catalyst plan per flusher.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession
+
+from loongcollector_spark.flushers import build_flusher
+from loongcollector_spark.operators import REGISTRY, build_operator
+
+
+@dataclass
+class PipelineConfig:
+    enable: bool = True
+    inputs: list = field(default_factory=list)
+    processors: list = field(default_factory=list)
+    aggregators: list = field(default_factory=list)
+    flushers: list = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, text: str) -> "PipelineConfig":
+        raw = yaml.safe_load(text) or {}
+        return cls(
+            enable=raw.get("enable", True),
+            inputs=raw.get("inputs", []),
+            processors=raw.get("processors", []),
+            aggregators=raw.get("aggregators", []),
+            flushers=raw.get("flushers", []),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            return cls.parse(f.read())
+
+
+def _resolve_type(name: str) -> str:
+    """Reference plugin name → registry name: the C++ natives carry a
+    ``_native`` suffix the registry spells without."""
+    if name in REGISTRY:
+        return name
+    if name.endswith("_native") and name[: -len("_native")] in REGISTRY:
+        return name[: -len("_native")]
+    return name  # let build_operator raise with the known-names list
+
+
+def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
+    from loongcollector_spark import sources
+
+    typ = cfg["Type"]
+    if typ in ("input_file", "input_static_file_onetime"):
+        frames = [
+            sources.input_file(spark, glob) for glob in cfg["FilePaths"]
+        ]
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        # reference convention: the raw field is named `content`
+        return df.withColumnRenamed("text", "content")
+    if typ in ("service_mock", "metric_mock"):
+        return sources.service_mock(
+            spark, n_turns=cfg.get("Turns", 10_000)
+        ).withColumnRenamed("text", "content")
+    raise KeyError(f"unsupported input type {typ!r} in this environment")
+
+
+def run_config(spark: SparkSession, cfg: PipelineConfig,
+               df: DataFrame | None = None) -> DataFrame | None:
+    """Execute a pipeline config. ``df`` overrides the inputs section
+    (test hook). Returns the final transformed frame (also handed to
+    every flusher)."""
+    if not cfg.enable:
+        return None
+    if df is None:
+        frames = [_read_input(spark, i) for i in cfg.inputs]
+        if not frames:
+            raise ValueError("pipeline config has no inputs and no df")
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+
+    for proc in cfg.processors + cfg.aggregators:
+        op = build_operator({**proc, "Type": _resolve_type(proc["Type"])})
+        df = op(df)
+
+    for flusher in cfg.flushers:
+        build_flusher(flusher)(df)
+    return df

@@ -30,7 +30,9 @@ def json_event_column(df: DataFrame, time_col: str = "ts",
     contents, null fields dropped like the reference omits absent
     contents."""
     cols = [c for c in serializable_columns(df) if c != time_col]
-    fields = [F.unix_timestamp(F.col(time_col)).alias("__time__")]
+    fields = []
+    if time_col in df.columns:
+        fields.append(F.unix_timestamp(F.col(time_col)).alias("__time__"))
     for k, v in (tags or {}).items():
         fields.append(F.lit(v).alias(k))
     fields += [F.col(c) for c in cols]
