@@ -74,9 +74,9 @@ def _ip_to_long(col):
 @register("processor_geoip", keys={"SourceKey", "Ranges", "DictFilePath", "NoMatch"})
 def geoip(cfg: dict):
     """IP → country/province/city (processor_geoip.go:35-49, MaxMind-style
-    interval db) as a BROADCAST RANGE JOIN: the range table is small by
-    contract, so Spark plans BroadcastNestedLoopJoin — the fact table never
-    shuffles; at 100 TB each task probes an in-memory sorted range list.
+    interval db) as a /16-prefix-bucketed BROADCAST HASH JOIN — the fact
+    table never shuffles and each probe touches only the ranges of its
+    own /16 block (see the bucketing comment below).
 
     Config: ``SourceKey`` (ip string column); ``Ranges`` inline rows
     [start_ip, end_ip, country, province, city] or ``DictFilePath`` CSV
@@ -352,3 +352,25 @@ def split_string(cfg: dict):
 # columns, so the semantics are content_value_group's.
 _alias("aggregator_metadata_group", "aggregator_content_value_group",
        {"GroupMetadataKeys": "GroupKeys"})
+
+
+@register("processor_spl", keys={"Script", "TimeoutMilliSeconds", "MaxMemoryBytes"})
+def processor_spl(cfg: dict):
+    """SPL script processor (ProcessorSPL.cpp:34-154): compile the Script
+    through the SPL front-end at build time; single-output scripts apply
+    in-line (the config-pipeline position). Timeout/memory knobs are
+    engine-owned in Spark and accepted for config compatibility."""
+    script = cfg["Script"]
+
+    def run(df):
+        from loongcollector_spark.spl import spl_run
+
+        outs = spl_run(df, script)
+        if len(outs) != 1:
+            raise ValueError(
+                "processor_spl in a pipeline position needs a single-output "
+                f"script; got branches {sorted(outs)}"
+            )
+        return next(iter(outs.values()))
+
+    return run

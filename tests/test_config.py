@@ -89,3 +89,32 @@ processors:
 def test_config_disable_is_noop(spark):
     cfg = PipelineConfig.parse("enable: false\nprocessors: []\n")
     assert run_config(spark, cfg, df=None) is None
+
+
+def test_reference_spl_yaml_runs(spark, tmp_path):
+    """The reference's SPL benchmark config
+    (performance_file_to_file_loongcollectorspl/loongcollector.yaml):
+    processor_spl with a parse-regexp script, run verbatim."""
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "a.log").write_text((NGINX_LINE + "\n") * 3)
+
+    cfg = PipelineConfig.parse(f"""
+enable: true
+inputs:
+  - Type: input_file
+    FilePaths:
+      - {logdir}/*.log
+processors:
+  - Type: processor_spl
+    Script: |
+      * | parse-regexp content, '^([^ ]*) ([^ ]*) ([^ ]*) \\[([^\\]]*)\\] "(\\S+) ([^\\"]*) (\\S*)" ([^ ]*) ([^ ]*) "([^\\"]*)" "([^\\"]*)"' as ip, ident, auth, timestamp, method, request, http_version, response_code, bytes, referrer, user_agent
+flushers:
+  - Type: flusher_file
+    FilePath: {tmp_path}/out/test.out
+""")
+    out = run_config(spark, cfg)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["ip"] == "192.168.0.1"
+    assert rows[0]["method"] == "GET" and rows[0]["response_code"] == "200"

@@ -241,3 +241,27 @@ def test_spl_url_and_bitwise(spl_df):
         "e = bitwise_left_shift(1, 4) | project a, b, c, d, e",
     )["out"].first()
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8, 14, 6, -1, 16)
+
+
+def test_translate_never_corrupts_literals():
+    """Property: quoted literal contents survive translation verbatim
+    (modulo backslash doubling for Spark's SQL parser) even when they
+    spell function names the rename passes target."""
+    from hypothesis import given, settings, strategies as st
+
+    from loongcollector_spark.spl import _translate_expr
+
+    nasty = st.text(
+        alphabet="now()chr strpos(a,b) map zip contains \\ &=| .09",
+        max_size=24,
+    ).filter(lambda s: "'" not in s)
+
+    @settings(max_examples=200, deadline=None)
+    @given(nasty)
+    def check(lit):
+        out = _translate_expr(f"concat(x, '{lit}', now())")
+        expected = "'" + lit.replace("\\", "\\\\") + "'"
+        assert expected in out, (lit, out)
+        assert out.endswith("current_timestamp())")
+
+    check()
