@@ -92,6 +92,57 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
     raise KeyError(f"unsupported input type {typ!r} in this environment")
 
 
+def run_config_streaming(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    out_root: str,
+    available_now: bool = True,
+):
+    """Continuous mode for the same YAML: the input_file glob becomes a
+    file-source STREAM (new files are the tailed input), the processor
+    chain applies per micro-batch (pure functions — one code path for
+    batch and streaming), and each flusher writes into a ``batch=<id>``
+    subdirectory with overwrite, so a replayed micro-batch is idempotent
+    (the FlushOutStore redelivery posture). Returns the StreamingQuery.
+    """
+    if not cfg.enable:
+        return None
+    src = cfg.inputs[0]
+    if src["Type"] not in ("input_file", "input_static_file_onetime"):
+        raise KeyError(f"streaming input {src['Type']!r} unsupported here")
+    stream = spark.readStream.text(src["FilePaths"][0])
+    stream = stream.withColumnRenamed("value", "content")
+
+    ops = [
+        build_operator({**proc, "Type": _resolve_type(proc["Type"])})
+        for proc in cfg.processors + cfg.aggregators
+    ]
+    flusher_cfgs = list(cfg.flushers)
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        for op in ops:
+            bdf = op(bdf)
+        bdf = bdf.persist()
+        try:
+            for fcfg in flusher_cfgs:
+                per_batch = dict(fcfg)
+                for key in ("FilePath", "Path"):
+                    if key in per_batch:
+                        per_batch[key] = f"{per_batch[key]}/batch={batch_id}"
+                build_flusher(per_batch)(bdf)
+        finally:
+            bdf.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_root}/_checkpoint")
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_config(spark: SparkSession, cfg: PipelineConfig,
                df: DataFrame | None = None) -> DataFrame | None:
     """Execute a pipeline config. ``df`` overrides the inputs section

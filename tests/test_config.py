@@ -118,3 +118,28 @@ flushers:
     assert len(rows) == 3
     assert rows[0]["ip"] == "192.168.0.1"
     assert rows[0]["method"] == "GET" and rows[0]["response_code"] == "200"
+
+
+def test_reference_yaml_streaming_mode(spark, tmp_path):
+    """The SAME nginx YAML runs continuously: file-source stream, per-
+    micro-batch processor chain, idempotent batch=<id> flusher output."""
+    from loongcollector_spark.config import run_config_streaming
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "a.log").write_text((NGINX_LINE + "\n") * 4)
+    (logdir / "b.log").write_text((NGINX_LINE + "\n") * 2)
+
+    cfg = PipelineConfig.parse(
+        YAML.format(logdir=logdir, outdir=tmp_path / "out")
+    )
+    q = run_config_streaming(spark, cfg, str(tmp_path / "stream"))
+    q.awaitTermination(120)
+
+    lines = []
+    for p in glob.glob(f"{tmp_path}/out/test.out/batch=*/part-*"):
+        opener = gzip.open if p.endswith(".gz") else open
+        with opener(p, "rt") as f:
+            lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert len(lines) == 6
+    assert all(ln["ip"] == "192.168.0.1" for ln in lines)
