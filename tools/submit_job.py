@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="transcripts parquet dir")
+    ap.add_argument("--config", help="reference-style pipeline YAML: run it "
+                                     "(inputs/processors/flushers) and exit")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic turns instead of reading --input")
     ap.add_argument("--output", default="/tmp/lcs_out")
@@ -46,6 +48,17 @@ def main():
     else:
         # under spark-submit the master/conf come from the launcher
         spark = SparkSession.builder.appName("lcs-submit").getOrCreate()
+
+    if args.config:
+        from loongcollector_spark.config import PipelineConfig, run_config
+
+        out = run_config(spark, PipelineConfig.load(args.config))
+        print(json.dumps({
+            "config": args.config,
+            "rows": out.count() if out is not None else 0,
+        }))
+        spark.stop()
+        return
 
     if args.generate:
         from loongcollector_spark.datagen import gen_transcripts
