@@ -50,7 +50,7 @@ def dict_map(cfg: dict):
     def run(df):
         if len(mapping) <= INLINE_THRESHOLD:
             m = F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
-            mapped = m.getItem(F.col(src))
+            mapped = m[F.col(src)]
         else:
             spark = SparkSession.getActiveSession()
             dict_df = spark.createDataFrame(

@@ -124,7 +124,12 @@ def _translate_expr(expr: str) -> str:
     def rewrite(s: str, fname: str, fn):
         """Rewrite every fname(...) call: fn(args) returns the replacement
         text, or None to leave this call untouched (still scanning its
-        arguments for nested calls)."""
+        arguments for nested calls). Scanning resumes AFTER a replacement
+        (required for self-referential replacements like map_concat), so
+        a call of the same function nested inside a rewritten call's
+        arguments is left untranslated — it then fails loudly at Spark
+        parse time rather than looping here; no corpus pipeline nests
+        these."""
         pos = 0
         while True:
             found = _find_call(s[pos:], fname)
