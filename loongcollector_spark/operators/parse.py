@@ -235,34 +235,72 @@ def parse_delimiter(cfg: dict):
     return run
 
 
-@register("processor_split_key_value", keys=COMMON_PARSE_KEYS | {"Delimiter", "Separator", "Keys", "AttrsKey", "AllowingMissingKeys"})
+@register("processor_split_key_value",
+          keys=COMMON_PARSE_KEYS | {"Delimiter", "Separator", "Keys",
+                                    "AttrsKey", "AllowingMissingKeys",
+                                    "EmptyKeyPrefix", "NoSeparatorKeyPrefix"})
 def parse_kv(cfg: dict):
     """Key/value splitting (``a=1&b=2``).
 
     Semantics matched: key_value_splitter.go:26-45 — ``Delimiter`` between
-    pairs, ``Separator`` between key and value. With ``Keys`` given, each
-    listed key becomes a typed top-level column; otherwise the pairs land in
-    a ``map<string,string>`` column ``AttrsKey``.
+    pairs, ``Separator`` between key and value; anomalous pairs keep their
+    content under generated keys: a pair WITHOUT the separator lands at
+    ``NoSeparatorKeyPrefix<idx>`` and a pair with an EMPTY key at
+    ``EmptyKeyPrefix<idx>`` (idx = the pair's position — a deterministic
+    variant of the reference's running counter). With ``Keys`` given, each
+    listed key becomes a top-level column; otherwise the pairs land in a
+    ``map<string,string>`` column ``AttrsKey``.
 
-    Spark: ``str_to_map`` — one codegen expression, no UDF.
+    Spark: ``str_to_map`` on the fast path; the anomaly-aware map is an
+    indexed ``transform`` + ``map_from_entries`` — still pure codegen.
     """
     src = cfg.get("SourceKey", "text")
     delim = cfg.get("Delimiter", "&")
     sep = cfg.get("Separator", "=")
     keys = cfg.get("Keys")
     attrs_key = cfg.get("AttrsKey", "attrs")
+    empty_prefix = cfg.get("EmptyKeyPrefix")
+    nosep_prefix = cfg.get("NoSeparatorKeyPrefix")
 
     def run(df):
-        m = F.str_to_map(F.col(src), F.lit(re.escape(delim)), F.lit(re.escape(sep)))
         ok = F.col(src).contains(sep)
         if keys:
+            m = F.str_to_map(
+                F.col(src), F.lit(re.escape(delim)), F.lit(re.escape(sep))
+            )
             cols = {k: m.getItem(k) for k in keys}
             if not cfg.get("AllowingMissingKeys", False):
                 for k in keys:
                     ok = ok & m.getItem(k).isNotNull()
-        else:
-            cols = {attrs_key: m}
-        return apply_parse_result(df, src, ok, cols, cfg)
+            return apply_parse_result(df, src, ok, cols, cfg)
+        if empty_prefix is None and nosep_prefix is None:
+            m = F.str_to_map(
+                F.col(src), F.lit(re.escape(delim)), F.lit(re.escape(sep))
+            )
+            return apply_parse_result(df, src, ok, {attrs_key: m}, cfg)
+        # anomaly-aware path: per-pair key generation
+        ep = empty_prefix if empty_prefix is not None else "empty_key_"
+        np_ = nosep_prefix if nosep_prefix is not None else "no_separator_key_"
+        pairs = F.split(F.col(src), re.escape(delim))
+        entries = F.transform(
+            pairs,
+            lambda p, i: F.struct(
+                F.when(~p.contains(sep),
+                       F.concat(F.lit(np_), i.cast("string")))
+                .when(F.substring_index(p, sep, 1) == "",
+                      F.concat(F.lit(ep), i.cast("string")))
+                .otherwise(F.substring_index(p, sep, 1))
+                .alias("key"),
+                F.when(~p.contains(sep), p)
+                .otherwise(
+                    F.substr(p, F.length(F.substring_index(p, sep, 1))
+                             + len(sep) + 1)
+                )
+                .alias("value"),
+            ),
+        )
+        m = F.map_from_entries(entries)
+        return apply_parse_result(df, src, ok, {attrs_key: m}, cfg)
 
     return run
 

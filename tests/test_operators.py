@@ -416,3 +416,26 @@ def test_content_value_group(spark):
     op = build_operator({"Type": "aggregator_content_value_group", "GroupKeys": ["k"]})
     out = {r["k"]: r["group_count"] for r in op(df).collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_split_key_value_anomaly_keys(spark):
+    """key_value_splitter.go:26-45 anomaly handling: pairs without the
+    separator land under NoSeparatorKeyPrefix<idx>, empty keys under
+    EmptyKeyPrefix<idx>; normal pairs (incl. values containing the
+    separator) are unaffected."""
+    df = spark.createDataFrame(
+        [("a=1&orphan&=hidden&k=v1=v2",)], "text string"
+    )
+    op = build_operator({
+        "Type": "processor_split_key_value", "SourceKey": "text",
+        "Delimiter": "&", "Separator": "=",
+        "EmptyKeyPrefix": "empty_key_",
+        "NoSeparatorKeyPrefix": "no_separator_key_",
+        "KeepingSourceWhenParseSucceed": True,
+    })
+    r = op(df).first()
+    attrs = r["attrs"]
+    assert attrs["a"] == "1"
+    assert attrs["no_separator_key_1"] == "orphan"
+    assert attrs["empty_key_2"] == "hidden"
+    assert attrs["k"] == "v1=v2"  # separator inside the value survives
