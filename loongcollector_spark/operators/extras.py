@@ -290,17 +290,40 @@ def _alias(new_name: str, base_name: str, key_map: dict[str, str],
 # native regex parse; FullMatch/KeepSourceIfParseError map onto the common
 # parse-result options.
 _alias("processor_regex", "processor_parse_regex",
-       {"KeepSourceIfParseError": "KeepingSourceWhenParseFail"})
+       {"KeepSourceIfParseError": "KeepingSourceWhenParseFail",
+        "FullMatch": "FullMatch"})
 
 # processor_json (plugins/processor/json/processor_json.go:29-43) — JSON
 # expansion with connector flattening; same engine as processor_parse_json.
 _alias("processor_json", "processor_parse_json",
        {"KeepSourceIfParseError": "KeepingSourceWhenParseFail"})
 
-# processor_csv (plugins/processor/csv/processor_csv.go:30-44)
-_alias("processor_csv", "processor_parse_delimiter",
-       {"SplitSep": "Separator", "SplitKeys": "Keys"},
-       defaults={"OverflowedFieldsTreatment": "extend"})
+
+@register("processor_csv",
+          keys={"SourceKey", "SplitSep", "SplitKeys", "TrimLeadingSpace",
+                "PreserveOthers", "ExpandOthers", "ExpandKeyPrefix",
+                "KeepSource", "NoKeyError"})
+def csv_twin(cfg: dict):
+    """Go processor_csv (processor_csv.go:30-44): TrimLeadingSpace strips
+    leading blanks per field; overflow handling is PreserveOthers (the
+    remainder into ``_decode_preserve_``) or ExpandOthers (extra
+    ``<prefix>N`` keys) — mapped onto parse_delimiter."""
+    t = {
+        "SourceKey": cfg.get("SourceKey", "content"),
+        "Separator": cfg.get("SplitSep", ","),
+        "Keys": cfg["SplitKeys"],
+        "AllowingShortenedFields": True,
+        "TrimLeadingSpace": cfg.get("TrimLeadingSpace", False),
+        "KeepingSourceWhenParseSucceed": cfg.get("KeepSource", False),
+    }
+    if cfg.get("ExpandOthers"):
+        t["OverflowedFieldsTreatment"] = "extend"
+        t["ExtendKeyPrefix"] = cfg.get("ExpandKeyPrefix", "expand_")
+    elif cfg.get("PreserveOthers"):
+        t["OverflowedFieldsTreatment"] = "preserve"
+    else:
+        t["OverflowedFieldsTreatment"] = "discard"
+    return REGISTRY["processor_parse_delimiter"](t)
 
 # processor_split_char / processor_split_string
 # (split/char/split_char.go:34-49, split/string/split_string.go:33-45):

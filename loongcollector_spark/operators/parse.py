@@ -32,7 +32,7 @@ def _cast(col, typ: str | None):
     return col.try_cast(_TYPE_MAP[typ])
 
 
-@register("processor_parse_regex", keys=COMMON_PARSE_KEYS | {"Regex", "Keys", "KeyTypes"})
+@register("processor_parse_regex", keys=COMMON_PARSE_KEYS | {"Regex", "Keys", "KeyTypes", "FullMatch"})
 def parse_regex(cfg: dict):
     """Regex field extraction.
 
@@ -47,12 +47,15 @@ def parse_regex(cfg: dict):
     thread-local compiled regex, .cpp:255-257).
     """
     src = cfg.get("SourceKey", "text")
-    pattern = anchored(cfg["Regex"])
+    # FullMatch=False (Go twin regex.go:32-44): match anywhere in the value
+    full_match = cfg.get("FullMatch", True)
+    pattern = anchored(cfg["Regex"]) if full_match else cfg["Regex"]
     keys = cfg["Keys"]
     types = cfg.get("KeyTypes") or [None] * len(keys)
     # \x01 never appears in log text; a pattern that could capture it must
-    # fall back to the per-key extract path
-    sep_safe = "\x01" not in cfg["Regex"]
+    # fall back to the per-key extract path. Partial match also needs the
+    # per-key path (regexp_replace would rewrite every occurrence).
+    sep_safe = full_match and "\x01" not in cfg["Regex"]
 
     def run(df):
         ok = F.col(src).rlike(pattern)
@@ -182,7 +185,7 @@ def parse_json(cfg: dict):
     return run
 
 
-@register("processor_parse_delimiter", keys=COMMON_PARSE_KEYS | {"Separator", "Quote", "Keys", "AllowingShortenedFields", "OverflowedFieldsTreatment", "ExtendedColumns", "ExtendKeyPrefix"})
+@register("processor_parse_delimiter", keys=COMMON_PARSE_KEYS | {"Separator", "Quote", "Keys", "AllowingShortenedFields", "OverflowedFieldsTreatment", "ExtendedColumns", "ExtendKeyPrefix", "TrimLeadingSpace"})
 def parse_delimiter(cfg: dict):
     """Delimiter/CSV split.
 
@@ -190,8 +193,11 @@ def parse_delimiter(cfg: dict):
     ``Separator`` split into ``Keys``; ``AllowingShortenedFields`` permits
     fewer fields than keys (missing → null ⇒ fail if False);
     ``OverflowedFieldsTreatment``: keep (extras folded into last key),
-    discard (dropped), extend (extra ``__column{N}__`` columns, cpp:368-400).
-    ``Quote`` set → from_csv quote-aware FSM path (DelimiterModeFsmParser).
+    discard (dropped), extend (extra ``__column{N}__`` columns, cpp:368-400),
+    preserve (remainder into ``_decode_preserve_`` — the Go processor_csv
+    PreserveOthers semantics, processor_csv.go:30-44). ``TrimLeadingSpace``
+    strips leading blanks per field (same twin). ``Quote`` set → from_csv
+    quote-aware FSM path (DelimiterModeFsmParser).
     """
     src = cfg.get("SourceKey", "text")
     sep = cfg.get("Separator", ",")
@@ -204,15 +210,21 @@ def parse_delimiter(cfg: dict):
     # by default; the Go split_string twin passes its ExpandKeyPrefix for
     # <prefix>1..N naming (split_string.go:33-45)
     ext_prefix = cfg.get("ExtendKeyPrefix")
+    trim_lead = cfg.get("TrimLeadingSpace", False)
 
     def run(df):
         if quote:
             ddl = ", ".join(f"`{k}` string" for k in keys)
-            parsed = F.from_csv(F.col(src), ddl, {"sep": sep, "quote": quote})
+            opts = {"sep": sep, "quote": quote}
+            if trim_lead:
+                opts["ignoreLeadingWhiteSpace"] = "true"
+            parsed = F.from_csv(F.col(src), ddl, opts)
             ok = parsed.isNotNull()
             cols = {k: parsed.getField(k) for k in keys}
             return apply_parse_result(df, src, ok, cols, cfg)
         parts = F.split(F.col(src), re.escape(sep))
+        if trim_lead:
+            parts = F.transform(parts, lambda x: F.ltrim(x))
         n = F.size(parts)
         ok = (n >= len(keys)) if not allow_short else (n >= 1)
         cols = {}
@@ -230,6 +242,11 @@ def parse_delimiter(cfg: dict):
                 idx = len(keys) + j
                 name = f"{ext_prefix}{j + 1}" if ext_prefix else f"__column{j}__"
                 cols[name] = F.when(n > idx, F.element_at(parts, idx + 1))
+        elif overflow == "preserve":
+            cols["_decode_preserve_"] = F.when(
+                n > len(keys),
+                F.array_join(F.slice(parts, len(keys) + 1, 2**31 - 1), sep),
+            )
         return apply_parse_result(df, src, ok, cols, cfg)
 
     return run

@@ -353,3 +353,23 @@ def test_geoip_10k_ranges_equi_join_plan(spark):
     assert got["11.0.2.9"] == ("C2", "city2")          # block index 2
     assert got["11.3.1.200"] == ("C" + str((3 * 256 + 1) % 7), f"city{3 * 256 + 1}")
     assert got["99.9.9.9"] == ("Unknown", "Unknown")
+
+
+def test_csv_twin_preserve_trim_and_partial_regex(spark):
+    df = spark.createDataFrame([("a, b,c,rest1,rest2",)], "text string")
+    op = build_operator({
+        "Type": "processor_csv", "SourceKey": "text",
+        "SplitSep": ",", "SplitKeys": ["x", "y"],
+        "TrimLeadingSpace": True, "PreserveOthers": True,
+    })
+    r = op(df).first()
+    assert (r["x"], r["y"]) == ("a", "b")
+    assert r["_decode_preserve_"] == "c,rest1,rest2"
+
+    # FullMatch=False: the Go regex twin matches anywhere in the value
+    op2 = build_operator({
+        "Type": "processor_regex", "SourceKey": "text",
+        "Regex": r"rest(\d)", "Keys": ["rest_no"], "FullMatch": False,
+    })
+    r2 = op2(spark.createDataFrame([("prefix rest7 suffix",)], "text string")).first()
+    assert r2["rest_no"] == "7" and r2["_parse_ok"]
