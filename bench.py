@@ -73,21 +73,25 @@ def main():
         _sub("gen_input.py", f"{base}/high", high_turns, max(CPUS * 2, 16))
 
         # weak scaling: equal per-core load, so ideal is equal wall time.
-        # Single runs carry +/-20% machine noise (GC, turbo, page cache), so
-        # BOTH sides get the same fixed number of repetitions and best-of
-        # wall per side — symmetric and independent of where the first
-        # ratio lands (no retry-until-pass bias). Best-of models the steady
-        # state a long-lived job sees; interference only ever slows a run.
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-        low = high = None
+        # Single runs carry +/-20% machine noise (GC, turbo, co-tenant
+        # bursts), so BOTH sides get the same fixed number of fresh-JVM
+        # repetitions and the MEDIAN wall per side — symmetric, no
+        # retry-until-pass bias, and robust to one lucky/unlucky tail
+        # (best-of amplified whichever side drew the lucky run: measured
+        # efficiency swung 0.79-1.00 across best-of-2 runs, 0.86-0.93
+        # with medians).
+        import statistics
+
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        lows, highs = [], []
         for _ in range(reps):
-            lo = _sub("bench_worker.py", low_cpus, f"{base}/low", low_turns)
-            hi = _sub("bench_worker.py", high_cpus, f"{base}/high", high_turns)
-            if low is None or lo["wall_s"] < low["wall_s"]:
-                low = lo
-            if high is None or hi["wall_s"] < high["wall_s"]:
-                high = hi
-        efficiency = low["wall_s"] / high["wall_s"]
+            lows.append(_sub("bench_worker.py", low_cpus, f"{base}/low", low_turns))
+            highs.append(_sub("bench_worker.py", high_cpus, f"{base}/high", high_turns))
+        low = sorted(lows, key=lambda r: r["wall_s"])[len(lows) // 2]
+        high = sorted(highs, key=lambda r: r["wall_s"])[len(highs) // 2]
+        low_walls = [r["wall_s"] for r in lows]
+        high_walls = [r["wall_s"] for r in highs]
+        efficiency = statistics.median(low_walls) / statistics.median(high_walls)
 
         # --- phase 3: peak throughput at local[CPUS] ----------------------
         # best-of-2: single runs at 32 threads swing 2x on this box
@@ -112,6 +116,9 @@ def main():
             "parallelism_ratio": 4,
             "scaling_mode": "weak (input scaled with cores)",
             "scaling_efficiency": round(efficiency, 3),
+            "wall_runs_low": low_walls,
+            "wall_runs_high": high_walls,
+            "aggregation": f"median of {reps} fresh-JVM runs per side",
             f"peak_turns_per_sec_local{CPUS}": peak["turns_per_sec"],
             f"peak_mb_per_sec_local{CPUS}": peak.get("mb_per_sec"),
             f"mb_per_sec_local{high_cpus}": high.get("mb_per_sec"),
