@@ -158,7 +158,12 @@ def base64_decode(cfg: dict):
     src, dest = cfg["SourceKey"], cfg.get("NewKey", cfg["SourceKey"])
 
     def run(df):
-        return df.withColumn(dest, F.unbase64(F.col(src)).cast("string"))
+        # try_to_binary: malformed base64 yields null instead of failing
+        # the job under ANSI mode (the Go twin logs and skips on decode
+        # errors — a poisoned row must never kill the pipeline)
+        return df.withColumn(
+            dest, F.try_to_binary(F.col(src), F.lit("base64")).cast("string")
+        )
 
     return run
 

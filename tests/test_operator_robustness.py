@@ -1,0 +1,122 @@
+"""Registry-wide robustness net: EVERY registered operator executes over
+an adversarial frame — nulls, empty strings, multi-byte UTF-8, control
+characters (incl. the \\x01 fast-path separator), separator collisions —
+without throwing under ANSI mode. Catches the classic production
+failures (null-handling, cast errors) for operators whose golden tests
+only feed well-formed rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from loongcollector_spark.operators import KNOWN_KEYS, REGISTRY, build_operator
+
+# one minimal, valid config per operator; applied to the adversarial frame
+CONFIGS: dict[str, dict] = {
+    "processor_parse_regex": {"SourceKey": "text", "Regex": r"(\S+) (\w+)",
+                              "Keys": ["a", "b"]},
+    "processor_parse_json": {"SourceKey": "text"},
+    "processor_parse_delimiter": {"SourceKey": "text", "Separator": ",",
+                                  "Keys": ["a", "b"]},
+    "processor_split_key_value": {"SourceKey": "text",
+                                  "EmptyKeyPrefix": "ek_",
+                                  "NoSeparatorKeyPrefix": "nk_"},
+    "processor_parse_apsara": {"SourceKey": "text"},
+    "processor_parse_timestamp": {"SourceKey": "text"},
+    "processor_timestamp_filter": {"SourceKey": "ts",
+                                   "LowerBound": "2020-01-01 00:00:00"},
+    "processor_filter": {"ConditionExp": {"key": "role", "exp": ".*"},
+                         "DiscardingNonUTF8": True},
+    "processor_filter_regex": {"Include": {"role": ".*"},
+                               "Exclude": {"tool": "zzz.*"}},
+    "processor_filter_key_regex": {"Include": ["conv.*"]},
+    "processor_desensitize": {"SourceKey": "text", "Method": "const",
+                              "RegexContent": "[0-9]+"},
+    "processor_split_log_string": {"SourceKey": "text"},
+    "processor_split_log_regex": {"SourceKey": "text", "SplitRegex": r"\d.*",
+                                  "OrderKeys": ["conv_id", "turn_idx"]},
+    "processor_merge_multiline_log": {"StartPattern": r"\d.*"},
+    "processor_merge_conversation": {},
+    "processor_parse_container_log": {"SourceKey": "text"},
+    "processor_tag": {"Tags": {"__hostname__": "h"}},
+    "processor_grok": {"SourceKey": "text", "Match": ["%{IP:ip} %{WORD:w}"]},
+    "processor_regex": {"SourceKey": "text", "Regex": r"(\w+)",
+                        "Keys": ["w"], "FullMatch": False},
+    "processor_json": {"SourceKey": "text"},
+    "processor_csv": {"SourceKey": "text", "SplitKeys": ["a", "b"],
+                      "PreserveOthers": True, "TrimLeadingSpace": True},
+    "processor_split_char": {"SourceKey": "text", "SplitSep": ",",
+                             "SplitKeys": ["a"], "QuoteFlag": True},
+    "processor_split_string": {"SourceKey": "text", "SplitSep": ",",
+                               "SplitKeys": ["a"], "ExpandOthers": True},
+    "processor_drop": {"DropKeys": ["tool"]},
+    "processor_rename": {"SourceKeys": ["tool"], "DestKeys": ["tool2"]},
+    "processor_add_fields": {"Fields": {"env": "x"}},
+    "processor_pick_key": {"Include": ["conv_id", "text"]},
+    "processor_drop_last_key": {"DropKey": "text", "Include": ["role"]},
+    "processor_dict_map": {"SourceKey": "role", "DestKey": "rc",
+                           "MapDict": {"user": "u"}},
+    "processor_string_replace": {"SourceKey": "text", "Method": "regex",
+                                 "Match": r"\d", "ReplaceString": "*"},
+    "processor_base64_encoding": {"SourceKey": "text", "NewKey": "b64"},
+    "processor_base64_decoding": {"SourceKey": "role", "NewKey": "dec"},
+    "processor_md5": {"SourceKey": "text"},
+    "processor_encrypt": {"SourceKeys": ["text"],
+                          "EncryptionParameters": {"Key": "0123456789abcdef"}},
+    "processor_gotime": {"SourceKey": "text",
+                         "SourceFormat": "2006-01-02 15:04:05"},
+    "processor_strptime": {"SourceKey": "text",
+                           "EnablePreciseTimestamp": True},
+    "processor_appender": {"Key": "role", "Value": "-x"},
+    "processor_anchor": {"SourceKey": "text",
+                         "Anchors": [{"Start": "[", "Stop": "]",
+                                      "FieldName": "anch"}]},
+    "processor_pack_json": {"SourceKeys": ["role", "tool"]},
+    "processor_fields_with_condition": {"Switch": [
+        {"Condition": {"FieldConditions": [
+            {"Key": "role", "ComparisonOperator": "equals", "Value": "user"}]},
+         "Actions": [{"type": "processor_add_fields", "Fields": {"sev": "x"}}]}]},
+    "processor_rate_limit": {"Fields": ["role"], "Limit": "2/h"},
+    "processor_geoip": {"SourceKey": "text",
+                        "Ranges": [["10.0.0.0", "10.255.255.255", "C", "P", "X"]]},
+    "processor_cloud_meta": {"Metadata": {"iid": "i-1"}},
+    "processor_log_to_metric": {"MetricLabelKeys": ["role"],
+                                "MetricValues": {"m": "turn_idx"}},
+    "processor_default": {},
+    "processor_spl": {"Script": "* | where role is not null"},
+    "aggregator_content_value_group": {"GroupKeys": ["role", "tool"]},
+    "aggregator_metadata_group": {"GroupMetadataKeys": ["role"]},
+}
+
+
+@pytest.fixture(scope="module")
+def hostile_df(spark):
+    rows = [
+        ("c1", 0, "user", None, "search", "2026-01-01 00:00:00"),
+        ("c1", 1, "assistant", "", "", "2026-01-01 00:00:01"),
+        ("c1", 2, None, "a=1&b=2", None, None),
+        ("c2", 0, "tool", "\x01\x01,\x01", "t", "2026-01-01 00:00:02"),
+        ("c2", 1, "user", '{"truncated": ', "", "2026-01-01 00:00:03"),
+        ("c2", 2, "user", "白日依山尽 κόσμε ‮ rtl", "", "2026-01-01 00:00:04"),
+        ("c3", 0, "user", '10.1.2.3 GET "quoted, field" [in]', "", "2026-01-01 00:00:05"),
+        ("c3", 1, "user", "x" * 5000, "", "2026-01-01 00:00:06"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                 "cast(ts as timestamp) AS ts")
+
+
+def test_every_operator_has_a_robustness_config():
+    assert set(CONFIGS) == set(REGISTRY), (
+        set(CONFIGS) ^ set(REGISTRY)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_operator_survives_hostile_rows(spark, hostile_df, name):
+    op = build_operator({"Type": name, **CONFIGS[name]})
+    rows = op(hostile_df).collect()  # full evaluation, must not throw
+    assert rows is not None
