@@ -54,6 +54,10 @@ def _decode_stub(payload: bytes, media_type: str):
     missing from the runtime would."""
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    if payload is None:
+        # a null blob decodes to nothing (ok=False downstream) — a
+        # poisoned asset row must never kill the worker
+        return memoryview(b"")
     # deterministic fake "pixel values": the payload bytes themselves
     return memoryview(payload)
 

@@ -26,7 +26,8 @@ def _dot(a, b):
 
 
 def cosine_expr(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide: a zero-norm vector scores null (never a thrown job)
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def cosine_topk(
@@ -122,7 +123,8 @@ def embedding_near_dup_pairs(
                   F.col("norm").alias("norm_a"))
     eb = e.select(F.col(id_col).alias("vec_b"), F.col("emb").alias("emb_b"),
                   F.col("norm").alias("norm_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    cos = F.try_divide(_dot(F.col("emb_a"), F.col("emb_b")),
+                       F.col("norm_a") * F.col("norm_b"))
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .select(
@@ -160,7 +162,8 @@ def lsh_bucketed_topk(
         cand.select(
             id_col,
             F.round(
-                _dot(F.col("emb"), F.col("qe")) / (F.col("norm") * F.col("qnorm")), 4
+                F.try_divide(_dot(F.col("emb"), F.col("qe")),
+                             F.col("norm") * F.col("qnorm")), 4
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())

@@ -36,11 +36,13 @@ def with_bpe_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n = F.length(t)
+    # try_divide: an empty document (n = 0) scores null instead of failing
+    # the job under ANSI mode
     pct_alpha = F.floor(
-        100.0 * F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / n
+        F.try_divide(100.0 * F.length(F.regexp_replace(t, "[^A-Za-z]", "")), n)
     ).cast("int")
     pct_space = F.floor(
-        100.0 * (n - F.length(F.replace(t, F.lit(" "), F.lit("")))) / n
+        F.try_divide(100.0 * (n - F.length(F.replace(t, F.lit(" "), F.lit("")))), n)
     ).cast("int")
     bucket = (
         F.when((n >= 200) & (pct_alpha >= 70), "high")

@@ -120,3 +120,49 @@ def test_operator_survives_hostile_rows(spark, hostile_df, name):
     op = build_operator({"Type": name, **CONFIGS[name]})
     rows = op(hostile_df).collect()  # full evaluation, must not throw
     assert rows is not None
+
+
+def test_training_functions_survive_hostile_docs(spark):
+    """dedup/text/multimodal functions over nulls, empties, unicode, and
+    single-char docs — full evaluation must not throw."""
+    from loongcollector_spark.functions import dedup, multimodal, text
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, " "), (3, "a"), (4, "白日 依山 尽"),
+         (5, "x " * 2000), (6, "dup dup dup"), (7, "dup dup dup")],
+        "doc_id long, text string",
+    )
+    dedup.exact_dedup(docs).collect()
+    dedup.minhash_signatures(docs).collect()
+    dedup.minhash_lsh_pairs(docs).collect()
+    dedup.simhash_signatures(docs).collect()
+    dedup.simhash_near_pairs(docs).collect()
+    dedup.ngram_jaccard_adjacent(docs).collect()
+    text.with_token_count(docs).collect()
+    text.with_quality(docs).collect()
+    text.with_lang_guess(docs).collect()
+    text.with_fingerprint(docs).collect()
+    media = multimodal.documents_as_media(docs, "video")
+    multimodal.extract_features(media).collect()
+    multimodal.frame_sample(media).collect()
+
+
+def test_similarity_survives_hostile_embeddings(spark):
+    """zero vectors (zero norm), constant vectors, and nulls through the
+    similarity kernels — div-by-zero must yield null/NaN rows, never a
+    thrown job."""
+    from loongcollector_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0] + [0.1] * 61),
+         (1, [0.0] * 64),             # zero norm
+         (2, [1.0] * 64),
+         (3, None),                   # null vector
+         (4, [1.0, 2.0, 3.0] + [0.1] * 61)],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.cosine_topk(emb, query_vec_id=0, k=3).collect()
+    similarity.lsh_bucketed_topk(emb, query_vec_id=0, k=3).collect()
+    pairs = similarity.embedding_near_dup_pairs(emb, min_cos_1e4=9000)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert (0, 4) in got  # the true near-dup still surfaces
