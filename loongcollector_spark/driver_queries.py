@@ -764,6 +764,110 @@ SELECT conv_id, turn_idx, n_merged, merged_md5 FROM grouped
 """
 
 
+def q_merge_multiline_continue(spark, sf_dir):
+    """processor_merge_multiline_log Start+Continue (the Java-stack-trace
+    combination, ProcessorMergeMultilineLogNative.cpp:281-309): IP lines
+    begin an event, JSON lines continue it, anything else breaks it.
+    Runs the pure window-algebra codegen path (no Python)."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "processor_merge_multiline_log",
+        "StartPattern": r"\d+\.\d+\.\d+\.\d+.*",
+        "ContinuePattern": r"\{.*",
+        "UnmatchedContentTreatment": "single_line",
+    })
+    out = op(df)
+    return out.select(
+        "conv_id", "turn_idx", "n_merged",
+        F.md5(F.col("text").cast("binary")).alias("merged_md5"),
+    )
+
+
+# independent SQL formulation of the same semantics: a row is inside a
+# merged event iff the latest start is at/after the latest continue-break
+# (running maxes); an event begins at a start line whose predecessor state
+# doesn't continue through it
+O_MERGE_MULTILINE_CONTINUE = _ORACLE_T + r"""
+, o AS (
+  SELECT conv_id, turn_idx, text,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+    regexp_matches(text, '^(?:\d+\.\d+\.\d+\.\d+)') AS s,
+    regexp_matches(text, '^(?:\{)') AS c
+  FROM t
+), m AS (
+  SELECT *,
+    max(CASE WHEN s THEN pos END) OVER w AS spos,
+    max(CASE WHEN NOT c THEN pos END) OVER w AS lpos
+  FROM o
+  WINDOW w AS (PARTITION BY conv_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+), p AS (
+  SELECT *, (spos IS NOT NULL AND (lpos IS NULL OR spos >= lpos)) AS partial
+  FROM m
+), b AS (
+  SELECT *,
+    (s AND NOT (coalesce(lag(partial) OVER (PARTITION BY conv_id ORDER BY pos),
+                         false) AND c)) AS begins
+  FROM p
+), g AS (
+  SELECT *,
+    CASE WHEN partial THEN
+      sum(CASE WHEN begins THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+    ELSE -pos END AS mgid
+  FROM b
+), gr AS (
+  SELECT conv_id, mgid, min(turn_idx) AS turn_idx, count(*) AS n_merged,
+    md5(string_agg(text, chr(10) ORDER BY pos)) AS merged_md5
+  FROM g GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, n_merged, merged_md5 FROM gr
+"""
+
+
+def q_merge_multiline_end(spark, sf_dir):
+    """processor_merge_multiline_log End-only (cpp:266-280): every event
+    runs up to (and including) the next kv line; trailing lines with no
+    end stay unmatched singles. Exercises the applyInPandas FSM path —
+    the oracle below is a genuinely different (window-based) formulation."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "processor_merge_multiline_log",
+        "EndPattern": r"action=.*",
+        "UnmatchedContentTreatment": "single_line",
+    })
+    out = op(df)
+    return out.select(
+        "conv_id", "turn_idx", "n_merged",
+        F.md5(F.col("text").cast("binary")).alias("merged_md5"),
+    )
+
+
+O_MERGE_MULTILINE_END = _ORACLE_T + r"""
+, o AS (
+  SELECT conv_id, turn_idx, text,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+    CASE WHEN regexp_matches(text, '^(?:action=)') THEN 1 ELSE 0 END AS ef
+  FROM t
+), g AS (
+  SELECT *,
+    coalesce(sum(ef) OVER (PARTITION BY conv_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS prior_ends,
+    sum(ef) OVER (PARTITION BY conv_id) AS tot_ends
+  FROM o
+), m AS (
+  SELECT conv_id, turn_idx, text, pos,
+    CASE WHEN prior_ends < tot_ends THEN prior_ends ELSE -pos END AS mgid
+  FROM g
+), gr AS (
+  SELECT conv_id, mgid, min(turn_idx) AS turn_idx, count(*) AS n_merged,
+    md5(string_agg(text, chr(10) ORDER BY pos)) AS merged_md5
+  FROM m GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, n_merged, merged_md5 FROM gr
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """embedding-cosine near-dup pairs via banded hyperplane LSH.
 
@@ -1550,6 +1654,8 @@ QUERIES = {
     "spl_pipeline": (q_spl_pipeline, O_SPL_PIPELINE),
     "geoip_enrich": (q_geoip_enrich, O_GEOIP_ENRICH),
     "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
+    "merge_multiline_continue": (q_merge_multiline_continue, O_MERGE_MULTILINE_CONTINUE),
+    "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),
     "simhash_signatures": (q_simhash_signatures, O_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, O_SIMHASH_NEAR_PAIRS),

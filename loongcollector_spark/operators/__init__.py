@@ -88,6 +88,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     filterops,
     grok,
     metricops,
+    multiline,
     parse,
     ratelimit,
     splitops,

@@ -168,59 +168,6 @@ def encrypt(cfg: dict):
     return run
 
 
-@register("processor_merge_multiline_log", keys={"SourceKey", "StartPattern", "UnmatchedContentTreatment", "GroupKeys", "OrderKey"})
-def merge_multiline_log(cfg: dict):
-    """BY_REGEX multiline merge (ProcessorMergeMultilineLogNative.cpp:
-    176-271): rows whose ``SourceKey`` full-matches ``StartPattern`` begin
-    a new merged event; following rows append until the next start.
-    ``UnmatchedContentTreatment``: 'single_line' keeps each leading
-    unmatched row as its own event (cpp: treat as complete log),
-    'discard' drops them.
-
-    Spark shape: sessionization — windowed cumulative sum of start flags
-    partitioned on the group key produces the merge group id; one shuffle
-    on (group key), identical to the salted pipeline partitioning, then a
-    partial-agg-friendly groupBy.
-    """
-    src = cfg.get("SourceKey", "text")
-    start_rx = cfg["StartPattern"]
-    unmatched = cfg.get("UnmatchedContentTreatment", "single_line")
-    group_keys = cfg.get("GroupKeys", ["conv_id"])
-    order_key = cfg.get("OrderKey", "turn_idx")
-
-    def run(df):
-        w = Window.partitionBy(*group_keys).orderBy(order_key)
-        starts = F.col(src).rlike("^" + start_rx + "$")
-        gid = F.sum(F.when(starts, 1).otherwise(0)).over(w)
-        df = df.withColumn("_mgid", gid)
-        if unmatched == "discard":
-            df = df.filter(F.col("_mgid") > 0)
-        else:  # single_line: every pre-start row is its own group
-            df = df.withColumn(
-                "_mgid",
-                F.when(F.col("_mgid") > 0, F.col("_mgid"))
-                .otherwise(-F.col(order_key).cast("long") - 1),
-            )
-        return (
-            df.groupBy(*group_keys, "_mgid")
-            .agg(
-                F.concat_ws(
-                    "\n",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct(order_key, src))),
-                        lambda s: s[src],
-                    ),
-                ).alias(src),
-                F.min(order_key).alias(order_key),
-                F.count("*").alias("n_merged"),
-                F.min("ts").alias("ts"),
-            )
-            .drop("_mgid")
-        )
-
-    return run
-
-
 @register("processor_parse_container_log", keys={"SourceKey", "Format", "IgnoringStdout", "IgnoringStderr"})
 def parse_container_log(cfg: dict):
     """Container stdout parsing (ProcessorParseContainerLogNative.cpp):

@@ -36,6 +36,9 @@ CONFIGS: dict[str, dict] = {
     "processor_split_log_regex": {"SourceKey": "text", "SplitRegex": r"\d.*",
                                   "OrderKeys": ["conv_id", "turn_idx"]},
     "processor_merge_multiline_log": {"StartPattern": r"\d.*"},
+    "processor_split_multiline_log_string": {
+        "SourceKey": "text", "StartPattern": r"\d.*",
+        "ContinuePattern": r"\s.*", "OrderKeys": ["conv_id", "turn_idx"]},
     "processor_merge_conversation": {},
     "processor_parse_container_log": {"SourceKey": "text"},
     "processor_tag": {"Tags": {"__hostname__": "h"}},
