@@ -66,31 +66,43 @@ def input_fingerprint(df) -> str:
     """Deterministic fingerprint of the input.
 
     File-backed frames (the production path): hash of the sorted input
-    file list plus per-file (size, mtime) where stat-able — O(files), no
-    data scan; at 100 TB a content-hash pass before any work is a full
-    extra read of the input. Non-file frames (in-memory test inputs)
-    fall back to one scan: row count + xor of per-row key hashes,
-    order-insensitive.
+    file list plus per-file (size, mtime) via the Hadoop FileSystem API
+    (works for hdfs://, s3a://, file:, …) — O(files), no data scan; at
+    100 TB a content-hash pass before any work is a full extra read of
+    the input. If ANY file's metadata cannot be fetched, fall back to
+    the scan-based fingerprint rather than a names-only hash — same
+    file names with rewritten content must NOT fingerprint identically.
+    Non-file frames (in-memory test inputs) use the same scan fallback:
+    row count + xor of per-row key hashes, order-insensitive.
     """
     import hashlib
 
     files = sorted(df.inputFiles())
     if files:
         h = hashlib.md5()
-        for f in files:
-            h.update(f.encode())
-            path = f[5:] if f.startswith("file:") else f
-            try:
-                st = os.stat(path)
-                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-            except OSError:
-                pass  # non-local FS: the path list alone fingerprints
-        return f"files:{len(files)}:{h.hexdigest()}"
+        try:
+            jvm = df.sparkSession._jvm
+            hconf = df.sparkSession._jsc.hadoopConfiguration()
+            for f in files:
+                h.update(f.encode())
+                jpath = jvm.org.apache.hadoop.fs.Path(f)
+                st = jpath.getFileSystem(hconf).getFileStatus(jpath)
+                h.update(
+                    f"{st.getLen()}:{st.getModificationTime()}".encode()
+                )
+            return f"files:{len(files)}:{h.hexdigest()}"
+        except Exception:
+            pass  # metadata unavailable → scan-based fingerprint below
 
     from pyspark.sql import functions as F
 
+    key_cols = (
+        ["conv_id", "turn_idx"]
+        if {"conv_id", "turn_idx"} <= set(df.columns)
+        else list(df.columns)
+    )
     row = df.select(
         F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("h"),
+        F.bit_xor(F.xxhash64(*key_cols)).alias("h"),
     ).first()
     return f"{row['n']}:{row['h']}"

@@ -953,7 +953,8 @@ def _o_simhash_sig_cte(table: str = "documents") -> str:
     chunks = ", ".join(f"cast({chunk(c)} AS INT) AS sh{c}" for c in range(4))
     return (
         f"w AS (SELECT doc_id, list_transform(string_split_regex(trim(text),"
-        f" '\\s+'), x -> md5(x)) AS hx FROM {table}),\n"
+        f" '\\s+'), x -> md5(x)) AS hx FROM {table}"
+        f" WHERE trim(coalesce(text, '')) != ''),\n"
         f"sig AS (SELECT doc_id, {chunks} FROM w)"
     )
 

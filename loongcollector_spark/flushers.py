@@ -114,11 +114,10 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
     from loongcollector_spark.serializer import serializable_columns
 
     cols = [c for c in serializable_columns(df) if c != "ts"]
-    value = F.to_json(
-        F.struct(F.unix_timestamp("ts").alias("__time__"),
-                 *[F.col(c) for c in cols]),
-        {"ignoreNullFields": "true"},
-    )
+    fields = [F.col(c) for c in cols]
+    if "ts" in df.columns:  # pipelines may drop/never produce ts
+        fields.insert(0, F.unix_timestamp("ts").alias("__time__"))
+    value = F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
     sel = [value.alias("value")]
     if partitioner == "hash" and hash_keys:
         sel.insert(0, F.concat_ws(

@@ -138,6 +138,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     # slower because transform/aggregate lambdas are interpreted per
     # element); the groupBy partial-aggregates map-side, so the shuffle
     # carries one (doc_id, 64 ints) row per doc per input partition.
+    # Null/empty/whitespace-only docs are excluded up front on BOTH
+    # engines (explode would silently drop NULL rows while an oracle CTE
+    # would keep them — an engine/oracle divergence unless filtered
+    # identically; a doc with no tokens has no meaningful signature).
+    df = df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
     words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
     w = df.select(id_col, words)
     h = F.md5(F.col("_w").cast("binary"))

@@ -235,10 +235,12 @@ def _alias(new_name: str, base_name: str, key_map: dict[str, str],
 
 # processor_regex (plugins/processor/regex/regex.go:32-44) — Go twin of the
 # native regex parse; FullMatch/KeepSourceIfParseError map onto the common
-# parse-result options.
+# parse-result options. Unlike the C++ native parse (anchored full match),
+# the Go twin defaults FullMatch to FALSE — match-anywhere (regex.go:134).
 _alias("processor_regex", "processor_parse_regex",
        {"KeepSourceIfParseError": "KeepingSourceWhenParseFail",
-        "FullMatch": "FullMatch"})
+        "FullMatch": "FullMatch"},
+       defaults={"FullMatch": False})
 
 # processor_json (plugins/processor/json/processor_json.go:29-43) — JSON
 # expansion with connector flattening; same engine as processor_parse_json.

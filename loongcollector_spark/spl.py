@@ -428,7 +428,12 @@ def _translate_expr(expr: str) -> str:
                  "cast(" + stash(repr("Infinity")) + " as double)", out)
     out = re.sub(r"\bnan\s*\(\s*\)",
                  "cast(" + stash(repr("NaN")) + " as double)", out)
-    out = re.sub(r"\brandom\s*\(", "rand(", out)
+    # random() → rand(); bounded random(n) is a uniform INTEGER in [0, n)
+    # in Presto, while Spark's rand(n) would treat n as a SEED — rewrite
+    # the bounded form explicitly.
+    out = re.sub(r"\brandom\s*\(\s*\)", "rand()", out)
+    out = rewrite(out, "random",
+                  lambda a: f"cast(floor(rand() * ({a[0]})) as bigint)")
     # --- array family ---
     out = rewrite(out, "array_sum",
                   lambda a: f"aggregate({a[0]}, cast(0 as double), "

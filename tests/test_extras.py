@@ -135,6 +135,29 @@ def test_go_twin_aliases(spark):
     r = op(spark.createDataFrame([("hi,there",)], "text string")).first()
     assert r["first"] == "hi"
 
+    # Go twin defaults FullMatch=false (regex.go:134): match-anywhere —
+    # a mid-string match must parse where the C++ native default (full
+    # match) would fail the row
+    op = build_operator({
+        "Type": "processor_regex", "SourceKey": "text",
+        "Regex": r"code=(\d+)", "Keys": ["code"],
+    })
+    r = op(spark.createDataFrame([("prefix code=42 suffix",)], "text string")).first()
+    assert r["code"] == "42"
+
+
+def test_simhash_excludes_null_and_empty_docs(spark):
+    """Null/empty/whitespace-only docs carry no signature on EITHER
+    engine — they are filtered identically in simhash_signatures and the
+    DuckDB oracle CTE (an explode would silently drop only the NULLs)."""
+    from loongcollector_spark.functions.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, "real words here"), (1, None), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    assert [r["doc_id"] for r in simhash_signatures(df).collect()] == [0]
+
 
 def test_simhash_matches_python_model(spark):
     texts = ["the quick brown fox", "the quick brown fix", "something else"]

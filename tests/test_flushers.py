@@ -112,3 +112,7 @@ def test_kafka_payload_contract(spark):
 
     out2 = kafka_payload_frame(df, "random", [])
     assert out2.columns == ["value"]
+
+    # pipelines that dropped ts must still serialize (no __time__ field)
+    v3 = _json.loads(kafka_payload_frame(df.drop("ts")).first()["value"])
+    assert "__time__" not in v3 and v3["text"] == "hello"

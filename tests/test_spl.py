@@ -243,6 +243,23 @@ def test_spl_url_and_bitwise(spl_df):
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8, 14, 6, -1, 16)
 
 
+def test_bounded_random_is_integer_in_range(spark):
+    """Presto random(n) is a uniform INTEGER in [0, n); Spark's rand(n)
+    would treat n as a seed and return a double — the translation must
+    rewrite the bounded form, not alias it."""
+    from loongcollector_spark.spl import _translate_expr
+
+    out = _translate_expr("random(10)")
+    assert "rand(10)" not in out and "floor" in out
+
+    df = spark.range(200).withColumnRenamed("id", "i")
+    r = spl_run(df, "* | extend r = random(10), u = random() | project r, u")["out"]
+    rows = r.collect()
+    assert all(isinstance(x["r"], int) and 0 <= x["r"] < 10 for x in rows)
+    assert len({x["r"] for x in rows}) > 3  # actually uniform-ish, not constant
+    assert all(0.0 <= x["u"] < 1.0 for x in rows)
+
+
 def test_translate_never_corrupts_literals():
     """Property: quoted literal contents survive translation verbatim
     (modulo backslash doubling for Spark's SQL parser) even when they
