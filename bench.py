@@ -100,11 +100,11 @@ def main():
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
-    print(json.dumps({
+    result = {
         "metric": "operator-query suite + pipeline turns/sec weak-scaling N vs 4N",
         "value": p1["total"],
         "unit": "sec",
-        "queries": p1["queries"],
+        "queries": {k: round(v, 3) for k, v in p1["queries"].items()},
         "sf": sf,
         "pipeline": {
             f"turns_local{low_cpus}": low_turns,
@@ -123,7 +123,12 @@ def main():
             f"peak_mb_per_sec_local{CPUS}": peak.get("mb_per_sec"),
             f"mb_per_sec_local{high_cpus}": high.get("mb_per_sec"),
         },
-    }))
+    }
+    # durable artifact first (the driver's tail capture truncated a long
+    # stdout line in round 2), then ONE compact stdout line last
+    with open(os.path.join(REPO, "BENCH.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

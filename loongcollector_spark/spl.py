@@ -19,9 +19,15 @@ IS a DataFrame expression DAG, so the compiler here is thin:
   Init-time script validation (ProcessorSPL.cpp:69-87).
 
 parse-json / parse-kv with no key list are schema-dynamic in SPL; Spark
-plans need columns at compile time, so the compiler samples a few rows
-(driver-side, ≤SAMPLE_ROWS) to discover keys — the same move
-spark.read.json makes for schema inference, done once at plan time.
+plans need columns at compile time, so the compiler resolves the key set
+with an EXHAUSTIVE distributed distinct-keys aggregation over the parsed
+map column (column-pruned scan, explode(map_keys(...)) → distinct — only
+the small key set ever reaches the driver). This matches the reference's
+per-event key expansion (processor_json.go:75-78): a key first appearing
+in the last row of a 100-TB input still gets its column. Set
+``LCS_SPL_SAMPLED_KEYS=<n>`` to opt into the cheaper plan-time sampling
+of n rows (spark.read.json-style inference) when the input is known to
+be schema-stable.
 """
 
 from __future__ import annotations
@@ -732,46 +738,54 @@ def _compile_cmd(cmd: _Cmd):
     raise SplUnsupported(f"SPL command {name!r} not supported")
 
 
+def _sample_limit() -> int | None:
+    """Opt-in plan-time sampling row count (None = exhaustive)."""
+    import os
+
+    v = os.environ.get("LCS_SPL_SAMPLED_KEYS")
+    return int(v) if v else None
+
+
+def _distinct_keys(df: DataFrame, map_expr, extra_filter=None) -> list[str]:
+    """Resolve a schema-dynamic command's key set: exhaustive distributed
+    distinct over the map column's keys (sorted for a deterministic
+    column order); only the key set reaches the driver. With
+    LCS_SPL_SAMPLED_KEYS set, scans only that many rows instead."""
+    n = _sample_limit()
+    base = df.limit(n) if n else df
+    kv = base.select(
+        F.explode_outer(map_expr).alias("_k", "_v")
+    ).filter(F.col("_k").isNotNull() & (F.col("_k") != ""))
+    if extra_filter is not None:
+        kv = kv.filter(extra_filter)
+    return sorted(r["_k"] for r in kv.select("_k").distinct().collect())
+
+
 def _sample_json_keys(df: DataFrame, col: str, path: str | None) -> list[str]:
     src = F.get_json_object(F.col(col), path) if path else F.col(col)
-    rows = df.select(src.alias("v")).filter(F.col("v").isNotNull()).limit(SAMPLE_ROWS).collect()
-    keys: list[str] = []
-    for r in rows:
-        try:
-            obj = json.loads(r["v"])
-        except (TypeError, ValueError):
-            continue
-        if isinstance(obj, dict):
-            for k in obj:
-                if k not in keys:
-                    keys.append(k)
-    return keys
+    return _distinct_keys(df, F.from_json(src, "map<string,string>"))
 
 
 def _sample_rx_keys(df: DataFrame, col: str, rx: str) -> list[str]:
-    """Plan-time key discovery for regex-KV mode (same move as the other
-    schema-dynamic parse commands)."""
-    crx = re.compile(rx)
-    rows = df.select(col).filter(F.col(col).isNotNull()).limit(SAMPLE_ROWS).collect()
-    keys: list[str] = []
-    for r in rows:
-        for m in crx.finditer(r[col] or ""):
-            k = m.group(1)
-            if k and k not in keys:
-                keys.append(k)
-    return keys
+    """Key discovery for regex-KV mode: the distinct group-1 captures."""
+    n = _sample_limit()
+    base = df.limit(n) if n else df
+    ks = base.select(
+        F.explode_outer(
+            F.regexp_extract_all(F.col(col), F.lit(rx), F.lit(1))
+        ).alias("_k")
+    ).filter(F.col("_k").isNotNull() & (F.col("_k") != ""))
+    return sorted(r["_k"] for r in ks.distinct().collect())
 
 
 def _sample_kv_keys(df: DataFrame, col: str, delim_rx: str, kv_sep: str) -> list[str]:
-    rows = df.select(col).filter(F.col(col).isNotNull()).limit(SAMPLE_ROWS).collect()
-    keys: list[str] = []
-    for r in rows:
-        for pair in re.split(delim_rx, r[col] or ""):
-            if kv_sep in pair:
-                k = pair.split(kv_sep, 1)[0]
-                if k and k not in keys:
-                    keys.append(k)
-    return keys
+    # null map values mark separator-less fragments str_to_map invented a
+    # key for — not real keys (the sampled-era code skipped them too)
+    return _distinct_keys(
+        df,
+        F.str_to_map(F.col(col), F.lit(delim_rx), F.lit(re.escape(kv_sep))),
+        extra_filter=F.col("_v").isNotNull(),
+    )
 
 
 def _split_pipeline(text: str) -> list[_Cmd]:

@@ -243,6 +243,26 @@ def test_spl_url_and_bitwise(spl_df):
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (8, 14, 6, -1, 16)
 
 
+def test_dynamic_keys_are_exhaustive_not_sampled(spark):
+    """A key first appearing far past any plausible sample window must
+    still get its column (the reference expands keys per event,
+    processor_json.go:75-78). Covers parse-json, parse-kv and
+    parse-kv -regexp dynamic-key discovery."""
+    n = 5000
+    rows = [(i,
+             '{"early":"%d"}' % i if i < n - 1 else '{"early":"x","late_json":"L"}',
+             "a=%d" % i if i < n - 1 else "a=x&late_kv=L")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "i long, j string, kv string")
+    out = spl_run(df, "* | parse-json j")["out"]
+    assert "late_json" in out.columns
+    assert out.filter("late_json = 'L'").count() == 1
+    out2 = spl_run(df, "* | parse-kv kv")["out"]
+    assert "late_kv" in out2.columns
+    out3 = spl_run(df, "* | parse-kv -regexp kv, '(\\w+)=(\\w+)'")["out"]
+    assert "late_kv" in out3.columns
+
+
 def test_bounded_random_is_integer_in_range(spark):
     """Presto random(n) is a uniform INTEGER in [0, n); Spark's rand(n)
     would treat n as a seed and return a double — the translation must
