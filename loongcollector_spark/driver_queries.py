@@ -611,11 +611,23 @@ SELECT conv_id, turn_idx, cast(floor(epoch(ts)) AS BIGINT) AS unix_s FROM t
 
 def q_log_to_metric(spark, sf_dir):
     """processor_log_to_sls_metric: kv rows reshape into metric events
-    (__name__/__labels__/__value__/__time_nano__, labels key-sorted)."""
-    df = q_parse_kv_fields(spark, sf_dir)  # conv_id, turn_idx, action, lat_ms...
-    df = transcripts_from_events(spark, sf_dir).join(
-        df.select("conv_id", "turn_idx", "action", "lat_ms", "tok"),
-        ["conv_id", "turn_idx"],
+    (__name__/__labels__/__value__/__time_nano__, labels key-sorted).
+
+    ONE derivation: the kv parse keeps every upstream column, so ``role``
+    rides along and no (conv_id, turn_idx) self-join is needed (round 2
+    derived the transcripts twice — two window shuffles + a sort-merge
+    join — for columns the parse already carries)."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\w+=[^ ]*&")
+    )
+    kv = build_operator({
+        "Type": "processor_split_key_value", "SourceKey": "text",
+        "Delimiter": "&", "Separator": "=", "Keys": ["action", "lat_ms", "ok", "tok"],
+    })
+    df = kv(df).filter("_parse_ok").select(
+        "role", "action", "ts",
+        F.col("lat_ms").try_cast("long").alias("lat_ms"),
+        F.col("tok").try_cast("long").alias("tok"),
     )
     op = build_operator({
         "Type": "processor_log_to_metric",

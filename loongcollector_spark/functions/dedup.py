@@ -189,28 +189,33 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             ])
         ).alias("c"),
     ).select(id_col, "sh0", "sh1", "sh2", "sh3", "c.chunk_idx", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # shuffle_merge hint: both sides then hash-partition on the SAME
+    # (chunk_idx, chunk) key with IDENTICAL subplans, so Catalyst reuses
+    # one exchange — the signature aggregation runs ONCE, not per side
+    # (a broadcast join would recompute it for the broadcast copy)
+    a, b = chunks.alias("a"), chunks.hint("shuffle_merge").alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.sh{i}").bitwiseXOR(F.col(f"b.sh{i}")))
+        for i in range(4)
+    )
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # hamming as a join residual: pairs sharing several chunks are
+            # dropped BEFORE the dedup shuffle, which then carries only
+            # (doc_a, doc_b, hamming) instead of ids + eight chunk columns
+            & (hamming <= max_hamming),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            *[F.col(f"a.sh{i}").alias(f"a{i}") for i in range(4)],
-            *[F.col(f"b.sh{i}").alias(f"b{i}") for i in range(4)],
+            hamming.cast("int").alias("hamming"),
         )
-        .distinct()
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
-    )
-    return cand.withColumn("hamming", hamming.cast("int")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
 
 
 def ngram_jaccard_adjacent(df: DataFrame, text_col: str = "text",
