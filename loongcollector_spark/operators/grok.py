@@ -55,7 +55,9 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "TIME": r"(?:2[0123]|[01]?[0-9]):(?:[0-5][0-9]):(?:[0-5][0-9])(?:\.[0-9]+)?",
     "ISO8601_TIMEZONE": r"(?:Z|[+-](?:2[0123]|[01][0-9])(?::?(?:[0-5][0-9])))",
     "TIMESTAMP_ISO8601": r"%{YEAR}-(?:0[1-9]|1[0-2])-%{MONTHDAY}[T ]%{TIME}%{ISO8601_TIMEZONE}?",
-    "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+.-]+)+",
+    # equivalent language to the logstash (?:X+)+ form without the
+    # exponential-backtracking ambiguity ((?:X+)+ ≡ X+)
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]+",
     "URIHOST": r"%{IPORHOST}(?::%{INT})?",
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
@@ -152,6 +154,201 @@ def _count_capturing(rx: str) -> int:
     return n
 
 
+def _unbounded_at(rx: str, j: int) -> int:
+    """Length of an unbounded quantifier starting at rx[j], else 0."""
+    if j < len(rx) and rx[j] in "*+":
+        return 1
+    if j < len(rx) and rx[j] == "{":
+        m = re.match(r"\{\d+,\}", rx[j:])
+        if m:
+            return len(m.group(0))
+    return 0
+
+
+def _class_matches(atom: str, ch: str) -> bool:
+    """Can regex atom (a char class / escape / literal) match ``ch``?
+    Conservative: returns True when unsure."""
+    if atom.startswith("["):
+        body = atom[1:-1]
+        neg = body.startswith("^")
+        if neg:
+            body = body[1:]
+        hit = False
+        k = 0
+        while k < len(body):
+            if body[k] == "\\" and k + 1 < len(body):
+                esc = body[k : k + 2]
+                if _class_matches(esc, ch):
+                    hit = True
+                k += 2
+            elif k + 2 < len(body) and body[k + 1] == "-" and body[k + 2] != "]":
+                if body[k] <= ch <= body[k + 2]:
+                    hit = True
+                k += 3
+            else:
+                if body[k] == ch:
+                    hit = True
+                k += 1
+        return hit != neg
+    if atom == ".":
+        return ch != "\n"
+    if atom.startswith("\\"):
+        e = atom[1]
+        table = {
+            "w": ch.isalnum() or ch == "_", "W": not (ch.isalnum() or ch == "_"),
+            "d": ch.isdigit(), "D": not ch.isdigit(),
+            "s": ch.isspace(), "S": not ch.isspace(),
+        }
+        return table.get(e, e == ch)
+    return atom == ch
+
+
+def _inner_unbounded_atoms(body: str) -> list[str]:
+    """Atoms under an unbounded quantifier anywhere in ``body``.
+    A quantified GROUP is reported as '(' (→ unprovable → unsafe)."""
+    atoms, i, n = [], 0, len(body)
+    last = ""
+    while i < n:
+        ch = body[i]
+        if ch == "\\":
+            last = body[i : i + 2]
+            i += 2
+        elif ch == "[":
+            j = i + 1
+            if j < n and body[j] == "^":
+                j += 1
+            if j < n and body[j] == "]":
+                j += 1
+            while j < n and body[j] != "]":
+                j += 2 if body[j] == "\\" else 1
+            last = body[i : j + 1]
+            i = j + 1
+        elif ch == ")":
+            last = "("
+            i += 1
+        else:
+            last = ch
+            i += 1
+        q = _unbounded_at(body, i)
+        if q:
+            atoms.append(last)
+            i += q
+    return atoms
+
+
+def _leading_literal(body: str) -> str | None:
+    """The group body's first REQUIRED atom if it is a literal char
+    (optionally escaped); None when the body starts with anything whose
+    consumption the lint can't prove (class, group, anchor, …) or when an
+    alternation could bypass the leading atom."""
+    k = 0
+    while k < len(body):  # any unescaped | outside a class → not required
+        if body[k] == "\\":
+            k += 2
+        elif body[k] == "[":
+            k += 1
+            while k < len(body) and body[k] != "]":
+                k += 2 if body[k] == "\\" else 1
+            k += 1
+        elif body[k] == "|":
+            return None
+        else:
+            k += 1
+    while body[:3] == "(?:" or body[:1] == "(":
+        body = body[3:] if body[:3] == "(?:" else body[1:]
+    if not body:
+        return None
+    if body[0] == "\\" and len(body) > 1 and not body[1].isalnum():
+        lit, rest = body[1], body[2:]
+    elif body[0] not in "[(.^$|\\":
+        lit, rest = body[0], body[1:]
+    else:
+        return None
+    if rest[:1] in "*?{":  # optional / re-quantified → not required
+        return None
+    return lit
+
+
+def lint_backtracking(rx: str) -> str | None:
+    """Plan-time catastrophic-backtracking heuristic.
+
+    The reference caps grok evaluation at 100 ms per log via regexp2's
+    MatchTimeout (processor_grok.go:41-58); Java regex has no timeout, so
+    a pathological pattern would pin an executor core for the whole task.
+    This lint rejects the classic exponential shape at BUILD time instead:
+    an unbounded quantifier (``*``, ``+``, ``{n,}``) applied to a group
+    whose body itself contains an unbounded quantifier — ``(x+)+``,
+    ``(?:\\w*)*``, ``(a|b+)*`` …
+
+    Safe-shape carve-out: path-style patterns like ``(?:/[^/]*)+`` are
+    unambiguous because every outer iteration must consume a leading
+    literal the inner repeated class cannot match — those are allowed
+    (the standard grok URIPATH/UNIXPATH/WINPATH shapes).
+
+    Returns a description of the first offending site, or None.
+    """
+    i, n = 0, len(rx)
+    # stack of [group_start, body_has_unbounded_quantifier]
+    stack: list[list] = []
+
+    def note_quant(q: int):
+        if q and stack:
+            stack[-1][1] = True
+
+    while i < n:
+        ch = rx[i]
+        if ch == "\\":
+            i += 2
+            q = _unbounded_at(rx, i)
+            i += q
+            note_quant(q)
+            continue
+        if ch == "[":  # character class: skip to unescaped ]
+            i += 1
+            if i < n and rx[i] == "^":
+                i += 1
+            if i < n and rx[i] == "]":
+                i += 1
+            while i < n and rx[i] != "]":
+                i += 2 if rx[i] == "\\" else 1
+            i += 1
+            q = _unbounded_at(rx, i)
+            i += q
+            note_quant(q)
+            continue
+        if ch == "(":
+            stack.append([i, False])
+            i += 1
+            continue
+        if ch == ")":
+            start, had = stack.pop() if stack else (0, False)
+            i += 1
+            q = _unbounded_at(rx, i)
+            if q and had:
+                body = rx[start : i - 1]
+                lit = _leading_literal(body)
+                inner = _inner_unbounded_atoms(body)
+                safe = lit is not None and inner and all(
+                    not _class_matches(a, lit) for a in inner
+                )
+                if not safe:
+                    return (
+                        f"unbounded quantifier at offset {i} applied to a "
+                        f"group that itself contains an unbounded "
+                        f"quantifier: …{rx[start:i + q]}… (exponential "
+                        f"backtracking risk)"
+                    )
+            i += q
+            if had or q:
+                note_quant(1)
+            continue
+        i += 1
+        q = _unbounded_at(rx, i)
+        i += q
+        note_quant(q)
+    return None
+
+
 class GrokCompiler:
     """Compile grok expressions to (java_regex, [(group_idx, alias, type)]).
 
@@ -198,7 +395,7 @@ class GrokCompiler:
         return rx, captures
 
 
-@register("processor_grok", keys=COMMON_PARSE_KEYS | {"Match", "CustomPatterns", "KeepSource", "IgnoreParseFailure"})
+@register("processor_grok", keys=COMMON_PARSE_KEYS | {"Match", "CustomPatterns", "KeepSource", "IgnoreParseFailure", "AllowRiskyPatterns"})
 def grok_op(cfg: dict):
     """Grok extraction with ordered first-match-wins cascade.
 
@@ -214,6 +411,17 @@ def grok_op(cfg: dict):
     src = cfg.get("SourceKey", "text")
     compiler = GrokCompiler(cfg.get("CustomPatterns"))
     compiled = [compiler.compile(p) for p in cfg["Match"]]
+    if not cfg.get("AllowRiskyPatterns"):
+        for raw, (rx, _caps) in zip(cfg["Match"], compiled):
+            risk = lint_backtracking(rx)
+            if risk:
+                raise ValueError(
+                    f"processor_grok Match pattern {raw!r} rejected at build "
+                    f"time: {risk}. The reference bounds this with a 100 ms "
+                    f"regexp2 timeout (processor_grok.go:41-58); Java regex "
+                    f"has none, so an adversarial log line would pin an "
+                    f"executor. Set AllowRiskyPatterns: true to override."
+                )
     cfg = dict(cfg)
     cfg.setdefault("KeepingSourceWhenParseSucceed", cfg.get("KeepSource", True))
     cfg.setdefault("KeepingSourceWhenParseFail", cfg.get("IgnoreParseFailure", True))

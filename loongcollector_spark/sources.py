@@ -37,13 +37,45 @@ def input_file(
     else:
         df = spark.read.format(fmt).load(path_glob)
     if with_provenance:
-        df = df.withColumn("_ingest_file", F.input_file_name())
         if fmt == "text":
+            # Per-file line index WITHOUT a per-file window (a window
+            # partitioned on the file name collapses each file into one
+            # task — a single 100 GB file becomes the straggler). Text
+            # splits are parallel blocks; within a Spark partition each
+            # block's rows are contiguous and in file order, so:
+            #   line_idx = (rows in earlier blocks of the file)
+            #            + (row position within this block)
+            # The per-block row counts are a TINY aggregate (one row per
+            # block) broadcast-joined back — two scans of the input
+            # instead of shuffling every row into one task per file.
             from pyspark.sql import Window
 
-            # per-file line index: the order-by-offset contract
-            w = Window.partitionBy("_ingest_file").orderBy(F.monotonically_increasing_id())
-            df = df.withColumn("_line_idx", F.row_number().over(w) - 1)
+            df = df.select(
+                "text",
+                F.col("_metadata.file_path").alias("_ingest_file"),
+                F.col("_metadata.file_block_start").alias("_block"),
+            ).withColumn("_mid", F.monotonically_increasing_id())
+            blocks = df.groupBy("_ingest_file", "_block").agg(
+                F.count("*").alias("_bn"), F.min("_mid").alias("_mid0")
+            )
+            wb = (
+                Window.partitionBy("_ingest_file")
+                .orderBy("_block")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            blocks = blocks.withColumn(
+                "_prior", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+            )
+            df = (
+                df.join(F.broadcast(blocks), ["_ingest_file", "_block"])
+                .withColumn(
+                    "_line_idx",
+                    (F.col("_prior") + F.col("_mid") - F.col("_mid0")).cast("long"),
+                )
+                .select("text", "_ingest_file", "_line_idx")
+            )
+        else:
+            df = df.withColumn("_ingest_file", F.input_file_name())
     if multiline_start_rx and fmt == "text":
         from loongcollector_spark.operators import build_operator
 

@@ -243,6 +243,28 @@ def test_embedding_near_dup_blocks_and_thresholds(spark):
     assert by_id[1][0] != by_id[3][0] and by_id[1][1:] == by_id[3][1:]
 
 
+def test_grok_backtracking_lint_rejects_pathological_patterns(spark):
+    """The reference caps grok at 100 ms/regexp (processor_grok.go:41-58);
+    this build rejects the exponential shapes at BUILD time instead."""
+    import pytest as _pytest
+
+    for bomb in [r"(%{WORD}\s?)+$", r"start(?:\w*)*end"]:
+        with _pytest.raises(ValueError, match="backtracking"):
+            build_operator({
+                "Type": "processor_grok", "SourceKey": "text", "Match": [bomb],
+            })
+    # explicit override keeps the reference-parity escape hatch
+    build_operator({
+        "Type": "processor_grok", "SourceKey": "text",
+        "Match": [r"start(?:\w*)*end"], "AllowRiskyPatterns": True,
+    })
+    # the safe path shapes (URIPATH/UNIXPATH/WINPATH) must still build
+    build_operator({
+        "Type": "processor_grok", "SourceKey": "text",
+        "Match": ["%{URIPATHPARAM:p}", "%{PATH:q}"],
+    })
+
+
 def test_grok_combined_apache_pattern(spark):
     """Full default-library chain: COMBINEDAPACHELOG expands through
     COMMONAPACHELOG/HTTPDATE/QS/... to a working extraction."""

@@ -37,6 +37,29 @@ def test_input_file_multiline_merge(spark, text_dir):
     assert "ERROR second" in texts
 
 
+def test_input_file_line_idx_across_splits(spark):
+    """The line index must stay correct when one file is read as MANY
+    parallel blocks (the de-skew contract: no per-file single-task
+    window — a 100 GB file must not become a straggler)."""
+    d = tempfile.mkdtemp(prefix="lcs_split_")
+    n = 20_000
+    try:
+        with open(f"{d}/big.log", "w") as f:
+            f.write("\n".join(f"line-{i:07d}" for i in range(n)))
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+        try:
+            df = input_file(spark, f"{d}/*.log")
+            assert df.rdd.getNumPartitions() > 4  # really split
+            rows = df.orderBy("_line_idx").collect()
+            assert [r["_line_idx"] for r in rows] == list(range(n))
+            assert rows[12345]["text"] == "line-0012345"
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_input_static_file_and_mock(spark):
     df = input_static_file(spark, "/root/testdata/sf0.001/events.parquet")
     assert df.count() > 0
