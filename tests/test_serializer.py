@@ -34,3 +34,87 @@ def test_json_sink_round_trip(spark, kv_df):
         assert {p["conv_id"] for p in parsed} == {"c1", "c2"}
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_custom_single_protocol_bytes(spark):
+    """custom_single converter golden (custom_single_log.go:32-62):
+    {"contents": {...}, "tags": {...}, "time": N} with Go's sorted-map
+    key order."""
+    from loongcollector_spark.serializer import convert_events
+
+    df = spark.createDataFrame(
+        [("c1", 0, "hello", "2026-01-01 00:00:00")],
+        "conv_id string, turn_idx int, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = convert_events(df, "custom_single", tags={"host": "h1"}).first()["value"]
+    assert v == (
+        '{"contents":{"conv_id":"c1","text":"hello","turn_idx":"0"},'
+        '"tags":{"host":"h1"},"time":1767225600}'
+    )
+
+
+def test_jsonline_protocol_bytes(spark):
+    """jsonline = flattened single-log objects, one per line
+    (jsonline.go:15-41 over converter_single_log_flatten.go:25-60)."""
+    from loongcollector_spark.serializer import convert_events
+
+    df = spark.createDataFrame(
+        [("c1", "hi", "2026-01-01 00:00:00")],
+        "conv_id string, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = convert_events(df, "jsonline", tags={"host": "h1"}).first()["value"]
+    assert v == '{"conv_id":"c1","host":"h1","text":"hi","time":1767225600}'
+    v2 = convert_events(df, "jsonline", only_contents=True).first()["value"]
+    assert v2 == '{"conv_id":"c1","text":"hi","time":1767225600}'
+
+
+def test_influxdb_protocol_bytes(spark):
+    """influxdb line protocol goldens (influxdb_metric_test.go:37-65 and
+    the readNames contract converter_sls_metric_test.go:85-133)."""
+    from loongcollector_spark.serializer import convert_events
+
+    rows = [
+        ("metric", "", 1.0, None, None),
+        ("metric", "aa#$#bb", 1.0, None, None),
+        ("metric", None, 1.0, 1667615389000000000, None),
+        ("cpu1", "k1=v1|k2=v2", 1.0, 1700000000000000001, None),
+        # __field__ suffix trim (readNames): name aa:bb + field bb -> aa bb=
+        ("aa:bb", "", 2.5, None, "bb"),
+        # field 'value' does NOT trim (converter_sls_metric_test.go:123-127)
+        ("aa:value", "", 3.0, None, "value"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`__name__` string, `__labels__` string, `__value__` double, "
+        "`__time_nano__` long, `__field__` string",
+    )
+    got = [r["value"] for r in convert_events(df, "influxdb").collect()]
+    assert got == [
+        "metric value=1",
+        "metric,aa=bb value=1",
+        "metric value=1 1667615389000000000",
+        "cpu1,k1=v1,k2=v2 value=1 1700000000000000001",
+        "aa bb=2.5",
+        "aa:value value=3",
+    ]
+
+
+def test_flusher_http_end_to_end(spark, tmp_path):
+    from loongcollector_spark.flushers import build_flusher
+
+    df = spark.createDataFrame(
+        [("c1", "x", "2026-01-01 00:00:00")],
+        "conv_id string, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "http_body")
+    build_flusher({
+        "Type": "flusher_http", "Path": out,
+        "Convert": {"Protocol": "jsonline", "Encoding": "json"},
+    })(df)
+    import glob
+
+    lines = []
+    for f in glob.glob(out + "/part-*"):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert lines == ['{"conv_id":"c1","text":"x","time":1767225600}']
