@@ -93,3 +93,25 @@ def test_minhash_lsh_join_carries_ids_and_bands_only(spark):
     for ln in exchanges:
         assert "text" not in ln
         assert "band" in ln or "doc_" in ln
+
+
+def test_multiline_codegen_paths_have_no_python(parquet_transcripts):
+    """start-only / start+continue / BY_FLAG multiline merges must stay
+    JVM-side (window algebra) — no pandas evaluation node — and shuffle
+    once on the group key; only end-pattern combos may use the FSM."""
+    from loongcollector_spark.operators import build_operator
+
+    for cfg in (
+        {"StartPattern": r"\d+\..*"},
+        {"StartPattern": r"\d+\..*", "ContinuePattern": r"\{.*"},
+    ):
+        op = build_operator({"Type": "processor_merge_multiline_log", **cfg})
+        plan = _plan(op(parquet_transcripts))
+        assert "Python" not in plan and "Pandas" not in plan, cfg
+        # window + final agg share the conv_id exchange; at most 2
+        assert plan.count("Exchange") <= 2, cfg
+
+    fsm = build_operator({
+        "Type": "processor_merge_multiline_log", "EndPattern": r"action=.*",
+    })
+    assert "FlatMapGroupsInPandas" in _plan(fsm(parquet_transcripts))
