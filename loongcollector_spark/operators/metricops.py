@@ -28,23 +28,32 @@ def log_to_metric(cfg: dict):
             label_sep,
             *[F.concat(F.lit(k + "="), F.col(k).cast("string")) for k in label_keys],
         )
-        frames = []
-        for name, value_key in values.items():
-            frames.append(
-                df.select(
+        # ONE pass: a per-name union would duplicate the whole upstream
+        # subtree (scan + parse + any window) once per metric — explode
+        # an inline (name, value) array instead (measured 3.2 s → half
+        # on the sf0.1 suite for two metrics)
+        metric = F.explode(
+            F.array(*[
+                F.struct(
                     F.lit(name).alias("__name__"),
-                    labels.alias("__labels__"),
                     F.col(value_key).try_cast("double").alias("__value__"),
-                    # cast: unix_micros rejects TIMESTAMP_NTZ inputs (UTC
-                    # session, so ntz->tz is identity)
-                    (F.unix_micros(F.col(ts_key).cast("timestamp")) * 1000
-                     ).alias("__time_nano__"),
                 )
-            )
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
-        return out
+                for name, value_key in values.items()
+            ])
+        )
+        return df.select(
+            metric.alias("_m"),
+            labels.alias("__labels__"),
+            # cast: unix_micros rejects TIMESTAMP_NTZ inputs (UTC
+            # session, so ntz->tz is identity)
+            (F.unix_micros(F.col(ts_key).cast("timestamp")) * 1000
+             ).alias("__time_nano__"),
+        ).select(
+            F.col("_m.__name__").alias("__name__"),
+            "__labels__",
+            F.col("_m.__value__").alias("__value__"),
+            "__time_nano__",
+        )
 
     return run
 

@@ -206,6 +206,26 @@ def _merge_start_continue(df, src, group_keys, order_key, start, cont, single_li
     )
 
 
+def _merge_end_only(df, src, group_keys, order_key, end, single_line):
+    """End-only as pure window algebra (codegen): the FSM sticks to the
+    collecting state (cpp:178-181 — only-end starts partial), so event k
+    is exactly the rows with k prior end-matches; rows after the last
+    end are unmatched (cpp:316-323)."""
+    wo = Window.partitionBy(*group_keys).orderBy(order_key)
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy(*group_keys)
+    e = _match_expr(F.col(src), end).cast("long")
+    df = df.withColumn("_pos", F.row_number().over(wo)).withColumn("_e", e)
+    prior = F.coalesce(F.sum("_e").over(wprev), F.lit(0))
+    tot = F.sum("_e").over(wall)
+    df = df.withColumn(
+        "_mgid", F.when(prior < tot, prior).otherwise(-F.col("_pos").cast("long"))
+    ).withColumn("_matched", prior < tot)
+    if not single_line:
+        df = df.filter(F.col("_matched"))
+    return _agg_merged(df.drop("_pos", "_e", "_matched"), src, group_keys, order_key)
+
+
 def _merge_by_flag(df, src, group_keys, order_key, flag_key):
     """BY_FLAG (MergeLogsByFlag, cpp:115-160): runs of partial-flag rows
     merge with the first following non-partial row, concatenated WITHOUT
@@ -272,6 +292,8 @@ def merge_lines(df, cfg: dict):
         return _merge_start_continue(
             df, src, group_keys, order_key, start, cont, single_line
         )
+    if start is None and cont is None:
+        return _merge_end_only(df, src, group_keys, order_key, end, single_line)
     return _merge_fsm(df, src, group_keys, order_key, start, cont, end, single_line)
 
 

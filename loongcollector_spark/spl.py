@@ -32,6 +32,7 @@ be schema-stable.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import re
 from dataclasses import dataclass
@@ -818,14 +819,17 @@ def _split_pipeline(text: str) -> list[_Cmd]:
     return cmds
 
 
-def spl_run(df: DataFrame, script: str) -> dict[str, DataFrame]:
+def spl_run(df: DataFrame, script: str,
+            _persisted: list | None = None) -> dict[str, DataFrame]:
     """Execute an SPL script against a DataFrame.
 
     Returns {output_name: DataFrame} — one entry per emitted branch
     (``$name;`` statements), or {"out": frame} for a bare pipeline.
     Let-bound frames used by ≥2 branches are persisted (the router
     copy-minimization analog — one upstream materialization, N branch
-    filters).
+    filters). Long-lived sessions should use :func:`spl_run_scoped`,
+    which unpersists those frames when the caller is done; bare
+    ``spl_run`` leaves them to Spark's LRU eviction.
     """
     if any(n + "(" in script.replace(" ", "") for n in _SHIMMED):
         register_spl_shims(df.sparkSession)
@@ -880,6 +884,8 @@ def spl_run(df: DataFrame, script: str) -> dict[str, DataFrame]:
                 frame = _compile_cmd(cmd)(frame)
             if use_count.get(name, 0) >= 2:
                 frame = frame.persist()
+                if _persisted is not None:
+                    _persisted.append(frame)
             bindings[name] = frame
         elif re.fullmatch(r"\$\w+", st):
             outputs[st[1:]] = resolve(st)
@@ -889,3 +895,16 @@ def spl_run(df: DataFrame, script: str) -> dict[str, DataFrame]:
                 frame = _compile_cmd(cmd)(frame)
             outputs["out"] = frame
     return outputs
+
+
+@contextlib.contextmanager
+def spl_run_scoped(df: DataFrame, script: str):
+    """spl_run with cache hygiene: yields the outputs dict, then
+    unpersists every let-binding cache when the caller's block exits —
+    a long-lived session never accumulates orphaned cached frames."""
+    persisted: list[DataFrame] = []
+    try:
+        yield spl_run(df, script, _persisted=persisted)
+    finally:
+        for f in persisted:
+            f.unpersist()

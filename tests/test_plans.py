@@ -104,6 +104,7 @@ def test_multiline_codegen_paths_have_no_python(parquet_transcripts):
     for cfg in (
         {"StartPattern": r"\d+\..*"},
         {"StartPattern": r"\d+\..*", "ContinuePattern": r"\{.*"},
+        {"EndPattern": r"action=.*"},
     ):
         op = build_operator({"Type": "processor_merge_multiline_log", **cfg})
         plan = _plan(op(parquet_transcripts))
@@ -111,7 +112,9 @@ def test_multiline_codegen_paths_have_no_python(parquet_transcripts):
         # window + final agg share the conv_id exchange; at most 2
         assert plan.count("Exchange") <= 2, cfg
 
+    # start+end / continue+end have no fixed-pass window form: FSM path
     fsm = build_operator({
-        "Type": "processor_merge_multiline_log", "EndPattern": r"action=.*",
+        "Type": "processor_merge_multiline_log",
+        "StartPattern": r"\d+\..*", "EndPattern": r"action=.*",
     })
     assert "FlatMapGroupsInPandas" in _plan(fsm(parquet_transcripts))

@@ -130,6 +130,33 @@ $ds2;
     assert len(r2) == 1 and (r2[0]["x"], r2[0]["y"], r2[0]["z"]) == ("a", "b", "c")
 
 
+def test_spl_run_scoped_unpersists_let_caches(spl_df):
+    """spl_run_scoped must release the multi-branch let cache on exit
+    (bare spl_run leaves it to LRU — a long-lived session would leak)."""
+    from pyspark import StorageLevel
+    from loongcollector_spark.spl import spl_run_scoped
+
+    script = """
+.let src = * | parse-json routed;
+.let ds1 = $src | where type = 'kv' | parse-kv -delims='&' message;
+$ds1;
+.let ds2 = $src | where type = 'csv' | parse-csv message as x, y, z;
+$ds2;
+"""
+    # the shared `src` binding is persisted and tracked …
+    persisted: list = []
+    outs = spl_run(spl_df, script, _persisted=persisted)
+    assert len(outs["ds1"].collect()) == 1
+    assert len(persisted) == 1
+    assert persisted[0].storageLevel.useMemory
+    persisted[0].unpersist()
+    assert persisted[0].storageLevel == StorageLevel(False, False, False, False)
+
+    # … and the scoped runner does the unpersist itself
+    with spl_run_scoped(spl_df, script) as outs2:
+        assert len(outs2["ds2"].collect()) == 1
+
+
 def test_unsupported_raises_at_compile(spl_df):
     with pytest.raises(SplUnsupported):
         spl_run(spl_df, "* | extend a = spooky_hash_v2_32(content)")
