@@ -193,3 +193,128 @@ def convert_events(df: DataFrame, protocol: str = "custom_single",
     fn = _HTTP_PROTOCOLS[protocol]
     col = fn(df, **kwargs) if protocol != "influxdb" else fn(df)
     return df.select(col.alias("value"))
+
+
+# --------------------------------------------------------------------------
+# SLS protobuf serializer (SLSSerializer.cpp over the public Apache-2.0
+# wire schema pkg/protocol/sls_logs.pb.go:29-31,97-98,149-150,201-206)
+# --------------------------------------------------------------------------
+# Message layout (ascending field order, standard proto2 encoding):
+#   Log        : Time varint f1 · Contents len-delim f2 (repeated)
+#   Log_Content: Key len-delim f1 · Value len-delim f2
+#   LogGroup   : Logs f1 (rep) · Category f2 · Topic f3 · Source f4 ·
+#                MachineUUID f5 · LogTags f6 (LogTag: Key f1, Value f2)
+# The per-row Log message is PURE codegen (varints via shift/mask
+# when-chains, bytes via unhex, concat on BinaryType); only the
+# group-level fold over collected logs uses an interpreted aggregate —
+# at the sink boundary, once per LogGroup, never per row.
+
+
+def py_varint(n: int) -> bytes:
+    """Python twin of the varint expression (test model + const fields)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_byte(col):
+    """One byte from an int expression in [0, 255]."""
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 2, "0"))
+
+
+def _pb_varint(col, max_bytes: int = 5):
+    """Protobuf varint of a non-negative long expression (≤ 2^35-1)."""
+    col = col.cast("long")
+    pieces = []
+    for i in range(max_bytes):
+        grp = F.shiftright(col, 7 * i).bitwiseAND(F.lit(0x7F))
+        more = F.shiftright(col, 7 * (i + 1)) > 0
+        byte = _pb_byte(F.when(more, grp.bitwiseOR(F.lit(0x80))).otherwise(grp))
+        if i == 0:
+            pieces.append(byte)
+        else:
+            pieces.append(
+                F.when(F.shiftright(col, 7 * i) > 0, byte).otherwise(F.lit(b""))
+            )
+    return F.concat(*pieces)
+
+
+def _pb_len_delim(tag: int, payload):
+    """tag byte + varint(byte length) + payload (payload: binary col)."""
+    return F.concat(
+        F.lit(bytes([tag])), _pb_varint(F.length(payload)), payload
+    )
+
+
+def pb_string_field(field_num: int, value: str) -> bytes:
+    """Constant length-delimited field, assembled driver-side."""
+    raw = value.encode()
+    return bytes([(field_num << 3) | 2]) + py_varint(len(raw)) + raw
+
+
+def sls_pb_log_column(df: DataFrame, time_col: str = "ts",
+                      content_cols: list[str] | None = None):
+    """The serialized ``Log`` message per row — all JVM expressions.
+    Null contents are omitted (the JsonSerializer's ignoreNullFields
+    twin); values are stringified like the reference's string-only
+    content model."""
+    cols = content_cols or [
+        c for c in serializable_columns(df) if c != time_col
+    ]
+    t = (
+        F.unix_timestamp(F.col(time_col)) if time_col in df.columns
+        else F.lit(0)
+    )
+    parts = [F.lit(b"\x08"), _pb_varint(t)]
+    for c in cols:
+        key = F.lit(c.encode())
+        val = F.coalesce(F.col(c).cast("string"), F.lit("")).cast("binary")
+        content = F.concat(_pb_len_delim(0x0A, key), _pb_len_delim(0x12, val))
+        parts.append(
+            F.when(F.col(c).isNotNull(), _pb_len_delim(0x12, content))
+            .otherwise(F.lit(b""))
+        )
+    return F.concat(*parts)
+
+
+def sls_pb_loggroup_frame(df: DataFrame, group_cols=("conv_id",),
+                          order_col: str = "turn_idx", time_col: str = "ts",
+                          topic: str = "", source: str = "",
+                          machine_uuid: str = "",
+                          tags: dict[str, str] | None = None) -> DataFrame:
+    """One ``LogGroup`` blob per group: logs in stable order, then the
+    constant Topic/Source/MachineUUID/LogTags fields (assembled once
+    driver-side as literal bytes)."""
+    log = sls_pb_log_column(df, time_col)
+    logs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), log.alias("b")))
+    )
+    framed = F.transform(
+        logs,
+        lambda s: F.concat(
+            F.lit(b"\x0a"), _pb_varint(F.length(s["b"])), s["b"]
+        ),
+    )
+    body = F.aggregate(
+        framed, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
+    )
+    const = b""
+    if topic:
+        const += pb_string_field(3, topic)
+    if source:
+        const += pb_string_field(4, source)
+    if machine_uuid:
+        const += pb_string_field(5, machine_uuid)
+    for k, v in (tags or {}).items():
+        tag_msg = pb_string_field(1, k) + pb_string_field(2, v)
+        const += bytes([0x32]) + py_varint(len(tag_msg)) + tag_msg
+    return df.groupBy(*group_cols).agg(
+        F.concat(body, F.lit(const)).alias("loggroup_pb"),
+        F.count("*").alias("n_logs"),
+    )

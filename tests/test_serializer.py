@@ -118,3 +118,92 @@ def test_flusher_http_end_to_end(spark, tmp_path):
         with open(f) as fh:
             lines += [ln for ln in fh.read().splitlines() if ln]
     assert lines == ['{"conv_id":"c1","text":"x","time":1767225600}']
+
+
+def test_sls_pb_log_hand_derived_vector(spark):
+    """Fully hand-derived protobuf bytes (proto2 wire rules over
+    sls_logs.pb.go field numbers): Log{Time=1, Contents=[{a,b}]}
+    = 08 01 12 06 0a 01 61 12 01 62."""
+    from loongcollector_spark.serializer import sls_pb_log_column
+
+    df = spark.createDataFrame([("b", "1970-01-01 00:00:01")], "a string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = df.select(sls_pb_log_column(df).alias("pb")).first()["pb"]
+    assert bytes(got) == bytes.fromhex("0801" "1206" "0a0161" "120162")
+
+
+def test_sls_pb_varint_boundaries(spark):
+    """Varint expression vs the Python model across 7-bit boundaries."""
+    from loongcollector_spark.serializer import _pb_varint, py_varint
+
+    ns = [0, 1, 127, 128, 300, 16383, 16384, 2097151, 2097152,
+          1767225600, (1 << 35) - 1]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = [bytes(r["v"]) for r in
+           df.select(_pb_varint(F.col("n")).alias("v")).collect()]
+    assert got == [py_varint(n) for n in ns]
+
+
+def test_sls_pb_loggroup_matches_python_model(spark):
+    """Whole-LogGroup bytes vs an independent pure-Python writer, and
+    parseability: a minimal proto2 decoder walks the stream back to the
+    original (time, contents) rows."""
+    from loongcollector_spark.serializer import (
+        pb_string_field, py_varint, sls_pb_loggroup_frame,
+    )
+
+    rows = [
+        ("c1", 0, "hello", "user", "2026-01-01 00:00:00"),
+        ("c1", 1, "wörld é", "assistant", "2026-01-01 00:00:01"),
+        ("c2", 0, None, "tool", "2026-01-01 00:00:02"),  # null text omitted
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, role string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["conv_id"]: bytes(r["loggroup_pb"])
+        for r in sls_pb_loggroup_frame(
+            df, topic="tp", source="s1", tags={"host": "h"}
+        ).collect()
+    }
+
+    import calendar, datetime
+
+    def epoch(s):
+        return calendar.timegm(
+            datetime.datetime.strptime(s, "%Y-%m-%d %H:%M:%S").timetuple())
+
+    def py_content(k, v):
+        return pb_string_field(1, k) + pb_string_field(2, v)
+
+    def py_log(ts, contents):
+        body = b"\x08" + py_varint(epoch(ts))
+        for k, v in contents:
+            c = py_content(k, v)
+            body += b"\x12" + py_varint(len(c)) + c
+        return body
+
+    def py_group(logs):
+        out = b""
+        for lg in logs:
+            out += b"\x0a" + py_varint(len(lg)) + lg
+        out += pb_string_field(3, "tp") + pb_string_field(4, "s1")
+        tag = pb_string_field(1, "host") + pb_string_field(2, "h")
+        out += b"\x32" + py_varint(len(tag)) + tag
+        return out
+
+    # contents follow the frame's column order (serializable_columns)
+    want_c1 = py_group([
+        py_log("2026-01-01 00:00:00",
+               [("conv_id", "c1"), ("turn_idx", "0"), ("text", "hello"),
+                ("role", "user")]),
+        py_log("2026-01-01 00:00:01",
+               [("conv_id", "c1"), ("turn_idx", "1"), ("text", "wörld é"),
+                ("role", "assistant")]),
+    ])
+    want_c2 = py_group([
+        py_log("2026-01-01 00:00:02",
+               [("conv_id", "c2"), ("turn_idx", "0"), ("role", "tool")]),
+    ])
+    assert out["c1"] == want_c1
+    assert out["c2"] == want_c2
