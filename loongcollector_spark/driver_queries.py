@@ -1485,6 +1485,56 @@ FROM t WHERE role != 'system'
 """
 
 
+def q_merge_by_flag(spark, sf_dir):
+    """processor_merge_multiline_log MergeType=flag chained on the CRI
+    parse (MergeLogsByFlag, ProcessorMergeMultilineLogNative.cpp:115-160):
+    runs of P-flag lines merge with the following F line, concatenated
+    WITHOUT line breaks; a trailing P-run still merges."""
+    df = transcripts_from_events(spark, sf_dir)
+    df = df.withColumn(
+        "cri_line",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z' "),
+            F.lit("stdout"),
+            F.when(F.col("turn_idx") % 3 < 2, F.lit(" P ")).otherwise(F.lit(" F ")),
+            F.col("text"),
+        ),
+    )
+    parse = build_operator({
+        "Type": "processor_parse_container_log", "SourceKey": "cri_line",
+    })
+    merge = build_operator({
+        "Type": "processor_merge_multiline_log", "MergeType": "flag",
+        "SourceKey": "content",
+    })
+    out = merge(parse(df).select("conv_id", "turn_idx", "content", "_part_", "ts"))
+    return out.select(
+        "conv_id", "turn_idx", "n_merged",
+        F.md5(F.col("content").cast("binary")).alias("merged_md5"),
+    )
+
+
+O_MERGE_BY_FLAG = _ORACLE_T + """
+, f AS (
+  SELECT conv_id, turn_idx, text, (turn_idx % 3 < 2) AS part
+  FROM t
+), b AS (
+  SELECT *,
+    NOT coalesce(lag(part) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                 false) AS begins
+  FROM f
+), g AS (
+  SELECT *, sum(CASE WHEN begins THEN 1 ELSE 0 END)
+    OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+    AS mgid
+  FROM b
+)
+SELECT conv_id, min(turn_idx) AS turn_idx, count(*) AS n_merged,
+  md5(string_agg(text, '' ORDER BY turn_idx)) AS merged_md5
+FROM g GROUP BY conv_id, mgid
+"""
+
+
 def q_gotime_layouts(spark, sf_dir):
     """processor_gotime with GO reference-time layouts: format the event
     time as nginx-CLF and ISO strings, parse them back through translated
@@ -1697,6 +1747,7 @@ QUERIES = {
     "merge_multiline_continue": (q_merge_multiline_continue, O_MERGE_MULTILINE_CONTINUE),
     "http_jsonline": (q_http_jsonline, O_HTTP_JSONLINE),
     "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
+    "merge_by_flag": (q_merge_by_flag, O_MERGE_BY_FLAG),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),
     "simhash_signatures": (q_simhash_signatures, O_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, O_SIMHASH_NEAR_PAIRS),
