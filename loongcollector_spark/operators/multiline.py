@@ -85,11 +85,15 @@ def _patterns(cfg: dict):
     return start, cont, end
 
 
-def fsm_events(vals, sp, cp, ep, single_line):
+def fsm_events(vals, sp, cp, ep, single_line, eof=True):
     """The exact reference merge FSM over one group's ordered lines
     (ProcessorMergeMultilineLogNative::MergeLogsByRegex, cpp:161-326).
     Returns a list of events, each a list of line indices; unmatched
-    lines appear as single-index events when ``single_line``."""
+    lines appear as single-index events when ``single_line``.
+
+    With ``eof=False`` (the streaming caller), the trailing
+    still-collecting event is NOT flushed; use :func:`fsm_events_open`
+    to also get its indices back for carry-over state."""
     out, events = [], []
     is_partial = sp is None and cp is None and ep is not None
     begin = 0
@@ -146,12 +150,26 @@ def fsm_events(vals, sp, cp, ep, single_line):
                 else:
                     begin = cur
                     events = [cur]
-    if is_partial and begin < n:
+    if eof and is_partial and begin < n:
         if ep is None:
             out.append(events)
         elif single_line:  # end never seen → whole tail unmatched (cpp:316-323)
             out.extend([k] for k in range(begin, n))
     return out
+
+
+def fsm_events_open(vals, sp, cp, ep, single_line):
+    """Streaming variant: (closed_events, open_tail_indices). The open
+    tail is the still-collecting event a later batch (or a flush
+    timeout) will close; closed events are safe to emit now."""
+    closed = fsm_events(vals, sp, cp, ep, single_line, eof=False)
+    emitted = {i for ev in closed for i in ev}
+    # the open tail = the ordered suffix the eof=False run didn't emit,
+    # starting after the last emitted index (earlier unemitted indices
+    # were discard-mode unmatched lines, already dropped for good)
+    last = max(emitted) if emitted else -1
+    open_tail = list(range(last + 1, len(vals)))
+    return closed, open_tail
 
 
 def _agg_merged(df, src, group_keys, order_key, joiner="\n"):

@@ -170,3 +170,93 @@ def windowed_counter_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def multiline_merge_stream(
+    stream_df: DataFrame,
+    start_pattern: str | None = None,
+    continue_pattern: str | None = None,
+    end_pattern: str | None = None,
+    single_line: bool = True,
+    group_key: str = "conv_id",
+    order_key: str = "turn_idx",
+    src: str = "text",
+    flush_timeout_ms: int = 30_000,
+):
+    """Streaming multiline merge — the stateful twin of
+    processor_merge_multiline_log (the reference's LogFileReader keeps
+    the open multiline event in memory and flushes it on timeout,
+    FlushTimeoutSecs; here the open tail lives in per-conversation
+    GroupState and a processing-time timeout flushes it with the same
+    EOF rules the batch FSM applies).
+
+    Closed events emit as soon as their closing line arrives — a merged
+    event SPANNING micro-batches is assembled exactly as the batch
+    operator would. Returns (group_key, order_key, src, n_merged) rows.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from loongcollector_spark.operators.multiline import (
+        _patterns, fsm_events, fsm_events_open,
+    )
+    import re as _re
+
+    sp_s, cp_s, ep_s = _patterns({
+        "StartPattern": start_pattern,
+        "ContinuePattern": continue_pattern,
+        "EndPattern": end_pattern,
+    })
+    out_schema = f"{group_key} string, {order_key} long, {src} string, n_merged int"
+    state_schema = "idxs array<long>, lines array<string>"
+
+    def merge(key, pdf_iter, state: GroupState):
+        sp = _re.compile(sp_s) if sp_s else None
+        cp = _re.compile(cp_s) if cp_s else None
+        ep = _re.compile(ep_s) if ep_s else None
+
+        def rows_from(events, idxs, lines):
+            return [
+                (key[0], int(idxs[ev[0]]),
+                 "\n".join(lines[i] for i in ev), len(ev))
+                for ev in events
+            ]
+
+        if state.exists:
+            p_idxs, p_lines = state.get
+            p_idxs, p_lines = list(p_idxs), list(p_lines)
+        else:
+            p_idxs, p_lines = [], []
+
+        if state.hasTimedOut:
+            # flush the open tail with the batch FSM's EOF rules
+            evs = fsm_events(p_lines, sp, cp, ep, single_line, eof=True)
+            out = rows_from(evs, p_idxs, p_lines)
+            state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=[group_key, order_key, src, "n_merged"])
+            return
+
+        batches = [p for p in pdf_iter if len(p)]
+        new = pd.concat(batches) if batches else pd.DataFrame()
+        if len(new):
+            new = new.sort_values(order_key)
+            p_idxs += [int(v) for v in new[order_key]]
+            p_lines += ["" if v is None else str(v) for v in new[src]]
+        closed, open_tail = fsm_events_open(p_lines, sp, cp, ep, single_line)
+        out = rows_from(closed, p_idxs, p_lines)
+        state.update((
+            [p_idxs[i] for i in open_tail], [p_lines[i] for i in open_tail],
+        ))
+        state.setTimeoutDuration(flush_timeout_ms)
+        if out:
+            yield pd.DataFrame(out, columns=[group_key, order_key, src, "n_merged"])
+
+    return (
+        stream_df.groupBy(F.col(group_key))
+        .applyInPandasWithState(
+            merge, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

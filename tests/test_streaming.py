@@ -137,3 +137,59 @@ def test_rate_limit_stream_token_bucket(spark, stream_dirs):
     b_turns = sorted(t for role, t in got if role == "b")
     assert len(a_turns) == 3 and 5 in a_turns  # 2 burst + 1 refilled
     assert b_turns == [0, 1, 2, 3]             # rate matches arrival rate
+
+
+def test_multiline_merge_stream_spans_batches(spark, stream_dirs):
+    """A merged event whose continuation lines arrive in a LATER
+    micro-batch must assemble exactly as the batch operator would; the
+    open tail flushes via the state timeout (here: a final empty-ish
+    trigger isn't needed because the second batch closes event 1 with a
+    new start and the remaining tail flushes on q re-run)."""
+    src, out = stream_dirs
+    base = datetime.datetime(2026, 1, 1)
+    batch1 = [("c1", 0, "x", "ERROR boom", "", base),
+              ("c1", 1, "x", "  at frame1", "", base)]
+    batch2 = [("c1", 2, "x", "  at frame2", "", base),
+              ("c1", 3, "x", "ERROR next", "", base)]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(batch1, schema).repartition(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    from loongcollector_spark.streaming import multiline_merge_stream
+
+    merged = multiline_merge_stream(
+        transcripts_stream(spark, src, max_files_per_trigger=1),
+        start_pattern=r"ERROR.*", flush_timeout_ms=1,
+    )
+    q = (
+        merged.writeStream.format("parquet")
+        .option("path", f"{out}/merged")
+        .option("checkpointLocation", f"{out}/_ml_checkpoint")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["turn_idx"]: (r["text"], r["n_merged"])
+           for r in spark.read.parquet(f"{out}/merged").collect()}
+    # the spanning event closed when 'ERROR next' arrived in batch 2
+    assert got[0] == ("ERROR boom\n  at frame1\n  at frame2", 3)
+    # the open tail ('ERROR next') flushes once the timeout fires — run
+    # one more (empty) availableNow pass after the 1 ms timeout elapsed
+    import time
+
+    time.sleep(0.2)
+    q2 = (
+        multiline_merge_stream(
+            transcripts_stream(spark, src, max_files_per_trigger=1),
+            start_pattern=r"ERROR.*", flush_timeout_ms=1,
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{out}/merged")
+        .option("checkpointLocation", f"{out}/_ml_checkpoint")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = {r["turn_idx"]: (r["text"], r["n_merged"])
+           for r in spark.read.parquet(f"{out}/merged").collect()}
+    assert got.get(3) == ("ERROR next", 1)
