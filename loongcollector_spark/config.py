@@ -83,6 +83,16 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
         df = frames[0]
         for f in frames[1:]:
             df = df.unionByName(f)
+        if cfg.get("Multiline"):
+            # the input-level Multiline block (input-file.md: Multiline.
+            # StartPattern/ContinuePattern/EndPattern/Mode) merges lines
+            # per source file in offset order before processors run
+            from loongcollector_spark.operators.multiline import merge_lines
+
+            df = merge_lines(df, {
+                "Multiline": cfg["Multiline"], "SourceKey": "text",
+                "GroupKeys": ["_ingest_file"], "OrderKey": "_line_idx",
+            })
         # reference convention: the raw field is named `content`
         return df.withColumnRenamed("text", "content")
     if typ in ("service_mock", "metric_mock"):

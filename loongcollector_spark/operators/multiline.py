@@ -172,6 +172,65 @@ def fsm_events_open(vals, sp, cp, ep, single_line):
     return closed, open_tail
 
 
+def json_events(vals, single_line):
+    """Multiline.Mode=JSON (JsonLogFileReader::FindJsonMatch,
+    core/file_server/reader/JsonLogFileReader.cpp:47-120): an event
+    starts at a line whose first non-blank char is ``{`` and closes on
+    the line where quote-aware brace depth returns to zero; any other
+    line is its own single-line log. Negative depth (brace mismatch)
+    voids the buffer back to unmatched lines. Line granularity: the
+    event closes at end-of-line of the balancing brace."""
+    out, buf = [], []
+    depth, inq, esc = 0, False, False
+    for i, v in enumerate(vals):
+        s = v or ""
+        if not buf:
+            if not s.lstrip(" \t\0").startswith("{"):
+                out.append([i])
+                continue
+            depth, inq, esc = 0, False, False
+        buf.append(i)
+        bad = False
+        for ch in s:
+            if esc:
+                esc = False
+                continue
+            if inq:
+                if ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    inq = False
+                continue
+            if ch == '"':
+                inq = True
+            elif ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth < 0:
+                    bad = True
+                    break
+        if bad:
+            if single_line:
+                out.extend([k] for k in buf)
+            buf = []
+        elif depth == 0 and not inq:
+            out.append(buf)
+            buf = []
+    if buf and single_line:  # EOF with an unbalanced object: unmatched
+        out.extend([k] for k in buf)
+    return out
+
+
+def _merge_json_mode(df, src, group_keys, order_key, single_line):
+    """JSON multiline via the same grouped-FSM shape as the end-pattern
+    combos (quote-aware brace matching has no window closed form)."""
+    return _merge_fsm(
+        df, src, group_keys, order_key, None, None, None, single_line,
+        events_fn=lambda vals: json_events(vals, single_line),
+    )
+
+
 def _agg_merged(df, src, group_keys, order_key, joiner="\n"):
     """Shared tail: collapse ``_mgid`` groups into merged events in stable
     order. Map-side-combinable; one shuffle on (group_keys, _mgid)."""
@@ -256,10 +315,12 @@ def _merge_by_flag(df, src, group_keys, order_key, flag_key):
     return _agg_merged(df.drop(flag_key), src, group_keys, order_key, joiner="")
 
 
-def _merge_fsm(df, src, group_keys, order_key, start, cont, end, single_line):
-    """End-pattern combinations: exact reference FSM per group via
-    applyInPandas (Arrow batches; groups are conversations, so state
-    stays bounded and the shuffle is the same group-key exchange)."""
+def _merge_fsm(df, src, group_keys, order_key, start, cont, end, single_line,
+               events_fn=None):
+    """End-pattern combinations (and JSON mode via ``events_fn``): exact
+    reference FSM per group via applyInPandas (Arrow batches; groups are
+    conversations, so state stays bounded and the shuffle is the same
+    group-key exchange)."""
     in_fields = {f.name: f for f in df.schema.fields}
     out_fields = [in_fields[k] for k in group_keys] + [
         StructField(src, StringType()),
@@ -280,7 +341,10 @@ def _merge_fsm(df, src, group_keys, order_key, start, cont, end, single_line):
 
         pdf = pdf.sort_values(order_key).reset_index(drop=True)
         vals = ["" if v is None else str(v) for v in pdf[src]]
-        events = fsm_events(vals, sp, cp, ep, single_line)
+        if events_fn is not None:
+            events = events_fn(vals)
+        else:
+            events = fsm_events(vals, sp, cp, ep, single_line)
         rows = []
         for ev in events:
             head = pdf.iloc[ev[0]]
@@ -301,10 +365,16 @@ def merge_lines(df, cfg: dict):
     src = cfg.get("SourceKey", "text")
     group_keys = cfg.get("GroupKeys", ["conv_id"])
     order_key = cfg.get("OrderKey", "turn_idx")
-    single_line = cfg.get("UnmatchedContentTreatment", "single_line") != "discard"
+    ml = cfg.get("Multiline") or {}
+    single_line = cfg.get(
+        "UnmatchedContentTreatment",
+        ml.get("UnmatchedContentTreatment", "single_line"),
+    ) != "discard"
     if cfg.get("MergeType", "regex") == "flag":
         return _merge_by_flag(df, src, group_keys, order_key,
                               cfg.get("FlagKey", "_part_"))
+    if ml.get("Mode") == "JSON":
+        return _merge_json_mode(df, src, group_keys, order_key, single_line)
     start, cont, end = _patterns(cfg)
     if end is None:
         return _merge_start_continue(

@@ -184,3 +184,62 @@ def test_legacy_start_only_shape_unchanged(spark):
     got = _merged(spark, lines, StartPattern=BEGIN_RX,
                   UnmatchedContentTreatment="single_line")
     assert got == [UNMATCH, "\n".join([BEGIN, CONT]), BEGIN]
+
+
+def test_json_mode_events():
+    """Multiline.Mode=JSON brace matching (JsonLogFileReader.cpp:47-120):
+    quote-aware depth, non-{ lines are singles, mismatch voids buffer."""
+    from loongcollector_spark.operators.multiline import json_events
+
+    lines = [
+        '{"a": 1,',           # opens
+        ' "b": "x}y{z",',     # braces inside quotes ignored
+        ' "c": {"d": 2}}',    # closes
+        'plain line',          # single
+        '{"open": true',       # EOF unbalanced -> unmatched singles
+    ]
+    assert json_events(lines, True) == [[0, 1, 2], [3], [4]]
+    assert json_events(lines, False) == [[0, 1, 2], [3]]
+    # escaped quote inside a string does not end the string
+    tricky = ['{"k": "a\\"}",', '"m": 1}']
+    assert json_events(tricky, True) == [[0, 1]]
+    # brace mismatch (extra }) voids the buffer
+    assert json_events(['{"a": 1}}'], True) == [[0]]
+    assert json_events(['{"a": 1}}'], False) == []
+
+
+def test_json_mode_spark(spark):
+    lines = ['{"a": 1,', ' "b": 2}', 'garbage', '{"c": 3}']
+    got = _merged(spark, lines, Multiline={"Mode": "JSON"})
+    assert got == ['{"a": 1,\n "b": 2}', "garbage", '{"c": 3}']
+
+
+def test_input_file_multiline_yaml(spark, tmp_path):
+    """Reference input-file YAML with a Multiline block merges per file
+    before processors (docs/cn/plugins/input/native/input-file.md)."""
+    import textwrap
+
+    from loongcollector_spark.config import PipelineConfig, _read_input
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "[2026-01-01:0:0.0] [ERROR] boom\n"
+        "  at frame1\n"
+        "[2026-01-01:0:0.1] [INFO] ok\n"
+    )
+    cfg = PipelineConfig.parse(textwrap.dedent(f"""
+        enable: true
+        inputs:
+          - Type: input_file
+            FilePaths: ["{log}"]
+            Multiline:
+              StartPattern: '\\[\\d+-\\d+-\\d+:\\d+:\\d+.\\d+\\].*'
+        processors: []
+        flushers: []
+    """))
+    df = _read_input(spark, cfg.inputs[0])
+    texts = sorted(r["content"] for r in df.collect())
+    assert texts == [
+        "[2026-01-01:0:0.0] [ERROR] boom\n  at frame1",
+        "[2026-01-01:0:0.1] [INFO] ok",
+    ]
