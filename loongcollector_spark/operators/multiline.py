@@ -409,6 +409,8 @@ def split_multiline_log_string(cfg: dict):
         lines = df.select(
             *others, F.posexplode(F.split(F.col(src), "\n")).alias("line_idx", src)
         )
+        if not cfg.get("KeepingEmptyLines", True):
+            lines = lines.filter(F.col(src) != "")
         inner = dict(cfg)
         inner.pop("OrderKeys", None)
         inner.pop("KeepingEmptyLines", None)
