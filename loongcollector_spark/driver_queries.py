@@ -1088,6 +1088,92 @@ FROM documents
 """
 
 
+def q_media_decode_image(spark, sf_dir):
+    """REAL image decode: binary PGM (P5) payloads built per doc_id
+    (pixel_i = (doc_id*31+i) % 256, w = id%64+16, h = id%48+16), decoded
+    with numpy inside mapInPandas — the oracle recomputes the pixel mean
+    from the closed form without any codec."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "image")
+    return extract_features(media).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MEDIA_DECODE_IMAGE = """
+SELECT d.doc_id,
+  cast(floor(100.0 * avg((d.doc_id * 31 + g.i) % 256)) AS BIGINT) AS feat_mean_1e2,
+  cast((d.doc_id % 64 + 16) * (d.doc_id % 48 + 16) AS INT) AS feat_dim,
+  true AS ok
+FROM documents d, generate_series(0, 79 * 63 - 1) AS g(i)
+WHERE g.i < (d.doc_id % 64 + 16) * (d.doc_id % 48 + 16)
+GROUP BY d.doc_id
+"""
+
+
+def q_media_decode_audio(spark, sf_dir):
+    """REAL audio decode: RIFF/WAVE PCM16 payloads built per doc_id
+    (sample_i = ((doc_id*7+i) % 512 - 256) * 64, 1600 samples @16 kHz),
+    chunk-walked + decoded with struct/numpy in mapInPandas; feature is
+    the mean absolute amplitude, recomputed closed-form by the oracle."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "audio")
+    return extract_features(media).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MEDIA_DECODE_AUDIO = """
+SELECT d.doc_id,
+  cast(floor(100.0 * avg(abs(((d.doc_id * 7 + g.i) % 512 - 256) * 64)))
+       AS BIGINT) AS feat_mean_1e2,
+  1600 AS feat_dim, true AS ok
+FROM documents d, generate_series(0, 1599) AS g(i)
+GROUP BY d.doc_id
+"""
+
+
+def q_media_resize(spark, sf_dir):
+    """decode → nearest-neighbor resize to 8×8 → re-encode → re-decode:
+    the resized thumbnail's pixel mean must equal the closed-form mean
+    over sampled source coordinates row=(r*h)//8, col=(c*w)//8."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, image_resize, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "image")
+    resized = image_resize(media, 8, 8).select(
+        "doc_id", F.lit("image").alias("media_type"), "payload",
+        "width", "height",
+    )
+    return extract_features(resized).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("res_mean_1e2"),
+        F.col("feat_dim").alias("n_px"),
+    )
+
+
+O_MEDIA_RESIZE = """
+SELECT d.doc_id,
+  cast(floor(100.0 * avg(
+    (d.doc_id * 31 + ((r.i * (d.doc_id % 48 + 16)) // 8) * (d.doc_id % 64 + 16)
+     + ((c.i * (d.doc_id % 64 + 16)) // 8)) % 256)) AS BIGINT) AS res_mean_1e2,
+  64 AS n_px
+FROM documents d, generate_series(0, 7) AS r(i), generate_series(0, 7) AS c(i)
+GROUP BY d.doc_id
+"""
+
+
 def q_serialized_events(spark, sf_dir):
     """JsonSerializer / flusher_file golden format: one JSON object per
     event — __time__ + tag + contents, null-free — byte-compared (via
@@ -1754,6 +1840,9 @@ QUERIES = {
     "encrypt_fields": (q_encrypt_fields, O_ENCRYPT_FIELDS),
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, O_FRAME_SAMPLE),
+    "media_decode_image": (q_media_decode_image, O_MEDIA_DECODE_IMAGE),
+    "media_decode_audio": (q_media_decode_audio, O_MEDIA_DECODE_AUDIO),
+    "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "serialized_events": (q_serialized_events, O_SERIALIZED_EVENTS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "token_count": (q_token_count, O_TOKEN_COUNT),

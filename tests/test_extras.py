@@ -217,6 +217,74 @@ def test_multimodal_plumbing(spark):
         _decode_stub(b"x", "hologram")
 
 
+def test_multimodal_real_codecs():
+    """PGM/WAV encode→decode round-trips, local (no Spark)."""
+    import numpy as np
+
+    from loongcollector_spark.functions.multimodal import (
+        encode_pgm, encode_wav_pcm16, resize_nearest, try_decode_pgm,
+        try_decode_wav,
+    )
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    img = try_decode_pgm(encode_pgm(4, 3, px))
+    assert img.shape == (3, 4) and (img == px).all()
+    # resize identity and downsample pick the expected source pixels
+    assert (resize_nearest(img, 4, 3) == px).all()
+    small = resize_nearest(img, 2, 2)
+    assert small.tolist() == [[px[0, 0], px[0, 2]], [px[1, 0], px[1, 2]]]
+
+    sr, samples = try_decode_wav(encode_wav_pcm16(8000, [0, 100, -100, 32767]))
+    assert sr == 8000 and samples.tolist() == [0, 100, -100, 32767]
+
+    # malformed payloads -> None, never an exception
+    assert try_decode_pgm(b"") is None
+    assert try_decode_pgm(b"P6\n2 2\n255\n....") is None       # wrong magic
+    assert try_decode_pgm(b"P5\n9 9\n255\nxx") is None         # truncated
+    assert try_decode_wav(b"RIFFxxxxWAVE") is None             # no chunks
+    assert try_decode_wav(b"OggS" + b"\0" * 64) is None        # wrong container
+
+
+def test_multimodal_real_decode_in_spark(spark):
+    """synthetic_media payloads decode back to the closed-form features;
+    a corrupt payload degrades to the stub path instead of failing."""
+    import numpy as np
+
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, image_resize, synthetic_media,
+    )
+
+    docs = spark.createDataFrame([(5,), (17,)], "doc_id long")
+    feats = {r["doc_id"]: r
+             for r in extract_features(synthetic_media(docs, "image")).collect()}
+    for d in (5, 17):
+        w, h = d % 64 + 16, d % 48 + 16
+        expect = float(np.mean((d * 31 + np.arange(w * h)) % 256))
+        assert feats[d]["feat_mean"] == pytest.approx(expect)
+        assert feats[d]["feat_dim"] == w * h and feats[d]["ok"]
+
+    afeats = {r["doc_id"]: r
+              for r in extract_features(synthetic_media(docs, "audio")).collect()}
+    for d in (5, 17):
+        expect = float(np.abs(((d * 7 + np.arange(1600)) % 512 - 256) * 64).mean())
+        assert afeats[d]["feat_mean"] == pytest.approx(expect)
+        assert afeats[d]["feat_dim"] == 1600 and afeats[d]["ok"]
+
+    resized = {r["doc_id"]: r
+               for r in image_resize(synthetic_media(docs, "image"), 8, 8).collect()}
+    assert all(r["ok"] and r["width"] == 8 and r["height"] == 8
+               for r in resized.values())
+
+    corrupt = spark.createDataFrame(
+        [(1, "image", bytearray(b"JFIF not a pgm"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = extract_features(corrupt).collect()[0]
+    assert not row["ok"] or row["feat_dim"] == 14  # stub fallback, no crash
+    rrow = image_resize(corrupt, 8, 8).collect()[0]
+    assert rrow["ok"] is False and bytes(rrow["payload"]) == b"JFIF not a pgm"
+
+
 def test_embedding_near_dup_blocks_and_thresholds(spark):
     rows = [
         (1, [1.0, 2.0, 3.0]),
