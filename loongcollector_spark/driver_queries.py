@@ -1804,6 +1804,155 @@ FROM t
 """
 
 
+def _prom_lines(spark, sf_dir):
+    """Deterministic exposition-format fixture: one prom text line per
+    events row, cycling through 8 shapes (ms/sec/float timestamps,
+    spaced + trailing-comma labels, escapes, Inf/NaN, comment + invalid
+    lines). Only Spark parses the TEXT; the oracle recomputes expected
+    output from the same source columns."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.pmod("event_id", F.lit(8))
+    uid = F.col("user_id").cast("string")
+    val = F.col("value").cast("string")
+    ms = (F.lit(1715829785083) + F.col("event_id") * 137).cast("string")
+    sec = (F.lit(1700000000) + F.pmod("event_id", F.lit(100000000))).cast("string")
+    fsec = F.concat(
+        (F.lit(1000000000) + F.pmod("event_id", F.lit(1000))).cast("string"),
+        F.lit(".5"),
+    )
+    line = (
+        F.when(k == 0, F.concat(
+            F.lit('http_requests_total{method="GET",path="/api/u'), uid,
+            F.lit('",code="200"} '), val, F.lit(" "), ms))
+        .when(k == 1, F.concat(
+            F.lit('node_cpu_seconds  { mode = "idle" , cpu="'),
+            F.pmod("user_id", F.lit(4)).cast("string"),
+            F.lit('" , }  '), val, F.lit(" "), sec))
+        .when(k == 2, F.concat(F.lit("process_open_fds "), uid))
+        .when(k == 3, F.lit(
+            'disk_io{device="/dev/sd\\a",note="q\\"uote\\\\end",empty=""} +Inf'))
+        .when(k == 4, F.lit("# HELP http_requests_total The total"))
+        .when(k == 5, F.lit("broken{foo} 3"))
+        .when(k == 6, F.concat(
+            F.lit('temp_celsius{host="h'), uid, F.lit('"} '), val,
+            F.lit(" "), fsec))
+        .otherwise(F.concat(
+            F.lit('gauge_x{a="b"} NaN '), ms, F.lit(" # exemplar xyz")))
+    )
+    return ev.select(F.col("event_id").alias("line_id"), line.alias("content"))
+
+
+def _vcode():
+    return (
+        F.when(F.isnan("value"), F.lit(-999999))
+        .when(F.col("value") == float("inf"), F.lit(999998))
+        .when(F.col("value") == float("-inf"), F.lit(-999998))
+        .otherwise(F.floor(F.col("value") * 100))
+    )
+
+
+def q_prom_parse_metrics(spark, sf_dir):
+    """processor_prom_parse_metric_native: codegen possessive-regex parse
+    of the exposition format (TextParser.cpp FSM semantics) — name,
+    exploded label pairs, coded value, resolved epoch-millis timestamp."""
+    from loongcollector_spark.operators.prom import prom_parse_metric
+
+    parsed = prom_parse_metric(
+        _prom_lines(spark, sf_dir), "content",
+        honor_timestamps=True, default_ts_ms=86_400_000,
+    )
+    return parsed.select(
+        "line_id",
+        F.col("__name__").alias("name"),
+        _vcode().cast("long").alias("vcode"),
+        "ts_ms",
+        F.explode("labels").alias("label_key", "label_value"),
+    )
+
+
+O_PROM_PARSE_METRICS = """
+WITH e AS (SELECT event_id, user_id, value,
+                  1715829785083 + event_id * 137 AS ms,
+                  (1700000000 + event_id % 100000000) * 1000 AS sec_ms,
+                  (1000000000 + event_id % 1000) * 1000 + 500 AS fsec_ms,
+                  cast(floor(value * 100) AS BIGINT) AS vc
+           FROM events)
+SELECT event_id AS line_id, 'http_requests_total' AS name, vc AS vcode, ms AS ts_ms,
+  unnest(['__name__','code','method','path']) AS label_key,
+  unnest(['http_requests_total','200','GET','/api/u' || user_id]) AS label_value
+FROM e WHERE event_id % 8 = 0
+UNION ALL
+SELECT event_id, 'node_cpu_seconds', vc, sec_ms,
+  unnest(['__name__','cpu','mode']),
+  unnest(['node_cpu_seconds', cast(user_id % 4 AS VARCHAR), 'idle'])
+FROM e WHERE event_id % 8 = 1
+UNION ALL
+SELECT event_id, 'process_open_fds', user_id * 100, 86400000,
+  '__name__', 'process_open_fds'
+FROM e WHERE event_id % 8 = 2
+UNION ALL
+SELECT event_id, 'disk_io', 999998, 86400000,
+  unnest(['__name__','device','empty','note']),
+  unnest(['disk_io','/dev/sd' || chr(92) || 'a', '',
+          'q"uote' || chr(92) || 'end'])
+FROM e WHERE event_id % 8 = 3
+UNION ALL
+SELECT event_id, 'temp_celsius', vc, fsec_ms,
+  unnest(['__name__','host']),
+  unnest(['temp_celsius','h' || user_id])
+FROM e WHERE event_id % 8 = 6
+UNION ALL
+SELECT event_id, 'gauge_x', -999999, ms,
+  unnest(['__name__','a']), unnest(['gauge_x','b'])
+FROM e WHERE event_id % 8 = 7
+"""
+
+
+def q_prom_relabel(spark, sf_dir):
+    """processor_prom_relabel_metric_native: the prometheus action chain
+    (replace w/ group interpolation, lowercase, md5-hashmod, labelmap,
+    labeldrop, keep) as map-column algebra over parsed metrics."""
+    from loongcollector_spark.operators.prom import (
+        prom_parse_metric, prom_relabel,
+    )
+
+    parsed = prom_parse_metric(
+        _prom_lines(spark, sf_dir), "content",
+        honor_timestamps=True, default_ts_ms=86_400_000,
+    ).filter(F.col("__name__") == "http_requests_total")
+    relabeled = prom_relabel(parsed, [
+        {"action": "replace", "source_labels": ["method", "path"],
+         "separator": ";", "regex": "(GET|POST);/api/(.*)",
+         "target_label": "api_user", "replacement": "${2}-${1}"},
+        {"action": "lowercase", "source_labels": ["method"],
+         "target_label": "method_lc"},
+        {"action": "hashmod", "source_labels": ["path"], "modulus": 97,
+         "target_label": "shard"},
+        {"action": "labelmap", "regex": "co(de)",
+         "replacement": "status_$1"},
+        {"action": "labeldrop", "regex": "path"},
+        {"action": "keep", "source_labels": ["__name__"],
+         "regex": "http_.*"},
+    ])
+    return relabeled.select(
+        "line_id", F.explode("labels").alias("label_key", "label_value")
+    )
+
+
+O_PROM_RELABEL = """
+SELECT event_id AS line_id,
+  unnest(['__name__','api_user','code','method','method_lc','shard','status_de'])
+    AS label_key,
+  unnest(['http_requests_total',
+          'u' || user_id || '-GET',
+          '200', 'GET', 'get',
+          cast(('0x' || substr(md5('/api/u' || user_id), 17, 16))::UBIGINT % 97
+               AS VARCHAR),
+          '200']) AS label_value
+FROM events WHERE event_id % 8 = 0
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -1866,4 +2015,6 @@ QUERIES = {
     "tag_meta_defaults": (q_tag_meta_defaults, O_TAG_META_DEFAULTS),
     "split_string_expand": (q_split_string_expand, O_SPLIT_STRING_EXPAND),
     "strptime_precise": (q_strptime_precise, O_STRPTIME_PRECISE),
+    "prom_parse_metrics": (q_prom_parse_metrics, O_PROM_PARSE_METRICS),
+    "prom_relabel": (q_prom_relabel, O_PROM_RELABEL),
 }

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # map_concat(labels, map(k, v)) is the codegen "set label" op in
+        # prom relabel — LAST_WIN makes it an upsert instead of an error
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # parquet writes: zstd mirrors the reference's compressor choice
         # (core/common/compression/ZstdCompressor.h)
         .config("spark.sql.parquet.compression.codec", "zstd")
