@@ -1953,6 +1953,86 @@ FROM events WHERE event_id % 8 = 0
 """
 
 
+def q_sls_pb_log_hex(spark, sf_dir):
+    """SLS protobuf serializer (SLSSerializer.cpp / sls_logs.proto Log):
+    Time=1 varint + Contents=2 key/value submessages, assembled entirely
+    as codegen binary expressions (serializer.sls_pb_log_column) —
+    byte-compared against a DuckDB reconstruction of the wire bytes."""
+    from loongcollector_spark.serializer import sls_pb_log_column
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = sls_pb_log_column(ev, "ts", ["event_type", "props"])
+    return ev.select(
+        F.col("event_id").alias("line_id"),
+        F.hex(log).alias("log_hex"),
+        F.length(log).cast("long").alias("log_nbytes"),
+    )
+
+
+# events timestamps are all in [2^28, 2^35) so the Time varint is exactly
+# 5 bytes with continuation bits on the first 4; content keys/values are
+# < 128 bytes so every length varint is 1 byte.
+O_SLS_PB_LOG_HEX = """
+WITH e AS (
+  SELECT event_id, event_type, props, cast(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+)
+SELECT event_id AS line_id,
+  '08'
+  || lpad(to_hex((t % 128) + 128), 2, '0')
+  || lpad(to_hex(((t // 128) % 128) + 128), 2, '0')
+  || lpad(to_hex(((t // 16384) % 128) + 128), 2, '0')
+  || lpad(to_hex(((t // 2097152) % 128) + 128), 2, '0')
+  || lpad(to_hex(t // 268435456), 2, '0')
+  || '12' || lpad(to_hex(14 + octet_length(encode(event_type))), 2, '0')
+  || '0A' || '0A' || hex('event_type')
+  || '12' || lpad(to_hex(octet_length(encode(event_type))), 2, '0') || hex(event_type)
+  || '12' || lpad(to_hex(9 + octet_length(encode(props))), 2, '0')
+  || '0A' || '05' || hex('props')
+  || '12' || lpad(to_hex(octet_length(encode(props))), 2, '0') || hex(props)
+  AS log_hex,
+  cast(6 + 2 + 14 + octet_length(encode(event_type))
+         + 2 + 9 + octet_length(encode(props)) AS BIGINT) AS log_nbytes
+FROM e
+"""
+
+
+def q_pb_group_roundtrip(spark, sf_dir):
+    """processor_parse_from_pb end-to-end: LoongSuite PipelineEventGroup
+    payloads (metadata map + LogEvents, pipeline_event_group.proto) are
+    ENCODED per user_id group with the codegen wire expressions, then
+    DECODED by the registry operator's ManualPBParser-style walker — the
+    oracle checks the round trip reproduces the raw source columns."""
+    from loongcollector_spark.operators import build_operator
+    from loongcollector_spark.pbwire import loongsuite_group_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    payloads = loongsuite_group_frame(
+        ev, group_cols=("user_id",), order_col="event_id", time_col="ts",
+        content_cols=["event_type", "props"], level="info",
+        metadata={"source": "bench"},
+    ).select(F.col("user_id").alias("group_id"), F.col("group_pb").alias("payload"))
+    op = build_operator({"Type": "processor_parse_from_pb", "Protocol": "LoongSuite"})
+    decoded = op(payloads)
+    return decoded.select(
+        "group_id", "log_idx", "log_time",
+        F.col("contents")["event_type"].alias("event_type"),
+        F.col("contents")["props"].alias("props"),
+        "level",
+        F.col("metadata")["source"].alias("src"),
+    )
+
+
+O_PB_GROUP_ROUNDTRIP = """
+SELECT user_id AS group_id,
+  cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT)
+    AS log_idx,
+  cast(floor(epoch(ts)) AS BIGINT) AS log_time,
+  event_type, props, 'info' AS level, 'bench' AS src
+FROM events
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -2017,4 +2097,6 @@ QUERIES = {
     "strptime_precise": (q_strptime_precise, O_STRPTIME_PRECISE),
     "prom_parse_metrics": (q_prom_parse_metrics, O_PROM_PARSE_METRICS),
     "prom_relabel": (q_prom_relabel, O_PROM_RELABEL),
+    "sls_pb_log_hex": (q_sls_pb_log_hex, O_SLS_PB_LOG_HEX),
+    "pb_group_roundtrip": (q_pb_group_roundtrip, O_PB_GROUP_ROUNDTRIP),
 }
