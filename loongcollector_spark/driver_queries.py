@@ -2033,6 +2033,181 @@ FROM events
 """
 
 
+def _otlp_trace_lines(spark, sf_dir):
+    """Deterministic OTLP-JSON trace payload per events row (one
+    resourceSpan/scopeSpan/span): ids from md5(event_id), kind cycling
+    1-5, status cycling 0-2, one span event, timestamps from ts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = F.col("user_id").cast("string")
+    tid = F.md5(F.col("event_id").cast("string"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur_us = (F.pmod("event_id", F.lit(100)) + 1) * 1000
+    content = F.concat(
+        F.lit('{"resourceSpans":[{"resource":{"attributes":['
+              '{"key":"host.name","value":{"stringValue":"h'), uid,
+        F.lit('"}},{"key":"service.name","value":{"stringValue":"svc'),
+        F.pmod("user_id", F.lit(5)).cast("string"),
+        F.lit('"}},{"key":"region","value":{"stringValue":"r'),
+        F.pmod("user_id", F.lit(3)).cast("string"),
+        F.lit('"}},{"key":"idx","value":{"intValue":"'), uid,
+        F.lit('"}}]},"scopeSpans":[{"scope":{"name":"lib","version":"1.0"},'
+              '"spans":[{"traceId":"'), tid,
+        F.lit('","spanId":"'), F.substring(tid, 1, 16),
+        F.lit('","parentSpanId":"","name":"op_'), F.col("event_type"),
+        F.lit('","kind":'), (F.pmod("event_id", F.lit(5)) + 1).cast("string"),
+        F.lit(',"traceState":"","startTimeUnixNano":"'),
+        (us * 1000).cast("string"),
+        F.lit('","endTimeUnixNano":"'),
+        ((us + dur_us) * 1000).cast("string"),
+        F.lit('","attributes":[{"key":"etype","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}],"events":[{"name":"chk","timeUnixNano":"'),
+        (us * 1000).cast("string"),
+        F.lit('","attributes":[]}],"links":[],"status":{"code":'),
+        F.pmod("event_id", F.lit(3)).cast("string"),
+        F.lit(',"message":"m'), uid, F.lit('"}}]}]}]}'),
+    )
+    return ev.select(F.col("event_id").alias("line_id"), content.alias("content"))
+
+
+def q_otel_trace_spans(spark, sf_dir):
+    """processor_otel_trace: OTLP-JSON spans → SLS log contents (the
+    otlp_trace_parser.go:132-215 field mapping), exploded per key."""
+    from loongcollector_spark.operators.otelops import otel_trace_to_logs
+
+    out = otel_trace_to_logs(_otlp_trace_lines(spark, sf_dir), "content")
+    return out.select(
+        "line_id", "log_time", F.explode("contents").alias("ckey", "cval")
+    )
+
+
+O_OTEL_TRACE_SPANS = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+    md5(cast(event_id AS VARCHAR)) AS tid,
+    epoch_us(ts) AS us,
+    (event_id % 100 + 1) * 1000 AS dur_us,
+    cast(event_id % 3 AS INT) AS scode,
+    cast(event_id % 5 + 1 AS INT) AS kind
+  FROM events
+)
+SELECT event_id AS line_id,
+  (us + dur_us) * 1000 // 1000000000 AS log_time,
+  unnest(['attribute','duration','end','host','kind','links','logs','name',
+          'otlp.name','otlp.version','parentSpanID','resource','service',
+          'spanID','start','statusCode','statusMessage','traceID',
+          'traceState']) AS ckey,
+  unnest(['{"etype":"' || event_type || '"}',
+          cast(dur_us AS VARCHAR),
+          cast(us + dur_us AS VARCHAR),
+          'h' || user_id,
+          CASE kind WHEN 1 THEN 'internal' WHEN 2 THEN 'server'
+                    WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+                    ELSE 'consumer' END,
+          '[]',
+          '[{"attribute":{},"name":"chk","time":' || us * 1000 || '}]',
+          'op_' || event_type,
+          'lib', '1.0', '',
+          '{"idx":' || user_id || ',"region":"r' || user_id % 3 || '"}',
+          'svc' || user_id % 5,
+          substr(tid, 1, 16),
+          cast(us AS VARCHAR),
+          CASE scode WHEN 1 THEN 'OK' WHEN 2 THEN 'ERROR' ELSE 'UNSET' END,
+          'm' || user_id,
+          tid,
+          '']) AS cval
+FROM e
+"""
+
+
+def _otlp_metric_lines(spark, sf_dir):
+    """One OTLP-JSON metrics payload per events row: a gauge, a sum, a
+    3-bucket histogram and a 2-quantile summary datapoint."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = F.col("user_id").cast("string")
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    val = F.col("value").cast("string")
+    content = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":['
+              '{"key":"host.name","value":{"stringValue":"h'), uid,
+        F.lit('"}}]},"scopeMetrics":[{"scope":{"name":"s","version":"1"},'
+              '"metrics":['
+              '{"name":"req.gauge","gauge":{"dataPoints":[{"attributes":'
+              '[{"key":"l1","value":{"stringValue":"x'),
+        F.pmod("user_id", F.lit(7)).cast("string"),
+        F.lit('"}}],"timeUnixNano":"'), ns, F.lit('","asDouble":'), val,
+        F.lit('}]}},'
+              '{"name":"req_total","sum":{"isMonotonic":'),
+        F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"dataPoints":[{"attributes":[],"timeUnixNano":"'), ns,
+        F.lit('","asInt":"'), uid,
+        F.lit('"}]}},'
+              '{"name":"lat","histogram":{"dataPoints":[{"attributes":[],'
+              '"timeUnixNano":"'), ns,
+        F.lit('","count":"'), (F.col("user_id") * 3 + 3).cast("string"),
+        F.lit('","sum":'), val,
+        F.lit(',"min":0,"max":0,"explicitBounds":[0.5,2.5],'
+              '"bucketCounts":["'), uid,
+        F.lit('","'), (F.col("user_id") + 1).cast("string"),
+        F.lit('","'), (F.col("user_id") + 2).cast("string"),
+        F.lit('"]}]}},'
+              '{"name":"rt","summary":{"dataPoints":[{"attributes":[],'
+              '"timeUnixNano":"'), ns,
+        F.lit('","count":"'), (F.col("user_id") + 1).cast("string"),
+        F.lit('","sum":'), val,
+        F.lit(',"quantileValues":[{"quantile":0.5,"value":'), val,
+        F.lit('},{"quantile":0.99,"value":'),
+        (F.col("user_id").cast("double") + 0.5).cast("string"),
+        F.lit("}]}]}}]}]}]}"),
+    )
+    return ev.select(F.col("event_id").alias("line_id"), content.alias("content"))
+
+
+def q_otel_metrics(spark, sf_dir):
+    """processor_otel_metric: gauge/sum/histogram/summary datapoints →
+    __name__/__time_nano__/__labels__/__value__ metric logs with Go
+    float formatting, sorted #$#-labels, cumulative histogram buckets."""
+    from loongcollector_spark.operators.otelops import otel_metrics_to_logs
+
+    out = otel_metrics_to_logs(_otlp_metric_lines(spark, sf_dir), "content")
+    return out.select(
+        "line_id", "__name__", "__time_nano__", "__labels__", "__value__"
+    )
+
+
+O_OTEL_METRICS = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+    cast(epoch_us(ts) * 1000 AS VARCHAR) AS tn,
+    'host.name#$#h' || user_id AS hl,
+    CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS mono,
+    CASE WHEN value = floor(value)
+         THEN cast(cast(value AS BIGINT) AS VARCHAR)
+         ELSE cast(value AS VARCHAR) END AS vs
+  FROM events
+)
+SELECT event_id AS line_id,
+  unnest(['req_gauge', 'req_total',
+          'lat_sum', 'lat_count',
+          'lat_bucket', 'lat_bucket', 'lat_bucket',
+          'rt_sum', 'rt_count', 'rt', 'rt']) AS "__name__",
+  tn AS "__time_nano__",
+  unnest([hl || '|l1#$#x' || user_id % 7,
+          hl || '|otlp.metric.ismonotonic#$#' || mono,
+          hl, hl,
+          hl || '|le#$#0.5', hl || '|le#$#2.5', hl || '|le#$#+Inf',
+          hl, hl, hl || '|quantile#$#0.5', hl || '|quantile#$#0.99'])
+    AS "__labels__",
+  unnest([vs, cast(user_id AS VARCHAR),
+          vs, cast(user_id * 3 + 3 AS VARCHAR),
+          cast(user_id AS VARCHAR), cast(user_id * 2 + 1 AS VARCHAR),
+          cast(user_id * 3 + 3 AS VARCHAR),
+          vs, cast(user_id + 1 AS VARCHAR), vs,
+          cast(user_id AS VARCHAR) || '.5']) AS "__value__"
+FROM e
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -2099,4 +2274,6 @@ QUERIES = {
     "prom_relabel": (q_prom_relabel, O_PROM_RELABEL),
     "sls_pb_log_hex": (q_sls_pb_log_hex, O_SLS_PB_LOG_HEX),
     "pb_group_roundtrip": (q_pb_group_roundtrip, O_PB_GROUP_ROUNDTRIP),
+    "otel_trace_spans": (q_otel_trace_spans, O_OTEL_TRACE_SPANS),
+    "otel_metrics": (q_otel_metrics, O_OTEL_METRICS),
 }

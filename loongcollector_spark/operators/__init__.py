@@ -89,6 +89,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     grok,
     metricops,
     multiline,
+    otelops,
     parse,
     pbops,
     prom,

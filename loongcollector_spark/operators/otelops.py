@@ -1,0 +1,507 @@
+r"""processor_otel_trace / processor_otel_metric — OTLP → SLS log rows.
+
+Reference: plugins/processor/otel/processor_otel_trace.go:31-100 (per-log
+OTLP payload parse, Format json/protobuf/protojson) with the field
+mapping in pkg/protocol/decoder/opentelemetry/:
+
+* otlp_trace_parser.go:132-215 — one SLS log per span with contents
+  host/service/resource (resource attrs minus host.name+service.name as
+  sorted-key JSON), otlp.name/otlp.version (scope), traceID/spanID/
+  parentSpanID, kind + statusCode as short strings (:220-250), name,
+  links/logs as JSON arrays (:258-283), traceState, start/end/duration
+  in MICROseconds, attribute JSON; Log.Time = endNano/1e9.
+* otlp_metric_parser.go + otlpDataToSLSProto.go — gauge/sum/summary/
+  histogram datapoints become ``__name__/__time_nano__/__labels__/
+  __value__`` metric logs (helper.NewMetricLogStringVal,
+  pkg/helper/log_helper.go:270-290): labels sorted ``k#$#v|...``,
+  sum appends otlp.metric.ismonotonic, histogram emits CUMULATIVE
+  ``_bucket`` counts with ``le`` labels (+Inf last) plus _sum/_min/_max
+  (non-zero only) and _count, summary emits per-quantile rows.
+
+Spark shape: the OTLP JSON payload parses with ``from_json`` against an
+explicit schema, then nested ``explode`` generators walk resourceSpans →
+scopeSpans → spans (resourceMetrics → scopeMetrics → metrics →
+dataPoints) — every mapping below is a codegen/HOF expression, no Python
+on the data path. Per-span/per-datapoint work never shuffles; the
+operator composes with whatever pipeline surrounds it.
+
+Documented divergences: Format="protobuf" (binary OTLP) is not
+implemented — json/protojson only, a clear build-time error otherwise;
+exemplar rows and exponential-histogram datapoints are skipped; Go's
+``json.Marshal`` HTML-escapes ``<>&`` inside attribute JSON while
+``to_json`` here does not; float rendering matches Go's %g for integral
+and plain-decimal values (the ``_go_float_str`` exponent rewrite covers
+the e±NN form for the magnitudes tests exercise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from loongcollector_spark.operators import register
+
+_ATTR = ("array<struct<key:string,value:struct<stringValue:string,"
+         "intValue:string,doubleValue:double,boolValue:boolean>>>")
+
+_SPAN = (
+    "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
+    "kind:int,traceState:string,startTimeUnixNano:string,"
+    "endTimeUnixNano:string,attributes:" + _ATTR + ","
+    "events:array<struct<name:string,timeUnixNano:string,attributes:"
+    + _ATTR + ">>,"
+    "links:array<struct<traceId:string,spanId:string,attributes:"
+    + _ATTR + ">>,"
+    "status:struct<code:int,message:string>>"
+)
+
+OTLP_TRACE_DDL = (
+    "resourceSpans array<struct<resource:struct<attributes:" + _ATTR + ">,"
+    "scopeSpans:array<struct<scope:struct<name:string,version:string>,"
+    "spans:array<" + _SPAN + ">>>>>"
+)
+
+_DP = (
+    "struct<attributes:" + _ATTR + ",timeUnixNano:string,asDouble:double,"
+    "asInt:string,count:string,sum:double,min:double,max:double,"
+    "explicitBounds:array<double>,bucketCounts:array<string>,"
+    "quantileValues:array<struct<quantile:double,value:double>>>"
+)
+
+OTLP_METRIC_DDL = (
+    "resourceMetrics array<struct<resource:struct<attributes:" + _ATTR + ">,"
+    "scopeMetrics:array<struct<scope:struct<name:string,version:string>,"
+    "metrics:array<struct<name:string,"
+    "gauge:struct<dataPoints:array<" + _DP + ">>,"
+    "sum:struct<dataPoints:array<" + _DP + ">,isMonotonic:boolean>,"
+    "histogram:struct<dataPoints:array<" + _DP + ">>,"
+    "summary:struct<dataPoints:array<" + _DP + ">>>>>>>>"
+)
+
+
+def _div_long(n: Column, divisor: int) -> Column:
+    """Exact truncating integer division of a long expression — plain
+    ``/`` routes through double and loses precision above 2^53."""
+    return F.floor(n.cast("decimal(38,0)") / divisor).cast("long")
+
+
+def _go_float_str(d: Column) -> Column:
+    """Go strconv 'g' formatting of a double: integral values print with
+    no fraction; exponent form is e±NN (two digits)."""
+    base = d.cast("string")
+    fixed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(base, r"E-(\d)$", r"e-0$1"),
+                r"E-(\d\d+)$", r"e-$1"),
+            r"E(\d)$", r"e+0$1"),
+        r"E(\d\d+)$", r"e+$1")
+    return F.when(
+        (d == F.floor(d)) & (F.abs(d) < F.lit(1e15)),
+        d.cast("long").cast("string"),
+    ).otherwise(fixed)
+
+
+def _attr_str(v: Column) -> Column:
+    """anyValueToString (otlp_metric_parser.go:26-46), string/int/double/
+    bool subset."""
+    return F.coalesce(
+        v["stringValue"],
+        v["intValue"],
+        F.when(v["doubleValue"].isNotNull(), _go_float_str(v["doubleValue"])),
+        F.when(v["boolValue"].isNotNull(),
+               F.when(v["boolValue"], F.lit("true")).otherwise(F.lit("false"))),
+        F.lit(""),
+    )
+
+
+def _entries(attrs: Column) -> Column:
+    """attributes array → array<struct<k,v>> (stringified values). The
+    explicit cast pins the field names — aliases inside lambda structs
+    are dropped by the analyzer."""
+    return F.transform(
+        F.coalesce(attrs, F.array()),
+        lambda a: F.struct(a["key"], _attr_str(a["value"]))
+        .cast("struct<k:string,v:string>"),
+    )
+
+
+def _labels_str(entries: Column) -> Column:
+    """helper.MetricLabels.String(): sort by key, join ``k#$#v`` with |."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(entries),
+            lambda e: F.concat(e["k"], F.lit("#$#"), e["v"]),
+        ),
+        "|",
+    )
+
+
+def _jstr(s: Column) -> Column:
+    """JSON-quoted string via the to_json(array(s)) trick (proper
+    escaping without a scalar to_json)."""
+    j = F.to_json(F.array(s))
+    return F.substring(j, 2, F.length(j) - 2)
+
+
+def _attr_json_value(v: Column) -> Column:
+    """Typed JSON rendering of an attribute value (numbers unquoted,
+    like Go's json.Marshal of the raw map)."""
+    return F.coalesce(
+        F.when(v["stringValue"].isNotNull(), _jstr(v["stringValue"])),
+        v["intValue"],
+        F.when(v["doubleValue"].isNotNull(), v["doubleValue"].cast("string")),
+        F.when(v["boolValue"].isNotNull(),
+               F.when(v["boolValue"], F.lit("true")).otherwise(F.lit("false"))),
+        F.lit('""'),
+    )
+
+
+def _attrs_json(attrs: Column, drop: tuple[str, ...] = ()) -> Column:
+    """Sorted-key JSON object of an attributes array (json.Marshal of
+    map[string]any sorts keys)."""
+    kept = F.filter(
+        F.coalesce(attrs, F.array()),
+        lambda a: ~a["key"].isin(*drop) if drop else F.lit(True),
+    )
+    frags = F.transform(
+        F.array_sort(
+            F.transform(kept, lambda a: F.struct(
+                a["key"],
+                F.concat(_jstr(a["key"]), F.lit(":"),
+                         _attr_json_value(a["value"])),
+            ).cast("struct<k:string,frag:string>"))
+        ),
+        lambda e: e["frag"],
+    )
+    return F.concat(F.lit("{"), F.array_join(frags, ","), F.lit("}"))
+
+
+def _attr_get(attrs: Column, key: str) -> Column:
+    hit = F.filter(F.coalesce(attrs, F.array()), lambda a: a["key"] == key)
+    return F.when(
+        F.size(hit) > 0, _attr_str(F.element_at(hit, 1)["value"])
+    ).otherwise(F.lit(""))
+
+
+_KIND = {1: "internal", 2: "server", 3: "client", 4: "producer", 5: "consumer"}
+
+
+def _kind_str(kind: Column) -> Column:
+    c = F.when(kind.isNull(), F.lit(""))
+    for num, name in _KIND.items():
+        c = c.when(kind == num, F.lit(name))
+    return c.otherwise(F.lit(""))
+
+
+def _status_str(code: Column) -> Column:
+    return (
+        F.when(code == 2, F.lit("ERROR"))
+        .when(code == 1, F.lit("OK"))
+        .otherwise(F.lit("UNSET"))
+    )
+
+
+def _span_id(raw: Column, need_decode: bool) -> Column:
+    val = F.coalesce(raw, F.lit(""))
+    if need_decode:  # payload carried base64 ids (processor_otel_trace.go:36-39)
+        return F.lower(F.hex(F.unbase64(val)))
+    return val
+
+
+def _events_json(events: Column) -> Column:
+    """eventsToString (otlp_trace_parser.go:258-270): JSON array of
+    {attribute, name, time} objects — Marshal sorts the map keys."""
+    frags = F.transform(
+        F.coalesce(events, F.array()),
+        lambda e: F.concat(
+            F.lit('{"attribute":'), _attrs_json(e["attributes"]),
+            F.lit(',"name":'), _jstr(F.coalesce(e["name"], F.lit(""))),
+            F.lit(',"time":'), F.coalesce(e["timeUnixNano"], F.lit("0")),
+            F.lit("}"),
+        ),
+    )
+    return F.concat(F.lit("["), F.array_join(frags, ","), F.lit("]"))
+
+
+def _links_json(links: Column) -> Column:
+    frags = F.transform(
+        F.coalesce(links, F.array()),
+        lambda l: F.concat(
+            F.lit('{"attribute":'), _attrs_json(l["attributes"]),
+            F.lit(',"spanID":'), _jstr(F.coalesce(l["spanId"], F.lit(""))),
+            F.lit(',"traceID":'), _jstr(F.coalesce(l["traceId"], F.lit(""))),
+            F.lit("}"),
+        ),
+    )
+    return F.concat(F.lit("["), F.array_join(frags, ","), F.lit("]"))
+
+
+def otel_trace_to_logs(
+    df: DataFrame,
+    source_col: str = "content",
+    trace_id_decode: bool = False,
+    span_id_decode: bool = False,
+    parent_span_id_decode: bool = False,
+) -> DataFrame:
+    """One output row per span, ``contents`` map keyed exactly like the
+    reference's Log_Content list, ``log_time`` = endNano/1e9."""
+    passthrough = [c for c in df.columns if c != source_col]
+    parsed = df.select(
+        *passthrough, F.from_json(F.col(source_col), OTLP_TRACE_DDL).alias("_otlp")
+    )
+    rs = parsed.select(
+        *passthrough, F.explode("_otlp.resourceSpans").alias("_rs")
+    )
+    ss = rs.select(
+        *passthrough,
+        F.col("_rs.resource.attributes").alias("_res"),
+        F.explode("_rs.scopeSpans").alias("_ss"),
+    )
+    sp = ss.select(
+        *passthrough, "_res",
+        F.col("_ss.scope").alias("_scope"),
+        F.explode("_ss.spans").alias("_sp"),
+    )
+    span = F.col("_sp")
+    start = span["startTimeUnixNano"].cast("long")
+    end = F.when(
+        F.coalesce(span["endTimeUnixNano"].cast("long"), F.lit(0)) == 0,
+        F.unix_micros(F.current_timestamp()) * 1000,  # endNano==0 → now
+    ).otherwise(span["endTimeUnixNano"].cast("long"))
+    contents = F.create_map(
+        F.lit("host"), _attr_get(F.col("_res"), "host.name"),
+        F.lit("service"), _attr_get(F.col("_res"), "service.name"),
+        F.lit("resource"),
+        _attrs_json(F.col("_res"), drop=("host.name", "service.name")),
+        F.lit("otlp.name"), F.coalesce(F.col("_scope.name"), F.lit("")),
+        F.lit("otlp.version"), F.coalesce(F.col("_scope.version"), F.lit("")),
+        F.lit("traceID"), _span_id(span["traceId"], trace_id_decode),
+        F.lit("spanID"), _span_id(span["spanId"], span_id_decode),
+        F.lit("parentSpanID"),
+        _span_id(span["parentSpanId"], parent_span_id_decode),
+        F.lit("kind"), _kind_str(span["kind"]),
+        F.lit("name"), F.coalesce(span["name"], F.lit("")),
+        F.lit("links"), _links_json(span["links"]),
+        F.lit("logs"), _events_json(span["events"]),
+        F.lit("traceState"), F.coalesce(span["traceState"], F.lit("")),
+        # decimal division: ns values (~2^60) overflow double precision
+        F.lit("start"), _div_long(start, 1000).cast("string"),
+        F.lit("end"), _div_long(end, 1000).cast("string"),
+        F.lit("duration"), _div_long(end - start, 1000).cast("string"),
+        F.lit("attribute"), _attrs_json(span["attributes"]),
+        F.lit("statusCode"), _status_str(span["status"]["code"]),
+        F.lit("statusMessage"),
+        F.coalesce(span["status"]["message"], F.lit("")),
+    )
+    return sp.select(
+        *passthrough,
+        contents.alias("contents"),
+        _div_long(end, 1_000_000_000).alias("log_time"),
+    )
+
+
+# ----------------------------- metrics ----------------------------------
+
+
+def _time_nano(t: Column) -> Column:
+    """NewMetricLogStringVal's digit-count scaling (log_helper.go:270-283)
+    — right-pad the integer string to 19 digits (ns)."""
+    return F.rpad(F.coalesce(t, F.lit("0")), 19, "0")
+
+
+def _metric_name(name: Column, suffix: str = "") -> Column:
+    """formatMetricName: anything outside [a-zA-Z0-9_:] becomes _."""
+    return F.regexp_replace(
+        F.concat(F.coalesce(name, F.lit("")), F.lit(suffix)),
+        "[^a-zA-Z0-9_:]", "_",
+    )
+
+
+def _dp_value(dp: Column) -> Column:
+    """value2Float: asDouble or asInt."""
+    return F.coalesce(dp["asDouble"], dp["asInt"].cast("double"), F.lit(0.0))
+
+
+def _row(name: Column, labels: Column, t: Column, value: Column) -> Column:
+    return F.struct(
+        name, _labels_str(labels), _time_nano(t), _go_float_str(value), value,
+    ).cast(
+        "struct<name:string,labels:string,tn:string,val:string,val_num:double>"
+    )
+
+
+def _with_label(entries: Column, key: str, value: Column) -> Column:
+    return F.concat(
+        entries,
+        F.array(F.struct(F.lit(key), value).cast("struct<k:string,v:string>")),
+    )
+
+
+def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFrame:
+    """Gauge/sum/summary/histogram datapoints → __name__/__time_nano__/
+    __labels__/__value__ rows (plus numeric __value_num__ for oracles)."""
+    passthrough = [c for c in df.columns if c != source_col]
+    parsed = df.select(
+        *passthrough, F.from_json(F.col(source_col), OTLP_METRIC_DDL).alias("_o")
+    )
+    rm = parsed.select(*passthrough, F.explode("_o.resourceMetrics").alias("_rm"))
+    sm = rm.select(
+        *passthrough,
+        _entries(F.col("_rm.resource.attributes")).alias("_res"),
+        F.explode("_rm.scopeMetrics").alias("_sm"),
+    )
+    m = sm.select(*passthrough, "_res", F.explode("_sm.metrics").alias("_m"))
+
+    met = F.col("_m")
+    res = F.col("_res")
+
+    def dp_labels(dp):
+        return F.concat(res, _entries(dp["attributes"]))
+
+    def simple_rows(dps, extra=None, suffixed=False):
+        def one(dp):
+            labels = dp_labels(dp)
+            if extra is not None:
+                labels = _with_label(labels, *extra)
+            return _row(_metric_name(met["name"]), labels,
+                        dp["timeUnixNano"], _dp_value(dp))
+
+        return F.transform(F.coalesce(dps, F.array()), one)
+
+    gauge_rows = simple_rows(met["gauge"]["dataPoints"])
+    sum_rows = simple_rows(
+        met["sum"]["dataPoints"],
+        extra=("otlp.metric.ismonotonic",
+               F.when(F.coalesce(met["sum"]["isMonotonic"], F.lit(False)),
+                      F.lit("true")).otherwise(F.lit("false"))),
+    )
+
+    def summary_rows(dp):
+        labels = dp_labels(dp)
+        base = F.array(
+            _row(_metric_name(met["name"], "_sum"), labels,
+                 dp["timeUnixNano"], F.coalesce(dp["sum"], F.lit(0.0))),
+            _row(_metric_name(met["name"], "_count"), labels,
+                 dp["timeUnixNano"],
+                 F.coalesce(dp["count"].cast("double"), F.lit(0.0))),
+        )
+        quant = F.transform(
+            F.coalesce(dp["quantileValues"], F.array()),
+            lambda q: _row(
+                _metric_name(met["name"]),
+                _with_label(labels, "quantile",
+                            _go_float_str(F.coalesce(q["quantile"], F.lit(0.0)))),
+                dp["timeUnixNano"],
+                F.coalesce(q["value"], F.lit(0.0)),
+            ),
+        )
+        return F.concat(base, quant)
+
+    def histogram_rows(dp):
+        labels = dp_labels(dp)
+        t = dp["timeUnixNano"]
+        opt = (
+            F.when(F.coalesce(dp["sum"], F.lit(0.0)) != 0,
+                   F.array(_row(_metric_name(met["name"], "_sum"), labels, t,
+                                dp["sum"]))).otherwise(F.array())
+        )
+        opt_min = (
+            F.when(F.coalesce(dp["min"], F.lit(0.0)) != 0,
+                   F.array(_row(_metric_name(met["name"], "_min"), labels, t,
+                                dp["min"]))).otherwise(F.array())
+        )
+        opt_max = (
+            F.when(F.coalesce(dp["max"], F.lit(0.0)) != 0,
+                   F.array(_row(_metric_name(met["name"], "_max"), labels, t,
+                                dp["max"]))).otherwise(F.array())
+        )
+        count_row = F.array(_row(
+            _metric_name(met["name"], "_count"), labels, t,
+            F.coalesce(dp["count"].cast("double"), F.lit(0.0)),
+        ))
+        bounds = F.coalesce(dp["explicitBounds"], F.array().cast("array<double>"))
+        counts = F.transform(
+            F.coalesce(dp["bucketCounts"], F.array()), lambda c: c.cast("long")
+        )
+        # j over min(len(bounds)+1, len(counts)); le = bounds[j] or +Inf;
+        # value = CUMULATIVE count (otlp_metric_parser.go:205-228)
+        n_buckets = F.least(F.size(bounds) + 1, F.size(counts))
+        idx = F.sequence(F.lit(1), n_buckets)
+        bucket = F.when(n_buckets > 0, F.transform(
+            idx,
+            lambda j: _row(
+                _metric_name(met["name"], "_bucket"),
+                _with_label(
+                    labels, "le",
+                    F.when(j <= F.size(bounds),
+                           _go_float_str(F.element_at(bounds, j)))
+                    .otherwise(F.lit("+Inf")),
+                ),
+                t,
+                F.aggregate(F.slice(counts, 1, j), F.lit(0).cast("long"),
+                            lambda acc, x: acc + x).cast("double"),
+            ),
+        )).otherwise(F.array())
+        return F.concat(opt, opt_min, opt_max, count_row, bucket)
+
+    sum_hist = F.flatten(F.transform(
+        F.coalesce(met["histogram"]["dataPoints"], F.array()), histogram_rows
+    ))
+    sum_summ = F.flatten(F.transform(
+        F.coalesce(met["summary"]["dataPoints"], F.array()), summary_rows
+    ))
+    all_rows = F.concat(gauge_rows, sum_rows, sum_hist, sum_summ)
+    out = m.select(*passthrough, F.explode(all_rows).alias("_r"))
+    return out.select(
+        *passthrough,
+        F.col("_r.name").alias("__name__"),
+        F.col("_r.tn").alias("__time_nano__"),
+        F.col("_r.labels").alias("__labels__"),
+        F.col("_r.val").alias("__value__"),
+        F.col("_r.val_num").alias("__value_num__"),
+    )
+
+
+# --------------------------- registry glue ------------------------------
+
+
+def _check_format(cfg: dict):
+    fmt = cfg.get("Format", "").lower()
+    if fmt == "":  # processor_otel_trace.go Init: empty format is an error
+        raise ValueError("The format field is empty")
+    if fmt not in ("json", "protojson"):
+        raise NotImplementedError(
+            f"Format={fmt!r}: binary OTLP protobuf decode is not implemented "
+            "in this build — use json/protojson"
+        )
+
+
+@register(
+    "processor_otel_trace",
+    keys={"SourceKey", "Format", "NoKeyError", "TraceIDNeedDecode",
+          "SpanIDNeedDecode", "ParentSpanIDNeedDecode"},
+)
+def _trace_factory(cfg: dict):
+    _check_format(cfg)
+    src = cfg.get("SourceKey", "content")
+
+    def run(df: DataFrame) -> DataFrame:
+        return otel_trace_to_logs(
+            df, src,
+            bool(cfg.get("TraceIDNeedDecode", False)),
+            bool(cfg.get("SpanIDNeedDecode", False)),
+            bool(cfg.get("ParentSpanIDNeedDecode", False)),
+        )
+
+    return run
+
+
+@register("processor_otel_metric", keys={"SourceKey", "Format", "NoKeyError"})
+def _metric_factory(cfg: dict):
+    _check_format(cfg)
+    src = cfg.get("SourceKey", "content")
+
+    def run(df: DataFrame) -> DataFrame:
+        return otel_metrics_to_logs(df, src)
+
+    return run

@@ -1,0 +1,146 @@
+"""processor_otel_trace / processor_otel_metric vs the reference's
+field mapping (pkg/protocol/decoder/opentelemetry/otlp_trace_parser.go,
+otlp_metric_parser.go, decoder_test.go shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from loongcollector_spark.operators import build_operator
+from loongcollector_spark.operators.otelops import (
+    otel_metrics_to_logs, otel_trace_to_logs,
+)
+
+_TRACE = {"resourceSpans": [{
+    "resource": {"attributes": [
+        {"key": "host.name", "value": {"stringValue": "testHost"}},
+        {"key": "service.name", "value": {"stringValue": "svc"}},
+        {"key": "region", "value": {"stringValue": "eu"}},
+        {"key": "n", "value": {"intValue": "7"}},
+    ]},
+    "scopeSpans": [{"scope": {"name": "lib", "version": "1.2"}, "spans": [{
+        "traceId": "0102030405060708090a0b0c0d0e0f10",
+        "spanId": "0102030405060708", "parentSpanId": "",
+        "name": "testSpan", "kind": 2, "traceState": "st",
+        "startTimeUnixNano": "1663904182348000000",
+        "endTimeUnixNano": "1663904183348000000",
+        "attributes": [{"key": "k1", "value": {"stringValue": "v1"}}],
+        "events": [{"name": "ev1", "timeUnixNano": "1663904182349000000",
+                    "attributes": [{"key": "a", "value": {"stringValue": "b"}}]}],
+        "links": [{"traceId": "ff", "spanId": "aa", "attributes": []}],
+        "status": {"code": 2, "message": "boom"},
+    }]}],
+}]}
+
+
+def test_otel_trace_span_mapping(spark):
+    df = spark.createDataFrame([(1, json.dumps(_TRACE))], "i long, content string")
+    row = otel_trace_to_logs(df).collect()[0]
+    c = dict(row["contents"])
+    # otlp_trace_parser.go:62-98 resource split + :132-215 span fields
+    assert c["host"] == "testHost" and c["service"] == "svc"
+    assert c["resource"] == '{"n":7,"region":"eu"}'     # sorted, int unquoted
+    assert c["otlp.name"] == "lib" and c["otlp.version"] == "1.2"
+    assert c["traceID"] == "0102030405060708090a0b0c0d0e0f10"
+    assert c["spanID"] == "0102030405060708" and c["parentSpanID"] == ""
+    assert c["kind"] == "server" and c["name"] == "testSpan"
+    assert c["traceState"] == "st"
+    assert c["start"] == "1663904182348000"             # MICROseconds
+    assert c["end"] == "1663904183348000"
+    assert c["duration"] == "1000000"
+    assert c["attribute"] == '{"k1":"v1"}'
+    assert c["statusCode"] == "ERROR" and c["statusMessage"] == "boom"
+    assert c["logs"] == (
+        '[{"attribute":{"a":"b"},"name":"ev1","time":1663904182349000000}]'
+    )
+    assert c["links"] == '[{"attribute":{},"spanID":"aa","traceID":"ff"}]'
+    assert row["log_time"] == 1663904183                # endNano / 1e9
+
+
+def test_otel_trace_id_decode_and_status_default(spark):
+    import base64
+
+    t = json.loads(json.dumps(_TRACE))
+    span = t["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+    span["traceId"] = base64.b64encode(bytes.fromhex("00ff10")).decode()
+    span["status"] = {}
+    df = spark.createDataFrame([(1, json.dumps(t))], "i long, content string")
+    c = dict(otel_trace_to_logs(df, trace_id_decode=True).collect()[0]["contents"])
+    assert c["traceID"] == "00ff10"
+    assert c["statusCode"] == "UNSET"
+
+
+_METRICS = {"resourceMetrics": [{
+    "resource": {"attributes": [
+        {"key": "host.name", "value": {"stringValue": "testHost"}}]},
+    "scopeMetrics": [{"scope": {"name": "s", "version": "1"}, "metrics": [
+        {"name": "gauge.metric", "gauge": {"dataPoints": [
+            {"attributes": [{"key": "l1", "value": {"stringValue": "x"}}],
+             "timeUnixNano": "1663904182348000000", "asDouble": 42.0}]}},
+        {"name": "sum_metric", "sum": {"isMonotonic": True, "dataPoints": [
+            {"attributes": [], "timeUnixNano": "1663904182348000000",
+             "asInt": "5"}]}},
+        {"name": "hist", "histogram": {"dataPoints": [
+            {"attributes": [], "timeUnixNano": "1663904182348000000",
+             "count": "6", "sum": 10.5, "min": 0.0, "max": 4.0,
+             "explicitBounds": [1.0, 2.0],
+             "bucketCounts": ["1", "2", "3"]}]}},
+        {"name": "summ", "summary": {"dataPoints": [
+            {"attributes": [], "timeUnixNano": "1663904182348000000",
+             "count": "3", "sum": 9.0,
+             "quantileValues": [{"quantile": 0.5, "value": 1.5},
+                                {"quantile": 0.99, "value": 3.0}]}]}},
+    ]}],
+}]}
+
+
+def test_otel_metric_datapoint_mapping(spark):
+    df = spark.createDataFrame([(1, json.dumps(_METRICS))], "i long, content string")
+    rows = [(r["__name__"], r["__labels__"], r["__value__"], r["__time_nano__"])
+            for r in otel_metrics_to_logs(df).collect()]
+    tn = "1663904182348000000"
+    # gauge: name formatted ('.' -> '_'), labels sorted k#$#v|...
+    assert rows[0] == ("gauge_metric", "host.name#$#testHost|l1#$#x", "42", tn)
+    # sum appends otlp.metric.ismonotonic (otlp_metric_parser.go:162-177)
+    assert rows[1] == (
+        "sum_metric", "host.name#$#testHost|otlp.metric.ismonotonic#$#true",
+        "5", tn)
+    # histogram: _sum/_max (min==0 skipped), _count, CUMULATIVE buckets
+    assert rows[2][0] == "hist_sum" and rows[2][2] == "10.5"
+    assert rows[3][0] == "hist_max" and rows[3][2] == "4"
+    assert rows[4][0] == "hist_count" and rows[4][2] == "6"
+    assert [(r[0], r[1].split("|")[-1], r[2]) for r in rows[5:8]] == [
+        ("hist_bucket", "le#$#1", "1"),
+        ("hist_bucket", "le#$#2", "3"),
+        ("hist_bucket", "le#$#+Inf", "6"),
+    ]
+    # summary: _sum/_count + per-quantile rows on the base name
+    assert rows[8][0] == "summ_sum" and rows[8][2] == "9"
+    assert rows[9][0] == "summ_count" and rows[9][2] == "3"
+    assert rows[10] == ("summ", "host.name#$#testHost|quantile#$#0.5", "1.5", tn)
+    assert rows[11] == ("summ", "host.name#$#testHost|quantile#$#0.99", "3", tn)
+
+
+def test_otel_registry_and_format_validation(spark):
+    df = spark.createDataFrame([(1, json.dumps(_TRACE))], "i long, content string")
+    op = build_operator({"Type": "processor_otel_trace", "Format": "json"})
+    assert op(df).count() == 1
+
+    with pytest.raises(ValueError):        # empty format is an Init error
+        build_operator({"Type": "processor_otel_trace"})
+    with pytest.raises(NotImplementedError):
+        build_operator({"Type": "processor_otel_metric", "Format": "protobuf"})
+
+
+def test_otel_metric_seconds_timestamp_scaling(spark):
+    """NewMetricLogStringVal right-scales short timestamps to 19 digits."""
+    m = {"resourceMetrics": [{"resource": {"attributes": []},
+         "scopeMetrics": [{"scope": {"name": "s"}, "metrics": [
+             {"name": "g", "gauge": {"dataPoints": [
+                 {"attributes": [], "timeUnixNano": "1663904182",
+                  "asDouble": 1.0}]}}]}]}]}
+    df = spark.createDataFrame([(1, json.dumps(m))], "i long, content string")
+    row = otel_metrics_to_logs(df).collect()[0]
+    assert row["__time_nano__"] == "1663904182000000000"
