@@ -2208,6 +2208,56 @@ FROM e
 """
 
 
+def q_otel_aggregator_routes(spark, sf_dir):
+    """aggregator_opentelemetry + aggregator_skywalking: shape-based
+    logstore routing over real parsed rows — 19-content trace rows,
+    4-content metric rows, and a 7-content log-shaped row per event —
+    counted per (otel, skywalking) route pair."""
+    from loongcollector_spark.operators import build_operator
+    from loongcollector_spark.operators.otelops import (
+        otel_metrics_to_logs, otel_trace_to_logs, skywalking_aggregator_route,
+    )
+
+    trace_rows = otel_trace_to_logs(
+        _otlp_trace_lines(spark, sf_dir), "content"
+    ).select("contents")
+    m = otel_metrics_to_logs(_otlp_metric_lines(spark, sf_dir), "content")
+    metric_rows = m.select(F.create_map(
+        F.lit("__name__"), F.col("__name__"),
+        F.lit("__time_nano__"), F.col("__time_nano__"),
+        F.lit("__labels__"), F.col("__labels__"),
+        F.lit("__value__"), F.col("__value__"),
+    ).alias("contents"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log_rows = ev.select(F.create_map(
+        F.lit("links"), F.lit("[]"),
+        F.lit("timeUnixNano"), F.lit("0"),
+        F.lit("severityNumber"), F.lit("9"),
+        F.lit("severityText"), F.lit("INFO"),
+        F.lit("content"), F.col("event_type"),
+        F.lit("attribute"), F.lit("{}"),
+        F.lit("resource"), F.lit("{}"),
+    ).alias("contents"))
+    rows = trace_rows.unionByName(metric_rows).unionByName(log_rows)
+    routed = build_operator({"Type": "aggregator_opentelemetry"})(rows)
+    return (
+        routed
+        .withColumn("sw_store", skywalking_aggregator_route(F.col("contents")))
+        .groupBy(F.col("__logstore__").alias("otel_store"), "sw_store")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_OTEL_AGGREGATOR_ROUTES = """
+SELECT 'otlp_traces' AS otel_store, 'sw_logs' AS sw_store, count(*) AS n
+FROM events
+UNION ALL
+SELECT 'otlp_metrics', 'sw_metrics', 11 * count(*) FROM events
+UNION ALL
+SELECT 'otlp_logs', 'sw_traces', count(*) FROM events
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -2276,4 +2326,5 @@ QUERIES = {
     "pb_group_roundtrip": (q_pb_group_roundtrip, O_PB_GROUP_ROUNDTRIP),
     "otel_trace_spans": (q_otel_trace_spans, O_OTEL_TRACE_SPANS),
     "otel_metrics": (q_otel_metrics, O_OTEL_METRICS),
+    "otel_aggregator_routes": (q_otel_aggregator_routes, O_OTEL_AGGREGATOR_ROUTES),
 }

@@ -462,6 +462,80 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
     )
 
 
+# --------------------- otel / skywalking aggregators --------------------
+
+
+def otel_aggregator_route(
+    contents: Column,
+    metrics_logstore: str = "otlp_metrics",
+    trace_logstore: str = "otlp_traces",
+    log_logstore: str = "otlp_logs",
+) -> Column:
+    """aggregator_opentelemetry routing (aggregator_opentelemetry.go:94-104):
+    content-count shape decides the logstore — ≤5 metrics, ≥19 trace,
+    else log; empty content list is dropped (NULL here)."""
+    n = F.size(contents)
+    return (
+        F.when(n <= 0, F.lit(None).cast("string"))
+        .when(n <= 5, F.lit(metrics_logstore))
+        .when(n >= 19, F.lit(trace_logstore))
+        .otherwise(F.lit(log_logstore))
+    )
+
+
+def skywalking_aggregator_route(
+    contents: Column,
+    metrics_logstore: str = "sw_metrics",
+    trace_logstore: str = "sw_traces",
+    log_logstore: str = "sw_logs",
+) -> Column:
+    """aggregator_skywalking routing (aggregator_skywalking.go:94-109):
+    FIRST content key decides — __name__ metrics, links trace, otlp.name
+    log, anything else falls back to log (with a warning upstream)."""
+    first = F.try_element_at(F.map_keys(contents), F.lit(1))
+    return (
+        F.when(first.isNull(), F.lit(None).cast("string"))
+        .when(first == "__name__", F.lit(metrics_logstore))
+        .when(first == "links", F.lit(trace_logstore))
+        .otherwise(F.lit(log_logstore))
+    )
+
+
+def _agg_router_factory(route_fn, default_stores):
+    def factory(cfg: dict):
+        src = cfg.get("ContentsKey", "contents")
+        stores = (
+            cfg.get("MetricsLogstore", default_stores[0]),
+            cfg.get("TraceLogstore", default_stores[1]),
+            cfg.get("LogLogstore", default_stores[2]),
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            route = route_fn(F.col(src), *stores)
+            return (
+                df.withColumn("__logstore__", route)
+                .filter(F.col("__logstore__").isNotNull())
+            )
+
+        return run
+
+    return factory
+
+
+_AGG_KEYS = {"ContentsKey", "MetricsLogstore", "TraceLogstore", "LogLogstore"}
+
+register("aggregator_opentelemetry", keys=_AGG_KEYS)(
+    _agg_router_factory(
+        otel_aggregator_route, ("otlp_metrics", "otlp_traces", "otlp_logs")
+    )
+)
+register("aggregator_skywalking", keys=_AGG_KEYS)(
+    _agg_router_factory(
+        skywalking_aggregator_route, ("sw_metrics", "sw_traces", "sw_logs")
+    )
+)
+
+
 # --------------------------- registry glue ------------------------------
 
 

@@ -134,6 +134,49 @@ def test_otel_registry_and_format_validation(spark):
         build_operator({"Type": "processor_otel_metric", "Format": "protobuf"})
 
 
+def test_otel_skywalking_aggregator_routing(spark):
+    from loongcollector_spark.operators.otelops import (
+        otel_aggregator_route, skywalking_aggregator_route,
+    )
+    from pyspark.sql import functions as F
+
+    def m(n):  # n dummy entries
+        return "map(" + ",".join(f"'k{i}','v'" for i in range(n)) + ")"
+
+    # maps built with map() expressions — python-dict conversion does not
+    # preserve entry order, and skywalking routes on the FIRST entry
+    rows = [
+        (1, m(4)),                         # ≤5  → metrics
+        (2, m(19)),                        # ≥19 → trace
+        (3, m(8)),                         # else → log
+        (4, "map()"),                      # empty → dropped
+        (5, "map('__name__','m')"),        # sw: metrics
+        (6, "map('links','[]','z','x')"),  # sw: trace
+        (7, "map('otlp.name','lib')"),     # sw: log
+        (8, "map('other','?')"),           # sw: fallback log
+    ]
+    df = spark.range(0).sparkSession.createDataFrame(
+        [(i,) for i, _ in rows], "i long"
+    ).withColumn(
+        "contents",
+        F.coalesce(*[
+            F.when(F.col("i") == i, F.expr(expr)) for i, expr in rows
+        ]),
+    )
+    got = {r["i"]: (r["otel"], r["sw"]) for r in df.select(
+        "i",
+        otel_aggregator_route(F.col("contents")).alias("otel"),
+        skywalking_aggregator_route(F.col("contents")).alias("sw"),
+    ).collect()}
+    assert got[1][0] == "otlp_metrics" and got[2][0] == "otlp_traces"
+    assert got[3][0] == "otlp_logs" and got[4] == (None, None)
+    assert got[5][1] == "sw_metrics" and got[6][1] == "sw_traces"
+    assert got[7][1] == "sw_logs" and got[8][1] == "sw_logs"
+
+    op = build_operator({"Type": "aggregator_opentelemetry"})
+    assert op(df).count() == 7  # empty-contents row dropped
+
+
 def test_otel_metric_seconds_timestamp_scaling(spark):
     """NewMetricLogStringVal right-scales short timestamps to 19 digits."""
     m = {"resourceMetrics": [{"resource": {"attributes": []},
