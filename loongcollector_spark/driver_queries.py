@@ -1839,7 +1839,10 @@ def _prom_lines(spark, sf_dir):
         .otherwise(F.concat(
             F.lit('gauge_x{a="b"} NaN '), ms, F.lit(" # exemplar xyz")))
     )
-    return ev.select(F.col("event_id").alias("line_id"), line.alias("content"))
+    # see _otlp_trace_lines: split the single-file fixture across cores
+    return ev.select(
+        F.col("event_id").alias("line_id"), line.alias("content")
+    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
 
 
 def _vcode():
@@ -2067,7 +2070,12 @@ def _otlp_trace_lines(spark, sf_dir):
         F.pmod("event_id", F.lit(3)).cast("string"),
         F.lit(',"message":"m'), uid, F.lit('"}}]}]}]}'),
     )
-    return ev.select(F.col("event_id").alias("line_id"), content.alias("content"))
+    # hash-repartition stands in for the many-file input layout a real
+    # deployment has (the sf fixtures are one single-row-group parquet
+    # file = one split); without it the whole parse runs on one core
+    return ev.select(
+        F.col("event_id").alias("line_id"), content.alias("content")
+    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
 
 
 def q_otel_trace_spans(spark, sf_dir):
@@ -2160,7 +2168,12 @@ def _otlp_metric_lines(spark, sf_dir):
         (F.col("user_id").cast("double") + 0.5).cast("string"),
         F.lit("}]}]}}]}]}]}"),
     )
-    return ev.select(F.col("event_id").alias("line_id"), content.alias("content"))
+    # hash-repartition stands in for the many-file input layout a real
+    # deployment has (the sf fixtures are one single-row-group parquet
+    # file = one split); without it the whole parse runs on one core
+    return ev.select(
+        F.col("event_id").alias("line_id"), content.alias("content")
+    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
 
 
 def q_otel_metrics(spark, sf_dir):

@@ -81,3 +81,20 @@ def anchored(pattern: str) -> str:
     if not p.endswith("$") or p.endswith("\\$"):
         p = p + "$"
     return p
+
+
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``fn`` with ``col`` bound ONCE to a lambda variable.
+
+    Expression builders that use their input several times (a varint
+    that inspects each 7-bit group, a relabel action that tests + reads
+    + rewrites its label map) explode when composed: Catalyst's project
+    collapse / predicate pushdown substitutes a full copy of the input
+    expression per reference, so nesting multiplies plan size (measured
+    1.4-1.8 MB optimized plans, codegen falling over the 64 KB method
+    limit into interpreted eval of the duplicated tree). Routing the
+    input through a 1-element ``transform`` makes the composed
+    expression reference its input exactly once — the lambda variable
+    is free to appear many times — so composition stays linear.
+    """
+    return F.transform(F.array(col), fn)[0]

@@ -88,13 +88,16 @@ def _go_float_str(d: Column) -> Column:
     """Go strconv 'g' formatting of a double: integral values print with
     no fraction; exponent form is e±NN (two digits)."""
     base = d.cast("string")
-    fixed = F.regexp_replace(
+    exp = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(base, r"E-(\d)$", r"e-0$1"),
                 r"E-(\d\d+)$", r"e-$1"),
             r"E(\d)$", r"e+0$1"),
         r"E(\d\d+)$", r"e+$1")
+    # the regex chain only matters for exponent-form strings; gate it so
+    # the common plain-decimal case skips 4 regex evaluations per value
+    fixed = F.when(base.contains("E"), exp).otherwise(base)
     return F.when(
         (d == F.floor(d)) & (F.abs(d) < F.lit(1e15)),
         d.cast("long").cast("string"),

@@ -157,6 +157,24 @@ def prom_parse_metric(
 _DEFAULT_REGEX = "(.*)"
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``fn`` with ``col`` bound ONCE to a lambda variable.
+
+    Chained relabel actions each use their input map several times
+    (condition + old value + rewrite). If the action body referenced the
+    previous action's *expression* directly, Catalyst's project collapse /
+    predicate pushdown would substitute a full copy per reference —
+    measured 626 inlined copies of the upstream parse regex (a 1.4 MB
+    plan) for a 6-action chain. Routing the input through a 1-element
+    ``transform`` makes every level reference its predecessor exactly
+    once (the lambda variable is free to appear many times), so an
+    N-action chain stays O(N) plan size and the parse runs once per row.
+    """
+    from loongcollector_spark.operators.common import bind_once
+
+    return bind_once(col, fn)
+
+
 def _anchored(regex: str) -> str:
     return "^(?:" + regex + ")$"
 
@@ -168,13 +186,13 @@ def _java_repl(repl: str) -> str:
     return _pyre.sub(r"\$\{(\d+)\}", r"$\1", repl)
 
 
-def _src_value(cfg: dict) -> Column:
+def _src_value(cfg: dict, labels: Column) -> Column:
     sep = cfg.get("separator", ";")
     srcs = cfg.get("source_labels", [])
     if not srcs:
         return F.lit("")
     return F.concat_ws(
-        sep, *[F.coalesce(F.col("labels")[s], F.lit("")) for s in srcs]
+        sep, *[F.coalesce(labels[s], F.lit("")) for s in srcs]
     )
 
 
@@ -191,8 +209,8 @@ def _apply_one(df: DataFrame, cfg: dict) -> DataFrame:
     full = _anchored(regex)
     replacement = _java_repl(cfg.get("replacement", "$1"))
     target = _java_repl(cfg.get("target_label", ""))
-    val = _src_value(cfg)
     labels = F.col("labels")
+    val = _src_value(cfg, labels)
 
     if action == "keep":
         return df.filter(val.rlike(full))
@@ -207,37 +225,52 @@ def _apply_one(df: DataFrame, cfg: dict) -> DataFrame:
         name = F.coalesce(labels["__name__"], F.lit(""))
         return df.filter(~name.isin(list(cfg.get("match_list", []))))
 
+    # label-editing actions: body uses its input map several times, so it
+    # runs under _bind — the previous action's output is referenced once.
     if action == "replace":
-        matched = val.rlike(full)
-        tgt = F.regexp_replace(val, full, target)      # $n interpolation
-        res = F.regexp_replace(val, full, replacement)
-        deleted = F.map_filter(labels, lambda k, _v: k != tgt)
-        new = F.when(
-            ~matched, labels
-        ).when(res == "", deleted).otherwise(_set_label(labels, tgt, res))
-        return df.withColumn("labels", new)
+        def body(l: Column) -> Column:
+            v = _src_value(cfg, l)
+            matched = v.rlike(full)
+            tgt = F.regexp_replace(v, full, target)    # $n interpolation
+            res = F.regexp_replace(v, full, replacement)
+            deleted = F.map_filter(l, lambda k, _v: k != tgt)
+            return (
+                F.when(~matched, l)
+                .when(res == "", deleted)
+                .otherwise(_set_label(l, tgt, res))
+            )
+        return df.withColumn("labels", _bind(labels, body))
     if action == "lowercase":
-        return df.withColumn("labels", _set_label(labels, F.lit(target), F.lower(val)))
+        return df.withColumn("labels", _bind(labels, lambda l: _set_label(
+            l, F.lit(target), F.lower(_src_value(cfg, l)))))
     if action == "uppercase":
-        return df.withColumn("labels", _set_label(labels, F.lit(target), F.upper(val)))
+        return df.withColumn("labels", _bind(labels, lambda l: _set_label(
+            l, F.lit(target), F.upper(_src_value(cfg, l)))))
     if action == "hashmod":
         modulus = int(cfg["modulus"])
-        # md5 last 8 bytes as uint64, mod N (Relabel.cpp:195-205)
-        h = F.conv(F.substring(F.md5(val), 17, 16), 16, 10).cast("decimal(20,0)")
-        mod = F.pmod(h, F.lit(modulus)).cast("long").cast("string")
-        return df.withColumn("labels", _set_label(labels, F.lit(target), mod))
+
+        def body(l: Column) -> Column:
+            # md5 last 8 bytes as uint64, mod N (Relabel.cpp:195-205)
+            h = F.conv(
+                F.substring(F.md5(_src_value(cfg, l)), 17, 16), 16, 10
+            ).cast("decimal(20,0)")
+            mod = F.pmod(h, F.lit(modulus)).cast("long").cast("string")
+            return _set_label(l, F.lit(target), mod)
+        return df.withColumn("labels", _bind(labels, body))
     if action == "labelmap":
-        mapped = F.map_from_entries(
-            F.transform(
-                F.filter(F.map_entries(labels), lambda e: e.key.rlike(full)),
-                lambda e: F.struct(
-                    F.regexp_replace(e.key, full, replacement).alias("key"),
-                    e.value.alias("value"),
-                ),
+        def body(l: Column) -> Column:
+            mapped = F.map_from_entries(
+                F.transform(
+                    F.filter(F.map_entries(l), lambda e: e.key.rlike(full)),
+                    lambda e: F.struct(
+                        F.regexp_replace(e.key, full, replacement).alias("key"),
+                        e.value.alias("value"),
+                    ),
+                )
             )
-        )
-        # empty map_from_entries([]) is fine; LAST_WIN keeps mapped values
-        return df.withColumn("labels", F.map_concat(labels, mapped))
+            # empty map_from_entries([]) is fine; LAST_WIN keeps mapped
+            return F.map_concat(l, mapped)
+        return df.withColumn("labels", _bind(labels, body))
     if action == "labeldrop":
         return df.withColumn(
             "labels", F.map_filter(labels, lambda k, _v: ~k.rlike(full))

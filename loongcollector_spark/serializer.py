@@ -229,26 +229,42 @@ def _pb_byte(col):
 
 
 def _pb_varint(col, max_bytes: int = 5):
-    """Protobuf varint of a non-negative long expression (≤ 2^35-1)."""
-    col = col.cast("long")
-    pieces = []
-    for i in range(max_bytes):
-        grp = F.shiftright(col, 7 * i).bitwiseAND(F.lit(0x7F))
-        more = F.shiftright(col, 7 * (i + 1)) > 0
-        byte = _pb_byte(F.when(more, grp.bitwiseOR(F.lit(0x80))).otherwise(grp))
-        if i == 0:
-            pieces.append(byte)
-        else:
-            pieces.append(
-                F.when(F.shiftright(col, 7 * i) > 0, byte).otherwise(F.lit(b""))
+    """Protobuf varint of a non-negative long expression (≤ 2^35-1).
+
+    The byte loop reads its input ~3× per byte; ``bind_once`` keeps the
+    input referenced exactly once so nested len-delim framing composes
+    with linear (not exponential) plan size."""
+    from loongcollector_spark.operators.common import bind_once
+
+    def body(v):
+        pieces = []
+        for i in range(max_bytes):
+            grp = F.shiftright(v, 7 * i).bitwiseAND(F.lit(0x7F))
+            more = F.shiftright(v, 7 * (i + 1)) > 0
+            byte = _pb_byte(
+                F.when(more, grp.bitwiseOR(F.lit(0x80))).otherwise(grp)
             )
-    return F.concat(*pieces)
+            if i == 0:
+                pieces.append(byte)
+            else:
+                pieces.append(
+                    F.when(F.shiftright(v, 7 * i) > 0, byte)
+                    .otherwise(F.lit(b""))
+                )
+        return F.concat(*pieces)
+
+    return bind_once(col.cast("long"), body)
 
 
 def _pb_len_delim(tag: int, payload):
-    """tag byte + varint(byte length) + payload (payload: binary col)."""
-    return F.concat(
-        F.lit(bytes([tag])), _pb_varint(F.length(payload)), payload
+    """tag byte + varint(byte length) + payload (payload: binary col).
+    ``bind_once`` on the payload: it is read twice (length + bytes), and
+    payloads nest — without the binding each nesting level multiplies."""
+    from loongcollector_spark.operators.common import bind_once
+
+    return bind_once(
+        payload,
+        lambda p: F.concat(F.lit(bytes([tag])), _pb_varint(F.length(p)), p),
     )
 
 

@@ -89,6 +89,40 @@ CONFIGS: dict[str, dict] = {
     "processor_spl": {"Script": "* | where role is not null"},
     "aggregator_content_value_group": {"GroupKeys": ["role", "tool"]},
     "aggregator_metadata_group": {"GroupMetadataKeys": ["role"]},
+    "processor_prom_parse_metric": {"SourceKey": "text"},
+    "processor_prom_relabel_metric": {"RelabelConfigs": [
+        {"action": "replace", "source_labels": ["role"],
+         "target_label": "r"},
+        {"action": "labelmap", "regex": "(.*)", "replacement": "m_$1"},
+        {"action": "keep", "source_labels": ["__name__"], "regex": ".*"},
+    ]},
+    "processor_parse_from_pb": {"SourceKey": "text", "Protocol": "LoongSuite",
+                                "GroupIdKey": "turn_idx"},
+    "processor_otel_trace": {"SourceKey": "text", "Format": "json"},
+    "processor_otel_metric": {"SourceKey": "text", "Format": "json"},
+    "aggregator_opentelemetry": {"ContentsKey": "contents"},
+    "aggregator_skywalking": {"ContentsKey": "contents"},
+}
+
+
+def _with_map_shapes(df):
+    """Ops whose input contract is a parsed shape (a ``labels`` /
+    ``contents`` map) get the map built from the hostile columns — the
+    hostile VALUES still flow through the op."""
+    from pyspark.sql import functions as F
+
+    m = F.create_map(
+        F.lit("__name__"), F.coalesce(F.col("role"), F.lit("")),
+        F.lit("text"), F.coalesce(F.col("text"), F.lit("")),
+    )
+    return df.withColumn("labels", m).withColumn("contents", m)
+
+
+# ops that require a non-raw input shape: prep fn applied before the op
+PREP = {
+    "processor_prom_relabel_metric": _with_map_shapes,
+    "aggregator_opentelemetry": _with_map_shapes,
+    "aggregator_skywalking": _with_map_shapes,
 }
 
 
@@ -121,7 +155,8 @@ def test_every_operator_has_a_robustness_config():
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_operator_survives_hostile_rows(spark, hostile_df, name):
     op = build_operator({"Type": name, **CONFIGS[name]})
-    rows = op(hostile_df).collect()  # full evaluation, must not throw
+    df = PREP.get(name, lambda d: d)(hostile_df)
+    rows = op(df).collect()  # full evaluation, must not throw
     assert rows is not None
 
 
