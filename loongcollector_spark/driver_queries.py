@@ -803,6 +803,41 @@ FROM t
 """
 
 
+def q_http_otlp(spark, sf_dir):
+    """flusher_http otlp_v1 converter (pkg/protocol/converter/otlp.go:
+    43-103): per-event OTLP LogRecord JSON — text→body, role→severity,
+    remaining fields + group tags as attributes — byte-checked via md5
+    against DuckDB building the identical protojson object."""
+    from loongcollector_spark.serializer import otlp_log_record_column
+
+    df = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts",
+        F.col("text").alias("content"), F.col("role").alias("level"), "tool",
+    )
+    col = otlp_log_record_column(df, tags={"host": "spark-graft"})
+    return df.select(
+        "conv_id", "turn_idx",
+        F.md5(col.cast("binary")).alias("record_md5"),
+    )
+
+
+O_HTTP_OTLP = _ORACLE_T + """
+SELECT conv_id, turn_idx,
+  md5(to_json(struct_pack(
+    timeUnixNano := cast(cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR),
+    severityText := role,
+    body := struct_pack(stringValue := text),
+    attributes := list_filter(
+      [struct_pack(key := 'conv_id', value := struct_pack(stringValue := conv_id)),
+       struct_pack(key := 'tool', value := struct_pack(stringValue := tool)),
+       struct_pack(key := 'turn_idx', value := struct_pack(stringValue := cast(turn_idx AS VARCHAR))),
+       struct_pack(key := 'host', value := struct_pack(stringValue := 'spark-graft'))],
+      x -> x.value.stringValue IS NOT NULL)
+  ))::VARCHAR) AS record_md5
+FROM t
+"""
+
+
 def q_merge_multiline_continue(spark, sf_dir):
     """processor_merge_multiline_log Start+Continue (the Java-stack-trace
     combination, ProcessorMergeMultilineLogNative.cpp:281-309): IP lines
@@ -2299,6 +2334,7 @@ QUERIES = {
     "merge_multiline": (q_merge_multiline, O_MERGE_MULTILINE),
     "merge_multiline_continue": (q_merge_multiline_continue, O_MERGE_MULTILINE_CONTINUE),
     "http_jsonline": (q_http_jsonline, O_HTTP_JSONLINE),
+    "http_otlp": (q_http_otlp, O_HTTP_OTLP),
     "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
     "merge_by_flag": (q_merge_by_flag, O_MERGE_BY_FLAG),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),

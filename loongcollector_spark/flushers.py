@@ -150,7 +150,8 @@ def flusher_kafka(cfg: dict):
 def flusher_http(cfg: dict):
     """HTTP sink body serialization (flusher_http.go:73-118): the
     Convert.Protocol / Convert.Encoding pair chooses the converter —
-    custom_single (default), jsonline, influxdb — over the same shapes
+    custom_single (default), jsonline, influxdb, otlp_v1 — over the same
+    shapes
     as pkg/protocol/converter. No HTTP client in this container, so the
     request bodies land as line files under ``Path`` (one value per
     line, exactly the bytes a POST body would carry); RemoteURL is

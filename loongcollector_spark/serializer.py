@@ -174,10 +174,105 @@ def influxdb_line_column(df: DataFrame):
     )
 
 
+def _otlp_attr_array(pairs):
+    """OTLP JSON attribute list: [{"key":k,"value":{"stringValue":v}}…]
+    with absent (NULL) values dropped, mirroring the reference's
+    PutStr-per-present-content loop (otlp.go:76-83)."""
+    entries = F.array(*[
+        F.struct(
+            F.lit(k).alias("key"),
+            F.struct(v.cast("string").alias("stringValue")).alias("value"),
+        )
+        for k, v in pairs
+    ])
+    return F.filter(entries, lambda e: e["value"]["stringValue"].isNotNull())
+
+
+def otlp_log_record_column(df: DataFrame, time_col: str = "ts",
+                           tags: dict[str, str] | None = None,
+                           observed_time_ns: int = 0):
+    """One OTLP ``LogRecord`` per event in OTLP/HTTP protojson shape —
+    the otlp_v1 converter's per-log mapping
+    (pkg/protocol/converter/otlp.go:43-103, converter.go:31,109):
+
+    * attributes = contents minus the ``content`` body key and ``level``
+      severity key, then group tags (PutStr each; reference map order is
+      Go-randomized, modeled here as sorted-then-tags, deterministic);
+    * timeUnixNano = Time (epoch sec) × 1e9 — protojson renders uint64
+      as a STRING;
+    * body.stringValue = contents["content"]; severityText =
+      contents["level"]; both omitted when absent;
+    * observedTimeUnixNano is ``time.Now()`` in the reference — passed
+      as a parameter here (0 ⇒ omitted) so goldens stay byte-stable.
+
+    Field order = LogRecord proto field-number order. Pure codegen.
+    """
+    cols = sorted(
+        c for c in serializable_columns(df)
+        if c not in (time_col, "content", "level")
+    )
+    pairs = [(c, F.col(c)) for c in cols]
+    pairs += [(k, F.lit(v)) for k, v in (tags or {}).items()]
+    fields = []
+    if time_col in df.columns:
+        t_ns = (F.unix_timestamp(F.col(time_col)) * F.lit(1000000000)
+                ).cast("string")
+        fields.append(t_ns.alias("timeUnixNano"))
+    if "level" in df.columns:
+        fields.append(F.col("level").cast("string").alias("severityText"))
+    if "content" in df.columns:
+        fields.append(
+            F.when(
+                F.col("content").isNotNull(),
+                F.struct(F.col("content").cast("string").alias("stringValue")),
+            ).alias("body")
+        )
+    fields.append(_otlp_attr_array(pairs).alias("attributes"))
+    if observed_time_ns:
+        fields.append(F.lit(str(observed_time_ns)).alias("observedTimeUnixNano"))
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
+
+
+def otlp_resource_logs_frame(df: DataFrame, group_cols=("conv_id",),
+                             order_col: str = "turn_idx",
+                             time_col: str = "ts",
+                             topic: str = "", source: str = "",
+                             machine_uuid: str = "",
+                             tags: dict[str, str] | None = None) -> DataFrame:
+    """One ``ResourceLogs`` JSON document per group: resource attributes
+    = source/topic/machine_uuid when set plus the group tags
+    (otlp.go:47-61), a single scope, logRecords in stable order."""
+    res_pairs = []
+    if source:
+        res_pairs.append(("source", F.lit(source)))
+    if topic:
+        res_pairs.append(("topic", F.lit(topic)))
+    if machine_uuid:
+        res_pairs.append(("machine_uuid", F.lit(machine_uuid)))
+    res_pairs += [(k, F.lit(v)) for k, v in (tags or {}).items()]
+    res_json = F.to_json(
+        F.struct(_otlp_attr_array(res_pairs).alias("attributes"))
+    )
+    record = otlp_log_record_column(df, time_col)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                record.alias("r")))
+    )
+    body = F.array_join(F.transform(ordered, lambda s: s["r"]), ",")
+    return df.groupBy(*group_cols).agg(
+        F.concat(
+            F.lit('{"resource":'), res_json,
+            F.lit(',"scopeLogs":[{"logRecords":['), body, F.lit("]}]}"),
+        ).alias("resource_logs"),
+        F.count("*").alias("n_records"),
+    )
+
+
 _HTTP_PROTOCOLS = {
     "custom_single": custom_single_column,
     "jsonline": jsonline_column,
     "influxdb": influxdb_line_column,
+    "otlp_v1": otlp_log_record_column,
 }
 
 

@@ -99,6 +99,41 @@ def test_influxdb_protocol_bytes(spark):
     ]
 
 
+def test_otlp_v1_protocol_bytes(spark):
+    """otlp_v1 converter goldens (pkg/protocol/converter/otlp.go:43-103):
+    content→body, level→severityText, Time×1e9 as STRING (protojson
+    uint64), remaining contents + tags as stringValue attributes with
+    absent (NULL) values dropped."""
+    from loongcollector_spark.serializer import (
+        convert_events, otlp_resource_logs_frame)
+
+    df = spark.createDataFrame(
+        [("c1", 0, "hello", "INFO", None, "2026-01-01 00:00:00")],
+        "conv_id string, turn_idx int, content string, level string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = convert_events(df, "otlp_v1", tags={"host": "h1"}).first()["value"]
+    assert v == (
+        '{"timeUnixNano":"1767225600000000000","severityText":"INFO",'
+        '"body":{"stringValue":"hello"},"attributes":['
+        '{"key":"conv_id","value":{"stringValue":"c1"}},'
+        '{"key":"turn_idx","value":{"stringValue":"0"}},'
+        '{"key":"host","value":{"stringValue":"h1"}}]}'
+    )
+    # group frame: resource attrs (source/topic first, otlp.go:47-57),
+    # one scope, records in turn order
+    g = otlp_resource_logs_frame(df, source="s1").first()["resource_logs"]
+    assert g.startswith(
+        '{"resource":{"attributes":[{"key":"source",'
+        '"value":{"stringValue":"s1"}}]},"scopeLogs":[{"logRecords":['
+    )
+    assert g.endswith("]}]}")
+    import json as _json
+
+    doc = _json.loads(g)
+    assert len(doc["scopeLogs"][0]["logRecords"]) == 1
+
+
 def test_flusher_http_end_to_end(spark, tmp_path):
     from loongcollector_spark.flushers import build_flusher
 
