@@ -838,6 +838,126 @@ FROM t
 """
 
 
+def q_loki_streams(spark, sf_dir):
+    """flusher_loki payload (flusher_loki.go:152-226): one push-API v1
+    document per label set (static job + dynamic role), jsonline-
+    serialized lines, values in (ns, line) order — byte-checked via md5
+    against DuckDB assembling the identical document."""
+    from loongcollector_spark.serializer import loki_streams_frame
+
+    df = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "ts")
+    frame = loki_streams_frame(
+        df, {"job": "transcripts"}, ["content.role"],
+        line_protocol="jsonline")
+    return frame.select(
+        F.md5(F.col("payload").cast("binary")).alias("payload_md5"),
+        "n_entries",
+    )
+
+
+O_LOKI_STREAMS = _ORACLE_T + """
+, lines AS (
+  SELECT role,
+    cast(cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR) AS ns,
+    to_json(struct_pack(
+      conv_id := conv_id, role := role, text := text,
+      "time" := cast(floor(epoch(ts)) AS BIGINT),
+      turn_idx := cast(turn_idx AS VARCHAR)
+    ))::VARCHAR AS line
+  FROM t
+)
+SELECT
+  md5('{"streams":[{"stream":'
+    || to_json(struct_pack(job := 'transcripts', role := role))::VARCHAR
+    || ',"values":' || to_json(list([ns, line] ORDER BY ns, line))::VARCHAR
+    || '}]}') AS payload_md5,
+  count(*) AS n_entries
+FROM lines GROUP BY role
+"""
+
+
+def q_prom_remote_write(spark, sf_dir):
+    """flusher_prometheus round trip (pkg/protocol/encoder/prometheus/
+    utils.go:44-60): metric rows → codegen prompb.WriteRequest blobs →
+    independent Python wire walker (struct.unpack doubles) → aggregate
+    equality with the source. Proves the IEEE-754 bit codegen, sorted
+    labels, empty-label drop, and ns→ms conversion on real data."""
+    from loongcollector_spark.pbwire import (
+        decode_prom_write_request, prom_write_request_frame)
+
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\w+=[^ ]*&")
+    )
+    kv = build_operator({
+        "Type": "processor_split_key_value", "SourceKey": "text",
+        "Delimiter": "&", "Separator": "=",
+        "Keys": ["action", "lat_ms", "ok", "tok"],
+    })
+    df = kv(df).filter("_parse_ok").select(
+        "role", "action", "ts",
+        F.col("lat_ms").try_cast("long").alias("lat_ms"),
+        F.col("tok").try_cast("long").alias("tok"),
+    ).filter(F.col("lat_ms").isNotNull() & F.col("tok").isNotNull())
+    m = build_operator({
+        "Type": "processor_log_to_metric",
+        "MetricLabelKeys": ["role", "action"],
+        "MetricValues": {"latency_ms": "lat_ms", "tokens": "tok"},
+    })(df)
+    frames = prom_write_request_frame(m, series_limit=500)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for b in pdf["write_request_pb"]:
+                for s in decode_prom_write_request(bytes(b)):
+                    labels = "|".join(
+                        f"{k}={v}" for k, v in sorted(s["labels"].items())
+                        if k != "__name__")
+                    rows.append((s["labels"]["__name__"], labels,
+                                 s["value"], s["timestamp_ms"]))
+            yield pd.DataFrame(
+                rows, columns=["name", "labels", "value", "ts_ms"])
+
+    dec = frames.select("write_request_pb").mapInPandas(
+        batches, "name string, labels string, value double, ts_ms long")
+    return dec.groupBy("name", "labels").agg(
+        F.sum("value").alias("value_sum"),
+        F.count("*").alias("n_points"),
+        F.max("ts_ms").alias("max_ts_ms"),
+    )
+
+
+O_PROM_REMOTE_WRITE = _ORACLE_T + r"""
+, kv AS (
+  SELECT role, ts,
+    regexp_extract(text, 'action=([^&]*)', 1) AS action,
+    cast(regexp_extract(text, 'lat_ms=([^&]*)', 1) AS BIGINT) AS lat_ms,
+    cast(regexp_extract(text, '[&]tok=([^&]*)', 1) AS BIGINT) AS tok
+  FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+), kvf AS (
+  SELECT * FROM kv WHERE lat_ms IS NOT NULL AND tok IS NOT NULL
+), m AS (
+  SELECT 'latency_ms' AS name,
+    concat_ws('|',
+      CASE WHEN action <> '' THEN 'action=' || action END,
+      'role=' || role) AS labels,
+    cast(lat_ms AS DOUBLE) AS v, epoch_ms(ts) AS ts_ms FROM kvf
+  UNION ALL
+  SELECT 'tokens',
+    concat_ws('|',
+      CASE WHEN action <> '' THEN 'action=' || action END,
+      'role=' || role),
+    cast(tok AS DOUBLE), epoch_ms(ts) FROM kvf
+)
+SELECT name, labels, sum(v) AS value_sum, count(*) AS n_points,
+  max(ts_ms) AS max_ts_ms
+FROM m GROUP BY 1, 2
+"""
+
+
 def q_merge_multiline_continue(spark, sf_dir):
     """processor_merge_multiline_log Start+Continue (the Java-stack-trace
     combination, ProcessorMergeMultilineLogNative.cpp:281-309): IP lines
@@ -2335,6 +2455,8 @@ QUERIES = {
     "merge_multiline_continue": (q_merge_multiline_continue, O_MERGE_MULTILINE_CONTINUE),
     "http_jsonline": (q_http_jsonline, O_HTTP_JSONLINE),
     "http_otlp": (q_http_otlp, O_HTTP_OTLP),
+    "loki_streams": (q_loki_streams, O_LOKI_STREAMS),
+    "prom_remote_write": (q_prom_remote_write, O_PROM_REMOTE_WRITE),
     "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
     "merge_by_flag": (q_merge_by_flag, O_MERGE_BY_FLAG),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),

@@ -179,6 +179,91 @@ def flusher_http(cfg: dict):
     return write
 
 
+@register_flusher("flusher_loki")
+def flusher_loki(cfg: dict):
+    """Loki sink (plugins/flusher/loki/flusher_loki.go:152-226): one
+    push-API v1 payload per label set — StaticLabels + DynamicLabels
+    (``content.``/``tag.`` prefixes trimmed), converter-serialized
+    lines. Validation mirrors the reference: at least one label. No
+    loki server in this container, so payload documents land under
+    ``Path`` (exactly the POST bodies the client would send)."""
+    from loongcollector_spark.serializer import loki_streams_frame
+
+    path = cfg["Path"]
+    static = cfg.get("StaticLabels", {})
+    dynamic = cfg.get("DynamicLabels", [])
+    if not static and not dynamic:
+        # Validate(), flusher_loki.go:138-140
+        raise ValueError("flusher_loki: at least one label should be set")
+    protocol = cfg.get("Convert", {}).get("Protocol", "custom_single")
+
+    def write(df: DataFrame) -> None:
+        (loki_streams_frame(df, static, dynamic, line_protocol=protocol)
+         .select("payload").write.mode("overwrite").text(path))
+
+    return write
+
+
+@register_flusher("flusher_pulsar")
+def flusher_pulsar(cfg: dict):
+    """Pulsar sink (plugins/flusher/pulsar/flusher_pulsar.go:44-73,
+    147-154,189-218): identical payload contract to kafka — converter
+    value + PartitionKeys-derived message key — with the topic static
+    or %{content.field}-dynamic. No broker in the container; the
+    (key, value) frame is the tested contract, like flusher_kafka."""
+    topic = cfg["Topic"]
+    partition_keys = cfg.get("PartitionKeys", [])
+
+    def write(df: DataFrame) -> None:
+        frame = kafka_payload_frame(
+            df, "hash" if partition_keys else "random", partition_keys)
+        if cfg.get("Path"):
+            frame.write.mode("overwrite").json(cfg["Path"])
+        else:  # pragma: no cover - needs a pulsar-spark connector jar
+            frame.write.format("pulsar").option("topic", topic).save()
+
+    return write
+
+
+@register_flusher("flusher_opentelemetry")
+def flusher_opentelemetry(cfg: dict):
+    """OTLP log-service sink (plugins/flusher/opentelemetry/): grouped
+    ResourceLogs documents through the otlp_v1 converter shape — the
+    gRPC transport is out of container scope, the payload is the
+    contract."""
+    from loongcollector_spark.serializer import otlp_resource_logs_frame
+
+    path = cfg["Path"]
+    group_cols = tuple(cfg.get("GroupKeys", ("conv_id",)))
+
+    def write(df: DataFrame) -> None:
+        (otlp_resource_logs_frame(df, group_cols=group_cols,
+                                  tags=cfg.get("Tags"))
+         .select("resource_logs").write.mode("overwrite").text(path))
+
+    return write
+
+
+@register_flusher("flusher_prometheus")
+def flusher_prometheus(cfg: dict):
+    """Prometheus remote-write sink (plugins/flusher/prometheus/ over
+    pkg/protocol/encoder/prometheus/): metric-shaped rows →
+    prompb.WriteRequest blobs chunked at SeriesLimit, written as one
+    binary file per request under ``Path`` (snappy + HTTP headers are
+    transport concerns the reference delegates to its http flusher)."""
+    from loongcollector_spark.pbwire import prom_write_request_frame
+
+    path = cfg["Path"]
+    series_limit = int(cfg.get("SeriesLimit", 1000))
+
+    def write(df: DataFrame) -> None:
+        (prom_write_request_frame(df, series_limit)
+         .select(F.base64("write_request_pb").alias("b64"))
+         .write.mode("overwrite").text(path))
+
+    return write
+
+
 @register_flusher("flusher_jdbc")
 def flusher_jdbc(cfg: dict):
     """JDBC table sink — the adapter shape behind flusher_clickhouse /

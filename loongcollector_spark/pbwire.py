@@ -220,6 +220,182 @@ def decode_loongsuite_group(buf) -> dict:
     return group
 
 
+# ------------- Prometheus remote-write encoder (flusher_prometheus) -----
+# WriteRequest{timeseries=1} / TimeSeries{labels=1, samples=2} /
+# Label{name=1, value=2} / Sample{value=1 double, timestamp=2 int64} —
+# the public prompb schema the reference marshals through
+# VictoriaMetrics' prompbmarshal (pkg/protocol/encoder/prometheus/
+# utils.go:44-60, flusher plugins/flusher/prometheus/): labels = tags +
+# __name__, lexicographically sorted, empty names/values dropped per the
+# remote-write spec; sample timestamp = nanoseconds // 1e6. Zero-valued
+# scalars are omitted exactly like the gogo-generated marshaler.
+
+
+def pb_double_bits(col):
+    """IEEE-754 bit pattern of a double expression as a LONG — pure
+    codegen (Spark has no doubleToRawLongBits builtin).
+
+    sign/exponent/mantissa are recovered arithmetically: with
+    e = max(floor(log2(|v|)), -1022), the scaled fraction
+    |v| / 2^e * 2^52 IS the low 52+1 bits (power-of-two scaling of a
+    double is exact, subnormals included), and magnitude bits collapse
+    to the single closed form (e + 1022)·2^52 + frac for normals AND
+    subnormals. log2's boundary error at exact powers of two is repaired
+    by two comparisons. NaN canonicalizes to 0x7FF8…; -0.0 maps to +0.0
+    (SQL equality cannot observe the sign of zero)."""
+    from loongcollector_spark.operators.common import bind_once
+
+    def body(v):
+        a = F.abs(v)
+        e0 = F.floor(F.log2(a)).cast("int")
+        e = (
+            F.when(a >= F.pow(F.lit(2.0), (e0 + 1).cast("double")), e0 + 1)
+            .when(a < F.pow(F.lit(2.0), e0.cast("double")), e0 - 1)
+            .otherwise(e0)
+        )
+        e = F.greatest(e, F.lit(-1022))  # below: subnormal, exp field 0
+        frac = (a / F.pow(F.lit(2.0), e.cast("double"))) * F.lit(2.0 ** 52)
+        mag = (e + 1022).cast("long") * F.lit(1 << 52) + frac.cast("long")
+        sign_bit = F.shiftleft(F.lit(1).cast("long"), 63)
+        signed = F.when(v < 0, mag.bitwiseOR(sign_bit)).otherwise(mag)
+        return (
+            F.when(F.isnan(v), F.lit(0x7FF8000000000000))
+            .when(v == F.lit(float("inf")), F.lit(0x7FF0000000000000))
+            .when(v == F.lit(float("-inf")),
+                  F.lit(0x7FF0000000000000).bitwiseOR(sign_bit))
+            .when(v == 0.0, F.lit(0).cast("long"))
+            .otherwise(signed)
+        )
+
+    return bind_once(col.cast("double"), body)
+
+
+def _pb_fixed64(bits_col):
+    """8 little-endian bytes of a long expression."""
+    from loongcollector_spark.operators.common import bind_once
+    from loongcollector_spark.serializer import _pb_byte
+
+    return bind_once(
+        bits_col,
+        lambda b: F.concat(*[
+            _pb_byte(F.shiftrightunsigned(b, 8 * i).bitwiseAND(F.lit(0xFF)))
+            for i in range(8)
+        ]),
+    )
+
+
+def prom_timeseries_column(
+    name_col="__name__", labels_col="__labels__",
+    value_col="__value__", time_nano_col="__time_nano__",
+):
+    """One serialized ``prompb.TimeSeries`` per metric-shaped row (the
+    processor_log_to_metric output contract: ``k=v|k=v`` or ``k#$#v``
+    label encoding)."""
+    pairs = F.transform(
+        F.split(F.coalesce(F.col(labels_col), F.lit("")), r"\|"),
+        lambda kv: F.struct(
+            F.regexp_replace(kv, "(#\\$#|=).*$", "").alias("name"),
+            F.regexp_replace(kv, "^[^=#]*(#\\$#|=)", "").alias("value"),
+        ),
+    )
+    pairs = F.concat(
+        pairs,
+        F.array(F.struct(
+            F.lit("__name__").alias("name"),
+            F.col(name_col).cast("string").alias("value"),
+        )),
+    )
+    # remote-write spec: sorted label names, no empty names or values
+    pairs = F.array_sort(F.filter(
+        pairs, lambda s: (s["name"] != "") & (s["value"] != "")
+        & s["value"].isNotNull()
+    ))
+    label_msgs = F.transform(
+        pairs,
+        lambda s: _pb_len_delim(0x0A, F.concat(
+            _pb_len_delim(0x0A, s["name"].cast("binary")),
+            _pb_len_delim(0x12, s["value"].cast("binary")),
+        )),
+    )
+    labels_bytes = F.aggregate(
+        label_msgs, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
+    )
+    bits = pb_double_bits(F.col(value_col))
+    val_field = F.when(
+        bits != 0, F.concat(F.lit(b"\x09"), _pb_fixed64(bits))
+    ).otherwise(F.lit(b""))
+    ts_ms = (F.coalesce(F.col(time_nano_col), F.lit(0)).cast("long")
+             / F.lit(1000000)).cast("long")
+    # ms epochs need 41 bits — beyond _pb_varint's 5-byte default
+    ts_field = F.when(
+        ts_ms > 0, F.concat(F.lit(b"\x10"), _pb_varint(ts_ms, max_bytes=7))
+    ).otherwise(F.lit(b""))
+    sample = _pb_len_delim(0x12, F.concat(val_field, ts_field))
+    return F.concat(labels_bytes, sample)
+
+
+def prom_write_request_frame(df: DataFrame, series_limit: int = 1000,
+                             order_cols=("__name__", "__labels__"),
+                             ) -> DataFrame:
+    """``prompb.WriteRequest`` blobs: series in stable order, chunked at
+    ``SeriesLimit`` per request (flusher_prometheus SeriesLimit default
+    1000, plugins/flusher/prometheus/config.go:19-21). One shuffle on the
+    chunk id — each request row is assembled from its own partition."""
+    ts = prom_timeseries_column()
+    keyed = df.select(
+        F.col(order_cols[0]).alias("_p"),
+        F.struct(*[F.col(c) for c in order_cols]).alias("_k"),
+        _pb_len_delim(0x0A, ts).alias("_series"),
+    )
+    from pyspark.sql import Window
+
+    # chunk WITHIN the first order column (metric name): the window
+    # shuffle partitions by name, so no single-task global sort — a
+    # request never mixes names, which is also how the reference's
+    # per-pipeline batches shake out
+    rn = F.row_number().over(
+        Window.partitionBy("_p").orderBy("_k")) - 1
+    chunked = keyed.withColumn(
+        "_req", F.concat_ws("#", "_p", (rn / series_limit).cast("long")))
+    return chunked.groupBy("_req").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("_k").alias("o"), F.col("_series").alias("b")))),
+                lambda s: s["b"],
+            ),
+            F.lit(b"").cast("binary"),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("write_request_pb"),
+        F.count("*").alias("n_series"),
+    )
+
+
+def decode_prom_write_request(buf) -> list[dict]:
+    """WriteRequest bytes → [{labels:{}, value, timestamp_ms}] — the
+    independent wire walker the round-trip oracle decodes with."""
+    import struct
+
+    out = []
+    for f, _wt, val in parse_fields(buf):
+        if f != 1:
+            continue
+        series = {"labels": {}, "value": 0.0, "timestamp_ms": 0}
+        for sf, _swt, sval in parse_fields(val):
+            if sf == 1:
+                k, v = _kv(sval)
+                series["labels"][k] = v
+            elif sf == 2:
+                for pf, _pwt, pval in parse_fields(sval):
+                    if pf == 1:
+                        series["value"] = struct.unpack(
+                            "<d", pval.to_bytes(8, "little"))[0]
+                    elif pf == 2:
+                        series["timestamp_ms"] = pval
+        out.append(series)
+    return out
+
+
 # ----------------- python model helpers for test goldens ----------------
 
 

@@ -250,8 +250,9 @@ def otlp_resource_logs_frame(df: DataFrame, group_cols=("conv_id",),
     if machine_uuid:
         res_pairs.append(("machine_uuid", F.lit(machine_uuid)))
     res_pairs += [(k, F.lit(v)) for k, v in (tags or {}).items()]
-    res_json = F.to_json(
-        F.struct(_otlp_attr_array(res_pairs).alias("attributes"))
+    res_json = (
+        F.to_json(F.struct(_otlp_attr_array(res_pairs).alias("attributes")))
+        if res_pairs else F.lit("{}")  # empty Resource message (protojson)
     )
     record = otlp_log_record_column(df, time_col)
     ordered = F.array_sort(
@@ -259,12 +260,63 @@ def otlp_resource_logs_frame(df: DataFrame, group_cols=("conv_id",),
                                 record.alias("r")))
     )
     body = F.array_join(F.transform(ordered, lambda s: s["r"]), ",")
-    return df.groupBy(*group_cols).agg(
+    grouped = df.groupBy(*group_cols).agg(
+        body.alias("_body"), F.count("*").alias("n_records")
+    )
+    return grouped.select(
+        *group_cols,
         F.concat(
             F.lit('{"resource":'), res_json,
-            F.lit(',"scopeLogs":[{"logRecords":['), body, F.lit("]}]}"),
+            F.lit(',"scopeLogs":[{"logRecords":['), F.col("_body"),
+            F.lit("]}]}"),
         ).alias("resource_logs"),
-        F.count("*").alias("n_records"),
+        "n_records",
+    )
+
+
+def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
+                       dynamic_labels: list[str] | None = None,
+                       time_col: str = "ts",
+                       line_protocol: str = "jsonline") -> DataFrame:
+    """The Loki push-API v1 payload (flusher_loki.go:152-171,218-227):
+    each event becomes (labels, ts, line) where labels = StaticLabels +
+    DynamicLabels read from the event (``content.``/``tag.`` prefixes
+    trimmed, converter.go:219-228) and line = the configured converter's
+    serialization; the loki client then batches one stream per label
+    set — modeled as a groupBy on the label tuple producing one
+    ``{"streams":[{"stream":{...},"values":[["<ns>","<line>"],...]}]}``
+    document per label set, values in (ts, line) order (the client's
+    arrival order is not defined under parallelism, so the stable sort
+    makes payloads deterministic)."""
+    trimmed = sorted(
+        lbl.split(".", 1)[1] if lbl.startswith(("content.", "tag.")) else lbl
+        for lbl in (dynamic_labels or [])
+    )
+    line = _HTTP_PROTOCOLS[line_protocol](df)
+    merged = {k: F.lit(v) for k, v in static_labels.items()}
+    merged.update({c: F.col(c).cast("string") for c in trimmed})
+    # Go marshals the LabelSet map with sorted keys — all labels together
+    label_fields = [expr.alias(k) for k, expr in sorted(merged.items())]
+    stream = F.to_json(F.struct(*label_fields))
+    ns = (F.unix_timestamp(F.col(time_col)) * F.lit(1000000000)).cast("string")
+    keyed = df.select(
+        stream.alias("_stream"),
+        F.struct(ns.alias("ts"), line.alias("line")).alias("_v"),
+    )
+    values = F.transform(
+        F.array_sort(F.collect_list("_v")),
+        lambda s: F.array(s["ts"], s["line"]),
+    )
+    grouped = keyed.groupBy("_stream").agg(
+        F.to_json(values).alias("_values"),
+        F.count("*").alias("n_entries"),
+    )
+    return grouped.select(
+        F.concat(
+            F.lit('{"streams":[{"stream":'), F.col("_stream"),
+            F.lit(',"values":'), F.col("_values"), F.lit("}]}"),
+        ).alias("payload"),
+        "n_entries",
     )
 
 

@@ -116,3 +116,150 @@ def test_kafka_payload_contract(spark):
     # pipelines that dropped ts must still serialize (no __time__ field)
     v3 = _json.loads(kafka_payload_frame(df.drop("ts")).first()["value"])
     assert "__time__" not in v3 and v3["text"] == "hello"
+
+
+def test_pb_double_bits_matches_struct_pack(spark):
+    """pb_double_bits vs the IEEE-754 ground truth (struct.pack) across
+    normals, subnormals, powers of two (the log2 boundary), negatives,
+    zero, infinities and NaN."""
+    import struct
+
+    from loongcollector_spark.pbwire import pb_double_bits
+
+    vals = [0.5, 1.0, 2.0, 1.0 / 3.0, -2.75, 1e300, -1e300, 1e-300,
+            5e-324, 1e-310, 123456.789, 2.0 ** 52, 2.0 ** -1022,
+            float("inf"), float("-inf"), 0.0, 7.0, -0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["v"]: r["bits"] for r in
+           df.select("v", pb_double_bits(F.col("v")).alias("bits")).collect()}
+    for v in vals:
+        want = struct.unpack("<q", struct.pack("<d", v))[0]
+        if v == 0.0:  # -0.0 folds to +0.0 (documented)
+            want = 0
+        assert got[v] == want, f"{v}: {got[v]:#x} != {want:#x}"
+    nan_bits = (df.select(pb_double_bits(F.lit(float("nan"))).alias("b"))
+                .first()["b"])
+    assert nan_bits == 0x7FF8000000000000
+
+
+def test_prom_write_request_roundtrip(spark):
+    """Spark-encoded prompb.WriteRequest decodes (independent Python
+    wire walker + struct.unpack) back to the source series: sorted
+    labels incl __name__, empty labels dropped, ts ns→ms, zero value /
+    zero ts omitted like the gogo marshaler."""
+    from loongcollector_spark.pbwire import (
+        decode_prom_write_request, prom_write_request_frame)
+
+    rows = [
+        ("latency_ms", "action=chat|role=user", 12.5, 1700000000123000000),
+        ("latency_ms", "action=|role=user", 0.25, 1700000000123000000),
+        ("tokens", "role=assistant", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`__name__` string, `__labels__` string, `__value__` double, "
+        "`__time_nano__` long",
+    )
+    out = prom_write_request_frame(df, series_limit=2).collect()
+    decoded = []
+    for r in out:
+        decoded += decode_prom_write_request(r["write_request_pb"])
+    decoded.sort(key=lambda s: (s["labels"]["__name__"], s["value"]))
+    assert decoded == [
+        {"labels": {"__name__": "latency_ms", "role": "user"},
+         "value": 0.25, "timestamp_ms": 1700000000123},
+        {"labels": {"__name__": "latency_ms", "action": "chat",
+                    "role": "user"},
+         "value": 12.5, "timestamp_ms": 1700000000123},
+        {"labels": {"__name__": "tokens", "role": "assistant"},
+         "value": 0.0, "timestamp_ms": 0},
+    ]
+    # label bytes are in sorted order on the wire
+    for r in out:
+        series = decode_prom_write_request(r["write_request_pb"])
+        for s in series:
+            assert list(s["labels"]) == sorted(s["labels"])
+
+
+def test_flusher_loki_payload(spark):
+    """Loki push-API payload golden: label-set grouping (static +
+    dynamic, sorted keys), ["<ns>","<line>"] value pairs in ts order."""
+    d = tempfile.mkdtemp(prefix="lcs_fl_loki_")
+    try:
+        df = spark.createDataFrame(
+            [("c1", "user", "a", "2026-01-01 00:00:00"),
+             ("c2", "user", "b", "2026-01-01 00:00:01"),
+             ("c3", "tool", "c", "2026-01-01 00:00:02")],
+            "conv_id string, role string, text string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        build_flusher({
+            "Type": "flusher_loki", "Path": d,
+            "StaticLabels": {"job": "transcripts"},
+            "DynamicLabels": ["content.role"],
+            "Convert": {"Protocol": "jsonline"},
+        })(df)
+        lines = []
+        for f in glob.glob(f"{d}/part-*"):
+            with open(f) as fh:
+                lines += [json.loads(ln) for ln in fh if ln.strip()]
+        by_role = {
+            ln["streams"][0]["stream"]["role"]: ln["streams"][0]
+            for ln in lines
+        }
+        assert set(by_role) == {"user", "tool"}
+        u = by_role["user"]
+        assert u["stream"] == {"job": "transcripts", "role": "user"}
+        assert [v[0] for v in u["values"]] == [
+            "1767225600000000000", "1767225601000000000"]
+        assert json.loads(u["values"][0][1])["conv_id"] == "c1"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_flusher_loki_requires_labels(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one label"):
+        build_flusher({"Type": "flusher_loki", "Path": "/tmp/x"})
+
+
+def test_flusher_pulsar_and_otel_and_prometheus(spark, tmp_path):
+    """Adapter smoke: pulsar (kafka payload contract + partition key),
+    opentelemetry (ResourceLogs docs), prometheus (WriteRequest blobs
+    decode to the input series)."""
+    from loongcollector_spark.pbwire import decode_prom_write_request
+
+    df = spark.createDataFrame(
+        [("c1", 0, "x", "2026-01-01 00:00:00")],
+        "conv_id string, turn_idx int, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    p = str(tmp_path / "pulsar")
+    build_flusher({"Type": "flusher_pulsar", "Topic": "t",
+                   "PartitionKeys": ["conv_id"], "Path": p})(df)
+    rows = [json.loads(ln) for f in glob.glob(p + "/part-*")
+            for ln in open(f) if ln.strip()]
+    assert rows[0]["key"] == "c1" and "__time__" in json.loads(rows[0]["value"])
+
+    o = str(tmp_path / "otel")
+    build_flusher({"Type": "flusher_opentelemetry", "Path": o})(df)
+    docs = [json.loads(ln) for f in glob.glob(o + "/part-*")
+            for ln in open(f) if ln.strip()]
+    assert len(docs[0]["scopeLogs"][0]["logRecords"]) == 1
+
+    m = spark.createDataFrame(
+        [("tokens", "role=user", 3.5, 1700000000000000000)],
+        "`__name__` string, `__labels__` string, `__value__` double, "
+        "`__time_nano__` long",
+    )
+    pr = str(tmp_path / "prom")
+    build_flusher({"Type": "flusher_prometheus", "Path": pr})(m)
+    import base64
+
+    blobs = [base64.b64decode(ln.strip()) for f in glob.glob(pr + "/part-*")
+             for ln in open(f) if ln.strip()]
+    series = [s for b in blobs for s in decode_prom_write_request(b)]
+    assert series == [{
+        "labels": {"__name__": "tokens", "role": "user"},
+        "value": 3.5, "timestamp_ms": 1700000000000,
+    }]
