@@ -958,6 +958,82 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_syslog_parse(spark, sf_dir):
+    """service_syslog auto-protocol parse (plugins/input/syslog/
+    parser.go:84-199, syslog.go:401-445): deterministic mixed
+    RFC3164/RFC5424 lines per events row — the oracle recomputes every
+    emitted field closed-form (priority>>3 facility, &7 severity, SD
+    json, ns timestamps) without reparsing."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = F.pmod("user_id", F.lit(50)).cast("string")
+    app = F.pmod("user_id", F.lit(7)).cast("string")
+    pri = F.pmod("event_id", F.lit(192)).cast("string")
+    t3 = F.timestamp_add(
+        "SECOND", F.pmod("event_id", F.lit(86400 * 20)).cast("int"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    line3164 = F.concat(
+        F.lit("<"), pri, F.lit(">"),
+        F.date_format(t3, "MMM dd HH:mm:ss"),
+        F.lit(" h"), uid, F.lit(" app"), app,
+        F.lit("["), F.pmod("event_id", F.lit(1000)).cast("string"),
+        F.lit("]: evt="), F.col("event_type"),
+    )
+    t5 = F.date_trunc("second", F.col("ts").cast("timestamp"))
+    line5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 "),
+        F.date_format(t5, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(" h"), uid, F.lit(" app"), app,
+        F.lit(" "), F.pmod("event_id", F.lit(1000)).cast("string"),
+        F.lit(" m"), F.pmod("event_id", F.lit(10)).cast("string"),
+        F.lit(' [m idx="'), uid, F.lit('" typ="'), F.col("event_type"),
+        F.lit('"] evt='), F.col("event_type"),
+    )
+    lines = ev.select(
+        F.col("event_id").alias("line_id"),
+        F.when(F.pmod("event_id", F.lit(3)) == 0, line5424)
+        .otherwise(line3164).alias("content"),
+    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
+    op = build_operator({"Type": "service_syslog", "ParseProtocol": "auto",
+                         "Year": 2026})
+    return op(lines).select(
+        "line_id", "_priority_", "_facility_", "_severity_", "_hostname_",
+        "_program_", "_process_id_", "_message_id_", "_structured_data_",
+        "_unixtimestamp_", "_content_",
+    )
+
+
+O_SYSLOG_PARSE = """
+WITH e AS (
+  SELECT event_id, event_type,
+    cast(user_id % 50 AS VARCHAR) AS uid,
+    cast(user_id % 7 AS VARCHAR) AS app,
+    event_id % 192 AS pri,
+    event_id % 3 = 0 AS is5424,
+    TIMESTAMP '2026-01-01 00:00:00'
+      + to_seconds(event_id % (86400 * 20)) AS t3,
+    date_trunc('second', ts) AS t5
+  FROM events
+)
+SELECT event_id AS line_id,
+  cast(pri AS VARCHAR) AS _priority_,
+  cast(pri // 8 AS VARCHAR) AS _facility_,
+  cast(pri % 8 AS VARCHAR) AS _severity_,
+  'h' || uid AS _hostname_,
+  'app' || app AS _program_,
+  CASE WHEN is5424 THEN cast(event_id % 1000 AS VARCHAR) END
+    AS _process_id_,
+  CASE WHEN is5424 THEN 'm' || cast(event_id % 10 AS VARCHAR) END
+    AS _message_id_,
+  CASE WHEN is5424 THEN
+    '{"m":{"idx":"' || uid || '","typ":"' || event_type || '"}}' END
+    AS _structured_data_,
+  cast(epoch_ns(CASE WHEN is5424 THEN t5 ELSE t3 END) AS VARCHAR)
+    AS _unixtimestamp_,
+  'evt=' || event_type AS _content_
+FROM e
+"""
+
+
 def q_merge_multiline_continue(spark, sf_dir):
     """processor_merge_multiline_log Start+Continue (the Java-stack-trace
     combination, ProcessorMergeMultilineLogNative.cpp:281-309): IP lines
@@ -2456,6 +2532,7 @@ QUERIES = {
     "http_jsonline": (q_http_jsonline, O_HTTP_JSONLINE),
     "http_otlp": (q_http_otlp, O_HTTP_OTLP),
     "loki_streams": (q_loki_streams, O_LOKI_STREAMS),
+    "syslog_parse": (q_syslog_parse, O_SYSLOG_PARSE),
     "prom_remote_write": (q_prom_remote_write, O_PROM_REMOTE_WRITE),
     "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
     "merge_by_flag": (q_merge_by_flag, O_MERGE_BY_FLAG),

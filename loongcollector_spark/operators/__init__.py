@@ -95,6 +95,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     prom,
     ratelimit,
     splitops,
+    syslogops,
     timeops,
 )
 
