@@ -1572,6 +1572,62 @@ FROM bands a JOIN bands b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """near-dup clustering: MinHash-LSH pairs → connected components →
+    one row per clustered doc with canonical survivor + cluster size.
+    Oracle recomputes components via an exact recursive transitive
+    closure, so label-propagation convergence is hash-verified."""
+    from loongcollector_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), n_hashes=4, shingle=3, bands=2)
+
+
+O_DEDUP_CLUSTERS = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_transform(range(1, len(words) - 3 + 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))) AS band0,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))) AS band1
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band0 AS band, 0 AS band_idx FROM sig
+  UNION ALL SELECT doc_id, band1, 1 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  node = cluster_id AS keep
+FROM comp
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from loongcollector_spark.functions.similarity import cosine_topk
 
@@ -2553,6 +2609,7 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, O_MINHASH_LSH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

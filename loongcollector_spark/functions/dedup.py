@@ -236,3 +236,75 @@ def ngram_jaccard_adjacent(df: DataFrame, text_col: str = "text",
             F.floor(1000.0 * inter / union).cast("int").alias("jaccard_1e3"),
         )
     )
+
+
+def connected_components(pairs: DataFrame, left: str = "doc_a",
+                         right: str = "doc_b",
+                         max_iter: int = 15) -> DataFrame:
+    """Connected components over an undirected pair list →
+    ``(node, component)`` with component = min node id in the component
+    — the clustering step between near-dup pair generation and
+    keep-one-per-cluster in a dedup pipeline.
+
+    Algorithm: min-label propagation — each round every node takes the
+    minimum of its own label and its neighbors' labels, until a round
+    changes nothing (checked with one count per round) or ``max_iter``.
+    Converges in O(component diameter) rounds; LSH near-dup components
+    are dense (band buckets emit cliques), so diameters stay small.
+
+    Scale shape: each round is ONE shuffle join of the label table
+    against the edge list plus a map-side-combined min aggregate; the
+    edge list is computed once and persisted; ``localCheckpoint``
+    truncates the iterative lineage so round N's plan does not replay
+    rounds 1..N-1 (the classic iterative-join blowup). AQE handles the
+    skewed hub labels a giant cluster produces.
+    """
+    fwd = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    rev = pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["comp"],
+                    F.coalesce(nbr["nbr_comp"], labels["comp"]),
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp")).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(df: DataFrame, n_hashes: int = 4, shingle: int = 3,
+                   bands: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH pairs → connected components → one row per clustered
+    doc with its canonical (min-id) survivor and cluster size."""
+    pairs = minhash_lsh_pairs(df, n_hashes, shingle, bands, text_col, id_col)
+    comp = connected_components(pairs)
+    from pyspark.sql import Window
+
+    size = F.count("*").over(Window.partitionBy("comp"))
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        size.alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )

@@ -439,3 +439,39 @@ def test_split_key_value_anomaly_keys(spark):
     assert attrs["no_separator_key_1"] == "orphan"
     assert attrs["empty_key_2"] == "hidden"
     assert attrs["k"] == "v1=v2"  # separator inside the value survives
+
+
+def test_connected_components_chain_and_islands(spark):
+    """min-label propagation must converge past diameter-1: a 5-node
+    chain (diameter 4) all labels to the min id; a disjoint pair stays
+    its own component; singletons (no edges) are absent by contract."""
+    from loongcollector_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (11, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_keep_flag(spark):
+    """dedup_clusters marks exactly one keep=True row (the min doc_id)
+    per cluster and sizes match member counts."""
+    from loongcollector_spark.functions.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)]
+        + [(9, "an entirely different document about spark shuffles")],
+        "doc_id long, text string",
+    )
+    rows = dedup_clusters(docs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == cid == min(
+            r["doc_id"] for r in members)
+        assert all(r["cluster_size"] == len(members) for r in members)
+    assert {r["doc_id"] for r in rows} == {0, 1, 2, 3}  # doc 9 unpaired
