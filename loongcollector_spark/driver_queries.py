@@ -29,25 +29,34 @@ from loongcollector_spark.routing import SINK_PREFIX, logstore_router_column
 # --------------------------------------------------------------------------
 
 TRANSCRIPTS_SQL = """
-SELECT conv_id, turn_idx, role,
-  CASE WHEN event_id % 47 = 0 THEN substr(rawtext, 1, 9) ELSE rawtext END AS text,
-  tool, ts
+SELECT conv_id,
+  cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+  role, text, tool, ts
 FROM (
-  SELECT *,
-    CASE fmt
-      WHEN 0 THEN '10.' || cast(event_id % 250 AS STRING) || '.0.' || cast(user_id % 250 AS STRING) || ' - - [01/Jan/2026:00:00:07 +0000] "' || method || ' ' || path || ' HTTP/1.1" ' || status || ' ' || bytes || ' "-" "agent-bench/1.0"'
-      WHEN 1 THEN '{"action":"' || event_type || '","lat_ms":' || lat || ',"ok":' || ok || ',"meta":{"model":"m-base","tok":' || tok || '}}'
-      WHEN 2 THEN 'action=' || event_type || '&lat_ms=' || lat || '&ok=' || ok || '&tok=' || tok
-      ELSE '10.0.0.' || cast(event_id % 10 AS STRING) || ' ' || method || ' ' || path || ' ' || bytes || ' 0.0' || cast(1 + event_id % 9 AS STRING)
-    END AS rawtext
+  -- text synthesis lives BELOW the window on purpose: the Window node is
+  -- a CollapseProject / predicate-substitution barrier, so every
+  -- downstream query sees `text` as a materialized column instead of
+  -- inlining this CASE chain into each filter/parse reference (measured:
+  -- 29 str_to_map copies + 320 CASE WHENs in one physical plan without
+  -- the barrier). Same shape a real deployment has: parse once at scan,
+  -- shuffle carries final columns.
+  SELECT user_id, event_id, ts,
+    'conv_' || lpad(cast(user_id AS STRING), 8, '0') AS conv_id,
+    CASE cast(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+    CASE WHEN event_id % 4 = 2 THEN
+      CASE cast(event_id % 6 AS INT) WHEN 0 THEN 'search' WHEN 1 THEN 'browser' WHEN 2 THEN 'python' WHEN 3 THEN 'calculator' WHEN 4 THEN 'sql' ELSE 'none_registered' END
+    ELSE '' END AS tool,
+    -- single rawtext reference: the %47 truncation folds into substr len
+    substr(
+      CASE fmt
+        WHEN 0 THEN '10.' || cast(event_id % 250 AS STRING) || '.0.' || cast(user_id % 250 AS STRING) || ' - - [01/Jan/2026:00:00:07 +0000] "' || method || ' ' || path || ' HTTP/1.1" ' || status || ' ' || bytes || ' "-" "agent-bench/1.0"'
+        WHEN 1 THEN '{"action":"' || event_type || '","lat_ms":' || lat || ',"ok":' || ok || ',"meta":{"model":"m-base","tok":' || tok || '}}'
+        WHEN 2 THEN 'action=' || event_type || '&lat_ms=' || lat || '&ok=' || ok || '&tok=' || tok
+        ELSE '10.0.0.' || cast(event_id % 10 AS STRING) || ' ' || method || ' ' || path || ' ' || bytes || ' 0.0' || cast(1 + event_id % 9 AS STRING)
+      END,
+      1, CASE WHEN event_id % 47 = 0 THEN 9 ELSE 2147483647 END) AS text
   FROM (
     SELECT event_id, user_id, ts, event_type,
-      'conv_' || lpad(cast(user_id AS STRING), 8, '0') AS conv_id,
-      cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
-      CASE cast(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
-      CASE WHEN event_id % 4 = 2 THEN
-        CASE cast(event_id % 6 AS INT) WHEN 0 THEN 'search' WHEN 1 THEN 'browser' WHEN 2 THEN 'python' WHEN 3 THEN 'calculator' WHEN 4 THEN 'sql' ELSE 'none_registered' END
-      ELSE '' END AS tool,
       cast(event_id % 7 AS INT) % 4 AS fmt,
       cast(100 + (event_id * 37) % 65436 AS STRING) AS bytes,
       CASE cast(event_id % 6 AS INT) WHEN 0 THEN '500' WHEN 1 THEN '404' WHEN 2 THEN '301' ELSE '200' END AS status,
@@ -58,7 +67,7 @@ FROM (
       CASE WHEN event_id % 6 < 3 THEN 'true' ELSE 'false' END AS ok
     FROM events
   ) base
-) raw
+) synth
 """
 
 
