@@ -973,7 +973,11 @@ def q_syslog_parse(spark, sf_dir):
     RFC3164/RFC5424 lines per events row — the oracle recomputes every
     emitted field closed-form (priority>>3 facility, &7 severity, SD
     json, ns timestamps) without reparsing."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )  # split the single-file fixture across cores BEFORE payload
+    # synthesis: the exchange carries the narrow event columns, not
+    # the synthesized JSON/log strings (~25x narrower shuffle)
     uid = F.pmod("user_id", F.lit(50)).cast("string")
     app = F.pmod("user_id", F.lit(7)).cast("string")
     pri = F.pmod("event_id", F.lit(192)).cast("string")
@@ -1001,7 +1005,7 @@ def q_syslog_parse(spark, sf_dir):
         F.col("event_id").alias("line_id"),
         F.when(F.pmod("event_id", F.lit(3)) == 0, line5424)
         .otherwise(line3164).alias("content"),
-    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
+    )
     op = build_operator({"Type": "service_syslog", "ParseProtocol": "auto",
                          "Year": 2026})
     return op(lines).select(
@@ -2106,7 +2110,11 @@ def _prom_lines(spark, sf_dir):
     spaced + trailing-comma labels, escapes, Inf/NaN, comment + invalid
     lines). Only Spark parses the TEXT; the oracle recomputes expected
     output from the same source columns."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )  # split the single-file fixture across cores BEFORE payload
+    # synthesis: the exchange carries the narrow event columns, not
+    # the synthesized JSON/log strings (~25x narrower shuffle)
     k = F.pmod("event_id", F.lit(8))
     uid = F.col("user_id").cast("string")
     val = F.col("value").cast("string")
@@ -2138,7 +2146,7 @@ def _prom_lines(spark, sf_dir):
     # see _otlp_trace_lines: split the single-file fixture across cores
     return ev.select(
         F.col("event_id").alias("line_id"), line.alias("content")
-    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
+    )
 
 
 def _vcode():
@@ -2336,7 +2344,11 @@ def _otlp_trace_lines(spark, sf_dir):
     """Deterministic OTLP-JSON trace payload per events row (one
     resourceSpan/scopeSpan/span): ids from md5(event_id), kind cycling
     1-5, status cycling 0-2, one span event, timestamps from ts."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )  # split the single-file fixture across cores BEFORE payload
+    # synthesis: the exchange carries the narrow event columns, not
+    # the synthesized JSON/log strings (~25x narrower shuffle)
     uid = F.col("user_id").cast("string")
     tid = F.md5(F.col("event_id").cast("string"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -2371,7 +2383,7 @@ def _otlp_trace_lines(spark, sf_dir):
     # file = one split); without it the whole parse runs on one core
     return ev.select(
         F.col("event_id").alias("line_id"), content.alias("content")
-    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
+    )
 
 
 def q_otel_trace_spans(spark, sf_dir):
@@ -2427,7 +2439,11 @@ FROM e
 def _otlp_metric_lines(spark, sf_dir):
     """One OTLP-JSON metrics payload per events row: a gauge, a sum, a
     3-bucket histogram and a 2-quantile summary datapoint."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )  # split the single-file fixture across cores BEFORE payload
+    # synthesis: the exchange carries the narrow event columns, not
+    # the synthesized JSON/log strings (~25x narrower shuffle)
     uid = F.col("user_id").cast("string")
     ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
     val = F.col("value").cast("string")
@@ -2469,7 +2485,7 @@ def _otlp_metric_lines(spark, sf_dir):
     # file = one split); without it the whole parse runs on one core
     return ev.select(
         F.col("event_id").alias("line_id"), content.alias("content")
-    ).repartition(spark.sparkContext.defaultParallelism, "line_id")
+    )
 
 
 def q_otel_metrics(spark, sf_dir):
