@@ -1683,6 +1683,55 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: 16 deterministic seed centroids, nearest-centroid
+    cell assignment (argmax cosine, ties → lowest cid), probe the 4
+    cells nearest the query, exact-score survivors. The oracle replays
+    the identical quantization so cell membership is hash-checked."""
+    from loongcollector_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=5,
+                    n_centroids=16, nprobe=4)
+
+
+O_ANN_IVF_TOPK = """
+WITH E AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, emb AS cvec FROM E WHERE vec_id BETWEEN 1 AND 16),
+v AS (SELECT vec_id, emb FROM E WHERE vec_id != 0),
+scored AS (
+  SELECT v.vec_id, c.cid,
+    list_dot_product(v.emb, c.cvec)
+      / (sqrt(list_dot_product(v.emb, v.emb))
+       * sqrt(list_dot_product(c.cvec, c.cvec))) AS cs
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT emb AS qe FROM E WHERE vec_id = 0),
+qcells AS (
+  SELECT cid FROM c, q
+  ORDER BY list_dot_product(cvec, qe)
+      / (sqrt(list_dot_product(cvec, cvec))
+       * sqrt(list_dot_product(qe, qe))) DESC, cid ASC
+  LIMIT 4
+)
+SELECT vec_id, round(
+    list_dot_product(v.emb, q.qe)
+      / (sqrt(list_dot_product(v.emb, v.emb))
+       * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+FROM v JOIN assign USING (vec_id) JOIN qcells ON assign.cid = qcells.cid, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from loongcollector_spark.functions.dedup import ngram_jaccard_adjacent
 
@@ -2637,6 +2686,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
+    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "fieldops_chain": (q_fieldops_chain, O_FIELDOPS_CHAIN),
     "filterops_combo": (q_filterops_combo, O_FILTEROPS_COMBO),

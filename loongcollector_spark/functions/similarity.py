@@ -169,3 +169,76 @@ def lsh_bucketed_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame, query_vec_id: int = 0, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    cells (nearest centroid by cosine), probe only the ``nprobe`` cells
+    closest to the query, then exact-score the survivors.
+
+    Centroids are the vectors with ids 1..n_centroids — a deterministic
+    seed set both engines reproduce exactly (a k-means refinement would
+    be a drop-in replacement for the ``cent`` frame; seeds keep the
+    assignment argmax bit-checkable against the SQL oracle).
+
+    Scale shape: the build pass is one broadcast of k centroid vectors
+    against the corpus (no corpus shuffle) folded map-side into an
+    (id, cell) table by a partial-aggregated ``max(struct)`` argmax —
+    at 100 TB that table is written once, partitioned by cell, and a
+    query reads ~nprobe/n_centroids of the corpus by partition pruning
+    instead of scanning it. Query-side joins are all broadcasts (nprobe
+    cell ids, one query vector); the only wide shuffle is the argmax
+    partial-agg carrying (id, 16 bytes). Zero-norm vectors score null
+    and never win the argmax (both engines order them last).
+    """
+    e = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("emb"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    cent = e.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
+    ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
+             F.col("norm").alias("cnorm"))
+    corpus = e.filter(F.col(id_col) != query_vec_id)
+    cell_cos = F.try_divide(_dot(F.col("emb"), F.col("cvec")),
+                            F.col("norm") * F.col("cnorm"))
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            F.struct(
+                cell_cos.alias("cs"),
+                (-F.col("cid")).alias("ncid"),  # ties -> lowest cid
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+        .groupBy(id_col).agg(F.max("sc").alias("best"))
+        .select(id_col, F.col("best.cid").alias("cid"))
+    )
+    q = e.filter(F.col(id_col) == query_vec_id).select(
+        F.col("emb").alias("qe"), F.col("norm").alias("qnorm"))
+    qcos = F.try_divide(_dot(F.col("cvec"), F.col("qe")),
+                        F.col("cnorm") * F.col("qnorm"))
+    qcells = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", qcos.alias("qcs"))
+        .orderBy(F.col("qcs").desc(), F.col("cid").asc())
+        .limit(nprobe).select("cid")
+    )
+    cand_ids = assign.join(F.broadcast(qcells), "cid").select(id_col)
+    return (
+        corpus.join(cand_ids, id_col)  # vectors fetched by id-equi-join
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(F.try_divide(_dot(F.col("emb"), F.col("qe")),
+                                 F.col("norm") * F.col("qnorm")), 4
+                    ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -201,6 +201,8 @@ def test_similarity_survives_hostile_embeddings(spark):
     )
     similarity.cosine_topk(emb, query_vec_id=0, k=3).collect()
     similarity.lsh_bucketed_topk(emb, query_vec_id=0, k=3).collect()
+    similarity.ivf_topk(emb, query_vec_id=0, k=3, n_centroids=2,
+                        nprobe=1).collect()
     pairs = similarity.embedding_near_dup_pairs(emb, min_cos_1e4=9000)
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
     assert (0, 4) in got  # the true near-dup still surfaces

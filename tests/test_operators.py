@@ -475,3 +475,33 @@ def test_dedup_clusters_keep_flag(spark):
             r["doc_id"] for r in members)
         assert all(r["cluster_size"] == len(members) for r in members)
     assert {r["doc_id"] for r in rows} == {0, 1, 2, 3}  # doc 9 unpaired
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, tmp_path):
+    """IVF with nprobe=4/16 cells must surface most of the brute-force
+    top-5 on the real fixture, and its scores must be exact (identical
+    to brute force for every id it returns — pruning never rescores)."""
+    from loongcollector_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {r["vec_id"]: r["cos_sim"]
+             for r in cosine_topk(emb, query_vec_id=0, k=5).collect()}
+    ivf = {r["vec_id"]: r["cos_sim"]
+           for r in ivf_topk(emb, query_vec_id=0, k=5,
+                             n_centroids=16, nprobe=4).collect()}
+    overlap = set(brute) & set(ivf)
+    assert len(overlap) >= 3  # >=60% recall on the fixture
+    for vid in overlap:
+        assert ivf[vid] == brute[vid]
+
+
+def test_ivf_topk_plan_broadcast_only(spark):
+    """the query path must not shuffle the corpus: centroid scoring and
+    candidate joins are broadcasts; the only exchange is the (id, cell)
+    argmax partial-agg."""
+    from loongcollector_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = ivf_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
