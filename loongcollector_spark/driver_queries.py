@@ -1490,6 +1490,39 @@ FROM documents
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality signals: word stats + stopword hits +
+    top-word repetition ratio per doc, two-level count aggregation."""
+    from loongcollector_spark.functions.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+O_GOPHER_QUALITY = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+),
+w AS (SELECT doc_id, unnest(words) AS w FROM d),
+pw AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, sum(cnt) AS n, sum(length(w) * cnt) AS chars,
+    sum(CASE WHEN lower(w) IN
+        ('the','be','to','of','and','that','have','with')
+        THEN cnt ELSE 0 END) AS stop_hits,
+    max(cnt) AS top
+  FROM pw GROUP BY 1
+)
+SELECT doc_id, cast(n AS INT) AS n_words,
+  cast(floor(100 * chars / n) AS INT) AS mean_word_len_x100,
+  cast(stop_hits AS INT) AS stop_hits,
+  cast(floor(1000 * top / n) AS INT) AS top_word_ratio_1e3,
+  (n >= 5 AND floor(100 * chars / n) BETWEEN 300 AND 1500
+   AND stop_hits >= 2 AND floor(1000 * top / n) <= 200) AS gopher_ok
+FROM a
+"""
+
+
 def q_lang_id(spark, sf_dir):
     from loongcollector_spark.functions.text import with_lang_guess
 
@@ -2679,6 +2712,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality_score, O_QUALITY_SCORE),
+    "gopher_quality": (q_gopher_quality, O_GOPHER_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIGNATURES),

@@ -76,3 +76,56 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     by exact dedup."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm.cast("binary")))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021 §A1.1, the
+    standard LLM training-data repetition/shape filter), computed as a
+    two-level codegen aggregation:
+
+    * ``n_words`` — whitespace token count;
+    * ``mean_word_len_x100`` — floor(100 · chars/words);
+    * ``stop_hits`` — occurrences of 8 canonical English stopwords;
+    * ``top_word_ratio_1e3`` — floor(1000 · count(most frequent word)/words),
+      the word-level repetition signal;
+    * ``gopher_ok`` — the conjunction (3 ≤ mean len ≤ 15, ≥2 stopword
+      hits, top-word ratio ≤ 20%, ≥ 5 words).
+
+    Scale shape: explode → partial-agg (doc, word) → partial-agg (doc);
+    both shuffles carry counts only, never text beyond single words; at
+    100 TB the first aggregation is where dictionary skew lives, and it
+    is keyed by (doc_id, word) so hot WORDS do not make hot partitions.
+    Null/empty docs are excluded (same contract as simhash_signatures).
+    """
+    d = df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+    w = d.select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+    )
+    per_word = w.groupBy(id_col, "_w").agg(F.count("*").alias("_cnt"))
+    is_stop = F.lower(F.col("_w")).isin(*GOPHER_STOPWORDS)
+    agg = per_word.groupBy(id_col).agg(
+        F.sum("_cnt").alias("_n"),
+        F.sum(F.length("_w") * F.col("_cnt")).alias("_chars"),
+        F.sum(F.when(is_stop, F.col("_cnt")).otherwise(0)).alias("stop_hits"),
+        F.max("_cnt").alias("_top"),
+    )
+    mean_len = F.floor(F.try_divide(100 * F.col("_chars"), F.col("_n")))
+    top_ratio = F.floor(F.try_divide(1000 * F.col("_top"), F.col("_n")))
+    return agg.select(
+        id_col,
+        F.col("_n").cast("int").alias("n_words"),
+        mean_len.cast("int").alias("mean_word_len_x100"),
+        F.col("stop_hits").cast("int").alias("stop_hits"),
+        top_ratio.cast("int").alias("top_word_ratio_1e3"),
+        (
+            (F.col("_n") >= 5)
+            & mean_len.between(300, 1500)
+            & (F.col("stop_hits") >= 2)
+            & (top_ratio <= 200)
+        ).alias("gopher_ok"),
+    )

@@ -41,6 +41,8 @@ CONFIGS: dict[str, dict] = {
         "ContinuePattern": r"\s.*", "OrderKeys": ["conv_id", "turn_idx"]},
     "processor_merge_conversation": {},
     "processor_parse_container_log": {"SourceKey": "text"},
+    "service_syslog": {"SourceKey": "text", "ParseProtocol": "auto",
+                       "Year": 2026},
     "processor_tag": {"Tags": {"__hostname__": "h"}},
     "processor_grok": {"SourceKey": "text", "Match": ["%{IP:ip} %{WORD:w}"]},
     "processor_regex": {"SourceKey": "text", "Regex": r"(\w+)",
@@ -180,6 +182,7 @@ def test_training_functions_survive_hostile_docs(spark):
     text.with_quality(docs).collect()
     text.with_lang_guess(docs).collect()
     text.with_fingerprint(docs).collect()
+    text.gopher_quality(docs).collect()
     media = multimodal.documents_as_media(docs, "video")
     multimodal.extract_features(media).collect()
     multimodal.frame_sample(media).collect()

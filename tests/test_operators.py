@@ -505,3 +505,25 @@ def test_ivf_topk_plan_broadcast_only(spark):
     plan = ivf_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_quality_signals(spark):
+    """hand-checked Gopher signals: a normal sentence passes, a
+    one-word-repeated doc fails on top-word ratio, a stopword-free doc
+    fails on stop_hits, a 3-worder fails on n_words."""
+    from loongcollector_spark.functions.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat with the dog and that was that"),
+         (2, "spam spam spam spam spam spam spam spam"),
+         (3, "alpha bravo charlie delta echo foxtrot golf"),
+         (4, "to be brief")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in gopher_quality(docs).collect()}
+    assert r[1]["gopher_ok"]
+    assert r[1]["n_words"] == 10 and r[1]["stop_hits"] == 6
+    assert r[1]["top_word_ratio_1e3"] == 200  # 'the' twice in 10 words
+    assert not r[2]["gopher_ok"] and r[2]["top_word_ratio_1e3"] == 1000
+    assert not r[3]["gopher_ok"] and r[3]["stop_hits"] == 0
+    assert not r[4]["gopher_ok"] and r[4]["n_words"] == 3
