@@ -9,7 +9,7 @@ Semantics matched:
 * ``__pack_id__`` lineage (aggregator_base.go:139-147: prefix + monotonic
   seq per group) — ours must be DETERMINISTIC under retries/resume, so it
   derives from data, never from monotonically_increasing_id:
-  ``pack_id = sha1(conv_id)[:16] || '-' || turn_block``.
+  ``pack_id = md5(conv_id)[:16] || '-' || turn_block``.
 
 Counters are additive ⇒ Spark's partial (map-side) aggregation applies;
 the shuffle carries only (window, sink, keys) partials, not rows.

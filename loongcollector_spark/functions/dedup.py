@@ -240,24 +240,28 @@ def ngram_jaccard_adjacent(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, left: str = "doc_a",
                          right: str = "doc_b",
-                         max_iter: int = 15) -> DataFrame:
+                         max_iter: int = 64) -> DataFrame:
     """Connected components over an undirected pair list →
     ``(node, component)`` with component = min node id in the component
     — the clustering step between near-dup pair generation and
     keep-one-per-cluster in a dedup pipeline.
 
-    Algorithm: min-label propagation — each round every node takes the
-    minimum of its own label and its neighbors' labels, until a round
-    changes nothing (checked with one count per round) or ``max_iter``.
-    Converges in O(component diameter) rounds; LSH near-dup components
-    are dense (band buckets emit cliques), so diameters stay small.
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the minimum of its own label, its neighbors'
+    labels, and *its label's label* (``l(v) ← min(l(v), l(l(v)))``, the
+    path-compression step of union-find), until a round changes nothing
+    (checked with one count per round) or ``max_iter``. The jump step
+    makes convergence O(log diameter) rounds, not O(diameter) — a
+    chain-shaped component of 10^6 docs resolves in ~20 rounds instead
+    of 10^6 (plain hop propagation measurably failed to converge within
+    15 rounds on a 363-node embedding graph at sf0.01).
 
-    Scale shape: each round is ONE shuffle join of the label table
-    against the edge list plus a map-side-combined min aggregate; the
-    edge list is computed once and persisted; ``localCheckpoint``
-    truncates the iterative lineage so round N's plan does not replay
-    rounds 1..N-1 (the classic iterative-join blowup). AQE handles the
-    skewed hub labels a giant cluster produces.
+    Scale shape: each round is two shuffle joins of the label table
+    (against the edge list, then against itself) plus map-side-combined
+    min aggregates; the edge list is computed once and persisted;
+    ``localCheckpoint`` truncates the iterative lineage so round N's
+    plan does not replay rounds 1..N-1 (the classic iterative-join
+    blowup). AQE handles the skewed hub labels a giant cluster produces.
     """
     fwd = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     rev = pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
@@ -269,7 +273,7 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         )
-        new = (
+        hop = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 labels["node"],
@@ -277,6 +281,17 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
                     labels["comp"],
                     F.coalesce(nbr["nbr_comp"], labels["comp"]),
                 ).alias("comp"),
+            )
+        )
+        # pointer jump: l(v) ← min(l(v), l(l(v))). Labels are always
+        # node ids present in the label table, so the inner join is
+        # total; this is what turns O(diameter) into O(log diameter).
+        new = (
+            hop.alias("a")
+            .join(hop.alias("b"), F.col("a.comp") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.comp"), F.col("b.comp")).alias("comp"),
             )
             .localCheckpoint()
         )
@@ -288,6 +303,14 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
         labels = new
         if changed == 0:
             break
+    else:
+        # returning un-converged labels silently splits true components
+        # (bit us at max_iter=15 on a 363-node sf0.01 embedding graph) —
+        # fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     edges.unpersist()
     return labels
 

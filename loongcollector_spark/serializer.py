@@ -370,6 +370,20 @@ def py_varint(n: int) -> bytes:
             return bytes(out)
 
 
+def py_sls_log_group(logs: list) -> bytes:
+    """Independent pure-Python LogGroup writer (test known-answer source
+    for sls_pb_loggroup_frame / statistics_frame): ``logs`` is a list of
+    ``(epoch_ts, [(key, value), ...])`` tuples; topic/source/tags empty."""
+    out = b""
+    for ts, contents in logs:
+        body = b"\x08" + py_varint(ts)
+        for k, v in contents:
+            c = pb_string_field(1, k) + pb_string_field(2, v)
+            body += b"\x12" + py_varint(len(c)) + c
+        out += b"\x0a" + py_varint(len(body)) + body
+    return out
+
+
 def _pb_byte(col):
     """One byte from an int expression in [0, 255]."""
     return F.unhex(F.lpad(F.hex(col.cast("long")), 2, "0"))

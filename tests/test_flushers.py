@@ -263,3 +263,89 @@ def test_flusher_pulsar_and_otel_and_prometheus(spark, tmp_path):
         "labels": {"__name__": "tokens", "role": "user"},
         "value": 3.5, "timestamp_ms": 1700000000000,
     }]
+
+
+def test_flusher_checker_capture_and_assertions(spark):
+    """flusher_checker.go:28-150 semantics: capture + CheckKeyValue /
+    CheckKeyValueAny / CheckKeyValueRegex / CheckEveryLog analogs."""
+    import pytest
+
+    from loongcollector_spark.flushers import build_flusher
+
+    df = spark.createDataFrame(
+        [("c1", "user", "hello"), ("c2", "user", "world")],
+        "conv_id string, role string, text string",
+    )
+    w = build_flusher({"Type": "flusher_checker"})
+    w(df)
+    ck = w.checker
+    assert ck.log_count() == 2
+    ck.check_key_value("role", "user")
+    ck.check_key_value_any("text", "world")
+    ck.check_key_value_regex("conv_id", "c[0-9]")
+    ck.check_every_log(lambda r: r["text"])
+    with pytest.raises(AssertionError):
+        ck.check_key_value("text", "hello")  # not ALL logs
+    w2 = build_flusher({"Type": "flusher_checker", "MaxRows": 1})
+    with pytest.raises(AssertionError):
+        w2(df)
+
+
+def test_flusher_statistics_counts_and_pb_bytes(spark, capsys):
+    """statistics_frame counters equal a Python recomputation of the
+    LogGroup wire size over a hand-built frame (2 groups, 3 logs)."""
+    from loongcollector_spark.flushers import build_flusher, statistics_frame
+    from loongcollector_spark.serializer import py_sls_log_group
+
+    rows = [("c1", 0, "user", "hi", "t1", "2026-01-01 00:00:00"),
+            ("c1", 1, "tool", "run", "t2", "2026-01-01 00:00:01"),
+            ("c2", 0, "user", "yo", "t3", "2026-01-01 00:00:02")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                 "cast(ts as timestamp) AS ts")
+    got = statistics_frame(df, ("conv_id",), generate_pb=True).collect()[0]
+    assert got["n_loggroups"] == 2 and got["n_logs"] == 3
+    import calendar, datetime
+
+    def epoch(s):
+        return calendar.timegm(datetime.datetime.fromisoformat(s).timetuple())
+
+    expected = sum(
+        len(py_sls_log_group(
+            [(epoch(r[5]), [("conv_id", r[0]), ("turn_idx", str(r[1])),
+                            ("role", r[2]), ("text", r[3]),
+                            ("tool", r[4])])]))
+        for r in rows)
+    assert got["pb_bytes"] == expected
+    build_flusher({"Type": "flusher_statistics", "GeneratePB": True})(df)
+    assert "loggroups=2" in capsys.readouterr().out
+
+
+def test_flusher_sleep_and_grpc_payload(spark):
+    """flusher_sleep is a timed no-op; the grpc payload frame is the SLS
+    LogGroup blob (protocol.Codec marshals LogGroup — flusher.go:40-66),
+    byte-checked against the independent Python writer."""
+    import time
+
+    from loongcollector_spark.flushers import build_flusher, grpc_payload_frame
+    from loongcollector_spark.serializer import py_sls_log_group
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "t", "2026-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                 "cast(ts as timestamp) AS ts")
+    t0 = time.monotonic()
+    build_flusher({"Type": "flusher_sleep", "SleepMS": 50})(df)
+    assert time.monotonic() - t0 >= 0.05
+    blob = bytes(grpc_payload_frame(df).collect()[0]["loggroup_pb"])
+    import calendar
+
+    exp = py_sls_log_group([(calendar.timegm((2026, 1, 1, 0, 0, 0, 0, 1, 0)),
+                             [("conv_id", "c1"), ("turn_idx", "0"),
+                              ("role", "user"), ("text", "hi"),
+                              ("tool", "t")])])
+    assert blob == exp

@@ -209,3 +209,8 @@ def test_similarity_survives_hostile_embeddings(spark):
     pairs = similarity.embedding_near_dup_pairs(emb, min_cos_1e4=9000)
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
     assert (0, 4) in got  # the true near-dup still surfaces
+    from loongcollector_spark.functions.dedup import connected_components
+
+    comp = {r["node"]: r["comp"] for r in connected_components(
+        pairs, left="vec_a", right="vec_b").collect()}
+    assert comp[0] == comp[4] == 0  # near-dups land in one cluster
