@@ -1575,6 +1575,112 @@ FROM a
 """
 
 
+def q_benchmark_decontam(spark, sf_dir):
+    """Benchmark decontamination: every 13th doc plays the eval set;
+    the rest of the corpus is scored by distinct shared 5-gram hashes
+    (broadcast benchmark gram join — the corpus is never shuffled)."""
+    from loongcollector_spark.functions.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return decontaminate(corpus, bench, n=5)
+
+
+O_BENCHMARK_DECONTAM = """
+WITH nw AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+      AS words
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 5
+      THEN list_transform(range(1, len(words) - 5 + 2),
+                          i -> array_to_string(words[i:i+4], ' '))
+      ELSE [array_to_string(words, ' ')] END AS grams
+  FROM nw
+),
+gh AS (
+  SELECT DISTINCT doc_id, md5(gram) AS gram_hash
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+),
+bench_g AS (SELECT DISTINCT gram_hash FROM gh WHERE doc_id % 13 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM gh JOIN bench_g USING (gram_hash)
+  WHERE doc_id % 13 != 0 GROUP BY doc_id
+)
+SELECT d.doc_id, cast(coalesce(h.n, 0) AS INT) AS n_hit_grams,
+  coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 13 != 0
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-prefix stratified sampling over source strata:
+    per-stratum keep rates (src0 all, src1 5%, default 25%) as a pure
+    scan-stage filter + in-stratum rank for quota cuts."""
+    from loongcollector_spark.functions.curation import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), strata_col="source",
+        rates={"src0": 1.0, "src1": 0.05}, default_rate=0.25,
+    )
+    return out.select("doc_id", "source", "sample_rank")
+
+
+O_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, source, substr(md5(cast(doc_id AS VARCHAR)), 1, 4) AS h4
+  FROM documents
+),
+kept AS (
+  SELECT * FROM h
+  WHERE h4 < CASE source WHEN 'src0' THEN 'g'
+                         WHEN 'src1' THEN '0ccd'
+                         ELSE '4000' END
+)
+SELECT doc_id, source,
+  cast(row_number() OVER (PARTITION BY source ORDER BY h4, doc_id) AS INT)
+    AS sample_rank
+FROM kept
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget packing: concat-and-chunk shard assignment — per
+    source, docs in doc_id order fill 256-token bins; bin_id/bin_offset
+    from an exclusive running token sum (two-pass window, counts-only
+    shuffle)."""
+    from loongcollector_spark.functions.curation import pack_assignments
+
+    return pack_assignments(_docs(spark, sf_dir), budget=256)
+
+
+O_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, source, cast(n_tokens AS INT) AS n_tokens,
+  cast(cum // 256 AS INT) AS bin_id,
+  cast(cum % 256 AS INT) AS bin_offset
+FROM c
+"""
+
+
 def q_lang_id(spark, sf_dir):
     from loongcollector_spark.functions.text import with_lang_guess
 
@@ -2802,6 +2908,9 @@ QUERIES = {
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality_score, O_QUALITY_SCORE),
     "gopher_quality": (q_gopher_quality, O_GOPHER_QUALITY),
+    "benchmark_decontam": (q_benchmark_decontam, O_BENCHMARK_DECONTAM),
+    "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "lang_id": (q_lang_id, O_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIGNATURES),

@@ -1,0 +1,180 @@
+"""Training-corpus curation operators: benchmark decontamination,
+deterministic stratified sampling, and token-budget sequence packing.
+
+These are the steps between "parsed documents" and "training shards" in
+an LLM data pipeline; like the dedup family they are pure codegen
+expressions with engine-portable integer/hex arithmetic so a DuckDB
+oracle reproduces every value byte-for-byte.
+
+Scale posture (100 TB corpus):
+
+* decontamination — real benchmark suites are tiny (10^5..10^6 n-grams),
+  so the gram join BROADCASTS the benchmark side: the corpus is never
+  shuffled, contamination is decided inside the scan stage;
+* rate sampling — a pure filter on an md5 prefix, no shuffle at all, and
+  deterministic under retries (no ``rand()``: a re-run of a failed task
+  keeps the same rows);
+* quota sampling — one shuffle keyed by stratum; per-stratum windows are
+  the documented skew point, quota strata are user-chosen and few;
+* packing — a per-group running sum (Spark's two-pass window: partial
+  sums per partition + offset broadcast), shuffling (group, id, count)
+  only, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm_words(text_col):
+    """lowercase, whitespace-collapsed word array (shared with the
+    DuckDB oracle: string_split(regexp_replace(lower(trim(..)),
+    '\\s+', ' ', 'g'), ' '))."""
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " "
+    )
+
+
+def ngram_hash_frame(df: DataFrame, n: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, gram_hash) — distinct md5 hashes of the word n-grams of each
+    document; documents shorter than ``n`` words contribute their whole
+    normalized text as one gram (the MinHash shingle fallback contract).
+    Null/empty documents contribute nothing."""
+    words = _norm_words(F.col(text_col))
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return (
+        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(id_col, F.md5(F.col("_g").cast("binary")).alias("gram_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap check every serious
+    pretraining pipeline runs before training — e.g. GPT-3 appendix C /
+    Gopher §A2: drop or flag training documents sharing n-grams with the
+    evaluation set).
+
+    Returns one row per corpus document: ``n_hit_grams`` = how many
+    distinct n-gram hashes it shares with the benchmark set, and
+    ``contaminated`` = (n_hit_grams > 0). Documents with null/empty text
+    score 0 hits.
+
+    The benchmark gram set is broadcast by default (eval suites are
+    tiny); pass ``broadcast_benchmark=False`` only when decontaminating
+    against something corpus-sized, which turns this into a hash-keyed
+    shuffle join.
+    """
+    grams = ngram_hash_frame(corpus, n, text_col, id_col)
+    bench = ngram_hash_frame(benchmark, n, text_col, id_col).select(
+        "gram_hash"
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = grams.join(bench, "gram_hash").groupBy(id_col).agg(
+        F.count("*").alias("n_hit_grams")
+    )
+    ids = corpus.select(id_col)
+    return ids.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("int")
+        .alias("n_hit_grams"),
+        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _hash4(id_col: str):
+    """First 4 hex chars of md5(id) — a uniform draw over [0, 65536)
+    both engines compute identically; string comparison against a 4-char
+    hex cutoff is the portable 'u < rate' test."""
+    return F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4
+    )
+
+
+def rate_cutoff_hex(rate: float) -> str:
+    """rate in [0,1] → the hex cutoff ``hash4 < cutoff`` keeps; 'g'
+    sorts after every hex digit, so rate ≥ 1 keeps everything."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(round(rate * 65536)), "04x")
+
+
+def stratified_sample(df: DataFrame, strata_col: str = "source",
+                      rates: dict | None = None,
+                      default_rate: float = 0.1,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum rate sampling + in-stratum rank.
+
+    Each row draws ``hash4`` = first 4 hex chars of md5(id) — uniform,
+    reproducible, retry-stable (never ``rand()``, which resamples on
+    task retry and breaks exactly-once sinks). A row is kept iff
+    ``hash4 < cutoff(rate of its stratum)``; ``sample_rank`` is the
+    row's 1-based position within its stratum ordered by (hash4, id),
+    so a downstream quota cut is ``sample_rank <= K`` — the same frame
+    serves both rate- and quota-sampling.
+
+    The rate filter itself needs no shuffle (it runs inside the scan);
+    only the rank column costs a per-stratum window.
+    """
+    rates = rates or {}
+    h = _hash4(id_col)
+    cutoff = F.lit(rate_cutoff_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        cutoff = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_cutoff_hex(rate))
+        ).otherwise(cutoff)
+    return (
+        df.withColumn("_h4", h)
+        .filter(F.col("_h4") < cutoff)
+        .withColumn("sample_rank", F.row_number().over(
+            Window.partitionBy(strata_col)
+            .orderBy(F.col("_h4").asc(), F.col(id_col).asc())))
+        .drop("_h4")
+    )
+
+
+def pack_assignments(df: DataFrame, budget: int = 256,
+                     group_col: str = "source", order_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Token-budget packing: assign documents, in deterministic
+    ``order_col`` order within each ``group_col``, to fixed-size token
+    bins of ``budget`` tokens — the shard/sequence assignment step that
+    turns a curated corpus into training shards.
+
+    ``bin_id`` = floor(exclusive-running-token-sum / budget) and
+    ``bin_offset`` = that sum mod budget: a document starts writing at
+    ``bin_offset`` of ``bin_id`` and long documents straddle bins
+    (concat-and-chunk packing, the standard pretraining layout — not
+    first-fit, which is order-unstable under parallel retry).
+
+    Null/empty documents count 0 tokens. The running sum is Spark's
+    two-pass window (per-partition partials + offsets); the shuffle
+    carries (group, order, token count) only.
+    """
+    t = F.col(text_col)
+    n_tokens = F.when(
+        F.trim(F.coalesce(t, F.lit(""))) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(t), r"\s+"))).cast("long")
+    w = (
+        Window.partitionBy(group_col).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(n_tokens).over(w), F.lit(0))
+    return df.select(
+        order_col, group_col,
+        n_tokens.cast("int").alias("n_tokens"),
+        F.floor(cum / budget).cast("int").alias("bin_id"),
+        (cum % budget).cast("int").alias("bin_offset"),
+    )

@@ -1,0 +1,123 @@
+"""Curation operators: benchmark decontamination, deterministic
+stratified sampling, token-budget packing — hand-derived goldens plus
+hostile inputs (null/empty text, unseen strata)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loongcollector_spark.functions.curation import (
+    decontaminate, ngram_hash_frame, pack_assignments, rate_cutoff_hex,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_ngram_hashes_short_doc_fallback_and_empty(spark):
+    df = _docs(spark, [
+        (1, "a b c d e f", "s"),       # 2 distinct 5-grams
+        (2, "tiny doc", "s"),          # whole text as one gram
+        (3, None, "s"), (4, "   ", "s"),  # contribute nothing
+        (5, "A  B\tc  d  E  f", "s"),  # normalizes to doc 1's text
+    ])
+    got = ngram_hash_frame(df, n=5).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert set(by_id) == {1, 2, 5}
+    assert len(by_id[1]) == 2 and len(by_id[2]) == 1
+    assert by_id[5] == by_id[1]  # case/whitespace-normalized
+
+
+def test_decontaminate_counts_shared_grams(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog", "s"),
+        (2, "completely unrelated words here now", "s"),
+        (3, None, "s"),
+    ])
+    bench = _docs(spark, [
+        (100, "quick brown fox jumps over", "s"),  # 1 shared 5-gram
+    ])
+    got = {r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # null text still present, 0 hits
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    corpus = _docs(spark, [(1, "a b c d e f", "s")])
+    bench = _docs(spark, [(2, "a b c d e", "s")])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rate_cutoff_hex_bounds():
+    assert rate_cutoff_hex(0.0) == "0000"
+    assert rate_cutoff_hex(0.25) == "4000"
+    assert rate_cutoff_hex(1.0) == "g"
+    assert rate_cutoff_hex(1.5) == "g"
+
+
+def test_stratified_sample_rates_and_rank(spark):
+    rows = [(i, f"doc {i}", "keep_all" if i < 50 else "drop_all")
+            for i in range(100)]
+    out = stratified_sample(
+        _docs(spark, rows), strata_col="source",
+        rates={"keep_all": 1.0, "drop_all": 0.0},
+    ).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == list(range(50))  # rate 1.0 keeps all, 0.0 none
+    ranks = sorted(r["sample_rank"] for r in out)
+    assert ranks == list(range(1, 51))  # dense in-stratum rank
+    # deterministic: same rows on re-run
+    again = stratified_sample(
+        _docs(spark, rows), strata_col="source",
+        rates={"keep_all": 1.0, "drop_all": 0.0},
+    ).collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in again} == \
+        {(r["doc_id"], r["sample_rank"]) for r in out}
+
+
+def test_stratified_sample_default_rate_applies_to_unseen_strata(spark):
+    rows = [(i, "x", "unlisted") for i in range(2000)]
+    n = len(stratified_sample(
+        _docs(spark, rows), rates={"other": 1.0}, default_rate=0.1
+    ).collect())
+    assert 120 <= n <= 280  # ~10% of 2000, md5-uniform
+
+
+def test_pack_assignments_golden(spark):
+    rows = [
+        (1, "w " * 100, "s"),   # 100 tokens → bin 0 offset 0
+        (2, "w " * 200, "s"),   # bin 0 offset 100 (straddles into bin 1)
+        (3, "w " * 10, "s"),    # cum 300 → bin 1 offset 44
+        (4, None, "s"),         # 0 tokens, cum 310 → bin 1 offset 54
+        (5, "w " * 5, "s"),     # same bin, offset 54
+        (6, "w " * 7, "t"),     # independent group
+    ]
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+           for r in pack_assignments(_docs(spark, rows), budget=256).collect()}
+    assert got[1] == (100, 0, 0)
+    assert got[2] == (200, 0, 100)
+    assert got[3] == (10, 1, 44)
+    assert got[4] == (0, 1, 54)
+    assert got[5] == (5, 1, 54)
+    assert got[6] == (7, 0, 0)
+
+
+def test_pack_assignments_bins_respect_budget_continuity(spark):
+    # token conservation: last doc's (bin_id*budget + offset + n_tokens)
+    # equals the group's total token count
+    rows = [(i, "tok " * (i % 37 + 1), f"g{i % 3}") for i in range(60)]
+    out = pack_assignments(_docs(spark, rows), budget=64)
+    tot = {r["source"]: r["t"] for r in
+           out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()}
+    last = out.withColumn(
+        "end", F.col("bin_id") * 64 + F.col("bin_offset") + F.col("n_tokens")
+    ).groupBy("source").agg(F.max("end").alias("end")).collect()
+    for r in last:
+        assert r["end"] == tot[r["source"]]
