@@ -105,6 +105,7 @@ def main():
         "value": p1["total"],
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in p1["queries"].items()},
+        "fixture_build_s": p1.get("fixture_build_s"),
         "sf": sf,
         "pipeline": {
             f"turns_local{low_cpus}": low_turns,

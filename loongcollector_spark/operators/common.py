@@ -43,20 +43,43 @@ def apply_parse_result(
     wrap is skipped — the wrap would make the shared parse subtree
     CONDITIONAL, which defeats codegen subexpression elimination and
     re-evaluates it once per output column.
+
+    Plan shape: ``ok`` + every extraction are packed into ONE struct
+    column in a single projection, and the public columns are cheap
+    field reads from that struct. Without the pack, each output column
+    repeats the full parse expression (ok alone embeds the parse once
+    per key), and when the source column is itself a derived expression
+    (fixtures, chained parses) project-collapse re-inlines that
+    expression into every copy — measured >64 KB of generated code in
+    one ``processNext()``, which janino rejects, dropping the whole
+    stage to interpreted eval. Inside the struct the parse subtrees are
+    unconditional siblings, so codegen subexpression elimination emits
+    the shared parse exactly once; CollapseProject keeps the pack as
+    its own projection because the struct is referenced once per field
+    and is not "cheap".
     """
     keep_fail = cfg.get("KeepingSourceWhenParseFail", True)
     keep_ok = cfg.get("KeepingSourceWhenParseSucceed", False)
     renamed = cfg.get("RenamedSourceKey") or source_key
 
     cols = dict(extracted)
-    out = df
-    for name, col in cols.items():
-        out = out.withColumn(name, col if already_masked else F.when(ok, col))
-    out = out.withColumn(PARSE_OK, ok)
+    pp = "_pp_parse"
+    while pp in df.columns or pp in cols:
+        pp += "_"
+    packed = F.struct(
+        ok.alias("__ok"),
+        *[c.alias(f"f{i}") for i, c in enumerate(cols.values())],
+    )
+    out = df.withColumn(pp, packed)
+    ok = F.col(pp)["__ok"]
+    for i, name in enumerate(cols):
+        v = F.col(pp)[f"f{i}"]
+        out = out.withColumn(name, v if already_masked else F.when(ok, v))
+    out = out.withColumn(PARSE_OK, ok).drop(pp)
 
     if not keep_fail:
         # reference: parse-fail + not keeping source ⇒ discard the event
-        out = out.filter(ok)
+        out = out.filter(F.col(PARSE_OK))
         keep_fail = keep_ok  # remaining rows are all successes
     if keep_fail and keep_ok:
         pass  # keep raw on every row

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from loongcollector_spark.serializer import (
     _pb_len_delim,
     _pb_varint,
+    concat_binary,
     pb_string_field,
     py_varint,
 )
@@ -92,9 +93,7 @@ def loongsuite_group_frame(
         logs,
         lambda s: F.concat(F.lit(b"\x0a"), _pb_varint(F.length(s["b"])), s["b"]),
     )
-    body = F.aggregate(
-        framed, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
-    )
+    body = concat_binary(framed)
     const = b""
     for field_no, kv in ((1, metadata), (2, tags)):
         for k, v in (kv or {}).items():
@@ -271,16 +270,17 @@ def pb_double_bits(col):
 
 
 def _pb_fixed64(bits_col):
-    """8 little-endian bytes of a long expression."""
+    """8 little-endian bytes of a long expression: hex once (two's
+    complement, so negatives come out width-16 already), reverse the
+    byte pairs, unhex once — ~3× fewer interpreted nodes than a
+    per-byte shift/mask/unhex walk."""
     from loongcollector_spark.operators.common import bind_once
-    from loongcollector_spark.serializer import _pb_byte
 
     return bind_once(
-        bits_col,
-        lambda b: F.concat(*[
-            _pb_byte(F.shiftrightunsigned(b, 8 * i).bitwiseAND(F.lit(0xFF)))
-            for i in range(8)
-        ]),
+        F.lpad(F.hex(bits_col), 16, "0"),
+        lambda h: F.unhex(
+            F.concat(*[F.substring(h, 15 - 2 * i, 2) for i in range(8)])
+        ),
     )
 
 
@@ -317,9 +317,7 @@ def prom_timeseries_column(
             _pb_len_delim(0x12, s["value"].cast("binary")),
         )),
     )
-    labels_bytes = F.aggregate(
-        label_msgs, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
-    )
+    labels_bytes = concat_binary(label_msgs)
     bits = pb_double_bits(F.col(value_col))
     val_field = F.when(
         bits != 0, F.concat(F.lit(b"\x09"), _pb_fixed64(bits))
@@ -358,14 +356,12 @@ def prom_write_request_frame(df: DataFrame, series_limit: int = 1000,
     chunked = keyed.withColumn(
         "_req", F.concat_ws("#", "_p", (rn / series_limit).cast("long")))
     return chunked.groupBy("_req").agg(
-        F.aggregate(
+        concat_binary(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(
                     F.col("_k").alias("o"), F.col("_series").alias("b")))),
                 lambda s: s["b"],
-            ),
-            F.lit(b"").cast("binary"),
-            lambda acc, x: F.concat(acc, x),
+            )
         ).alias("write_request_pb"),
         F.count("*").alias("n_series"),
     )

@@ -389,12 +389,28 @@ def _pb_byte(col):
     return F.unhex(F.lpad(F.hex(col.cast("long")), 2, "0"))
 
 
+def concat_binary(arr):
+    """Concatenate an ``array<binary>`` column LINEARLY: hex each
+    element, one ``array_join`` pass (UTF8String builder), one unhex.
+    The naive ``F.aggregate(arr, b'', concat)`` left fold re-copies the
+    accumulator on every element — O(total²) bytes per group, which is
+    the dominant cost once a conversation/group holds hundreds of
+    framed events."""
+    return F.unhex(F.array_join(F.transform(arr, F.hex), ""))
+
+
 def _pb_varint(col, max_bytes: int = 5):
     """Protobuf varint of a non-negative long expression (≤ 2^35-1).
 
     The byte loop reads its input ~3× per byte; ``bind_once`` keeps the
     input referenced exactly once so nested len-delim framing composes
-    with linear (not exponential) plan size."""
+    with linear (not exponential) plan size.
+
+    Fast path: values < 128 (almost every length-delimited framing —
+    keys, label names/values, short contents) encode as the single raw
+    byte, skipping the ~12-node-per-byte continuation walk. The encode
+    tree sits behind a higher-order-function boundary (bind_once), so
+    it is evaluated interpreted — node count IS the per-row cost."""
     from loongcollector_spark.operators.common import bind_once
 
     def body(v):
@@ -412,7 +428,7 @@ def _pb_varint(col, max_bytes: int = 5):
                     F.when(F.shiftright(v, 7 * i) > 0, byte)
                     .otherwise(F.lit(b""))
                 )
-        return F.concat(*pieces)
+        return F.when(v < 128, _pb_byte(v)).otherwise(F.concat(*pieces))
 
     return bind_once(col.cast("long"), body)
 
@@ -478,9 +494,7 @@ def sls_pb_loggroup_frame(df: DataFrame, group_cols=("conv_id",),
             F.lit(b"\x0a"), _pb_varint(F.length(s["b"])), s["b"]
         ),
     )
-    body = F.aggregate(
-        framed, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
-    )
+    body = concat_binary(framed)
     const = b""
     if topic:
         const += pb_string_field(3, topic)
