@@ -2917,6 +2917,194 @@ SELECT 'otlp_logs', 'sw_traces', count(*) FROM events
 """
 
 
+def _influx_lines(spark, sf_dir):
+    """Deterministic influx line-protocol fixture: one line per events
+    row, cycling 4 shapes — tagged float with escaped tag value, a
+    multi-field line (int/uint/bool/quoted-string), an escaped
+    measurement + field key with an x.5 float, and an exponent-form
+    float that exercises the Go-'g' sci branch. Only Spark parses the
+    TEXT; the oracle recomputes expected output from the same source
+    columns."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    k = F.pmod("event_id", F.lit(4))
+    uid = F.pmod("user_id", F.lit(50)).cast("string")
+    ival = (F.pmod("event_id", F.lit(4999)) + 1).cast("string")
+    ns = (F.lit(1434055562000000000) + F.col("event_id")).cast("string")
+    half = F.concat(F.pmod("event_id", F.lit(9)).cast("string"), F.lit(".5"))
+    mant = (F.pmod("event_id", F.lit(8)) + 2).cast("string")
+    line = (
+        F.when(k == 0, F.concat(
+            F.lit("cpu,host=h"), uid, F.lit(",region=us\\ west value="),
+            ival, F.lit(" "), ns))
+        .when(k == 1, F.concat(
+            F.lit("mem used="), ival, F.lit("i,free="), ival,
+            F.lit('u,active=true,note="x\\"'), uid, F.lit('"')))
+        .when(k == 2, F.concat(
+            F.lit("temp\\ sensor,a=b temp\\ low="), half, F.lit(" "), ns))
+        .otherwise(F.concat(F.lit("big value="), mant, F.lit("e+06")))
+    )
+    return ev.select(
+        F.col("event_id").alias("line_id"), line.alias("content"))
+
+
+def q_influx_decode(spark, sf_dir):
+    """service_http_server Format=influxdb (pkg/protocol/decoder/
+    influxdb/decoder.go:159-219): line-protocol text → one metric log
+    per field, Go-'g' float formatting, sorted #$# labels, FieldsExtend
+    extras — all codegen."""
+    op = build_operator({
+        "Type": "service_http_server", "Format": "influxdb",
+        "FieldsExtend": True, "DB": "bench", "DefaultTimeNano": 42,
+    })
+    out = op(_influx_lines(spark, sf_dir))
+    return out.select(
+        "line_id",
+        F.col("__name__").alias("name"),
+        F.col("__labels__").alias("labels"),
+        F.col("__value__").alias("value_str"),
+        F.col("__time_nano__").alias("ts_ns"),
+        F.col("__type__").alias("vtype"),
+        F.col("__field__").alias("field_key"),
+        F.col("`__tag__:db`").alias("db"),
+    )
+
+
+O_INFLUX_DECODE = """
+WITH e AS (SELECT event_id, user_id,
+                  cast(event_id % 4999 + 1 AS BIGINT) AS ival,
+                  1434055562000000000 + event_id AS ns,
+                  (event_id % 9) || '.5' AS half,
+                  (event_id % 8 + 2) AS mant
+           FROM events)
+SELECT event_id AS line_id, 'cpu' AS name,
+  'host#$#h' || (user_id % 50) || '|region#$#us west' AS labels,
+  cast(ival AS VARCHAR) AS value_str, ns AS ts_ns,
+  'float' AS vtype, 'value' AS field_key, 'bench' AS db
+FROM e WHERE event_id % 4 = 0
+UNION ALL
+SELECT event_id, 'mem:' || f.key,
+  '', f.val, 42, f.typ, f.key, 'bench'
+FROM e, LATERAL (
+  SELECT unnest(['used','free','active','note']) AS key,
+         unnest([cast(ival AS VARCHAR), cast(ival AS VARCHAR), '1',
+                 'x"' || (user_id % 50)]) AS val,
+         unnest(['int','int','bool','string']) AS typ
+) f
+WHERE event_id % 4 = 1
+UNION ALL
+SELECT event_id, 'temp sensor:temp low', 'a#$#b', half, ns,
+  'float', 'temp low', 'bench'
+FROM e WHERE event_id % 4 = 2
+UNION ALL
+SELECT event_id, 'big', '', mant || 'e+06', 42, 'float', 'value', 'bench'
+FROM e WHERE event_id % 4 = 3
+"""
+
+
+def q_statsd_decode(spark, sf_dir):
+    """service_http_server Format=statsd (pkg/protocol/decoder/statsd/
+    decoder.go:44-65): dogstatsd lines → metric logs; set-type metrics
+    (non-numeric value) drop like the reference's float64 assertion."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    k = F.pmod("event_id", F.lit(3))
+    val = F.pmod("event_id", F.lit(1000)).cast("string")
+    half = F.concat(F.pmod("event_id", F.lit(9)).cast("string"), F.lit(".5"))
+    uid = F.pmod("user_id", F.lit(20)).cast("string")
+    line = (
+        F.when(k == 0, F.concat(
+            F.lit("page.views:"), val, F.lit("|c|@0.5|#env:prod,id:u"), uid))
+        .when(k == 1, F.concat(F.lit("lat:"), half, F.lit("|ms")))
+        .otherwise(F.lit("users:uniq|s"))  # set type → dropped
+    )
+    df = ev.select(F.col("event_id").alias("line_id"), line.alias("content"))
+    op = build_operator({
+        "Type": "service_http_server", "Format": "statsd",
+        "DefaultTimeNano": 7,
+    })
+    return op(df).select(
+        "line_id",
+        F.col("__name__").alias("name"),
+        F.col("__labels__").alias("labels"),
+        F.col("__value__").alias("value"),
+        F.col("__time_nano__").alias("ts_ns"),
+        F.col("__type__").alias("mtype"),
+    )
+
+
+O_STATSD_DECODE = """
+SELECT event_id AS line_id, 'page.views' AS name,
+  'env#$#prod|id#$#u' || (user_id % 20) AS labels,
+  cast(event_id % 1000 AS DOUBLE) AS value, 7 AS ts_ns, 'c' AS mtype
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT event_id, 'lat', '', (event_id % 9) + 0.5, 7, 'ms'
+FROM events WHERE event_id % 3 = 1
+"""
+
+
+def q_journal_export(spark, sf_dir):
+    """service_journal (input_journal.go:339-371): export-format blobs →
+    fields + _realtime_timestamp_, PRIORITY/SYSLOG_FACILITY mapped
+    through the reference's conversion tables."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    blob = F.concat(
+        F.lit("__REALTIME_TIMESTAMP="),
+        (F.lit(1700000000000000) + F.col("event_id")).cast("string"),
+        F.lit("\n__MONOTONIC_TIMESTAMP="),
+        F.pmod("event_id", F.lit(100000)).cast("string"),
+        F.lit("\nPRIORITY="), F.pmod("event_id", F.lit(8)).cast("string"),
+        F.lit("\nSYSLOG_FACILITY="),
+        F.pmod("event_id", F.lit(24)).cast("string"),
+        F.lit("\n_SYSTEMD_UNIT=u"),
+        F.pmod("user_id", F.lit(5)).cast("string"),
+        F.lit(".service\nMESSAGE=msg="), F.col("event_type"),
+    )
+    df = ev.select(F.col("event_id").alias("line_id"), blob.alias("content"))
+    op = build_operator({
+        "Type": "service_journal", "ParsePriority": True,
+        "ParseSyslogFacility": True,
+    })
+    out = op(df)
+    f = F.col("fields")
+    return out.select(
+        "line_id",
+        F.col("_realtime_timestamp_").alias("rt"),
+        F.col("_monotonic_timestamp_").alias("mono"),
+        f.getItem("PRIORITY").alias("priority"),
+        f.getItem("SYSLOG_FACILITY").alias("facility"),
+        f.getItem("_SYSTEMD_UNIT").alias("unit"),
+        f.getItem("MESSAGE").alias("message"),
+    )
+
+
+O_JOURNAL_EXPORT = """
+WITH pr AS (SELECT unnest(['emergency','alert','critical','error',
+                           'warning','notice','informational','debug'])
+              AS name, unnest(range(8)) AS num),
+fac AS (SELECT unnest(['kernel','user','mail','daemon','auth','syslog',
+                       'line printer','network news','uucp','clock daemon',
+                       'security/auth','ftp','ntp','log audit','log alert',
+                       'clock daemon','local0','local1','local2','local3',
+                       'local4','local5','local6','local7']) AS name,
+               unnest(range(24)) AS num)
+SELECT e.event_id AS line_id,
+  cast(1700000000000000 + e.event_id AS VARCHAR) AS rt,
+  cast(e.event_id % 100000 AS VARCHAR) AS mono,
+  pr.name AS priority, fac.name AS facility,
+  'u' || (e.user_id % 5) || '.service' AS unit,
+  'msg=' || e.event_type AS message
+FROM events e
+JOIN pr ON pr.num = e.event_id % 8
+JOIN fac ON fac.num = e.event_id % 24
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -2999,4 +3187,7 @@ QUERIES = {
     "otel_trace_spans": (q_otel_trace_spans, O_OTEL_TRACE_SPANS),
     "otel_metrics": (q_otel_metrics, O_OTEL_METRICS),
     "otel_aggregator_routes": (q_otel_aggregator_routes, O_OTEL_AGGREGATOR_ROUTES),
+    "influx_decode": (q_influx_decode, O_INFLUX_DECODE),
+    "statsd_decode": (q_statsd_decode, O_STATSD_DECODE),
+    "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
 }

@@ -1,0 +1,242 @@
+"""service_http_server decoder family vs the reference's own decoder
+unittests (pkg/protocol/decoder/influxdb/decoder_test.go), plus journal
+export-format parsing (plugins/input/journal/input_journal.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from loongcollector_spark.operators import build_operator
+from loongcollector_spark.operators.decoders import (
+    go_g_str,
+    influx_decode,
+    journal_decode,
+    statsd_decode,
+)
+
+# decoder_test.go:29-55 — verbatim
+TEXT_FORMAT = """
+# integer value
+cpu value=1i
+
+# float value
+cpu_load value=1
+
+cpu_load value=1.0
+
+cpu_load value=1.2
+
+# boolean value
+error fatal=true
+
+# string value
+event msg="logged out"
+
+# multiple values
+cpu load=10,alert=true,reason="value above maximum threshold"
+
+cpu,host=server01,region=uswest value=1 1434055562000000000
+cpu,host=server02,region=uswest value=3 1434055562000010000
+temperature,machine=unit42,type=assembly internal=32,external=100 1434055562000000035
+temperature,machine=unit143,type=assembly internal=22,external=130 1434055562005000035
+cpu,host=server\\ 01,region=uswest value=1,msg="all systems nominal"
+cpu,host=server\\ 01,region=us\\,west value_int=1i
+"""
+
+# decoder_test.go:66-69 — verbatim
+TXT_WITH_DOT_NAMES = """
+cpu.load,host=server01,region=uswest value=1 1434055562000000000
+cpu.load,host.dd=server02,region=uswest tt="xx",value=3 1434055562000010000
+"""
+
+
+def _influx(spark, body, **kw):
+    df = spark.createDataFrame([(body,)], "content string")
+    rows = influx_decode(df, "content", **kw).collect()
+    return [r.asDict() for r in rows]
+
+
+def test_influx_text_format_counts_15_logs(spark):
+    # TestNormal (decoder_test.go:167-176): 15 logs, strings skipped
+    rows = _influx(spark, TEXT_FORMAT)
+    assert len(rows) == 15
+    for r in rows:
+        assert set(r) >= {"__name__", "__labels__", "__value__",
+                          "__time_nano__"}
+
+
+def test_influx_fields_extend_goldens(spark):
+    # TestFieldsExtend case 1 (decoder_test.go:72-110), FieldsExtend=true
+    rows = _influx(spark, TXT_WITH_DOT_NAMES, fields_extend=True)
+    got = {
+        (r["__name__"], r["__value__"], r["__labels__"],
+         r["__time_nano__"], r["__type__"], r["__field__"])
+        for r in rows
+    }
+    assert got == {
+        ("cpu.load", "1", "host#$#server01|region#$#uswest",
+         1434055562000000000, "float", "value"),
+        ("cpu.load:tt", "xx", "host.dd#$#server02|region#$#uswest",
+         1434055562000010000, "string", "tt"),
+        ("cpu.load", "3", "host.dd#$#server02|region#$#uswest",
+         1434055562000010000, "float", "value"),
+    }
+
+
+def test_influx_sls_metrics_format_goldens(spark):
+    # TestFieldsExtend case 2 (decoder_test.go:111-139):
+    # EnableSlsMetricsFormat sanitizes names and label keys; string
+    # fields still skipped without FieldsExtend
+    rows = _influx(spark, TXT_WITH_DOT_NAMES, sls_metrics_format=True)
+    got = {(r["__name__"], r["__value__"], r["__labels__"]) for r in rows}
+    assert got == {
+        ("cpu_load", "1", "host#$#server01|region#$#uswest"),
+        ("cpu_load", "3", "host_dd#$#server02|region#$#uswest"),
+    }
+
+
+def test_influx_escapes_and_types(spark):
+    rows = _influx(
+        spark,
+        'm,host=a\\ b,reg=c\\,d v=1i,u=2u,b=false,s="q\\"z",f=2.5 7\n'
+        'weather temp\\ low=9 8',
+        fields_extend=True,
+    )
+    by_field = {r["__field__"]: r for r in rows}
+    assert by_field["v"]["__value__"] == "1"
+    assert by_field["v"]["__type__"] == "int"
+    assert by_field["u"]["__value__"] == "2"
+    assert by_field["b"]["__value__"] == "0"
+    assert by_field["b"]["__type__"] == "bool"
+    assert by_field["s"]["__value__"] == 'q"z'
+    assert by_field["f"]["__value__"] == "2.5"
+    assert by_field["v"]["__labels__"] == "host#$#a b|reg#$#c,d"
+    assert by_field["temp low"]["__name__"] == "weather:temp low"
+    assert by_field["temp low"]["__time_nano__"] == 8
+
+
+def test_influx_db_tag_and_default_time(spark):
+    rows = _influx(spark, "cpu value=1", fields_extend=True, db="mydb",
+                   default_ts_ns=42)
+    assert rows[0]["__tag__:db"] == "mydb"
+    assert rows[0]["__time_nano__"] == 42
+    # without FieldsExtend no extras at all (decoder.go:205-216)
+    rows = _influx(spark, "cpu value=1", db="mydb")
+    assert "__tag__:db" not in rows[0] and "__type__" not in rows[0]
+
+
+def test_go_g_float_formatting(spark):
+    # strconv.FormatFloat(v,'g',-1,64) — %e iff exp < -4 or >= 6
+    from pyspark.sql import functions as F
+
+    cases = [
+        (0.0, "0"), (0.64, "0.64"), (10.5, "10.5"), (123.0, "123"),
+        (100000.0, "100000"), (999999.5, "999999.5"),
+        (1000000.0, "1e+06"), (1234567.8, "1.2345678e+06"),
+        (12345678.0, "1.2345678e+07"), (1e21, "1e+21"),
+        (0.001, "0.001"), (0.0001, "0.0001"), (0.00064, "0.00064"),
+        (0.00001, "1e-05"), (-2.5, "-2.5"), (1.5e-10, "1.5e-10"),
+        (-1e6, "-1e+06"),
+    ]
+    df = spark.createDataFrame(cases, "v double, want string")
+    bad = df.select("v", "want", go_g_str(F.col("v")).alias("got")) \
+        .filter("want != got").collect()
+    assert not bad, bad
+
+
+def test_statsd_dogstatsd_lines(spark):
+    body = ("page.views:1|c|@0.1|#env:prod,region:us\n"
+            "lat:3.5|ms\n"
+            "users:uniq|s\n"          # set type: non-numeric, dropped
+            "gauge:-7|g|#a:b")
+    df = spark.createDataFrame([(body,)], "content string")
+    rows = [r.asDict() for r in statsd_decode(df, default_ts_ns=7).collect()]
+    assert len(rows) == 3
+    by_name = {r["__name__"]: r for r in rows}
+    assert by_name["page.views"]["__labels__"] == "env#$#prod|region#$#us"
+    assert by_name["page.views"]["__value__"] == 1.0
+    assert by_name["page.views"]["__type__"] == "c"
+    assert by_name["lat"]["__value__"] == 3.5
+    assert by_name["lat"]["__labels__"] == ""
+    assert by_name["gauge"]["__value__"] == -7.0
+    assert all(r["__time_nano__"] == 7 for r in rows)
+
+
+JOURNAL_EXPORT = (
+    "__REALTIME_TIMESTAMP=1700000000123456\n"
+    "__MONOTONIC_TIMESTAMP=555\n"
+    "PRIORITY=3\nSYSLOG_FACILITY=4\n"
+    "_SYSTEMD_UNIT=nginx.service\nMESSAGE=boom\n"
+    "\n"
+    "__REALTIME_TIMESTAMP=1700000001000000\n"
+    "PRIORITY=6\n_SYSTEMD_UNIT=cron.service\n"
+    "SYSLOG_IDENTIFIER=crond\nMESSAGE=ok=fine\n"
+)
+
+
+def test_journal_decode_fields_and_maps(spark):
+    df = spark.createDataFrame([(JOURNAL_EXPORT,)], "content string")
+    rows = journal_decode(
+        df, parse_priority=True, parse_syslog_facility=True
+    ).orderBy("_realtime_timestamp_").collect()
+    assert len(rows) == 2
+    a, b = rows
+    assert a["_realtime_timestamp_"] == "1700000000123456"
+    assert a["_monotonic_timestamp_"] == "555"
+    # PriorityConversionMap / SyslogFacilityString (input_journal.go:52-89)
+    assert a["fields"]["PRIORITY"] == "error"
+    assert a["fields"]["SYSLOG_FACILITY"] == "auth"
+    assert a["fields"]["MESSAGE"] == "boom"
+    # value containing '=' splits on the FIRST separator only
+    assert b["fields"]["MESSAGE"] == "ok=fine"
+    assert b["fields"]["PRIORITY"] == "informational"
+    # __-prefixed address fields are not duplicated into the map
+    assert "__REALTIME_TIMESTAMP" not in a["fields"]
+
+
+def test_service_journal_unit_filter(spark):
+    df = spark.createDataFrame([(JOURNAL_EXPORT,)], "content string")
+    op = build_operator({
+        "Type": "service_journal", "Units": ["nginx.service"],
+    })
+    rows = op(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["fields"]["_SYSTEMD_UNIT"] == "nginx.service"
+    op2 = build_operator({
+        "Type": "service_journal", "Identifiers": ["crond"],
+    })
+    assert op2(df).count() == 1
+
+
+def test_service_http_server_format_dispatch(spark):
+    df = spark.createDataFrame(
+        [("cpu,host=h value=2.5 9",)], "content string")
+    out = build_operator({
+        "Type": "service_http_server", "Format": "influxdb",
+    })(df)
+    r = out.collect()[0]
+    assert (r["__name__"], r["__value__"], r["__time_nano__"]) == \
+        ("cpu", "2.5", 9)
+    out2 = build_operator({
+        "Type": "service_http_server", "Format": "prometheus",
+    })(spark.createDataFrame(
+        [('m{a="b"} 4 1715829785083',)], "content string"))
+    r2 = out2.collect()[0]
+    assert r2["__name__"] == "m" and r2["value"] == 4.0
+    with pytest.raises(ValueError):
+        build_operator({"Type": "service_http_server",
+                        "Format": "bogus"})(df)
+
+
+def test_service_otlp_modes(spark):
+    import json
+
+    span = {"resourceSpans": [{"resource": {"attributes": []}, "scopeSpans": [
+        {"scope": {}, "spans": [{
+            "traceId": "0" * 32, "spanId": "0" * 16, "name": "op",
+            "kind": 1, "startTimeUnixNano": "1", "endTimeUnixNano": "2",
+            "status": {}, "attributes": [],
+        }]}]}]}
+    df = spark.createDataFrame([(json.dumps(span),)], "content string")
+    out = build_operator({"Type": "service_otlp", "Mode": "traces"})(df)
+    assert out.count() == 1
