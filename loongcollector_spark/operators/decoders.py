@@ -52,17 +52,23 @@ from loongcollector_spark.operators import register
 
 # measurement: commas/spaces escaped; tags: chars with \-escapes up to the
 # first unescaped space; fields: tokens that may embed "quoted strings";
-# optional trailing integer timestamp (ns).
+# optional trailing integer timestamp (ns). All repetition is POSSESSIVE
+# (++/*+): the alternatives are mutually exclusive per position, so
+# possessive matching is semantics-preserving — and without it the
+# nested quantified alternations backtrack exponentially on a long
+# non-matching line (a hostile 5 kB token pinned an executor thread;
+# the same failure mode the grok build-time lint rejects in user
+# patterns).
 _INFLUX_LINE_RX = (
-    r"^((?:[^, \\]|\\.)+)"              # 1 measurement
-    r"(?:,((?:[^ \\]|\\.)+))?"          # 2 tag pairs (no leading comma)
-    r" ((?:[^ \"\\]|\\.|\"(?:[^\"\\]|\\.)*\")+)"  # 3 fields
-    r"(?: (\d+))?\s*$"                  # 4 timestamp (ns)
+    r"^((?:[^, \\]|\\.)++)"             # 1 measurement
+    r"(?:,((?:[^ \\]|\\.)++))?"         # 2 tag pairs (no leading comma)
+    r" ((?:[^ \"\\]|\\.|\"(?:[^\"\\]|\\.)*+\")++)"  # 3 fields
+    r"(?: (\d++))?\s*+$"                # 4 timestamp (ns)
 )
 # split commas that sit OUTSIDE any (escape-aware) quoted string
-_FIELD_SPLIT_RX = r",(?=(?:[^\"\\]|\\.|\"(?:[^\"\\]|\\.)*\")*$)"
+_FIELD_SPLIT_RX = r",(?=(?:[^\"\\]|\\.|\"(?:[^\"\\]|\\.)*+\")*+$)"
 _UNESCAPED_COMMA = r"(?<!\\),"
-_UNESCAPED_EQ_KEY = r"^((?:[^=\\]|\\.)*)=(.*)$"
+_UNESCAPED_EQ_KEY = r"^((?:[^=\\]|\\.)*+)=(.*)$"
 
 
 def _unescape_ident(c: Column) -> Column:

@@ -104,6 +104,12 @@ CONFIGS: dict[str, dict] = {
     "processor_otel_metric": {"SourceKey": "text", "Format": "json"},
     "aggregator_opentelemetry": {"ContentsKey": "contents"},
     "aggregator_skywalking": {"ContentsKey": "contents"},
+    "service_http_server": {"SourceKey": "text", "Format": "influxdb",
+                            "FieldsExtend": True, "DB": "d"},
+    "service_otlp": {"SourceKey": "text", "Mode": "traces"},
+    "service_journal": {"SourceKey": "text", "ParsePriority": True,
+                        "ParseSyslogFacility": True,
+                        "Units": ["nginx.service"]},
 }
 
 
