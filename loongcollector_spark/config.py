@@ -78,7 +78,11 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
     typ = cfg["Type"]
     if typ in ("input_file", "input_static_file_onetime"):
         frames = [
-            sources.input_file(spark, glob) for glob in cfg["FilePaths"]
+            sources.input_file(
+                spark, glob,
+                file_encoding=cfg.get("FileEncoding", "UTF8") or "UTF8",
+            )
+            for glob in cfg["FilePaths"]
         ]
         df = frames[0]
         for f in frames[1:]:

@@ -20,19 +20,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# FileReaderOptions.h:30-34 Encoding {UTF8, UTF16, GBK}; the C++ side
+# converts to UTF-8 via common/EncodingConverter before processing. Here
+# the decode happens JVM-side in the scan: the csv reader is the one
+# file source with a charset option, and with a control-char separator,
+# quoting disabled and an explicit single-column schema it degenerates
+# to "text with charset". UTF16 means little-endian (the Windows
+# convention the reference's converter targets); a leading BOM is
+# stripped. Caveats vs a byte-exact converter: a \x01 byte inside a
+# GBK/UTF16 line truncates that line at the separator, and a UTF-16
+# code unit pair that happens to spell 0x0A across two characters can
+# false-split — both are absent from real text logs.
+_ENCODINGS = {"UTF16": "UTF-16LE", "UTF16LE": "UTF-16LE",
+              "UTF16BE": "UTF-16BE", "GBK": "GBK"}
+
+
 def input_file(
     spark: SparkSession,
     path_glob: str,
     fmt: str = "text",
     multiline_start_rx: str | None = None,
     with_provenance: bool = True,
+    file_encoding: str = "UTF8",
 ) -> DataFrame:
     """Glob file read with provenance columns. ``_ingest_file`` +
     ``_line_idx`` stand in for the reference's (file path, offset)
     metadata (EventGroupMetaKey LOG_FILE_PATH/LOG_FILE_OFFSET). With a
     multiline start regex, continuation lines merge onto their record
-    (the LogFileReader multiline state machine as sessionization)."""
-    if fmt == "text":
+    (the LogFileReader multiline state machine as sessionization).
+    ``file_encoding`` maps FileReaderOptions.h:30-34 (UTF8/UTF16/GBK)."""
+    enc = file_encoding.upper().replace("-", "").replace("_", "")
+    if fmt == "text" and enc not in ("", "UTF8"):
+        charset = _ENCODINGS.get(enc)
+        if charset is None:
+            raise ValueError(
+                f"input_file: unsupported FileEncoding {file_encoding!r} "
+                f"(one of UTF8/UTF16/UTF16BE/GBK)"
+            )
+        if charset == "GBK":
+            # Spark 4 whitelists csv charsets; GBK needs the documented
+            # escape hatch (SPARK-46115). Session-level, set once.
+            spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+        df = (
+            spark.read.format("csv")
+            .schema("text string")
+            .option("encoding", charset)
+            .option("lineSep", "\n")
+            .option("sep", "\x01")
+            .option("quote", "\x00")
+            .option("header", False)
+            .load(path_glob)
+        )
+        # parity with the UTF-8 text source (Hadoop's line reader):
+        # swallow a CRLF's trailing \r; strip a leading BOM (UTF-16
+        # files conventionally carry one, and only the first decoded
+        # line of a file can start with it)
+        text = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\r$", "")
+        if charset.startswith("UTF-16"):
+            text = F.regexp_replace(text, "^﻿", "")
+        keep = ["_metadata"] if with_provenance else []
+        df = df.select(text.alias("text"), *keep)
+    elif fmt == "text":
         df = spark.read.text(path_glob).withColumnRenamed("value", "text")
     else:
         df = spark.read.format(fmt).load(path_glob)

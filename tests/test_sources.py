@@ -60,6 +60,47 @@ def test_input_file_line_idx_across_splits(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_input_file_encoding_gbk_and_utf16(spark):
+    """FileEncoding UTF8/UTF16/GBK (FileReaderOptions.h:30-34): the scan
+    decodes to UTF-8 strings JVM-side, provenance + multiline compose on
+    top, and a UTF-16 BOM is stripped."""
+    d = tempfile.mkdtemp(prefix="lcs_enc_")
+    lines = ["第%d行 价格=￥%d 模块=登录" % (i, i * 3) for i in range(200)]
+    try:
+        with open(f"{d}/g.log", "wb") as f:
+            f.write(("\n".join(lines) + "\n").encode("gbk"))
+        with open(f"{d}/u.log", "wb") as f:  # BOM + LE, CRLF line ends
+            f.write(("\r\n".join(lines)).encode("utf-16"))
+        got = input_file(spark, f"{d}/g.log", file_encoding="GBK")
+        rows = got.orderBy("_line_idx").collect()
+        assert [r["text"] for r in rows] == lines
+        assert [r["_line_idx"] for r in rows] == list(range(200))
+        u = input_file(spark, f"{d}/u.log", file_encoding="UTF16")
+        urows = [r["text"] for r in u.orderBy("_line_idx").collect()]
+        assert urows == lines  # BOM stripped, \r swallowed
+        bare = input_file(spark, f"{d}/g.log", file_encoding="GBK",
+                          with_provenance=False)
+        assert bare.columns == ["text"]
+        with pytest.raises(ValueError, match="FileEncoding"):
+            input_file(spark, f"{d}/g.log", file_encoding="EBCDIC")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_input_file_encoding_multiline_merge(spark):
+    """GBK decode composes with the multiline merge state machine."""
+    d = tempfile.mkdtemp(prefix="lcs_encm_")
+    try:
+        with open(f"{d}/m.log", "wb") as f:
+            f.write("错误 主行\n  栈帧一\n  栈帧二\n错误 下一条\n".encode("gbk"))
+        df = input_file(spark, f"{d}/m.log", file_encoding="GBK",
+                        multiline_start_rx="错误.*")
+        texts = sorted(r["text"] for r in df.collect())
+        assert texts == ["错误 下一条", "错误 主行\n  栈帧一\n  栈帧二"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_input_static_file_and_mock(spark):
     df = input_static_file(spark, "/root/testdata/sf0.001/events.parquet")
     assert df.count() > 0
