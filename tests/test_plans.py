@@ -118,3 +118,22 @@ def test_multiline_codegen_paths_have_no_python(parquet_transcripts):
         "StartPattern": r"\d+\..*", "EndPattern": r"action=.*",
     })
     assert "FlatMapGroupsInPandas" in _plan(fsm(parquet_transcripts))
+
+
+def test_no_codegen_compile_fallback_across_all_queries(spark):
+    """Janino rejects generated methods past 64 KB; Spark then silently
+    falls back to interpreted eval (the prom_remote_write regression: a
+    CASE subtree re-inlined per reference pushed processNext() past the
+    limit — 10x slower with zero test failures). codegen.fallback=false
+    turns that silent downgrade into a hard error; every driver query
+    must execute under it."""
+    from loongcollector_spark.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name, (fn, _sql) in QUERIES.items():
+            fn(spark, sf).count()  # raises on any codegen compile error
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
