@@ -99,6 +99,18 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
             })
         # reference convention: the raw field is named `content`
         return df.withColumnRenamed("text", "content")
+    if typ == "input_command":
+        return sources.service_command(
+            spark,
+            cfg["ScriptContent"],
+            script_type=cfg.get("ScriptType", "bash"),
+            content_encoding=cfg.get("ContentEncoding", "PlainText"),
+            line_split_sep=cfg.get("LineSplitSep", "\n"),
+            timeout_ms=cfg.get("TimeoutMilliSeconds", 3000),
+            cmd_path=cfg.get("CmdPath"),
+            environments=cfg.get("Environments"),
+            ignore_error=cfg.get("IgnoreError", False),
+        )
     if typ in ("service_mock", "metric_mock"):
         return sources.service_mock(
             spark, n_turns=cfg.get("Turns", 10_000)

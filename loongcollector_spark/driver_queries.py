@@ -3105,6 +3105,26 @@ JOIN fac ON fac.num = e.event_id % 24
 """
 
 
+def q_command_input(spark, sf_dir):
+    """input_command (input_command.go:175-230): a deterministic script's
+    stdout becomes (content, script_md5) rows — exercised end-to-end
+    through the driver-side exec + parallelize path."""
+    from loongcollector_spark.sources import service_command
+
+    df = service_command(spark, "seq 0 99\n")
+    return (
+        df.where(F.col("content") != "")      # trailing-\n empty line
+        .select(F.col("content").cast("int").alias("n"), "script_md5")
+    )
+
+
+O_COMMAND_INPUT = """
+SELECT cast(i AS INT) AS n,
+       'd71e1892b6b1cbdd30d1bc69a270dcdb' AS script_md5  -- md5 of the script
+FROM range(0, 100) t(i)
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -3190,4 +3210,5 @@ QUERIES = {
     "influx_decode": (q_influx_decode, O_INFLUX_DECODE),
     "statsd_decode": (q_statsd_decode, O_STATSD_DECODE),
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
+    "command_input": (q_command_input, O_COMMAND_INPUT),
 }

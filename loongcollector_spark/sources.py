@@ -169,6 +169,85 @@ def service_kafka(
     )
 
 
+# input_command (plugins/input/command/input_command.go:37-46,175-230;
+# command_const.go:17-52): run a user script, split stdout, one log per
+# line with the script-content md5 attached.
+_SCRIPT_TYPES = {"bash": ("sh", "/bin/bash"), "shell": ("sh", "/bin/sh"),
+                 "python3": ("py", "python3")}
+
+
+def service_command(
+    spark: SparkSession,
+    script_content: str,
+    script_type: str = "bash",
+    content_encoding: str = "PlainText",
+    line_split_sep: str = "\n",
+    timeout_ms: int = 3000,
+    cmd_path: str | None = None,
+    environments: list[str] | None = None,
+    ignore_error: bool = False,
+) -> DataFrame:
+    """input_command twin: acquisition is agent-side in the reference
+    and driver-side here (one bounded exec per trigger — the DATA never
+    routes through Python row-at-a-time; the captured stdout becomes a
+    parallelized frame the pipeline processes like any other source).
+    Emits (content, script_md5, ts); stdout splits on LineSplitSep, the
+    reference's (content, script_md5) per-line contract."""
+    import base64
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    if script_type not in _SCRIPT_TYPES:
+        raise ValueError(
+            f"service_command: ScriptType {script_type!r} not in "
+            f"{sorted(_SCRIPT_TYPES)} (python2 is not present here)"
+        )
+    if content_encoding not in ("PlainText", "Base64"):
+        raise ValueError(
+            f"service_command: ContentEncoding {content_encoding!r} "
+            "(PlainText|Base64)"
+        )
+    if content_encoding == "Base64":
+        script_content = base64.b64decode(script_content).decode("utf-8")
+    md5 = hashlib.md5(script_content.encode("utf-8")).hexdigest()
+    suffix, default_cmd = _SCRIPT_TYPES[script_type]
+    env = dict(os.environ)
+    for pair in environments or []:
+        k, _, v = pair.partition("=")
+        env[k] = v
+    with tempfile.NamedTemporaryFile("w", suffix=f".{suffix}", delete=False) as f:
+        f.write(script_content)
+        path = f.name
+    try:
+        proc = subprocess.run(
+            [cmd_path or default_cmd, path],
+            capture_output=True, text=True, env=env,
+            timeout=timeout_ms / 1000.0,
+        )
+        failed = proc.returncode != 0
+        stdout, stderr = proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        failed, stdout = True, (e.stdout or b"").decode("utf-8", "replace")
+        stderr = f"killed after {timeout_ms} ms"
+    finally:
+        os.unlink(path)
+    if failed:
+        if not ignore_error:
+            raise RuntimeError(
+                f"service_command: exec failed, stderr:{stderr!r} "
+                f"stdout:{stdout!r}"
+            )
+        lines = []  # reference alarms and emits nothing on error
+    else:
+        lines = stdout.split(line_split_sep) if line_split_sep else [stdout]
+    df = spark.createDataFrame(
+        [(line, md5) for line in lines], "content string, script_md5 string"
+    )
+    return df.withColumn("ts", F.current_timestamp())
+
+
 def service_jdbc(
     spark: SparkSession,
     url: str,

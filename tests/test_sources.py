@@ -101,6 +101,38 @@ def test_input_file_encoding_multiline_merge(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_service_command(spark):
+    """input_command (input_command.go:175-230): stdout splits on
+    LineSplitSep, each line carries the script-content md5; Base64
+    scripts decode; failures raise unless IgnoreError; timeouts kill."""
+    import base64
+    import hashlib
+
+    from loongcollector_spark.sources import service_command
+
+    script = "printf 'alpha\\nbeta\\ngamma'\n"
+    rows = service_command(spark, script).orderBy("content").collect()
+    assert [r["content"] for r in rows] == ["alpha", "beta", "gamma"]
+    md5 = hashlib.md5(script.encode()).hexdigest()
+    assert all(r["script_md5"] == md5 for r in rows)
+
+    b64 = base64.b64encode(b"echo fromb64").decode()
+    got = service_command(spark, b64, content_encoding="Base64").collect()
+    assert [r["content"] for r in got] == ["fromb64", ""]  # trailing \n
+
+    with pytest.raises(RuntimeError, match="exec failed"):
+        service_command(spark, "exit 3")
+    assert service_command(spark, "exit 3", ignore_error=True).count() == 0
+    with pytest.raises(RuntimeError, match="killed after"):
+        service_command(spark, "sleep 5", timeout_ms=300)
+    env = service_command(
+        spark, 'echo "v=$LCS_X"', environments=["LCS_X=42"]
+    ).collect()
+    assert env[0]["content"] == "v=42"
+    with pytest.raises(ValueError, match="ScriptType"):
+        service_command(spark, "x", script_type="perl")
+
+
 def test_input_static_file_and_mock(spark):
     df = input_static_file(spark, "/root/testdata/sf0.001/events.parquet")
     assert df.count() > 0
