@@ -1740,6 +1740,65 @@ FROM c
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """C4/Dolma-style PII redaction: emails → <EMAIL>, dotted quads →
+    <IP>, dashed phones → <PHONE>, with per-category audit counts. The
+    documents fixture is word soup, so deterministic PII is synthesized
+    from doc columns first (both engines run the same synthesis)."""
+    from loongcollector_spark.functions.curation import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" mail u"), ids, F.lit("@corp.example.com"),
+            F.lit(" from 10.2."), F.pmod("doc_id", F.lit(256)).cast("string"),
+            F.lit(".7 tel +1-555-01"), F.lpad(F.pmod("doc_id", F.lit(100)).cast("string"), 2, "0"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(" cc x"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(salted, "text")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      F.col("text_scrubbed").alias("scrubbed"))
+
+
+O_PII_SCRUB = """
+WITH s AS (
+  SELECT doc_id,
+    substr(text, 1, 40)
+      || ' mail u' || doc_id || '@corp.example.com'
+      || ' from 10.2.' || (doc_id % 256) || '.7 tel +1-555-01'
+      || lpad(cast(doc_id % 100 AS VARCHAR), 2, '0')
+      || CASE WHEN doc_id % 3 = 0 THEN ' cc x' ELSE '' END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+    cast(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM s
+),
+i AS (
+  SELECT doc_id, n_email,
+    cast(len(regexp_extract_all(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS INT)
+      AS n_ipv4,
+    regexp_replace(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS t2
+  FROM e
+)
+SELECT doc_id, n_email, n_ipv4,
+  cast(len(regexp_extract_all(t2,
+    '\\+?\\b\\d{1,3}[- ]\\d{3,4}[- ]\\d{3,4}\\b')) AS INT) AS n_phone,
+  regexp_replace(t2, '\\+?\\b\\d{1,3}[- ]\\d{3,4}[- ]\\d{3,4}\\b',
+                 '<PHONE>', 'g') AS scrubbed
+FROM i
+"""
+
+
 def q_lang_id(spark, sf_dir):
     from loongcollector_spark.functions.text import with_lang_guess
 
@@ -3211,4 +3270,5 @@ QUERIES = {
     "statsd_decode": (q_statsd_decode, O_STATSD_DECODE),
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
     "command_input": (q_command_input, O_COMMAND_INPUT),
+    "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
 }

@@ -178,3 +178,33 @@ def pack_assignments(df: DataFrame, budget: int = 256,
         F.floor(cum / budget).cast("int").alias("bin_id"),
         (cum % budget).cast("int").alias("bin_offset"),
     )
+
+
+# PII scrubbing — the C4/Dolma-style redaction pass between dedup and
+# shard writing. Patterns are deliberately RE2-compatible (no lookaround,
+# no backreferences) so the DuckDB oracle replays them verbatim and a
+# fastText/Presidio-class NER scrubber could slot in later as a
+# broadcast-model pandas UDF without changing the surface.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?\b\d{1,3}[- ]\d{3,4}[- ]\d{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses and dashed/spaced phone numbers to
+    typed placeholders, keeping per-category match counts for curation
+    audit dashboards. Order matters and is fixed: emails first (their
+    local part can contain digits a later pass would half-eat), then
+    IPs (dotted quads would otherwise match the phone shape), then
+    phones. Pure codegen ``regexp_replace``/``regexp_count`` — one
+    projection, no shuffle, no Python."""
+    scrubbed = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, rx, token in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(rx)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, rx, token)
+    return df.select(
+        *df.columns, *counts, scrubbed.alias(f"{text_col}_scrubbed")
+    )

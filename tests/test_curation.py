@@ -121,3 +121,30 @@ def test_pack_assignments_bins_respect_budget_continuity(spark):
     ).groupBy("source").agg(F.max("end").alias("end")).collect()
     for r in last:
         assert r["end"] == tot[r["source"]]
+
+
+def test_pii_scrub_categories_and_order(spark):
+    from loongcollector_spark.functions.curation import pii_scrub
+
+    rows = [
+        (1, "write to Bob.Smith+x@sub.example.co.uk today", "s"),
+        (2, "server 192.168.001.5 and 10.0.0.1 up", "s"),
+        (3, "call +1-555-0100 or 555 123 4567 now", "s"),
+        (4, "mixed a@b.io from 8.8.8.8 tel 86-1234-5678", "s"),
+        (5, "clean text, version 1.2 build 34", "s"),
+        (6, None, "s"),
+    ]
+    got = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert got[1]["text_scrubbed"] == "write to <EMAIL> today"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[2]["text_scrubbed"] == "server <IP> and <IP> up"
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["text_scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert got[3]["n_phone"] == 2
+    # order: email eaten before its digits could feed phone; dotted quad
+    # never half-matches the phone shape
+    assert got[4]["text_scrubbed"] == "mixed <EMAIL> from <IP> tel <PHONE>"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+    # version/build numbers survive (precision guard)
+    assert got[5]["text_scrubbed"] == rows[4][1]
+    assert got[6]["text_scrubbed"] == ""
