@@ -1799,6 +1799,186 @@ FROM i
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level repeated-line removal (CCNet/Dolma boilerplate pass):
+    transcripts ARE the lines frame (conv = document, turn = line); lines
+    whose trimmed text occurs ≥5 times across the corpus are dropped and
+    each conversation is reassembled from its survivors in turn order."""
+    from loongcollector_spark.functions.curation import line_dedup
+
+    df = transcripts_from_events(spark, sf_dir)
+    out = line_dedup(df, threshold=5, id_col="conv_id",
+                     order_col="turn_idx", line_col="text")
+    return out.select(
+        "conv_id", "n_kept", "n_removed",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+    )
+
+
+O_LINE_DEDUP = _ORACLE_T + """
+, bp AS (
+  SELECT trim(text) AS k FROM t WHERE trim(text) <> ''
+  GROUP BY 1 HAVING count(*) >= 5
+), flagged AS (
+  SELECT t.conv_id, t.turn_idx, t.text,
+         (bp.k IS NOT NULL) AS rm
+  FROM t LEFT JOIN bp ON trim(t.text) = bp.k
+)
+SELECT conv_id,
+  cast(sum(CASE WHEN rm THEN 0 ELSE 1 END) AS INT) AS n_kept,
+  cast(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS INT) AS n_removed,
+  md5(coalesce(string_agg(CASE WHEN rm THEN NULL ELSE text END, chr(10)
+                          ORDER BY turn_idx), '')) AS clean_md5
+FROM flagged GROUP BY conv_id
+"""
+
+
+def q_url_domains(spark, sf_dir):
+    """URL hygiene: per-registrable-domain crawl stats + blocklist flag.
+    The transcripts fixture has no URL column, so both engines derive the
+    same deterministic URL from (conv_id, turn_idx): mixed-case hosts,
+    occasional ports and subdomains exercise the normalization path."""
+    from loongcollector_spark.functions.curation import domain_stats
+
+    df = transcripts_from_events(spark, sf_dir)
+    n = F.substring("conv_id", 6, 8).cast("long")
+    site = F.pmod(n + F.col("turn_idx"), F.lit(7))
+    tld = F.when(F.pmod(n, F.lit(3)) == 0, ".com").otherwise(".org")
+    sub = F.when(F.pmod(F.col("turn_idx"), F.lit(4)) == 0, "CDN.")\
+        .otherwise(F.lit("www."))
+    port = F.when(F.pmod(F.col("turn_idx"), F.lit(5)) == 0, ":8080")\
+        .otherwise(F.lit(""))
+    urls = df.select(
+        F.concat(
+            F.lit("https://"), sub, F.lit("Site-"), site.cast("string"),
+            tld, port, F.lit("/p/"), F.col("turn_idx").cast("string"),
+        ).alias("url")
+    )
+    return domain_stats(urls, "url", blocked=["site-3.com", "site-5.org"])
+
+
+O_URL_DOMAINS = _ORACLE_T + """
+, u AS (
+  SELECT 'https://'
+    || CASE WHEN turn_idx % 4 = 0 THEN 'CDN.' ELSE 'www.' END
+    || 'Site-' || cast((cast(substr(conv_id, 6, 8) AS BIGINT) + turn_idx) % 7 AS VARCHAR)
+    || CASE WHEN cast(substr(conv_id, 6, 8) AS BIGINT) % 3 = 0 THEN '.com' ELSE '.org' END
+    || CASE WHEN turn_idx % 5 = 0 THEN ':8080' ELSE '' END
+    || '/p/' || cast(turn_idx AS VARCHAR) AS url
+  FROM t
+), h AS (
+  SELECT lower(regexp_replace(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+           ':\\d+$', '')) AS host
+  FROM u
+), d AS (
+  SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain, host
+  FROM h WHERE host <> ''
+), per_host AS (
+  SELECT domain, host, count(*) AS n FROM d GROUP BY 1, 2
+)
+SELECT domain,
+  cast(sum(n) AS INT) AS n_urls,
+  cast(count(*) AS INT) AS n_hosts,
+  domain IN ('site-3.com', 'site-5.org') AS blocked
+FROM per_host GROUP BY domain
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode/whitespace normalization pass: control chars → space,
+    curly quotes and long dashes → ASCII, NBSP → space, runs collapsed.
+    Deterministic mess is injected from doc columns first (both engines
+    run the same synthesis)."""
+    from loongcollector_spark.functions.text import normalize_text
+
+    d = _docs(spark, sf_dir)
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("“Q” ‘x’ — "),
+            F.substring("text", 1, 50),
+            F.lit("\tcol"), F.lit("\u00a0nb "),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("\x01ctl\x07"))
+            .otherwise(F.lit("  sp  ")),
+            F.lit(" – end  "),
+        ).alias("text"),
+    )
+    out = normalize_text(messy, "text")
+    return out.select(
+        "doc_id",
+        F.length("text_norm").alias("norm_len"),
+        F.md5(F.col("text_norm").cast("binary")).alias("norm_md5"),
+    )
+
+
+O_TEXT_NORMALIZE = """
+WITH s AS (
+  SELECT doc_id,
+    chr(8220) || 'Q' || chr(8221) || ' ' || chr(8216) || 'x' || chr(8217)
+      || ' ' || chr(8212) || ' ' || substr(text, 1, 50)
+      || chr(9) || 'col' || chr(160) || 'nb '
+      || CASE WHEN doc_id % 2 = 0 THEN chr(1) || 'ctl' || chr(7)
+              ELSE '  sp  ' END
+      || ' ' || chr(8211) || ' end  ' AS text
+  FROM documents
+), n1 AS (
+  SELECT doc_id,
+    regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', ' ', 'g') AS t
+  FROM s
+), n2 AS (
+  SELECT doc_id,
+    translate(t, chr(8220) || chr(8221) || chr(8216) || chr(8217)
+                 || chr(8212) || chr(8211) || chr(160),
+              '""''''--' || ' ') AS t
+  FROM n1
+), n3 AS (
+  SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM n2
+)
+SELECT doc_id, cast(length(t) AS INT) AS norm_len, md5(t) AS norm_md5
+FROM n3
+"""
+
+
+def q_dup_ngram_ratio(spark, sf_dir):
+    """Gopher dup-n-gram repetition signals (n=2) over the documents
+    table: total/distinct bigram counts and integer-quantized duplicate
+    and top-gram fractions."""
+    from loongcollector_spark.functions.text import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(spark, sf_dir), n=2)
+
+
+O_DUP_NGRAM_RATIO = """
+WITH w AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+      AS words
+  FROM documents
+), idx AS (
+  SELECT doc_id, words,
+    unnest(CASE WHEN len(words) >= 2 THEN range(1, len(words))
+                ELSE [] END) AS i
+  FROM w
+), grams AS (
+  SELECT doc_id, md5(words[i] || ' ' || words[i + 1]) AS g FROM idx
+), per AS (
+  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(cnt) AS total, count(*) AS n_distinct, max(cnt) AS top
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+  cast(coalesce(a.total, 0) AS INT) AS n_grams,
+  cast(coalesce(a.n_distinct, 0) AS INT) AS n_distinct,
+  cast(coalesce(floor(1000 * (a.total - a.n_distinct) / a.total), 0) AS INT)
+    AS dup_frac_1e3,
+  cast(coalesce(floor(1000 * a.top / a.total), 0) AS INT)
+    AS top_gram_frac_1e3
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_lang_id(spark, sf_dir):
     from loongcollector_spark.functions.text import with_lang_guess
 
@@ -3271,4 +3451,8 @@ QUERIES = {
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
     "command_input": (q_command_input, O_COMMAND_INPUT),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
+    "line_dedup": (q_line_dedup, O_LINE_DEDUP),
+    "url_domains": (q_url_domains, O_URL_DOMAINS),
+    "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
+    "dup_ngram_ratio": (q_dup_ngram_ratio, O_DUP_NGRAM_RATIO),
 }

@@ -208,3 +208,146 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         *df.columns, *counts, scrubbed.alias(f"{text_col}_scrubbed")
     )
+
+
+def boilerplate_lines(lines: DataFrame, threshold: int = 5,
+                      line_col: str = "text") -> DataFrame:
+    """The corpus-frequent line set: one row per distinct trimmed line
+    occurring at least ``threshold`` times across the whole corpus
+    (column ``_bp_line``). This is the CCNet/Dolma boilerplate signal —
+    navigation bars, cookie banners, license footers repeat verbatim
+    across millions of pages while real prose does not.
+
+    Scale shape: ONE count aggregation keyed by the line text. Hot
+    boilerplate lines are exactly the skewed keys, and exactly the ones
+    map-side partial aggregation collapses to one row per input
+    partition before the shuffle — the skew pays O(partitions), not
+    O(occurrences). The result is corpus-boilerplate-sized (small by
+    construction), which is what makes the removal join broadcastable.
+    """
+    key = F.trim(F.coalesce(F.col(line_col), F.lit("")))
+    return (
+        lines.select(key.alias("_bp_line"))
+        .filter(F.col("_bp_line") != "")
+        .groupBy("_bp_line")
+        .agg(F.count("*").alias("_bp_n"))
+        .filter(F.col("_bp_n") >= threshold)
+        .select("_bp_line")
+    )
+
+
+def line_dedup(lines: DataFrame, threshold: int = 5,
+               id_col: str = "doc_id", order_col: str = "line_idx",
+               line_col: str = "text") -> DataFrame:
+    """Corpus-level repeated-line removal (CCNet §3.1 / Dolma's exact
+    paragraph dedup): drop every line whose trimmed form appears at
+    least ``threshold`` times across the corpus, then reassemble each
+    document from its surviving lines in stable order.
+
+    Input is a LINES frame (id, order, line) — the shape a log pipeline
+    already has after splitting; blob documents get there with one
+    ``posexplode(split(text, '\\n'))``.
+
+    Returns one row per document: ``text_clean`` (survivors joined by
+    '\\n', '' when everything was boilerplate), ``n_kept``, ``n_removed``.
+
+    Scale shape: the boilerplate set is counted with one map-side-
+    combinable aggregation (see :func:`boilerplate_lines`), then
+    BROADCAST — the corpus itself is never shuffled for the membership
+    test; the only full shuffle is the per-document reassembly, keyed by
+    doc id (no hot keys: a document has bounded lines). At 100 TB the
+    broadcast holds only lines repeated ≥ threshold times, and the
+    threshold is precisely the knob that keeps it small.
+    """
+    bp = F.broadcast(boilerplate_lines(lines, threshold, line_col))
+    key = F.trim(F.coalesce(F.col(line_col), F.lit("")))
+    flagged = (
+        lines.join(bp, key == F.col("_bp_line"), "left")
+        .withColumn("_rm", F.col("_bp_line").isNotNull())
+    )
+    # collect_list skips null inputs, so the when() both drops removed
+    # lines and keeps the aggregate null-free — no per-element filter
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(~F.col("_rm"), F.struct(order_col, line_col)))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(kept_structs, lambda s: s[line_col])
+            ).alias("text_clean"),
+            F.sum((~F.col("_rm")).cast("long")).alias("n_kept"),
+            F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+        )
+        .select(
+            id_col, "text_clean",
+            F.col("n_kept").cast("int").alias("n_kept"),
+            F.col("n_removed").cast("int").alias("n_removed"),
+        )
+    )
+
+
+# URL hygiene — the web-pipeline step between fetch and text extraction:
+# count crawl volume per registrable domain and drop blocklisted ones.
+_URL_HOST_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(col):
+    """Host part of a URL (lowercased, port stripped); '' for non-URLs."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.coalesce(col, F.lit("")), _URL_HOST_RX, 1),
+            r":\d+$", "",
+        )
+    )
+
+
+def registrable_domain(col):
+    """Last two host labels ('cdn.assets.example.com' → 'example.com') —
+    the public-suffix-list-free approximation every quick crawl audit
+    uses; a real PSL lookup is a broadcast dict_map drop-in."""
+    host = url_host(col)
+    return F.when(
+        host == "", F.lit("")
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 blocked: list[str] | None = None) -> DataFrame:
+    """Per-registrable-domain crawl stats with blocklist marking: one row
+    per domain with ``n_urls``, ``n_hosts`` (distinct), and ``blocked``.
+    The blocklist is a plan-time literal set (real blocklists are a
+    broadcast join on a side table — same plan shape as processor_dict_map,
+    which this reuses at scale). Pure codegen: regex host extraction runs
+    in the scan stage; one count aggregation shuffles (domain, host) pairs
+    only, never URLs or text."""
+    blocked_set = [b.lower() for b in (blocked or [])]
+    dom = registrable_domain(F.col(url_col))
+    per_host = (
+        df.select(dom.alias("domain"), url_host(F.col(url_col)).alias("_h"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain", "_h")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        per_host.groupBy("domain")
+        .agg(
+            F.sum("_n").cast("int").alias("n_urls"),
+            F.count("*").cast("int").alias("n_hosts"),
+        )
+        .withColumn(
+            "blocked",
+            F.col("domain").isin(*blocked_set) if blocked_set else F.lit(False),
+        )
+    )
+
+
+def blocklist_filter(df: DataFrame, url_col: str = "url",
+                     blocked: list[str] | None = None) -> DataFrame:
+    """Drop rows whose URL's registrable domain is blocklisted — the
+    row-level twin of :func:`domain_stats`; a pure filter in the scan
+    stage (no shuffle, no join) for the literal-list form."""
+    blocked_set = [b.lower() for b in (blocked or [])]
+    if not blocked_set:
+        return df
+    return df.filter(~registrable_domain(F.col(url_col)).isin(*blocked_set))

@@ -129,3 +129,73 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
             & (top_ratio <= 200)
         ).alias("gopher_ok"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str | None = None) -> DataFrame:
+    """Deterministic text normalization (the cleanup pass between HTML
+    extraction and dedup in a web corpus): ASCII control chars → space,
+    curly quotes/long dashes → ASCII, whitespace runs collapsed to one
+    space, trimmed. Fixed pass order; every pass is an RE2-portable
+    regexp_replace / translate so the DuckDB oracle replays it verbatim.
+    One codegen projection — runs inside the scan stage, no shuffle."""
+    out_col = out_col or f"{text_col}_norm"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(t, "[\x00-\x08\x0b-\x1f\x7f]", " ")
+    # curly quotes, em/en dash, NBSP -> ASCII; \u escapes so the
+    # mapping is visible and byte-stable against editors/linters
+    t = F.translate(t, "\u201c\u201d\u2018\u2019\u2014\u2013\u00a0",
+                    "\"\"''-- ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out_col, t)
+
+
+def dup_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-n-gram repetition signals (Gopher §A1.1's dup-n-gram
+    family, the strongest boilerplate/spam predictor after exact dedup):
+    per document, ``n_grams`` (total word n-grams), ``n_distinct``,
+    ``dup_frac_1e3`` = floor(1000·(1 − distinct/total)), and
+    ``top_gram_frac_1e3`` = floor(1000·count(most frequent n-gram)/total).
+    Documents with fewer than ``n`` words score 0 grams and 0 fractions.
+
+    Scale shape: the same two-level aggregation as gopher_quality —
+    explode grams → partial-agg (doc, gram) → partial-agg (doc). Both
+    shuffles carry (hash, count) pairs, never text: grams are md5'd
+    before the first exchange, so shuffle width is constant no matter
+    how long the words are. Keyed by (doc, gram): hot GRAMS do not make
+    hot partitions."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                         r"\s+", " "), " ")
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(words, i, n), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.col("_g")).alias("_cnt"))
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("_cnt").alias("_total"),
+        F.count(F.col("_g")).alias("_distinct"),
+        F.max("_cnt").alias("_top"),
+    )
+    # integer numerator (1000*(t-d)) then one divide: both engines see
+    # the identical IEEE double, so floor can't straddle a boundary
+    dup_frac = F.floor(
+        F.try_divide(1000 * (F.col("_total") - F.col("_distinct")), F.col("_total"))
+    )
+    top_frac = F.floor(F.try_divide(1000 * F.col("_top"), F.col("_total")))
+    return agg.select(
+        id_col,
+        F.coalesce(F.col("_total"), F.lit(0)).cast("int").alias("n_grams"),
+        F.col("_distinct").cast("int").alias("n_distinct"),
+        F.coalesce(dup_frac, F.lit(0)).cast("int").alias("dup_frac_1e3"),
+        F.coalesce(top_frac, F.lit(0)).cast("int").alias("top_gram_frac_1e3"),
+    )

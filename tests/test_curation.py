@@ -148,3 +148,69 @@ def test_pii_scrub_categories_and_order(spark):
     # version/build numbers survive (precision guard)
     assert got[5]["text_scrubbed"] == rows[4][1]
     assert got[6]["text_scrubbed"] == ""
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, line_idx int, text string")
+
+
+def test_line_dedup_removes_corpus_frequent_lines(spark):
+    from loongcollector_spark.functions.curation import line_dedup
+
+    rows = []
+    for d in range(4):
+        rows.append((d, 0, "COOKIE BANNER"))       # 4 occurrences
+        rows.append((d, 1, f"unique prose {d}"))
+        rows.append((d, 2, "  COOKIE BANNER  "))   # trims to the same key
+    rows.append((9, 0, ""))                        # empty never boilerplate
+    rows.append((9, 1, "COOKIE BANNER"))           # 9th occurrence
+    got = {r["doc_id"]: r for r in line_dedup(
+        _lines(spark, rows), threshold=5, id_col="doc_id",
+        order_col="line_idx", line_col="text").collect()}
+    for d in range(4):
+        assert got[d]["n_removed"] == 2 and got[d]["n_kept"] == 1
+        assert got[d]["text_clean"] == f"unique prose {d}"
+    assert got[9]["n_removed"] == 1  # the banner
+    assert got[9]["text_clean"] == ""  # empty line kept, joins to ''
+    assert got[9]["n_kept"] == 1
+
+
+def test_line_dedup_below_threshold_keeps_everything(spark):
+    from loongcollector_spark.functions.curation import line_dedup
+
+    rows = [(1, 0, "a"), (1, 1, "b"), (2, 0, "a")]
+    got = {r["doc_id"]: r for r in line_dedup(
+        _lines(spark, rows), threshold=3).collect()}
+    assert got[1]["text_clean"] == "a\nb" and got[1]["n_removed"] == 0
+    assert got[2]["text_clean"] == "a"
+
+
+def test_line_dedup_plan_broadcasts_boilerplate(spark):
+    from loongcollector_spark.functions.curation import line_dedup
+
+    plan = line_dedup(
+        _lines(spark, [(1, 0, "x")]), threshold=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_stats_normalizes_and_blocks(spark):
+    from loongcollector_spark.functions.curation import (
+        blocklist_filter, domain_stats)
+
+    df = spark.createDataFrame(
+        [("https://WWW.Evil.COM:8080/x",), ("http://cdn.evil.com/y",),
+         ("https://good.org/z",), ("not a url",), (None,)],
+        "url string")
+    got = {r["domain"]: r for r in domain_stats(
+        df, "url", blocked=["evil.com"]).collect()}
+    assert set(got) == {"evil.com", "good.org"}
+    assert got["evil.com"]["n_urls"] == 2
+    assert got["evil.com"]["n_hosts"] == 2  # www.evil.com + cdn.evil.com
+    assert got["evil.com"]["blocked"] is True
+    assert got["good.org"]["blocked"] is False
+
+    kept = blocklist_filter(df, "url", ["evil.com"]).collect()
+    assert sorted(r["url"] for r in kept if r["url"]) == [
+        "https://good.org/z", "not a url"]  # non-URLs pass through

@@ -527,3 +527,35 @@ def test_gopher_quality_signals(spark):
     assert not r[2]["gopher_ok"] and r[2]["top_word_ratio_1e3"] == 1000
     assert not r[3]["gopher_ok"] and r[3]["stop_hits"] == 0
     assert not r[4]["gopher_ok"] and r[4]["n_words"] == 3
+
+
+def test_normalize_text_passes(spark):
+    from loongcollector_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "“Q” ‘x’ — a\x01b\tc d   e – f  "),
+         (2, None), (3, "plain")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"]
+           for r in normalize_text(df).collect()}
+    assert got[1] == "\"Q\" 'x' - a b c d e - f"
+    assert got[2] == ""
+    assert got[3] == "plain"
+
+
+def test_dup_ngram_stats_golden(spark):
+    from loongcollector_spark.functions.text import dup_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),   # bigrams: ab,ba,ab,ba -> 4 total, 2 distinct
+         (2, "x y z"),       # 2 total, 2 distinct
+         (3, "one"),         # < n words
+         (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_stats(df, n=2).collect()}
+    assert (got[1]["n_grams"], got[1]["n_distinct"]) == (4, 2)
+    assert got[1]["dup_frac_1e3"] == 500
+    assert got[1]["top_gram_frac_1e3"] == 500
+    assert (got[2]["n_grams"], got[2]["dup_frac_1e3"]) == (2, 0)
+    assert got[3]["n_grams"] == 0 and got[3]["dup_frac_1e3"] == 0
+    assert got[4]["n_grams"] == 0
