@@ -1979,6 +1979,84 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation chain as ONE Spark plan — the composition
+    a 100 TB pipeline runs between "parsed turns" and "training shards":
+    conversation merge (ordered) → text normalization → token count →
+    fingerprint → exact-dedup canonical survivor → length quality gate →
+    deterministic md5-draw sampling flag. Every stage is an operator that
+    is also oracled on its own; this query proves the stages compose in
+    one lineage (two shuffles total: the conv merge and the fingerprint
+    dedup window — normalization/scoring/sampling all ride the scan)."""
+    from pyspark.sql import Window
+
+    from loongcollector_spark.functions.curation import rate_cutoff_hex
+    from loongcollector_spark.functions.text import normalize_text
+
+    t = transcripts_from_events(spark, sf_dir)
+    docs = t.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    norm = normalize_text(docs, "text").select(
+        "conv_id", F.col("text_norm").alias("text")
+    )
+    scored = norm.select(
+        "conv_id",
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split(F.col("text"), " ")))
+        .cast("int").alias("n_tokens"),
+        F.md5(F.lower(F.col("text")).cast("binary")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    cutoff = rate_cutoff_hex(0.5)
+    return scored.select(
+        "conv_id", "n_tokens", "fingerprint",
+        (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_canonical"),
+        (F.col("n_tokens") >= 10).alias("quality_ok"),
+        (
+            F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 4)
+            < F.lit(cutoff)
+        ).alias("sampled"),
+    )
+
+
+O_CURATION_PIPELINE = _ORACLE_T + """
+, docs AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM t GROUP BY conv_id
+), n1 AS (
+  SELECT conv_id,
+    regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', ' ', 'g') AS tx
+  FROM docs
+), n2 AS (
+  SELECT conv_id,
+    translate(tx, chr(8220) || chr(8221) || chr(8216) || chr(8217)
+                  || chr(8212) || chr(8211) || chr(160),
+              '""''''--' || ' ') AS tx
+  FROM n1
+), n3 AS (
+  SELECT conv_id, trim(regexp_replace(tx, '\\s+', ' ', 'g')) AS norm FROM n2
+), scored AS (
+  SELECT conv_id,
+    cast(CASE WHEN norm = '' THEN 0
+              ELSE len(string_split(norm, ' ')) END AS INT) AS n_tokens,
+    md5(lower(norm)) AS fingerprint
+  FROM n3
+)
+SELECT conv_id, n_tokens, fingerprint,
+  conv_id = min(conv_id) OVER (PARTITION BY fingerprint) AS is_canonical,
+  n_tokens >= 10 AS quality_ok,
+  substr(md5(conv_id), 1, 4) < '""" + "8000" + """' AS sampled
+FROM scored
+"""
+
+
 def q_lang_id(spark, sf_dir):
     from loongcollector_spark.functions.text import with_lang_guess
 
@@ -3455,4 +3533,5 @@ QUERIES = {
     "url_domains": (q_url_domains, O_URL_DOMAINS),
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "dup_ngram_ratio": (q_dup_ngram_ratio, O_DUP_NGRAM_RATIO),
+    "curation_pipeline": (q_curation_pipeline, O_CURATION_PIPELINE),
 }
