@@ -165,21 +165,28 @@ def dup_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text",
     before the first exchange, so shuffle width is constant no matter
     how long the words are. Keyed by (doc, gram): hot GRAMS do not make
     hot partitions."""
-    words = F.split(
+    words_expr = F.split(
         F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
                          r"\s+", " "), " ")
+    # materialize the word array in its own projection FIRST: a raw
+    # split() captured inside the transform lambda re-evaluates per gram
+    # (O(words²) per doc — the _with_shingles lesson, measured 10x); and
+    # md5 moves OUT of the (interpreted) lambda into the groupBy key,
+    # where it runs as codegen on the exploded rows before the partial agg
+    words = F.col("_words")
     nw = F.size(words)
     grams = F.when(
         nw >= n,
         F.transform(
             F.sequence(F.lit(1), nw - n + 1),
-            lambda i: F.md5(F.array_join(F.slice(words, i, n), " ").cast("binary")),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
-        .groupBy(id_col, "_g")
-        .agg(F.count(F.col("_g")).alias("_cnt"))
+        df.select(F.col(id_col), words_expr.alias("_words"))
+        .select(F.col(id_col), F.explode_outer(grams).alias("_gt"))
+        .groupBy(id_col, F.md5(F.col("_gt").cast("binary")).alias("_g"))
+        .agg(F.count(F.col("_gt")).alias("_cnt"))
     )
     agg = per_gram.groupBy(id_col).agg(
         F.sum("_cnt").alias("_total"),

@@ -137,3 +137,46 @@ def test_no_codegen_compile_fallback_across_all_queries(spark):
             fn(spark, sf).count()  # raises on any codegen compile error
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_line_dedup_corpus_is_never_shuffled_for_membership(spark):
+    """line_dedup's scale contract: the membership test against the
+    boilerplate set is a BROADCAST join (the corpus side never exchanges
+    for it); the only hashpartitioning exchanges are the boilerplate
+    count agg and the per-doc reassembly."""
+    from loongcollector_spark.functions.curation import line_dedup
+
+    lines = spark.createDataFrame(
+        [(1, 0, "x"), (1, 1, "y")], "doc_id long, line_idx int, text string"
+    )
+    plan = _plan(line_dedup(lines, threshold=2))
+    assert "BroadcastExchange" in plan
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) <= 2, plan
+
+
+def test_dup_ngram_stats_shuffles_hashes_not_text(spark):
+    """Both exchanges carry (id, md5-hash) pairs — gram text never
+    crosses the wire; both aggregations partial-aggregate map-side."""
+    from loongcollector_spark.functions.text import dup_ngram_stats
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(dup_ngram_stats(df, n=2))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert shuffles and all("text" not in ln for ln in shuffles), plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_curation_pipeline_query_two_exchanges(spark, tmp_path):
+    """The composite curation chain keeps its two-shuffle contract:
+    conversation merge + fingerprint dedup window; normalization,
+    scoring and the sampling draw all ride the scan/merge stages."""
+    from loongcollector_spark.driver_queries import QUERIES
+
+    df = QUERIES["curation_pipeline"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) <= 2, plan
