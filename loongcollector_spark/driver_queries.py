@@ -1924,13 +1924,13 @@ WITH s AS (
   FROM documents
 ), n1 AS (
   SELECT doc_id,
-    regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', ' ', 'g') AS t
+    regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]', ' ', 'g') AS t
   FROM s
 ), n2 AS (
   SELECT doc_id,
     translate(t, chr(8220) || chr(8221) || chr(8216) || chr(8217)
-                 || chr(8212) || chr(8211) || chr(160),
-              '""''''--' || ' ') AS t
+                 || chr(8212) || chr(8211),
+              '""''''--') AS t
   FROM n1
 ), n3 AS (
   SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM n2
@@ -2032,13 +2032,13 @@ O_CURATION_PIPELINE = _ORACLE_T + """
   FROM t GROUP BY conv_id
 ), n1 AS (
   SELECT conv_id,
-    regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', ' ', 'g') AS tx
+    regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]', ' ', 'g') AS tx
   FROM docs
 ), n2 AS (
   SELECT conv_id,
     translate(tx, chr(8220) || chr(8221) || chr(8216) || chr(8217)
-                  || chr(8212) || chr(8211) || chr(160),
-              '""''''--' || ' ') AS tx
+                  || chr(8212) || chr(8211),
+              '""''''--') AS tx
   FROM n1
 ), n3 AS (
   SELECT conv_id, trim(regexp_replace(tx, '\\s+', ' ', 'g')) AS norm FROM n2

@@ -141,11 +141,20 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     One codegen projection — runs inside the scan stage, no shuffle."""
     out_col = out_col or f"{text_col}_norm"
     t = F.coalesce(F.col(text_col), F.lit(""))
-    t = F.regexp_replace(t, "[\x00-\x08\x0b-\x1f\x7f]", " ")
-    # curly quotes, em/en dash, NBSP -> ASCII; \u escapes so the
-    # mapping is visible and byte-stable against editors/linters
-    t = F.translate(t, "\u201c\u201d\u2018\u2019\u2014\u2013\u00a0",
-                    "\"\"''-- ")
+    # ONE class for everything that becomes a plain space: C0 controls,
+    # DEL + the C1 block (NEL U+0085 lives there -- Java \s does NOT
+    # match it), NBSP, and the unicode space family (ogham, en/em
+    # spaces, line/para separators, narrow/medium NBSP, ideographic).
+    # \u escapes keep the class visible and byte-stable in the source.
+    t = F.regexp_replace(
+        t,
+        "[\x00-\x08\x0b-\x1f\x7f-\x9f\u00a0\u1680\u2000-\u200a"
+        "\u2028\u2029\u202f\u205f\u3000]",
+        " ",
+    )
+    # curly quotes, em/en dash -> ASCII
+    t = F.translate(t, "\u201c\u201d\u2018\u2019\u2014\u2013",
+                    "\"\"''--")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return df.withColumn(out_col, t)
 

@@ -75,3 +75,57 @@ def test_salted_repartition_order_contract(spark):
         check, "sorted_ok boolean"
     )
     assert res.filter("NOT sorted_ok").count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.text(max_size=16)),
+    min_size=1, max_size=40,
+))
+def test_line_dedup_conserves_lines_and_matches_model(spark, items):
+    """Invariants on arbitrary corpora: every input line is either kept
+    or removed (n_kept + n_removed == doc's line count), and the
+    survivors equal a direct Python model of the threshold rule."""
+    from collections import Counter, defaultdict
+
+    from loongcollector_spark.functions.curation import line_dedup
+
+    rows = [(doc, i, txt) for i, (doc, txt) in enumerate(items)]
+    df = spark.createDataFrame(rows, "doc_id long, line_idx int, text string")
+    thr = 2
+    got = {r["doc_id"]: r for r in line_dedup(
+        df, threshold=thr, id_col="doc_id",
+        order_col="line_idx", line_col="text").collect()}
+
+    counts = Counter(t.strip() for _, _, t in rows if t.strip())
+    boiler = {k for k, c in counts.items() if c >= thr}
+    per_doc = defaultdict(list)
+    for doc, i, txt in rows:
+        per_doc[doc].append((i, txt))
+    for doc, lines in per_doc.items():
+        lines.sort()
+        kept = [t for _, t in lines if t.strip() not in boiler]
+        assert got[doc]["n_kept"] + got[doc]["n_removed"] == len(lines)
+        assert got[doc]["n_kept"] == len(kept)
+        assert got[doc]["text_clean"] == "\n".join(kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=25))
+def test_normalize_text_idempotent_and_clean(spark, texts):
+    """normalize(normalize(x)) == normalize(x); output carries no control
+    chars, no double spaces, no curly quotes, no NBSP."""
+    import re as _re
+
+    from loongcollector_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = normalize_text(df, "text").select(
+        "doc_id", F.col("text_norm").alias("text"))
+    twice = normalize_text(once, "text")
+    for r in twice.collect():
+        assert r["text"] == r["text_norm"]  # idempotent
+        assert not _re.search("[\x00-\x08\x0b-\x1f\x7f“”‘’—– ]", r["text"])
+        assert "  " not in r["text"]
+        assert r["text"] == r["text"].strip()
