@@ -6,7 +6,9 @@
    parse→enrich→route→aggregate, sinks written) at TWO parallelism levels
    — W turns on local[N] and 4W turns on local[4N] — and reports the
    WEAK-scaling efficiency T_N / T_4N (BASELINE.json requires ≥0.8
-   between N and 4N);
+   between N and 4N), PLUS a STRONG-scaling pair (the SAME 4W input at
+   local[N] and local[4N]; efficiency = T_N / (4·T_4N)) per the round-3
+   task statement's same-input criterion;
 3. reports peak throughput at local[$SPARK_GRAFT_CPUS].
 
 EVERY measurement runs in its own subprocess: a JVM's heap setting is
@@ -93,6 +95,21 @@ def main():
         high_walls = [r["wall_s"] for r in highs]
         efficiency = statistics.median(low_walls) / statistics.median(high_walls)
 
+        # --- phase 2b: STRONG scaling — the SAME 4W input at N and 4N
+        # cores (the task statement's literal criterion: same job, same
+        # input, two parallelism levels). Reuses the high-side medians
+        # above for the 4N leg; ideal speedup is 4, so efficiency =
+        # T_N / (4 * T_4N).
+        lows_strong = [
+            _sub("bench_worker.py", low_cpus, f"{base}/high", high_turns)
+            for _ in range(reps)
+        ]
+        low_strong = sorted(lows_strong, key=lambda r: r["wall_s"])[
+            len(lows_strong) // 2]
+        low_strong_walls = [r["wall_s"] for r in lows_strong]
+        efficiency_strong = statistics.median(low_strong_walls) / (
+            4 * statistics.median(high_walls))
+
         # --- phase 3: peak throughput at local[CPUS] ----------------------
         # best-of-2: single runs at 32 threads swing 2x on this box
         peak = (_sub("bench_worker.py", CPUS, f"{base}/high", high_turns)
@@ -123,6 +140,16 @@ def main():
             f"peak_turns_per_sec_local{CPUS}": peak["turns_per_sec"],
             f"peak_mb_per_sec_local{CPUS}": peak.get("mb_per_sec"),
             f"mb_per_sec_local{high_cpus}": high.get("mb_per_sec"),
+            "strong_scaling": {
+                "input_turns": high_turns,
+                "scaling_mode": "strong (same input at N and 4N cores)",
+                f"turns_per_sec_local{low_cpus}": low_strong["turns_per_sec"],
+                f"turns_per_sec_local{high_cpus}": high["turns_per_sec"],
+                f"wall_s_local{low_cpus}": low_strong["wall_s"],
+                f"wall_s_local{high_cpus}": high["wall_s"],
+                "wall_runs_low": low_strong_walls,
+                "scaling_efficiency": round(efficiency_strong, 3),
+            },
         },
     }
     # durable artifact first (the driver's tail capture truncated a long
