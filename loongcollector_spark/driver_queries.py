@@ -2152,6 +2152,63 @@ FROM bands a JOIN bands b
 """
 
 
+def q_minhash_verified_pairs(spark, sf_dir):
+    """Two-stage near-dup: LSH candidates -> EXACT Jaccard verify >= 0.5
+    on the shingle sets. The oracle recomputes true Jaccard per candidate
+    with list_intersect, so the verify join's pruning (LSH's false
+    positives dropped) is hash-checked, not just row-counted."""
+    from loongcollector_spark.functions.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        _docs(spark, sf_dir), n_hashes=4, shingle=3, bands=2,
+        min_jaccard_1e3=500,
+    )
+
+
+O_MINHASH_VERIFIED_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_transform(range(1, len(words) - 3 + 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))) AS band0,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))) AS band1
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band0 AS band, 0 AS band_idx FROM sig
+  UNION ALL SELECT doc_id, band1, 1 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+)
+SELECT doc_a, doc_b, jaccard_1e3 FROM (
+  SELECT p.doc_a, p.doc_b,
+    cast(floor(1000 * len(list_intersect(a.s, b.s)) /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS INT)
+      AS jaccard_1e3
+  FROM pairs p
+  JOIN sets a ON p.doc_a = a.doc_id
+  JOIN sets b ON p.doc_b = b.doc_id
+) WHERE jaccard_1e3 >= 500
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """near-dup clustering: MinHash-LSH pairs → connected components →
     one row per clustered doc with canonical survivor + cluster size.
@@ -3499,6 +3556,7 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, O_MINHASH_LSH_PAIRS),
+    "minhash_verified_pairs": (q_minhash_verified_pairs, O_MINHASH_VERIFIED_PAIRS),
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),

@@ -331,3 +331,58 @@ def dedup_clusters(df: DataFrame, n_hashes: int = 4, shingle: int = 3,
         size.alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("keep"),
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame, n_hashes: int = 4, shingle: int = 3, bands: int = 2,
+    min_jaccard_1e3: int = 500, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard two-stage near-dup pipeline: LSH candidate pairs →
+    EXACT Jaccard verification on the shingle sets, keeping pairs with
+    similarity ≥ ``min_jaccard_1e3``/1000 (integer-quantized so the
+    oracle reproduces it bit-for-bit). This is what production dedup
+    actually ships — LSH alone over-collects (banding is probabilistic),
+    so a verify pass prunes false positives before clustering.
+
+    Scale shape: candidates come from the banded bucket join (ids +
+    hashes only, never text); verification joins each pair against the
+    per-doc DISTINCT shingle-hash sets — the shuffle carries
+    (pair, 16-byte hash) rows, so verify cost is proportional to
+    candidate volume, not corpus size, and no all-pairs stage exists
+    anywhere. Set sizes ride a tiny (id, count) frame."""
+    assert min_jaccard_1e3 > 0, (
+        "a zero threshold would need zero-intersection candidates, which "
+        "the intersection join (correctly) never materializes"
+    )
+    cand = minhash_lsh_pairs(df, n_hashes, shingle, bands, text_col, id_col)
+    shingled = _with_shingles(df, text_col, shingle, id_col)
+    sets = (
+        shingled.select(
+            F.col(id_col).alias("_sid"), F.explode("_shingles").alias("_s")
+        )
+        .select("_sid", F.md5(F.col("_s").cast("binary")).alias("_h"))
+        .distinct()
+    )
+    sizes = sets.groupBy("_sid").agg(F.count("*").alias("_n"))
+    inter = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa._sid"))
+        .join(
+            sets.alias("sb"),
+            (F.col("doc_b") == F.col("sb._sid"))
+            & (F.col("sa._h") == F.col("sb._h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    union_n = F.col("na._n") + F.col("nb._n") - F.col("_inter")
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na._sid"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb._sid"))
+        .select(
+            "doc_a", "doc_b",
+            F.floor(F.try_divide(1000 * F.col("_inter"), union_n))
+            .cast("int").alias("jaccard_1e3"),
+        )
+        .filter(F.col("jaccard_1e3") >= min_jaccard_1e3)
+    )

@@ -214,3 +214,28 @@ def test_domain_stats_normalizes_and_blocks(spark):
     kept = blocklist_filter(df, "url", ["evil.com"]).collect()
     assert sorted(r["url"] for r in kept if r["url"]) == [
         "https://good.org/z", "not a url"]  # non-URLs pass through
+
+
+def test_minhash_verified_pairs_prunes_false_positives(spark):
+    """Near-identical docs pass the Jaccard gate; docs that merely share
+    a band bucket by chance (or share SOME shingles but < threshold) are
+    pruned by the verify stage."""
+    from loongcollector_spark.functions.dedup import (
+        minhash_lsh_pairs, minhash_verified_pairs)
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "s"),
+        (2, "alpha beta gamma delta epsilon zeta", "s"),     # exact dup of 1
+        (3, "alpha beta gamma delta epsilon ETA", "s"),      # near dup of 1
+        (4, "one two three four five six seven", "s"),       # unrelated
+    ]
+    df = _docs(spark, rows)
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(df, 4, 3, 2).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_1e3"]
+           for r in minhash_verified_pairs(
+               df, 4, 3, 2, min_jaccard_1e3=500).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1000
+    assert set(got) <= cand          # verify only ever prunes
+    assert all(j >= 500 for j in got.values())
+    assert not any(4 in p for p in got)  # unrelated doc never survives
