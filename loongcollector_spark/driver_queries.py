@@ -1471,6 +1471,72 @@ GROUP BY d.doc_id
 """
 
 
+def q_media_decode_png(spark, sf_dir):
+    """REAL PNG decode (RFC 2083 from scratch: chunk CRCs, IHDR, zlib
+    IDAT, row unfilter): RGB payloads built per doc_id (channel c of
+    pixel i = (doc_id*31 + i + 85c) % 256), decoded in mapInPandas; the
+    oracle recomputes the 3-channel mean closed-form — PNG is lossless,
+    so equality is exact."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "png")
+    return extract_features(media).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MEDIA_DECODE_PNG = """
+SELECT d.doc_id,
+  -- mirror numpy's op order exactly: ONE exact integer sum, ONE double
+  -- division by 3N, then *100 and floor (dividing each pixel by 3 inside
+  -- avg() drifts a last-ulp past the floor boundary on ~3% of docs)
+  cast(floor(100.0 * (sum(
+    (d.doc_id * 31 + g.i) % 256
+     + (d.doc_id * 31 + g.i + 85) % 256
+     + (d.doc_id * 31 + g.i + 170) % 256) / (3.0 * count(*)))) AS BIGINT)
+    AS feat_mean_1e2,
+  cast(3 * (d.doc_id % 64 + 16) * (d.doc_id % 48 + 16) AS INT) AS feat_dim,
+  true AS ok
+FROM documents d, generate_series(0, 79 * 63 - 1) AS g(i)
+WHERE g.i < (d.doc_id % 64 + 16) * (d.doc_id % 48 + 16)
+GROUP BY d.doc_id
+"""
+
+
+def q_media_y4m_frames(spark, sf_dir):
+    """REAL video frame sampling: Y4M (YUV4MPEG2, the raw-frame stream
+    ffmpeg pipelines emit) containers built per doc_id (frame f Y plane:
+    y_i = (doc_id*13 + f*7 + i) % 256, 16x8 C420, n = id%12+1 frames),
+    every 5th frame's Y plane decoded in mapInPandas; the oracle
+    recomputes each sampled frame's mean closed-form."""
+    from loongcollector_spark.functions.multimodal import (
+        synthetic_media, video_frame_features,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "video")
+    out = video_frame_features(media, every_n=5)
+    return out.select(
+        "doc_id", "frame_idx",
+        F.floor(F.col("y_mean") * 100).cast("long").alias("y_mean_1e2"),
+        "width", "height", "ok",
+    )
+
+
+O_MEDIA_Y4M_FRAMES = """
+SELECT d.doc_id, cast(f.f AS INT) AS frame_idx,
+  (SELECT cast(floor(100.0 * avg((d.doc_id * 13 + f.f * 7 + g.i) % 256))
+          AS BIGINT)
+   FROM generate_series(0, 127) AS g(i)) AS y_mean_1e2,
+  16 AS width, 8 AS height, true AS ok
+FROM documents d, generate_series(0, 11) AS f(f)
+WHERE f.f % 5 = 0 AND f.f < d.doc_id % 12 + 1
+"""
+
+
 def q_media_decode_audio(spark, sf_dir):
     """REAL audio decode: RIFF/WAVE PCM16 payloads built per doc_id
     (sample_i = ((doc_id*7+i) % 512 - 256) * 64, 1600 samples @16 kHz),
@@ -3542,6 +3608,8 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, O_FRAME_SAMPLE),
     "media_decode_image": (q_media_decode_image, O_MEDIA_DECODE_IMAGE),
+    "media_decode_png": (q_media_decode_png, O_MEDIA_DECODE_PNG),
+    "media_y4m_frames": (q_media_y4m_frames, O_MEDIA_Y4M_FRAMES),
     "media_decode_audio": (q_media_decode_audio, O_MEDIA_DECODE_AUDIO),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "serialized_events": (q_serialized_events, O_SERIALIZED_EVENTS),

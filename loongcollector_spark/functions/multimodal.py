@@ -5,12 +5,14 @@ metadata, and every transform is an Arrow-batched ``mapInPandas`` over
 that binary column — the schema, partitioning, UDF signature and batch
 shape here are the real 100 TB pattern.
 
-Round 3: the decode step is REAL for self-contained formats — binary
-PGM (P5) images and RIFF/WAVE PCM16 audio decode with numpy + struct
-alone (``try_decode_pgm`` / ``try_decode_wav``), with nearest-neighbor
-resize and feature extraction on the decoded arrays. Container formats
-that genuinely need external codecs (JPEG/MP4/…) still fall back to the
-deterministic byte stub a PIL/libav decoder would drop into.
+Round 3: the decode step is REAL for every self-contained format —
+binary PGM (P5) and full PNG (RFC 2083: chunk CRCs, zlib IDAT, all five
+row filters) images, RIFF/WAVE PCM16 audio, and Y4M/YUV4MPEG2 raw-frame
+video (the stream ffmpeg pipelines emit), all in numpy + stdlib alone.
+PNG/Y4M being LOSSLESS is what makes them hash-oracle-able. Only lossy
+formats whose decoders genuinely need external libs (JPEG/MP4 bitstream
+entropy coding) still fall back to the deterministic byte stub a
+PIL/libav decoder would drop into.
 
 Scale shape: mapInPandas streams Arrow batches — one Python worker per
 core, no per-row pickling; binary payloads never shuffle except through
@@ -133,7 +135,9 @@ def resize_nearest(img: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
 
 def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
     """REAL media fixtures, deterministic from doc_id: PGM images with
-    pixel_i = (doc_id*31 + i) % 256, or 1600-sample WAVs with
+    pixel_i = (doc_id*31 + i) % 256, RGB PNGs with channel offsets
+    (+0/+85/+170) over the same series, Y4M videos with frame-f Y plane
+    y_i = (doc_id*13 + f*7 + i) % 256, or 1600-sample WAVs with
     sample_i = ((doc_id*7 + i) % 512 - 256) * 64 — closed forms a SQL
     oracle reproduces without any codec."""
 
@@ -143,16 +147,34 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = d % 64 + 16, d % 48 + 16
+                out_type = media_type
                 if media_type == "image":
                     px = (d * 31 + np.arange(w * h)) % 256
                     payload = encode_pgm(w, h, px)
                     sr, nf = 0, 1
+                elif media_type == "png":
+                    base = (d * 31 + np.arange(w * h))
+                    px = np.stack(
+                        [(base + off) % 256 for off in (0, 85, 170)], axis=-1
+                    ).reshape(h, w, 3)
+                    payload = encode_png(w, h, px)
+                    sr, nf = 0, 1
+                    out_type = "image"  # rides the image decode path
+                elif media_type == "video":
+                    w, h = 16, 8
+                    nf, sr = d % 12 + 1, 0
+                    uv = np.full((h // 2) * (w // 2), 128, np.uint8)
+                    frames = [
+                        ((d * 13 + f * 7 + np.arange(w * h)) % 256, uv, uv)
+                        for f in range(nf)
+                    ]
+                    payload = encode_y4m(w, h, frames)
                 else:
                     sr, n = 16000, 1600
                     samples = ((d * 7 + np.arange(n)) % 512 - 256) * 64
                     payload = encode_wav_pcm16(sr, samples)
                     nf = 1
-                rows.append((d, media_type, payload, w, h, sr, nf))
+                rows.append((d, out_type, payload, w, h, sr, nf))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "media_type", "payload", "width",
@@ -208,13 +230,22 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """
 
     def one(payload, media_type):
-        # real decoders first (PGM pixels / WAV |samples|); anything the
-        # real codecs can't parse falls back to the raw-byte stub, so
-        # opaque payloads still produce deterministic features
+        # real decoders first (PNG/PGM pixels, Y4M Y-planes, WAV
+        # |samples|); anything the real codecs can't parse falls back to
+        # the raw-byte stub, so opaque payloads still produce
+        # deterministic features
         if media_type == "image":
-            img = try_decode_pgm(payload)
+            img = try_decode_png(payload)
+            if img is None:
+                img = try_decode_pgm(payload)
             if img is not None:
                 return float(img.mean()), int(img.size), True
+        elif media_type == "video":
+            parsed = try_parse_y4m(payload)
+            if parsed is not None:
+                w, h, n, _offs = parsed
+                means = [decode_y4m_frame(payload, f).mean() for f in range(n)]
+                return float(np.mean(means)), int(n * w * h), True
         elif media_type == "audio":
             wav = try_decode_wav(payload)
             if wav is not None:
@@ -254,3 +285,215 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             "payload",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# PNG (lossless, stdlib zlib) and Y4M / YUV4MPEG2 (raw-frame video) —
+# real container codecs in pure numpy + stdlib, no PIL/libav. PNG is
+# written from the RFC 2083 spec (signature, chunk CRCs, IHDR layout,
+# the five row filters); Y4M from the mjpegtools stream format every
+# ffmpeg pipeline emits. Both are LOSSLESS, so decoded pixels equal the
+# synthesis formula exactly and a SQL oracle can check features
+# bit-for-bit — unlike JPEG/MP4, which stay stubbed (lossy codecs can't
+# be hash-oracled and their decoders need external libs).
+# ---------------------------------------------------------------------
+
+import binascii as _binascii
+import zlib as _zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = _binascii.crc32(ctype + data) & 0xFFFFFFFF
+    return _struct.pack(">I", len(data)) + ctype + data + _struct.pack(">I", crc)
+
+
+def encode_png(width: int, height: int, pixels) -> bytes:
+    """8-bit PNG encoder (grayscale for (h,w) input, RGB for (h,w,3)),
+    filter type 0 per row, one zlib IDAT."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        arr = arr.reshape(height, width)
+    else:
+        color_type, channels = 2, 3
+        arr = arr.reshape(height, width, 3)
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+    """Reverse the five PNG row filters (RFC 2083 §6) → (h, w*bpp) u8."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+    return out
+
+
+def try_decode_png(payload):
+    """PNG → uint8 ndarray (h, w) gray or (h, w, 3) RGB; None when the
+    payload is not a valid 8-bit non-interlaced PNG (bad signature,
+    chunk CRC mismatch, truncated stream, unsupported color type)."""
+    if not payload:
+        return None
+    buf = bytes(payload)
+    if len(buf) < 45 or buf[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (clen,) = _struct.unpack(">I", buf[pos:pos + 4])
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > len(buf):
+            return None
+        (crc,) = _struct.unpack(">I", buf[pos + 8 + clen:pos + 12 + clen])
+        if _binascii.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3}.get(color_type)
+    if channels is None or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = _zlib.decompress(b"".join(idat))
+    except _zlib.error:
+        return None
+    if len(raw) != h * (1 + w * channels):
+        return None
+    flat = _png_unfilter(raw, w, h, channels)
+    if flat is None:
+        return None
+    return flat.reshape(h, w) if channels == 1 else flat.reshape(h, w, 3)
+
+
+# --- Y4M / YUV4MPEG2: the raw-frame video stream ffmpeg pipelines use ---
+
+def encode_y4m(width: int, height: int, frames) -> bytes:
+    """YUV4MPEG2 stream, C420jpeg chroma: header + per-frame
+    'FRAME\\n' + Y (w*h) + U + V (w/2*h/2 each). ``frames`` is an
+    iterable of (y_plane, u_plane, v_plane) uint8 arrays."""
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (width, height)]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, np.uint8).tobytes())
+        out.append(np.asarray(u, np.uint8).tobytes())
+        out.append(np.asarray(v, np.uint8).tobytes())
+    return b"".join(out)
+
+
+def try_parse_y4m(payload):
+    """Y4M container → (width, height, n_frames, frame_offsets) without
+    decoding any pixels (the cheap index pass frame sampling needs);
+    None if not a YUV4MPEG2 stream."""
+    if not payload:
+        return None
+    buf = bytes(payload)
+    if not buf.startswith(b"YUV4MPEG2 "):
+        return None
+    eol = buf.find(b"\n")
+    if eol < 0:
+        return None
+    w = h = None
+    for tok in buf[10:eol].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h or w % 2 or h % 2:
+        return None
+    frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+    offsets, pos = [], eol + 1
+    while (buf[pos:pos + 6] == b"FRAME\n"
+           and pos + 6 + frame_bytes <= len(buf)):
+        offsets.append(pos + 6)
+        pos += 6 + frame_bytes
+    if not offsets:
+        return None
+    return w, h, len(offsets), offsets
+
+
+def decode_y4m_frame(payload, frame_idx: int):
+    """Y plane of frame ``frame_idx`` as a (h, w) uint8 ndarray, or None."""
+    parsed = try_parse_y4m(payload)
+    if parsed is None:
+        return None
+    w, h, n, offsets = parsed
+    if not (0 <= frame_idx < n):
+        return None
+    buf = bytes(payload)
+    return np.frombuffer(
+        buf, np.uint8, w * h, offsets[frame_idx]
+    ).reshape(h, w)
+
+
+def video_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling: every ``every_n``-th frame of each video row
+    is decoded (Y4M Y plane) and summarized — the decode half the
+    codegen ``frame_sample`` plumbing was stubbed for. Arrow-batched;
+    non-Y4M payloads emit ok=False rows instead of failing the worker."""
+    schema = ("doc_id long, frame_idx int, y_mean double, "
+              "width int, height int, ok boolean")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = try_parse_y4m(payload)
+                if parsed is None:
+                    rows.append((int(doc_id), -1, 0.0, 0, 0, False))
+                    continue
+                w, h, n, _offsets = parsed
+                for f in range(0, n, every_n):
+                    y = decode_y4m_frame(payload, f)
+                    rows.append((int(doc_id), f, float(y.mean()), w, h, True))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "y_mean",
+                               "width", "height", "ok"])
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(batches, schema)

@@ -486,3 +486,105 @@ def test_csv_twin_preserve_trim_and_partial_regex(spark):
     })
     r2 = op2(spark.createDataFrame([("prefix rest7 suffix",)], "text string")).first()
     assert r2["rest_no"] == "7" and r2["_parse_ok"]
+
+
+def test_png_codec_round_trip_and_filters():
+    """PNG decode against the RFC 2083 spec: encode→decode identity for
+    gray + RGB, CRC rejection, truncation rejection, and hand-built
+    IDAT streams using Sub/Up/Average/Paeth row filters (the encoder
+    only emits filter 0, so these vectors are independent of it)."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from loongcollector_spark.functions.multimodal import (
+        encode_png, try_decode_png)
+
+    px = (np.arange(20 * 12) % 256).reshape(12, 20).astype(np.uint8)
+    assert (try_decode_png(encode_png(20, 12, px)) == px).all()
+    rgb = np.stack([(np.arange(240) + o) % 256 for o in (0, 85, 170)],
+                   axis=-1).reshape(12, 20, 3).astype(np.uint8)
+    assert (try_decode_png(encode_png(20, 12, rgb)) == rgb).all()
+
+    good = encode_png(20, 12, px)
+    bad = bytearray(good)
+    bad[30] ^= 0xFF
+    assert try_decode_png(bytes(bad)) is None          # chunk CRC
+    assert try_decode_png(good[:40]) is None           # truncated
+    assert try_decode_png(b"not a png") is None
+
+    def chunk(t, d):
+        crc = binascii.crc32(t + d) & 0xFFFFFFFF
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", crc)
+
+    target = np.array([[10, 20, 30, 40], [15, 25, 35, 45],
+                       [90, 80, 70, 60]], dtype=np.uint8)
+    r0, r1, r2 = (target[i].astype(int) for i in range(3))
+    f0 = bytes([1, r0[0]] + [(r0[x] - r0[x - 1]) % 256 for x in range(1, 4)])
+    f1 = bytes([2] + [(r1[x] - r0[x]) % 256 for x in range(4)])
+    paeth = []
+    for x in range(4):
+        a = r2[x - 1] if x else 0
+        b = r1[x]
+        c = r1[x - 1] if x else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        paeth.append((r2[x] - pred) % 256)
+    f2 = bytes([4] + paeth)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(f0 + f1 + f2))
+           + chunk(b"IEND", b""))
+    assert (try_decode_png(png) == target).all()
+
+    favg = bytes([3] + [(r0[x] - ((r0[x - 1] if x else 0) >> 1)) % 256
+                        for x in range(4)])
+    png_avg = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(favg)) + chunk(b"IEND", b""))
+    assert (try_decode_png(png_avg) == target[0:1]).all()
+
+
+def test_y4m_codec_parse_and_frame_decode():
+    import numpy as np
+
+    from loongcollector_spark.functions.multimodal import (
+        decode_y4m_frame, encode_y4m, try_parse_y4m)
+
+    uv = np.full(32, 128, np.uint8)
+    frames = [((f * 7 + np.arange(128)) % 256, uv, uv) for f in range(5)]
+    buf = encode_y4m(16, 8, frames)
+    w, h, n, offsets = try_parse_y4m(buf)
+    assert (w, h, n) == (16, 8, 5) and len(offsets) == 5
+    for f in range(5):
+        got = decode_y4m_frame(buf, f).reshape(-1)
+        assert (got == (f * 7 + np.arange(128)) % 256).all()
+    assert try_parse_y4m(b"RIFFnot-a-y4m") is None
+    assert try_parse_y4m(buf[:20]) is None          # header only, no frame
+    assert decode_y4m_frame(buf, 5) is None         # out of range
+    # odd dimensions are not C420-representable
+    assert try_parse_y4m(b"YUV4MPEG2 W15 H8 F25:1\nFRAME\n" + b"\0" * 200) is None
+
+
+def test_video_frame_features_spark(spark):
+    from loongcollector_spark.functions.multimodal import (
+        synthetic_media, video_frame_features)
+
+    docs = spark.createDataFrame(
+        [(7, "x", "s", 1), (23, "y", "s", 1)],
+        "doc_id long, text string, source string, n_chars int")
+    media = synthetic_media(docs, "video")
+    got = {(r["doc_id"], r["frame_idx"]): r
+           for r in video_frame_features(media, every_n=5).collect()}
+    import numpy as np
+    for d in (7, 23):
+        nf = d % 12 + 1
+        for f in range(0, nf, 5):
+            r = got[(d, f)]
+            assert r["ok"] and (r["width"], r["height"]) == (16, 8)
+            exp = float(np.mean((d * 13 + f * 7 + np.arange(128)) % 256))
+            assert abs(r["y_mean"] - exp) < 1e-9
+    assert all(k[1] % 5 == 0 for k in got)
