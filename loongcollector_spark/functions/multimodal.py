@@ -126,8 +126,9 @@ def try_decode_wav(payload):
 
 def resize_nearest(img: "np.ndarray", new_w: int, new_h: int) -> "np.ndarray":
     """Nearest-neighbor resize via index arithmetic (the thumbnailing
-    step of an image-training pipeline, sans interpolation libs)."""
-    h, w = img.shape
+    step of an image-training pipeline, sans interpolation libs).
+    Works for (h, w) gray and (h, w, c) multi-channel arrays."""
+    h, w = img.shape[:2]
     rows = (np.arange(new_h) * h) // new_h
     cols = (np.arange(new_w) * w) // new_w
     return img[rows][:, cols]
@@ -193,13 +194,16 @@ def image_resize(df: DataFrame, new_w: int, new_h: int) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = try_decode_pgm(payload)
+                png = try_decode_png(payload)
+                img = png if png is not None else try_decode_pgm(payload)
                 if img is None:
                     rows.append((int(doc_id), payload, 0, 0, False))
                 else:
                     small = resize_nearest(img, new_w, new_h)
-                    rows.append((int(doc_id), encode_pgm(new_w, new_h, small),
-                                 new_w, new_h, True))
+                    # re-encode in the container the payload arrived in
+                    out = (encode_png(new_w, new_h, small) if png is not None
+                           else encode_pgm(new_w, new_h, small))
+                    rows.append((int(doc_id), out, new_w, new_h, True))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "width", "height", "ok"])
 

@@ -588,3 +588,20 @@ def test_video_frame_features_spark(spark):
             exp = float(np.mean((d * 13 + f * 7 + np.arange(128)) % 256))
             assert abs(r["y_mean"] - exp) < 1e-9
     assert all(k[1] % 5 == 0 for k in got)
+
+
+def test_image_resize_handles_png_rgb(spark):
+    import numpy as np
+
+    from loongcollector_spark.functions.multimodal import (
+        encode_png, image_resize, try_decode_png)
+
+    rgb = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(8, 6, rgb)))], "doc_id long, payload binary")
+    [row] = image_resize(df, 4, 3).collect()
+    assert row["ok"] and (row["width"], row["height"]) == (4, 3)
+    out = try_decode_png(bytes(row["payload"]))
+    assert out.shape == (3, 4, 3)
+    # nearest-neighbor picks source pixels exactly
+    assert (out == rgb[[0, 2, 4]][:, [0, 2, 4, 6]]).all()
