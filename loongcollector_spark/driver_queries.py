@@ -2351,6 +2351,41 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_topk_batch(spark, sf_dir):
+    """Batched brute-force cosine top-k (4 query vectors, one corpus
+    scan, per-query window rank) — production ANN's actual shape; the
+    oracle recomputes every (query, neighbor) score + rank with a SQL
+    window."""
+    from loongcollector_spark.functions.similarity import cosine_topk_batch
+
+    return cosine_topk_batch(_emb(spark, sf_dir), [0, 1, 2, 3], k=5)
+
+
+O_ANN_TOPK_BATCH = """
+WITH qd AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> cast(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+), cd AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+  FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id,
+    round(list_dot_product(emb, qe)
+          / (sqrt(list_dot_product(emb, emb))
+             * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+  FROM cd, qd WHERE vec_id != query_id
+)
+SELECT query_id, vec_id AS neighbor_id, cos_sim, cast(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):
     """ANN top-k over band-sharing candidates (24 bits / 4 bands ≈ 6% of
     the corpus probed; oracle replays the same banding)."""
@@ -3627,6 +3662,7 @@ QUERIES = {
     "minhash_verified_pairs": (q_minhash_verified_pairs, O_MINHASH_VERIFIED_PAIRS),
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
+    "ann_topk_batch": (q_ann_topk_batch, O_ANN_TOPK_BATCH),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

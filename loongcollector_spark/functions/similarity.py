@@ -242,3 +242,43 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    df: DataFrame, query_ids: list[int], k: int = 5,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched brute-force cosine top-k: one row per (query, neighbor)
+    with per-query rank — the shape production ANN actually runs (a
+    batch of queries against the corpus, never one vector at a time).
+
+    Scale shape: the query set is tiny by definition, so it BROADCASTS
+    and the corpus is scanned ONCE for all queries (per-query scans
+    would multiply the dominant cost by |batch|); the per-query top-k is
+    a window rank partitioned by query id — the only shuffle, carrying
+    (query_id, neighbor_id, score) triples, and bounded-size because
+    scores below any chance of ranking could be pre-filtered upstream.
+    """
+    from pyspark.sql import Window
+
+    q = df.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
+    )
+    corpus = df.select(id_col, _as_double(F.col(vec_col)).alias("emb"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.round(cosine_expr(F.col("emb"), F.col("qe")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
