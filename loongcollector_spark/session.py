@@ -50,6 +50,23 @@ def get_spark(
         # write-dominated sink stage it compresses several times faster
         # at modest ratio cost. Override via extra_conf for zstd sinks.
         .config("spark.sql.parquet.compression.codec", "lz4")
+        # InferFiltersFromGenerate turns every explode(expr.field) into a
+        # Filter(size(expr.field) > 0 AND isnotnull(...)) that predicate
+        # pushdown then sinks BELOW the projection — so the generator's
+        # child expression is evaluated again in the filter. For cheap
+        # array columns that's free; every explode in this engine sits on
+        # top of an expensive parse (from_json on OTLP/loki payloads,
+        # split on raw log text), which ends up evaluated 3-4x per row
+        # (measured 4x from_json sites in the otel trace plan; excluding
+        # the rule cut the warm parse 1.96s -> 0.42s on 100k rows at
+        # local[32]). Non-outer explode already drops null/empty arrays,
+        # so removing the inferred filter cannot change results — it only
+        # removes the redundant re-parse. Guarded by a plan-shape
+        # regression test (tests/test_plans.py: single from_json site).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -180,3 +180,19 @@ def test_curation_pipeline_query_two_exchanges(spark, tmp_path):
     shuffles = [ln for ln in plan.splitlines()
                 if "Exchange hashpartitioning" in ln]
     assert len(shuffles) <= 2, plan
+
+
+def test_explode_over_parse_evaluates_from_json_once(spark):
+    """InferFiltersFromGenerate is excluded in get_spark: without it,
+    the inferred size(...)>0 filter is pushed below the projection and
+    the OTLP from_json parse runs 3-4x per row (measured 4 from_json
+    sites, 1.96s -> 0.42s warm on 100k rows when excluded). Assert the
+    physical plan carries exactly ONE from_json site."""
+    from loongcollector_spark.operators.otelops import (
+        OTLP_TRACE_DDL, otel_trace_to_logs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"resourceSpans":[]}')], "line_id long, content string")
+    plan = _plan(otel_trace_to_logs(df, "content"))
+    assert plan.count("from_json(StructField") == 1, plan
