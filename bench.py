@@ -48,7 +48,13 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 def _sub(script: str, *args: str) -> dict:
     import time
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # 8g, NOT bigger: the flagship pipeline's working set fits easily, and
+    # a 24g AlwaysPreTouch heap measurably SLOWS the hot path (A/B on the
+    # same 2.4M-turn input at local[32], best-of-3 timed runs per JVM:
+    # 8g -> 13.25s / 181k turns/s; 24g -> 14.86s / 161k t/s, with a 50s
+    # GC-outlier run) — bigger G1 regions inflate scan/pause work without
+    # relieving any actual pressure.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     t0 = time.monotonic()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", script), *map(str, args)],
@@ -111,8 +117,11 @@ def main():
             4 * statistics.median(high_walls))
 
         # --- phase 3: peak throughput at local[CPUS] ----------------------
-        # best-of-2: single runs at 32 threads swing 2x on this box
-        peak = (_sub("bench_worker.py", CPUS, f"{base}/high", high_turns)
+        # best-of-3 timed runs: the 2nd run after warm-up is still ~25%
+        # off steady state at 32 threads (measured [24.2, 16.7] vs
+        # [13.5, 13.8, 13.2] on the same input) — JIT tiers + G1 settle
+        # only by run 3; each extra run costs ~14s here.
+        peak = (_sub("bench_worker.py", CPUS, f"{base}/high", high_turns, 3)
                 if CPUS > high_cpus else high)
     finally:
         shutil.rmtree(base, ignore_errors=True)
