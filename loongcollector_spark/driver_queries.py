@@ -1564,6 +1564,38 @@ GROUP BY d.doc_id
 """
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode (jpegcodec.py, from the T.81 spec:
+    Huffman entropy decode, dequantize, IDCT, DRI/RSTn restarts): the
+    fixture's 8x8 blocks are each uniform at v_b = 128+2*((id*5+b)%113-56)
+    and encoded at quality 50 (DC quant step 16), so despite JPEG being
+    lossy the reconstruction is bit-exact and the oracle recomputes the
+    decoded pixel mean closed-form — a true hash oracle over an
+    entropy-coded stream."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "jpeg")
+    return extract_features(media).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MEDIA_DECODE_JPEG = """
+SELECT d.doc_id,
+  cast(floor(100.0 * avg(128 + 2 * ((d.doc_id * 5 + g.b) % 113 - 56)))
+       AS BIGINT) AS feat_mean_1e2,
+  cast(64 * (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2) AS INT) AS feat_dim,
+  true AS ok
+FROM documents d, generate_series(0, 7 * 5 - 1) AS g(b)
+WHERE g.b < (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2)
+GROUP BY d.doc_id
+"""
+
+
 def q_media_resize(spark, sf_dir):
     """decode → nearest-neighbor resize to 8×8 → re-encode → re-decode:
     the resized thumbnail's pixel mean must equal the closed-form mean
@@ -3646,6 +3678,7 @@ QUERIES = {
     "media_decode_png": (q_media_decode_png, O_MEDIA_DECODE_PNG),
     "media_y4m_frames": (q_media_y4m_frames, O_MEDIA_Y4M_FRAMES),
     "media_decode_audio": (q_media_decode_audio, O_MEDIA_DECODE_AUDIO),
+    "media_decode_jpeg": (q_media_decode_jpeg, O_MEDIA_DECODE_JPEG),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "serialized_events": (q_serialized_events, O_SERIALIZED_EVENTS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),

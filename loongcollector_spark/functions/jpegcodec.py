@@ -1,0 +1,569 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + stdlib.
+
+Round 3 closes the last multimodal stub: lossy JPEG payloads now DECODE
+for real — marker walk, DQT/DHT table parsing, Huffman entropy decode
+(with byte unstuffing and RSTn restart handling), dequantize, dezigzag,
+float IDCT, chroma upsampling (sampling factors 1 and 2), JFIF
+YCbCr→RGB. Everything is written from the public T.81 spec; no external
+codec library is touched.
+
+The encoder exists for fixtures and round-trip tests (grayscale and RGB,
+optional 4:2:0 subsampling). It emits its Huffman tables in DHT, so the
+decoder never assumes the Annex-K defaults — any valid table stream
+decodes.
+
+Why JPEG can still be hash-oracled despite being lossy: an image whose
+8x8 blocks are each UNIFORM has only DC energy, and when the DC value
+8*(v-128) is an exact multiple of the DC quant step the reconstruction
+is EXACT (AC coefficients quantize to zero, the IDCT of a pure-DC block
+is flat). At quality 50 the Annex-K luminance DC step is 16, so any
+v = 128 + 2k round-trips bit-exactly — which is what the
+``media_decode_jpeg`` driver query exploits: a closed-form SQL oracle
+checks the decoded pixels of a genuinely entropy-coded JPEG.
+
+Scale posture: decode runs inside Arrow-batched ``mapInPandas`` next to
+the other codecs — one Python worker per core, payloads never shuffle.
+The per-MCU Huffman loop is Python-speed; a production build drops
+libjpeg-turbo into the same ``try_decode_jpeg`` slot without touching
+the Spark plan. (Reference parity note: LoongCollector itself treats
+binary payloads as opaque bytes; this module is part of the
+training-data-pipeline surface, not a reference port.)
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as np
+
+# --- tables (ITU-T T.81 Annex K, public) --------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+_UNZIG = np.argsort(ZIGZAG)
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (row-major)
+QTBL_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QTBL_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 DC Huffman specs: (bits[1..16] counts, values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+# Annex K.3 AC luminance Huffman spec. The encoder uses it for BOTH AC
+# tables (legal: tables travel in DHT; the decoder reads whatever the
+# stream declares). Values are (run<<4)|size symbols.
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II matrix: T[k, n] = 0.5*c(k)*cos((2n+1)k*pi/16)
+_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _c = (1 / np.sqrt(2)) if _k == 0 else 1.0
+        _T[_k, _n] = 0.5 * _c * np.cos((2 * _n + 1) * _k * np.pi / 16)
+del _k, _n, _c
+
+
+def _scale_qtbl(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg formula)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+# --- canonical Huffman construction -------------------------------------
+
+def _huff_encode_table(bits, vals):
+    """(bits, vals) → {symbol: (code, length)} canonical assignment."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals):
+    """(bits, vals) → {(length, code): symbol} for MSB-first decoding."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+# --- bit I/O with 0xFF byte stuffing -------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # marker byte that ended the segment
+
+    def _fill(self):
+        b = self.buf
+        if self.pos >= len(b):
+            raise EOFError
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:          # stuffed 0xFF data byte
+                self.pos += 2
+            elif nxt is None:
+                raise EOFError
+            else:                    # a real marker terminates entropy data
+                self.marker = nxt
+                raise EOFError
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop partial byte and consume an RSTn marker (for DRI)."""
+        self.nbits = 0
+        b = self.buf
+        while self.pos + 1 < len(b):
+            if b[self.pos] == 0xFF and 0xD0 <= b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+            self.pos += 1
+        return False
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a size-bit magnitude to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+# --- encoder --------------------------------------------------------------
+
+def _fdct_quant(block: np.ndarray, qtbl2d: np.ndarray) -> np.ndarray:
+    coef = _T @ (block.astype(np.float64) - 128.0) @ _T.T
+    return np.round(coef / qtbl2d).astype(np.int32)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab, ac_tab) -> int:
+    diff = int(zz[0]) - pred
+    mag = abs(diff)
+    size = int(mag).bit_length()
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        sz = abs(v).bit_length()
+        c, ln = ac_tab[(run << 4) | sz]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << sz) - 1, sz)
+        run = 0
+    if last < 63:
+        c, ln = ac_tab[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_payload(cls: int, tid: int, bits, vals) -> bytes:
+    return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray):
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _pad_to(img: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (bh, bw_)."""
+    h, w = img.shape
+    ph = (-h) % bh
+    pw = (-w) % bw_
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    return img
+
+
+def encode_jpeg(pixels, quality: int = 75, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder: (h, w) uint8 → grayscale JPEG; (h, w, 3)
+    uint8 RGB → YCbCr 4:4:4 (or 4:2:0 when ``subsample``).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (what a parallel/streaming encoder produces)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qy2 = _scale_qtbl(QTBL_LUMA, quality).reshape(8, 8)
+    qc2 = _scale_qtbl(QTBL_CHROMA, quality).reshape(8, 8)
+    dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(
+        _scale_qtbl(QTBL_LUMA, quality)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(
+            _scale_qtbl(QTBL_CHROMA, quality)[ZIGZAG].astype(np.uint8)))
+    sfy = 0x22 if (subsample and not gray) else 0x11
+    comps = ([(1, sfy, 0)] if gray
+             else [(1, sfy, 0), (2, 0x11, 1), (3, 0x11, 1)])
+    sof = _struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, sf, tq in comps:
+        sof += bytes([cid, sf, tq])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        out += _seg(0xC4, _dht_payload(1, 1, AC_LUMA_BITS, AC_LUMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, _struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _sf, _tq in comps:
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    if gray:
+        planes = [(arr.astype(np.float64), qy2, dc_l, 1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        if subsample:
+            ph = _pad_to(y, 2, 2)
+            cb = _pad_to(cb, 2, 2)
+            cr = _pad_to(cr, 2, 2)
+            cb = cb.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean((1, 3))
+            y = ph
+            planes = [(y, qy2, dc_l, 2, 2), (cb, qc2, dc_c, 1, 1),
+                      (cr, qc2, dc_c, 1, 1)]
+        else:
+            planes = [(y, qy2, dc_l, 1, 1), (cb, qc2, dc_c, 1, 1),
+                      (cr, qc2, dc_c, 1, 1)]
+
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    padded = []
+    for plane, q2, dct, hs, vs in planes:
+        # plane dims in MCU grid: ceil over (8 * v/vmax scale of image)
+        padded.append((_pad_to(np.asarray(plane), 8 * vs, 8 * hs)
+                       if (hs, vs) == (hmax, vmax)
+                       else _pad_to(np.asarray(plane), 8, 8),
+                       q2, dct, hs, vs))
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # re-pad every plane to its full MCU-grid extent
+    planes2 = []
+    for plane, q2, dct, hs, vs in padded:
+        need_h = mcus_y * 8 * vs
+        need_w = mcus_x * 8 * hs
+        ph = max(0, need_h - plane.shape[0])
+        pw = max(0, need_w - plane.shape[1])
+        if ph or pw:
+            plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        planes2.append((plane[:need_h, :need_w], q2, dct, hs, vs))
+
+    bw = _BitWriter()
+    preds = [0] * len(planes2)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(planes2)
+            mcu_count += 1
+            for ci, (plane, q2, dct, hs, vs) in enumerate(planes2):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = plane[y0:y0 + 8, x0:x0 + 8]
+                        zz = _fdct_quant(blk, q2).ravel()[ZIGZAG]
+                        preds[ci] = _encode_block(bw, zz, preds[ci], dct, ac)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder --------------------------------------------------------------
+
+def try_decode_jpeg(payload):
+    """Baseline JPEG → uint8 ndarray (h, w) gray or (h, w, 3) RGB; None
+    for anything that isn't a decodable baseline sequential JPEG
+    (progressive SOF2, arithmetic coding, 12-bit depth, truncation,
+    undefined tables all return None instead of raising)."""
+    try:
+        return _decode_jpeg(bytes(payload)) if payload else None
+    except Exception:
+        return None
+
+
+def _decode_jpeg(buf: bytes):
+    if buf[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None  # EOI before SOS
+        (seglen,) = _struct.unpack(">H", buf[pos + 2:pos + 4])
+        body = buf[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                q = np.zeros(64, np.int32)
+                q[ZIGZAG] = tbl  # stored zigzag → natural order
+                qtables[tid] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(cls, tid)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = _struct.unpack(">H", body[:2])
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            prec, fh, fw, nc = _struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, sf, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F,
+                              "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / lossless
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            fh, fw, comps = frame
+            ns = body[0]
+            sel = []
+            for s in range(ns):
+                cs, tabs = body[1 + 2 * s], body[2 + 2 * s]
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    return None
+                sel.append((comp, tabs >> 4, tabs & 0x0F))
+            return _decode_scan(buf, pos, fh, fw, sel, qtables, huff,
+                                restart_interval)
+        # APPn / COM / others: skipped
+    return None
+
+
+def _decode_scan(buf, pos, fh, fw, sel, qtables, huff, dri):
+    hmax = max(c["h"] for c, _d, _a in sel)
+    vmax = max(c["v"] for c, _d, _a in sel)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = []
+    for comp, _dc, _ac in sel:
+        planes.append(np.zeros((mcus_y * 8 * comp["v"],
+                                mcus_x * 8 * comp["h"]), np.float64))
+    reader = _BitReader(buf, pos)
+    preds = [0] * len(sel)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                if not reader.align_to_marker():
+                    return None
+                preds = [0] * len(sel)
+            for ci, (comp, dc_id, ac_id) in enumerate(sel):
+                dc_tab = huff.get((0, dc_id))
+                ac_tab = huff.get((1, ac_id))
+                q2 = qtables.get(comp["tq"])
+                if dc_tab is None or ac_tab is None or q2 is None:
+                    return None
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, np.int32)
+                        size = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.receive(size), size) if size else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if run != 15:  # only ZRL is legal
+                                    return None
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            zz[k] = _extend(reader.receive(sz), sz)
+                            k += 1
+                        nat = np.zeros(64, np.float64)
+                        nat[ZIGZAG] = zz  # dezigzag to natural order
+                        blk = (_T.T @ ((nat.reshape(8, 8) * q2)) @ _T) + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+    # crop + upsample (sample replication) to full resolution
+    full = []
+    for (comp, _d, _a), plane in zip(sel, planes):
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -8,11 +8,12 @@ shape here are the real 100 TB pattern.
 Round 3: the decode step is REAL for every self-contained format —
 binary PGM (P5) and full PNG (RFC 2083: chunk CRCs, zlib IDAT, all five
 row filters) images, RIFF/WAVE PCM16 audio, and Y4M/YUV4MPEG2 raw-frame
-video (the stream ffmpeg pipelines emit), all in numpy + stdlib alone.
-PNG/Y4M being LOSSLESS is what makes them hash-oracle-able. Only lossy
-formats whose decoders genuinely need external libs (JPEG/MP4 bitstream
-entropy coding) still fall back to the deterministic byte stub a
-PIL/libav decoder would drop into.
+video (the stream ffmpeg pipelines emit), all in numpy + stdlib alone,
+plus baseline JPEG (ITU-T T.81: Huffman entropy decode, dequant, IDCT,
+chroma upsampling — see ``jpegcodec.py``, incl. why block-uniform JPEGs
+stay hash-oracle-able despite lossiness). Only MP4/H.264 video remains
+behind the deterministic byte stub (a motion-compensated video decoder
+is a library, not a module); Y4M is the real video path.
 
 Scale shape: mapInPandas streams Arrow batches — one Python worker per
 core, no per-row pickling; binary payloads never shuffle except through
@@ -65,6 +66,10 @@ import re as _re
 import struct as _struct
 
 import numpy as np
+
+from loongcollector_spark.functions.jpegcodec import (  # noqa: F401
+    encode_jpeg, try_decode_jpeg,
+)
 
 
 def encode_pgm(width: int, height: int, pixels) -> bytes:
@@ -140,7 +145,14 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
     (+0/+85/+170) over the same series, Y4M videos with frame-f Y plane
     y_i = (doc_id*13 + f*7 + i) % 256, or 1600-sample WAVs with
     sample_i = ((doc_id*7 + i) % 512 - 256) * 64 — closed forms a SQL
-    oracle reproduces without any codec."""
+    oracle reproduces without any codec.
+
+    ``jpeg`` mode builds genuinely entropy-coded baseline JPEGs that an
+    oracle can still check exactly: every 8x8 block is uniform at
+    v_b = 128 + 2*((doc_id*5 + b) % 113 - 56), and at quality 50 the DC
+    quant step is 16, so 8*(v_b-128) quantizes losslessly and the block
+    reconstructs bit-exact (see jpegcodec.py docstring). Every third doc
+    additionally carries DRI/RSTn restart markers."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -159,6 +171,17 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
                         [(base + off) % 256 for off in (0, 85, 170)], axis=-1
                     ).reshape(h, w, 3)
                     payload = encode_png(w, h, px)
+                    sr, nf = 0, 1
+                    out_type = "image"  # rides the image decode path
+                elif media_type == "jpeg":
+                    bw_, bh_ = d % 6 + 2, d % 4 + 2
+                    w, h = 8 * bw_, 8 * bh_
+                    vals = 128 + 2 * ((d * 5 + np.arange(bh_ * bw_)) % 113 - 56)
+                    img = np.kron(vals.reshape(bh_, bw_),
+                                  np.ones((8, 8), np.int64)).astype(np.uint8)
+                    payload = encode_jpeg(
+                        img, quality=50,
+                        restart_interval=3 if d % 3 == 0 else 0)
                     sr, nf = 0, 1
                     out_type = "image"  # rides the image decode path
                 elif media_type == "video":
@@ -195,14 +218,22 @@ def image_resize(df: DataFrame, new_w: int, new_h: int) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 png = try_decode_png(payload)
-                img = png if png is not None else try_decode_pgm(payload)
+                pgm = None if png is not None else try_decode_pgm(payload)
+                jpg = (None if png is not None or pgm is not None
+                       else try_decode_jpeg(payload))
+                img = png if png is not None else (
+                    pgm if pgm is not None else jpg)
                 if img is None:
                     rows.append((int(doc_id), payload, 0, 0, False))
                 else:
                     small = resize_nearest(img, new_w, new_h)
                     # re-encode in the container the payload arrived in
-                    out = (encode_png(new_w, new_h, small) if png is not None
-                           else encode_pgm(new_w, new_h, small))
+                    if png is not None:
+                        out = encode_png(new_w, new_h, small)
+                    elif pgm is not None:
+                        out = encode_pgm(new_w, new_h, small)
+                    else:
+                        out = encode_jpeg(small, quality=90)
                     rows.append((int(doc_id), out, new_w, new_h, True))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "width", "height", "ok"])
@@ -242,6 +273,8 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
             img = try_decode_png(payload)
             if img is None:
                 img = try_decode_pgm(payload)
+            if img is None:
+                img = try_decode_jpeg(payload)
             if img is not None:
                 return float(img.mean()), int(img.size), True
         elif media_type == "video":

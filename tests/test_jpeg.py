@@ -1,0 +1,124 @@
+"""Baseline JPEG codec (functions/jpegcodec.py): known-answer exactness,
+round-trip error bounds, restart markers, hostile payloads, and the
+Spark decode path."""
+
+import numpy as np
+import pytest
+
+from loongcollector_spark.functions.jpegcodec import (
+    encode_jpeg, try_decode_jpeg,
+)
+
+
+def test_uniform_gray_is_bit_exact_at_q50():
+    # DC quant step at quality 50 is 16, so v = 128 + 2k reconstructs
+    # exactly: 8*(v-128) = 16k quantizes losslessly, AC is all zero.
+    for v in (16, 72, 128, 130, 200, 240):
+        img = np.full((24, 32), v, np.uint8)
+        dec = try_decode_jpeg(encode_jpeg(img, quality=50))
+        assert dec is not None and dec.shape == (24, 32)
+        assert (dec == v).all(), (v, int(dec.min()), int(dec.max()))
+
+
+def test_block_uniform_mosaic_is_bit_exact_at_q50():
+    # the media_decode_jpeg fixture shape: every 8x8 block uniform
+    d = 17
+    bw_, bh_ = d % 6 + 2, d % 4 + 2
+    vals = 128 + 2 * ((d * 5 + np.arange(bh_ * bw_)) % 113 - 56)
+    img = np.kron(vals.reshape(bh_, bw_), np.ones((8, 8), np.int64)).astype(np.uint8)
+    dec = try_decode_jpeg(encode_jpeg(img, quality=50))
+    assert (dec == img).all()
+
+
+def test_noise_roundtrip_error_shrinks_with_quality():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (48, 56)).astype(np.uint8)
+    errs = {}
+    for q in (50, 75, 95):
+        dec = try_decode_jpeg(encode_jpeg(img, quality=q))
+        errs[q] = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert errs[95] < errs[75] < errs[50]
+    assert errs[95] < 3.0
+
+
+def test_rgb_444_and_420_roundtrip():
+    rgb = np.stack(
+        [((np.arange(24)[:, None] + np.arange(32)[None, :] * k) % 256)
+         for k in (1, 2, 3)], axis=-1).astype(np.uint8)
+    d444 = try_decode_jpeg(encode_jpeg(rgb, quality=90))
+    d420 = try_decode_jpeg(encode_jpeg(rgb, quality=90, subsample=True))
+    assert d444.shape == d420.shape == (24, 32, 3)
+    assert np.abs(d444.astype(int) - rgb.astype(int)).max() <= 4
+    # chroma subsampling loses more but smooth gradients stay close
+    assert np.abs(d420.astype(int) - rgb.astype(int)).mean() < 4.0
+
+
+def test_non_multiple_of_8_dimensions():
+    img = ((np.arange(19)[:, None] * 5 + np.arange(21)[None, :]) % 256
+           ).astype(np.uint8)
+    dec = try_decode_jpeg(encode_jpeg(img, quality=85))
+    assert dec.shape == (19, 21)
+    rgb = np.stack([img, img, img], -1)
+    dec = try_decode_jpeg(encode_jpeg(rgb, quality=85, subsample=True))
+    assert dec.shape == (19, 21, 3)
+
+
+def test_restart_markers_decode_identically():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (40, 48)).astype(np.uint8)
+    plain = try_decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 2, 5, 7):
+        dec = try_decode_jpeg(encode_jpeg(img, quality=90,
+                                          restart_interval=ri))
+        assert (dec == plain).all(), ri
+
+
+@pytest.mark.parametrize("payload", [
+    None, b"", b"not a jpeg", b"\xff\xd8\xff\xd9",
+    b"\xff\xd8" + b"\x00" * 50,
+])
+def test_hostile_payloads_return_none(payload):
+    assert try_decode_jpeg(payload) is None
+
+
+def test_truncated_stream_returns_none():
+    full = encode_jpeg(np.full((16, 16), 99, np.uint8), 75)
+    for cut in (10, len(full) // 2, len(full) - 3):
+        assert try_decode_jpeg(full[:cut]) is None
+
+
+def test_progressive_sof_rejected():
+    full = bytearray(encode_jpeg(np.full((8, 8), 130, np.uint8), 75))
+    sof = full.find(b"\xff\xc0")
+    full[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    assert try_decode_jpeg(bytes(full)) is None
+
+
+def test_corrupted_entropy_degrades_to_none_not_crash():
+    full = bytearray(encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8), 75))
+    # stomp bytes in the entropy segment (after SOS header)
+    sos = full.find(b"\xff\xda")
+    for off in range(sos + 14, min(sos + 20, len(full) - 2)):
+        mutated = bytearray(full)
+        mutated[off] ^= 0xFF
+        try_decode_jpeg(bytes(mutated))  # must not raise
+
+
+def test_spark_image_path_decodes_jpeg(spark):
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, image_resize, synthetic_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = synthetic_media(docs, "jpeg")
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert all(feats[i]["ok"] for i in range(12))
+    for i in range(12):
+        bw_, bh_ = i % 6 + 2, i % 4 + 2
+        vals = 128 + 2 * ((i * 5 + np.arange(bh_ * bw_)) % 113 - 56)
+        assert feats[i]["feat_mean"] == pytest.approx(vals.mean(), abs=1e-9)
+        assert feats[i]["feat_dim"] == 64 * bw_ * bh_
+    # resize re-encodes as JPEG and the thumbnail still decodes
+    small = image_resize(media, 8, 8).collect()
+    assert all(r["ok"] for r in small)
+    assert all(bytes(r["payload"])[:2] == b"\xff\xd8" for r in small)
