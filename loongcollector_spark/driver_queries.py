@@ -2489,6 +2489,52 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-prune (Abbas et al. 2023): 16
+    deterministic seed centroids (the ivf_topk quantizer), nearest-cell
+    assignment, then within-cell pairwise cosine — a vector is dropped
+    when a lower-id cell-mate scores floor(1e4*cos) >= 3000. The oracle
+    replays the identical argmax assignment and pairwise rule, so cell
+    membership AND the kept/dropped decision are hash-checked."""
+    from loongcollector_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), n_centroids=16,
+                          min_cos_1e4=3000)
+
+
+O_SEMANTIC_DEDUP = """
+WITH E AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, emb AS cvec FROM E WHERE vec_id BETWEEN 1 AND 16),
+scored AS (
+  SELECT E.vec_id, c.cid,
+    list_dot_product(E.emb, c.cvec)
+      / (sqrt(list_dot_product(E.emb, E.emb))
+       * sqrt(list_dot_product(c.cvec, c.cvec))) AS cs
+  FROM E, c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+m AS (SELECT vec_id, cell, emb FROM assign JOIN E USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE floor(10000 * list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+       * sqrt(list_dot_product(b.emb, b.emb)))) >= 3000
+)
+SELECT m.vec_id, m.cell, dup.vec_id IS NULL AS kept
+FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from loongcollector_spark.functions.dedup import ngram_jaccard_adjacent
 
@@ -3698,6 +3744,7 @@ QUERIES = {
     "ann_topk_batch": (q_ann_topk_batch, O_ANN_TOPK_BATCH),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
+    "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "fieldops_chain": (q_fieldops_chain, O_FIELDOPS_CHAIN),
     "filterops_combo": (q_filterops_combo, O_FILTEROPS_COMBO),

@@ -282,3 +282,82 @@ def cosine_topk_batch(
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame, n_centroids: int = 16, min_cos_1e4: int = 3000,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then drop any
+    document whose cosine similarity to a LOWER-id member of the SAME
+    cell reaches ``min_cos_1e4/1e4`` — the canonical-survivor rule every
+    other dedup in this repo uses (min id wins), applied in embedding
+    space. Thresholding on floor(1e4*cos) matches the convention of
+    ``embedding_near_dup_pairs`` so the oracle compares integers, not
+    rounding modes.
+
+    Centroids are the deterministic seed set (ids 1..n_centroids), same
+    as ``ivf_topk``: a k-means refinement drops into the ``cent`` frame
+    without touching the rest of the plan, but seeds keep the cell
+    assignment bit-checkable against the SQL oracle.
+
+    Scale shape: this is exactly why SemDeDup clusters first — the
+    pairwise stage is confined WITHIN cells, so its cost is
+    sum(|cell|^2) instead of N^2, and n_centroids is the knob that keeps
+    |cell| bounded as the corpus grows (at 10^9 docs you run ~100k
+    cells so cells stay ~10^4). The plan: one broadcast of k centroid
+    vectors (no corpus shuffle) -> map-side argmax partial-agg carrying
+    (id, cell) -> ONE hash shuffle on cell for the self-join -> the
+    dup-id set is tiny and broadcast-anti-joins back. Vectors travel the
+    cell shuffle once; ids travel everywhere else.
+
+    Returns one row per corpus vector: (vec_id, cell, kept).
+    """
+    e = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("emb"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    cent = e.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
+    ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
+             F.col("norm").alias("cnorm"))
+    cell_cos = F.try_divide(_dot(F.col("emb"), F.col("cvec")),
+                            F.col("norm") * F.col("cnorm"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            F.struct(
+                cell_cos.alias("cs"),
+                (-F.col("cid")).alias("ncid"),  # ties -> lowest cid
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+        .groupBy(id_col).agg(F.max("sc").alias("best"))
+        .select(id_col, F.col("best.cid").alias("cell"))
+    )
+    members = assign.join(e, id_col).select(id_col, "cell", "emb", "norm")
+    a = members.select(
+        F.col("cell"), F.col(id_col).alias("id_a"),
+        F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a"))
+    b = members.select(
+        F.col("cell"), F.col(id_col).alias("id_b"),
+        F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b"))
+    pair_cos = F.floor(
+        F.lit(10000) * F.try_divide(_dot(F.col("emb_a"), F.col("emb_b")),
+                                    F.col("norm_a") * F.col("norm_b")))
+    dup_ids = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= min_cos_1e4)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        members.join(F.broadcast(dup_ids.withColumn("_dup", F.lit(True))),
+                     id_col, "left")
+        .select(
+            id_col, "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )
