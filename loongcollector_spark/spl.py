@@ -53,9 +53,35 @@ class SplUnsupported(SplError):
 
 
 _UNSUPPORTED = {
-    "spooky_hash_v2_32", "spooky_hash_v2_64", "empty_approx_set",
+    "spooky_hash_v2_32", "spooky_hash_v2_64",
     "classify", "features",
 }
+
+_EMPTY_HLL_HEX: str | None = None
+
+
+def _empty_hll_hex() -> str:
+    """Hex of a serialized EMPTY datasketches HLL sketch — the value
+    Presto's ``empty_approx_set()`` scalar produces (an HLL any merge
+    can absorb). Spark has no scalar constructor, but its HLL family
+    (``hll_sketch_agg`` / ``hll_union`` / ``hll_sketch_estimate``) uses
+    the same datasketches wire format, so aggregating ZERO rows once per
+    process yields the constant; the translator then inlines it as an
+    ``unhex`` literal. estimate(empty) = 0, union(empty, s) = s."""
+    global _EMPTY_HLL_HEX
+    if _EMPTY_HLL_HEX is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise SplUnsupported(
+                "empty_approx_set() needs an active SparkSession to build "
+                "the empty-sketch literal")
+        _EMPTY_HLL_HEX = spark.sql(
+            "SELECT hex(hll_sketch_agg(col)) "
+            "FROM (SELECT 1 AS col WHERE false)"
+        ).first()[0]
+    return _EMPTY_HLL_HEX
 
 # Presto names with no Spark builtin, shimmed as registered UDFs
 # (registered lazily on the active session by spl_run)
@@ -190,6 +216,9 @@ def _translate_expr(expr: str) -> str:
     out = re.sub(r"\bVARBINARY\b", "BINARY", out, flags=re.IGNORECASE)
     out = re.sub(r"\bVARCHAR\b", "STRING", out, flags=re.IGNORECASE)
 
+    # Presto HLL scalar constructor → empty-sketch binary literal
+    out = re.sub(r"\bempty_approx_set\s*\(\s*\)",
+                 lambda m: f"unhex('{_empty_hll_hex()}')", out)
     # function spelling fixes
     for name in re.findall(r"\b([a-z_][a-z0-9_]*)\s*\(", out):
         if name in _UNSUPPORTED:

@@ -329,3 +329,27 @@ def test_translate_never_corrupts_literals():
         assert out.endswith("current_timestamp())")
 
     check()
+
+
+def test_empty_approx_set_is_a_real_hll_sketch(spark):
+    """empty_approx_set() inlines an empty datasketches HLL literal that
+    Spark's own HLL family consumes: estimate = 0 and it's the identity
+    under hll_union."""
+    from loongcollector_spark.spl import spl_run
+
+    df = spark.createDataFrame([("x",), ("y",)], "content string")
+    out = list(spl_run(df, "* | extend a = empty_approx_set()").values())[0]
+    rows = out.collect()
+    assert len(rows) == 2
+    sketch = bytes(rows[0]["a"])
+    assert sketch == bytes(rows[1]["a"])  # a constant literal
+    est, = spark.sql(
+        "SELECT hll_sketch_estimate(unhex('%s'))" % sketch.hex().upper()
+    ).first()
+    assert est == 0
+    merged, = spark.sql(
+        "SELECT hll_sketch_estimate(hll_union(unhex('%s'), "
+        "(SELECT hll_sketch_agg(col) FROM VALUES (1),(2),(2) AS t(col))))"
+        % sketch.hex().upper()
+    ).first()
+    assert merged == 2

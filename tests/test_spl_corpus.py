@@ -26,7 +26,6 @@ CORPUS_PATH = "/root/reference/core/unittest/spl/spl.txt"
 # expected failure (no Spark analog / Velox-only behavior)
 XFAIL = {
     "spooky_hash_v2": "SpookyHash has no Spark builtin or public shim",
-    "empty_approx_set": "HLL sketch type has no Spark analog",
     "slice(a, 0, 3)": "0 start index rejected by both Spark and Presto",
 }
 
