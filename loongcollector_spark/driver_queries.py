@@ -2489,6 +2489,47 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_lm_perplexity_filter(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): word-bigram
+    add-one model trained on the corpus, every document scored by its
+    average quantized log10 bigram probability. Per-bigram quantization
+    to an integer BEFORE summing makes the score aggregation-order-free,
+    so the DuckDB oracle (same counts, same smoothing, same floor)
+    hash-matches despite floating-point log10."""
+    from loongcollector_spark.functions.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+O_LM_PERPLEXITY_FILTER = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+),
+u AS (
+  SELECT doc_id, unnest(words) AS w,
+         unnest(range(1, len(words) + 1)) AS i
+  FROM d WHERE len(words) >= 2
+),
+b AS (
+  SELECT doc_id, w AS w1,
+    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM u QUALIFY w2 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(words) AS w FROM d)),
+s AS (
+  SELECT b.doc_id,
+    floor(1000.0 * log10((n2 + 1.0) / (n1 + cast(v.v AS DOUBLE)))) AS li
+  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  cast(floor(avg(li)) AS BIGINT) AS lm_score_1e3
+FROM s GROUP BY doc_id
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-then-prune (Abbas et al. 2023): 16
     deterministic seed centroids (the ivf_topk quantizer), nearest-cell
@@ -3745,6 +3786,7 @@ QUERIES = {
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
+    "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "fieldops_chain": (q_fieldops_chain, O_FIELDOPS_CHAIN),
     "filterops_combo": (q_filterops_combo, O_FILTEROPS_COMBO),
