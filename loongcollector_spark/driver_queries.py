@@ -2489,6 +2489,46 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_cross_doc_gram_share(spark, sf_dir):
+    """ExactSubstr-flavored cross-document repetition (Lee et al. 2022,
+    approximated by 5-gram doc-frequency counting): per document, the
+    count and ratio of its distinct word 5-grams that appear in at least
+    one other document. The oracle rebuilds the same distinct-gram index
+    and document frequencies."""
+    from loongcollector_spark.functions.curation import cross_doc_gram_share
+
+    return cross_doc_gram_share(_docs(spark, sf_dir), n=5)
+
+
+O_CROSS_DOC_GRAM_SHARE = """
+WITH nw AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+      AS words
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 5
+      THEN list_transform(range(1, len(words) - 5 + 2),
+                          i -> array_to_string(words[i:i+4], ' '))
+      ELSE [array_to_string(words, ' ')] END AS grams
+  FROM nw
+),
+gh AS (
+  SELECT DISTINCT doc_id, md5(gram) AS gram_hash
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+),
+dfreq AS (SELECT gram_hash, count(*) AS ndocs FROM gh GROUP BY gram_hash)
+SELECT doc_id, count(*) AS n_grams,
+  cast(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  cast(floor(1000.0 * sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+             / count(*)) AS BIGINT) AS shared_ratio_1e3
+FROM gh JOIN dfreq USING (gram_hash)
+GROUP BY doc_id
+"""
+
+
 def q_lm_perplexity_filter(spark, sf_dir):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): word-bigram
     add-one model trained on the corpus, every document scored by its
@@ -3787,6 +3827,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
+    "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "fieldops_chain": (q_fieldops_chain, O_FIELDOPS_CHAIN),
     "filterops_combo": (q_filterops_combo, O_FILTEROPS_COMBO),

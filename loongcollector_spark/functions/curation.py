@@ -351,3 +351,38 @@ def blocklist_filter(df: DataFrame, url_col: str = "url",
     if not blocked_set:
         return df
     return df.filter(~registrable_domain(F.col(url_col)).isin(*blocked_set))
+
+
+def cross_doc_gram_share(df: DataFrame, n: int = 5,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-substring signal — the gram-counting
+    approximation of ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499): for each document, what fraction of its word
+    n-grams also appears in at least one OTHER document. High ratios
+    mark boilerplate/templated docs the intra-doc ``dup_ngram_stats``
+    and whole-doc MinHash both miss.
+
+    Plan: reuses ``ngram_hash_frame`` (per-doc DISTINCT 16-byte gram
+    hashes), one count agg keyed on gram_hash (map-side combinable — a
+    boilerplate gram collapses per-partition before the shuffle), join
+    back on the hash, one per-doc agg. Only (doc_id, hash) pairs ever
+    shuffle; at 100 TB the doc-frequency table is the corpus gram index
+    and is reusable across runs.
+    """
+    g = ngram_hash_frame(df, n=n, text_col=text_col, id_col=id_col)
+    # g is distinct per (doc, hash), so count(*) = document frequency
+    dfreq = g.groupBy("gram_hash").agg(F.count("*").alias("ndocs"))
+    return (
+        g.join(dfreq, "gram_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio_1e3",
+            F.floor(F.lit(1000.0) * F.col("n_shared") / F.col("n_grams"))
+            .cast("long"),
+        )
+    )
