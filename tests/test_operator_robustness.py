@@ -220,3 +220,46 @@ def test_similarity_survives_hostile_embeddings(spark):
     comp = {r["node"]: r["comp"] for r in connected_components(
         pairs, left="vec_a", right="vec_b").collect()}
     assert comp[0] == comp[4] == 0  # near-dups land in one cluster
+
+
+def test_new_curation_functions_survive_hostile_docs(spark):
+    """lm scoring, cross-doc gram share, and jpeg media over nulls,
+    empties, single-word and repeated docs."""
+    from loongcollector_spark.functions import multimodal
+    from loongcollector_spark.functions.curation import cross_doc_gram_share
+    from loongcollector_spark.functions.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, " "), (3, "a"), (4, "白日 依山 尽"),
+         (5, "x " * 2000), (6, "dup dup dup"), (7, "dup dup dup")],
+        "doc_id long, text string",
+    )
+    lm = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert 0 not in lm and 1 not in lm and 3 not in lm  # <2 words drop
+    assert lm[6]["lm_score_1e3"] == lm[7]["lm_score_1e3"]
+    share = {r["doc_id"]: r for r in cross_doc_gram_share(docs).collect()}
+    assert share[6]["shared_ratio_1e3"] == 1000  # full cross-doc dup
+    assert share[4]["shared_ratio_1e3"] == 0
+    media = multimodal.synthetic_media(docs.select("doc_id"), "jpeg")
+    feats = multimodal.extract_features(media).collect()
+    assert all(r["ok"] for r in feats)
+
+
+def test_semantic_dedup_survives_hostile_embeddings(spark):
+    """zero-norm and null vectors through the SemDeDup path: null
+    cosines never win the argmax or mark a duplicate."""
+    from loongcollector_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 0.1]),
+         (1, [0.0] * 4),              # zero norm (is also a "centroid")
+         (2, [1.0] * 4),
+         (3, None),                   # null vector
+         (4, [1.0, 2.0, 3.0, 0.1])],  # exact dup of 0
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_centroids=2, min_cos_1e4=9990).collect()}
+    assert out[0]["kept"] is True
+    assert out[4]["kept"] is False    # dup of lower-id cell-mate
+    assert out[4]["cell"] == out[0]["cell"]
