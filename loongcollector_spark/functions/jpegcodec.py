@@ -170,6 +170,10 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Bulk-filled bit reader: bits accumulate in one Python int and every
+    consume is shift+mask — no per-bit function calls (the per-bit
+    variant spent the whole decode in call overhead; this is ~2.5x)."""
+
     def __init__(self, buf: bytes, pos: int):
         self.buf = buf
         self.pos = pos
@@ -177,40 +181,47 @@ class _BitReader:
         self.nbits = 0
         self.marker = None  # marker byte that ended the segment
 
-    def _fill(self):
+    def _fill_to(self, want: int):
+        if self.nbits <= 32:  # trim consumed high bits so acc stays small
+            self.acc &= (1 << self.nbits) - 1
         b = self.buf
-        if self.pos >= len(b):
-            raise EOFError
-        byte = b[self.pos]
-        if byte == 0xFF:
-            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
-            if nxt == 0x00:          # stuffed 0xFF data byte
-                self.pos += 2
-            elif nxt is None:
-                raise EOFError
-            else:                    # a real marker terminates entropy data
-                self.marker = nxt
-                raise EOFError
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
+        n = len(b)
+        while self.nbits < want and self.marker is None:
+            pos = self.pos
+            if pos >= n:
+                break
+            byte = b[pos]
+            if byte == 0xFF:
+                nxt = b[pos + 1] if pos + 1 < n else None
+                if nxt == 0x00:      # stuffed 0xFF data byte
+                    self.pos = pos + 2
+                elif nxt is None:    # dangling 0xFF: truncated stream
+                    self.pos = pos + 1
+                    break
+                else:                # a real marker terminates entropy data
+                    self.marker = nxt
+                    break
+            else:
+                self.pos = pos + 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return self.receive(1)
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self.nbits < n:
+            self._fill_to(n)
+            if self.nbits < n:
+                raise EOFError
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_marker(self):
         """Drop partial byte and consume an RSTn marker (for DRI)."""
         self.nbits = 0
+        self.acc = 0
+        self.marker = None
         b = self.buf
         while self.pos + 1 < len(b):
             if b[self.pos] == 0xFF and 0xD0 <= b[self.pos + 1] <= 0xD7:
@@ -226,21 +237,35 @@ def _extend(v: int, size: int) -> int:
 
 
 def _huff_decode(reader: _BitReader, table) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        sym = table.get((length, code))
+    if reader.nbits < 16:
+        reader._fill_to(16)
+    avail = reader.nbits
+    if avail == 0:
+        raise EOFError
+    acc = reader.acc
+    get = table.get
+    for length in range(1, min(16, avail) + 1):
+        sym = get((length, (acc >> (avail - length)) & ((1 << length) - 1)))
         if sym is not None:
+            reader.nbits = avail - length
             return sym
     raise ValueError("invalid Huffman code")
 
 
 # --- encoder --------------------------------------------------------------
 
-def _fdct_quant(block: np.ndarray, qtbl2d: np.ndarray) -> np.ndarray:
-    coef = _T @ (block.astype(np.float64) - 128.0) @ _T.T
-    return np.round(coef / qtbl2d).astype(np.int32)
+def _fdct_quant_all(plane: np.ndarray, qtbl2d: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficients for EVERY 8x8 block of a plane in
+    one batched einsum — (gy, gx, 64) int32. Per-block Python matmuls
+    were the encoder's bottleneck (one numpy call per block ~30us; the
+    batch is one call per plane)."""
+    h, w = plane.shape
+    blocks = (plane.astype(np.float64) - 128.0).reshape(
+        h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _T, blocks, _T, optimize=True)
+    zz = np.round(coef / qtbl2d).astype(np.int32).reshape(
+        h // 8, w // 8, 64)[..., ZIGZAG]
+    return zz
 
 
 def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
@@ -384,6 +409,8 @@ def encode_jpeg(pixels, quality: int = 75, subsample: bool = False,
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         planes2.append((plane[:need_h, :need_w], q2, dct, hs, vs))
 
+    qblocks = [(_fdct_quant_all(plane, q2), dct, hs, vs)
+               for plane, q2, dct, hs, vs in planes2]
     bw = _BitWriter()
     preds = [0] * len(planes2)
     mcu_count = 0
@@ -397,13 +424,10 @@ def encode_jpeg(pixels, quality: int = 75, subsample: bool = False,
                 bw = _BitWriter()
                 preds = [0] * len(planes2)
             mcu_count += 1
-            for ci, (plane, q2, dct, hs, vs) in enumerate(planes2):
+            for ci, (zzs, dct, hs, vs) in enumerate(qblocks):
                 for by in range(vs):
                     for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        blk = plane[y0:y0 + 8, x0:x0 + 8]
-                        zz = _fdct_quant(blk, q2).ravel()[ZIGZAG]
+                        zz = zzs[my * vs + by, mx * hs + bx]
                         preds[ci] = _encode_block(bw, zz, preds[ci], dct, ac)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI

@@ -152,7 +152,13 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
     v_b = 128 + 2*((doc_id*5 + b) % 113 - 56), and at quality 50 the DC
     quant step is 16, so 8*(v_b-128) quantizes losslessly and the block
     reconstructs bit-exact (see jpegcodec.py docstring). Every third doc
-    additionally carries DRI/RSTn restart markers."""
+    additionally carries DRI/RSTn restart markers.
+
+    The doc_id frame is hash-repartitioned across cores FIRST: the sf
+    fixtures are one-split parquet files, and without the exchange the
+    whole encode (and every chained mapInPandas after it) runs on ONE
+    Python worker (media_decode_jpeg measured 3.7 s -> 0.9 s at
+    local[32]; the exchange carries only doc_id)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -205,7 +211,9 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
                          "height", "sample_rate", "n_frames"],
             )
 
-    return df.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    ids = df.select("doc_id")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par, "doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def image_resize(df: DataFrame, new_w: int, new_h: int) -> DataFrame:
