@@ -193,3 +193,40 @@ def test_multiline_merge_stream_spans_batches(spark, stream_dirs):
     got = {r["turn_idx"]: (r["text"], r["n_merged"])
            for r in spark.read.parquet(f"{out}/merged").collect()}
     assert got.get(3) == ("ERROR next", 1)
+
+
+def test_streaming_exact_dedup_across_batches(spark, stream_dirs):
+    """duplicate text arriving in a LATER micro-batch is dropped while
+    within the watermark horizon; the survivor set matches the batch
+    exact_dedup over the union."""
+    from loongcollector_spark.streaming import streaming_exact_dedup
+
+    src, out = stream_dirs
+    df1 = _gen(spark, 40)
+    df1.write.parquet(f"{src}/b1")
+    # batch 2 repeats batch 1's text payloads under new conv ids plus
+    # brings 10 genuinely new rows
+    dup = df1.limit(20).withColumn(
+        "conv_id", F.concat(F.lit("dup_"), F.col("conv_id")))
+    dup.write.parquet(f"{src}/b2_dup")
+    fresh = _gen(spark, 10, conv_prefix="fresh_")
+    fresh.write.parquet(f"{src}/b2_new")
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = streaming_exact_dedup(stream, out, watermark="10 years")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/deduped")
+    batch_union = df1.unionByName(dup).unionByName(fresh)
+    from loongcollector_spark.functions.dedup import exact_dedup
+    expected_fps = {
+        r["fp"] for r in batch_union.select(
+            F.md5(F.col("text").cast("binary")).alias("fp")).distinct().collect()
+    }
+    fps = [r["fp"] for r in got.select("fp").collect()]
+    assert len(fps) == len(set(fps))          # no fingerprint twice
+    assert set(fps) == expected_fps           # nothing lost
