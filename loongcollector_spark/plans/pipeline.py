@@ -217,6 +217,32 @@ def transcript_pipeline(df: DataFrame, rules: list[SinkRule] | None = None) -> D
     return route_stage(enrich_stage(parse_stage(df)), rules)
 
 
+def _write_metrics(spark: SparkSession, mc: MetricsCollector, out_dir: str) -> None:
+    """Persist the stage-metrics records as ``_metrics`` (JSON lines,
+    spark.read.json-compatible). The records are driver-resident (a
+    handful of rows), so for local paths this is a plain file write —
+    a createDataFrame+coalesce(1) Spark job here costs a full
+    job-submission round trip per pipeline run, pure fixed overhead that
+    eats into strong-scaling efficiency. Non-local filesystems fall back
+    to the (tiny) Spark write."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    if "://" in out_dir and not out_dir.startswith("file:"):
+        (mc.to_df(spark).coalesce(1).write.mode("overwrite")
+         .json(f"{out_dir}/_metrics"))
+        return
+    root = out_dir[len("file:"):] if out_dir.startswith("file:") else out_dir
+    mdir = _os.path.join(root, "_metrics")
+    _shutil.rmtree(mdir, ignore_errors=True)
+    _os.makedirs(mdir, exist_ok=True)
+    with open(_os.path.join(mdir, "part-00000.json"), "w") as f:
+        for rec in mc.to_rows():
+            f.write(_json.dumps(rec) + "\n")
+    open(_os.path.join(mdir, "_SUCCESS"), "w").close()
+
+
 def run_pipeline(
     spark: SparkSession,
     df: DataFrame,
@@ -259,15 +285,6 @@ def run_pipeline(
     )
     routed = routed.persist()
     try:
-        routed_rows = mc.timed_count(
-            "parse+enrich+route",
-            in_rows_row if in_rows_row is not None else -1, routed,
-        )
-        if in_rows_row is None:
-            in_rows_row = routed_rows
-            mc.records[-1].in_rows = routed_rows
-            mc.records[-1].dropped_rows = 0
-
         completed = 0
         sink_frames: dict[str, DataFrame] = {}
         for rule in rules:
@@ -280,6 +297,45 @@ def run_pipeline(
                 completed += 1
             else:
                 pending.append(rule)
+
+        cpath = f"{out_dir}/counters"
+        need_counters = not (resume and manifest.is_done("counters"))
+        concurrent = fail_after_stage is None and len(pending) > 1
+
+        if concurrent and need_counters:
+            # Materialize the cache with a job that does useful work: the
+            # Stage-A counters aggregation doubles as the materialization
+            # pass, and the routed-row count piggybacks on its scan via
+            # observe() — no standalone count job, one fewer full pass
+            # over the cached frame.
+            t1 = time.monotonic()
+            robs = Observation("routed_rows")
+            cobs = Observation("counter_rows")
+            counters = melt_sink_counters(
+                routed.observe(robs, F.count(F.lit(1)).alias("n")),
+                rules, window_duration, counter_keys,
+            )
+            (counters.observe(cobs, F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite").parquet(cpath))
+            wall_ms = (time.monotonic() - t1) * 1e3
+            routed_rows = int(robs.get["n"])
+            if in_rows_row is None:
+                in_rows_row = routed_rows
+            mc.record_stage("parse+enrich+route", in_rows_row, routed_rows,
+                            wall_ms)
+            mc.record_stage("counters", routed_rows, int(cobs.get["n"]),
+                            wall_ms)
+            manifest.mark_done("counters", path=cpath)
+            need_counters = False
+        else:
+            routed_rows = mc.timed_count(
+                "parse+enrich+route",
+                in_rows_row if in_rows_row is not None else -1, routed,
+            )
+            if in_rows_row is None:
+                in_rows_row = routed_rows
+                mc.records[-1].in_rows = routed_rows
+                mc.records[-1].dropped_rows = 0
 
         def write_sink(rule: SinkRule):
             t1 = time.monotonic()
@@ -299,18 +355,50 @@ def run_pipeline(
             n = int(obs.get["n"])
             return rule, path, n, (time.monotonic() - t1) * 1e3
 
-        if fail_after_stage is None and len(pending) > 1:
-            # all sinks read the same cached frame — submit their write
-            # jobs concurrently so the scheduler overlaps them (tasks of
-            # one job fill cores the previous job's tail leaves idle);
-            # manifest updates stay on this thread
+        # Stage A (when not already folded into the materialization job
+        # above — the resume / crash-injection paths): per-sink windowed
+        # counters, computed in ONE melt pass over the cached routed frame
+        # (explode sink bits → one partial-agg shuffle) rather than a
+        # filtered scan per sink or a disk re-read (the manifest's input
+        # fingerprint guarantees resumed sinks were written from the same
+        # input, and the sink bits are deterministic functions of it, so
+        # in-memory content == on-disk content).
+        def write_counters():
+            t1 = time.monotonic()
+            counters = melt_sink_counters(
+                routed, rules, window_duration, counter_keys
+            )
+            cobs = Observation("counter_rows")
+            counters = counters.observe(cobs, F.count(F.lit(1)).alias("n"))
+            counters.write.mode("overwrite").parquet(cpath)
+            return int(cobs.get["n"]), (time.monotonic() - t1) * 1e3
+
+        def write_lineage():
+            # always rewritten — cheap, and it describes THIS run
+            partition_lineage(routed).write.mode("overwrite").parquet(
+                f"{out_dir}/_lineage")
+
+        if concurrent:
+            # all sink/counter/lineage jobs read the same cached frame —
+            # submit them concurrently so the scheduler overlaps them
+            # (tasks of one job fill cores another job's tail leaves
+            # idle, and the tiny counter/lineage aggregations hide inside
+            # the sink writes instead of serializing after them); manifest
+            # updates stay on this thread
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(len(pending)) as ex:
+            with ThreadPoolExecutor(len(pending) + 2) as ex:
+                cfut = ex.submit(write_counters) if need_counters else None
+                lfut = ex.submit(write_lineage)
                 for rule, path, n, ms in ex.map(write_sink, pending):
                     mc.record_stage(f"sink:{rule.name}", routed_rows, n, ms)
                     manifest.mark_done(f"sink:{rule.name}", rows=n, path=path)
                     completed += 1
+                if cfut is not None:
+                    cn, cms = cfut.result()
+                    mc.record_stage("counters", routed_rows, cn, cms)
+                    manifest.mark_done("counters", path=cpath)
+                lfut.result()
         else:
             # sequential path keeps deterministic stage order for the
             # fail_after_stage crash-injection hook (resume tests)
@@ -323,32 +411,13 @@ def run_pipeline(
                     raise RuntimeError(
                         f"injected failure after {completed} sink stages"
                     )
+            if need_counters:
+                cn, cms = write_counters()
+                mc.record_stage("counters", routed_rows, cn, cms)
+                manifest.mark_done("counters", path=cpath)
+            write_lineage()
 
-        # Stage A: per-sink windowed counters, computed in ONE melt pass
-        # over the cached routed frame (explode sink bits → one
-        # partial-agg shuffle) rather than a filtered scan per sink or a
-        # disk re-read: the manifest's input fingerprint guarantees
-        # resumed sinks were written from the same input, and the sink
-        # bits are deterministic functions of it, so in-memory content ==
-        # on-disk content.
-        stage = "counters"
-        cpath = f"{out_dir}/counters"
-        if not (resume and manifest.is_done(stage)):
-            t1 = time.monotonic()
-            counters = melt_sink_counters(
-                routed, rules, window_duration, counter_keys
-            )
-            cobs = Observation("counter_rows")
-            counters = counters.observe(cobs, F.count(F.lit(1)).alias("n"))
-            counters.write.mode("overwrite").parquet(cpath)
-            mc.record_stage(stage, routed_rows, int(cobs.get["n"]),
-                            (time.monotonic() - t1) * 1e3)
-            manifest.mark_done(stage, path=cpath)
-
-        # lineage + metrics (always rewritten — cheap, and they describe
-        # THIS run)
-        partition_lineage(routed).write.mode("overwrite").parquet(f"{out_dir}/_lineage")
-        mc.to_df(spark).coalesce(1).write.mode("overwrite").json(f"{out_dir}/_metrics")
+        _write_metrics(spark, mc, out_dir)
         manifest.mark_done("run", wall_s=time.monotonic() - t0)
     finally:
         routed.unpersist()
