@@ -369,22 +369,26 @@ def cross_doc_gram_share(df: DataFrame, n: int = 5,
     mark boilerplate/templated docs the intra-doc ``dup_ngram_stats``
     and whole-doc MinHash both miss.
 
-    Plan: reuses ``ngram_hash_frame`` (per-doc DISTINCT 16-byte gram
-    hashes) and computes document frequency as a COUNT WINDOW over the
-    gram hash — one derivation of the gram index, one hash-keyed
-    exchange, no self-join (a groupBy + join-back would re-derive the
-    whole explode+md5+distinct subtree for the second consumer). Only
-    (doc_id, hash) pairs ever shuffle; at 100 TB you'd materialize the
-    doc-frequency table once as the corpus gram index and reuse it
-    across runs.
+    Plan: derives the ``ngram_hash_frame`` gram index (per-doc DISTINCT
+    16-byte gram hashes) ONCE — ``localCheckpoint`` materializes it so
+    the two consumers below don't each re-run the explode+md5+distinct
+    subtree (exchange reuse can't kick in: the build side's map-side
+    partial count changes its exchange child). Document frequency is
+    then a map-side-combined hash aggregate joined back with a
+    SHUFFLE_HASH hint — the whole path is sort-free (the previous
+    count-window plan paid a full sort of every (doc, hash) pair inside
+    WindowExec), and a hot stop-gram only *streams* through its
+    partition on the probe side — no per-gram row buffering — so the
+    plan survives skewed grams at corpus scale. At 100 TB you'd
+    materialize the doc-frequency table once as the corpus gram index
+    and reuse it across runs (the checkpoint is that materialization).
     """
-    from pyspark.sql import Window
-
-    g = ngram_hash_frame(df, n=n, text_col=text_col, id_col=id_col)
+    g = ngram_hash_frame(df, n=n, text_col=text_col,
+                         id_col=id_col).localCheckpoint()
     # g is distinct per (doc, hash), so count(*) = document frequency
-    ndocs = F.count("*").over(Window.partitionBy("gram_hash"))
+    dfreq = g.groupBy("gram_hash").agg(F.count("*").alias("ndocs"))
     return (
-        g.withColumn("ndocs", ndocs)
+        g.join(dfreq.hint("SHUFFLE_HASH"), "gram_hash")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),

@@ -266,8 +266,14 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
     fwd = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     rev = pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
     edges = fwd.union(rev).distinct().persist()
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("comp", F.col("node")).localCheckpoint())
+    # init fused with round 1: every node starts at min(self, neighbors)
+    # straight off the edge list (the symmetrized list contains every
+    # node as src), skipping one full propagate round — one map-side-
+    # combined aggregate instead of three joins.
+    labels = (edges.groupBy("src")
+              .agg(F.least(F.col("src"), F.min("dst")).alias("comp"))
+              .withColumnRenamed("src", "node")
+              .localCheckpoint())
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -281,26 +287,29 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
                     labels["comp"],
                     F.coalesce(nbr["nbr_comp"], labels["comp"]),
                 ).alias("comp"),
+                labels["comp"].alias("_prev"),
             )
         )
         # pointer jump: l(v) ← min(l(v), l(l(v))). Labels are always
         # node ids present in the label table, so the inner join is
         # total; this is what turns O(diameter) into O(log diameter).
+        # The round's previous label rides along as _prev so the
+        # convergence check below is a scan-only filter over the
+        # checkpointed partitions — not another shuffle join of the
+        # label table against itself (one fewer exchange per round).
         new = (
             hop.alias("a")
             .join(hop.alias("b"), F.col("a.comp") == F.col("b.node"))
             .select(
                 F.col("a.node").alias("node"),
                 F.least(F.col("a.comp"), F.col("b.comp")).alias("comp"),
+                F.col("a._prev").alias("_prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp")).count()
-        )
+        changed = new.filter(F.col("comp") != F.col("_prev")).count()
         labels.unpersist()
-        labels = new
+        labels = new.drop("_prev")
         if changed == 0:
             break
     else:
