@@ -196,3 +196,21 @@ def test_explode_over_parse_evaluates_from_json_once(spark):
         [(1, '{"resourceSpans":[]}')], "line_id long, content string")
     plan = _plan(otel_trace_to_logs(df, "content"))
     assert plan.count("from_json(StructField") == 1, plan
+
+
+def test_cross_doc_gram_share_is_sort_free(spark):
+    """cross_doc_gram_share's scale contract: doc frequency comes from a
+    map-side-combined hash aggregate + shuffled-hash join back — NO
+    WindowExec and NO Sort anywhere in the plan (the count-window
+    variant sorted every (doc, gram-hash) pair; a hot stop-gram must
+    stream, not sort)."""
+    from loongcollector_spark.functions.curation import cross_doc_gram_share
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id long, text string",
+    )
+    plan = _plan(cross_doc_gram_share(df, n=5))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
