@@ -559,3 +559,46 @@ def test_dup_ngram_stats_golden(spark):
     assert (got[2]["n_grams"], got[2]["dup_frac_1e3"]) == (2, 0)
     assert got[3]["n_grams"] == 0 and got[3]["dup_frac_1e3"] == 0
     assert got[4]["n_grams"] == 0
+
+
+def test_connected_components_adversarial_graphs_vs_union_find(spark):
+    """The iterative CC (fused min-neighbor init + pointer jumping +
+    scan-only convergence check) must match a driver-side union-find on
+    graph shapes the near-dup oracles never produce: a 64-node chain
+    (needs O(log diameter) propagate rounds), a hub star, and a seeded
+    sparse random graph with many overlapping components."""
+    import random
+
+    from loongcollector_spark.functions.dedup import connected_components
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id component per node
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(1234)
+    graphs = {
+        "chain64": [(i, i + 1) for i in range(64)],
+        "star": [(50, i) for i in range(40)],
+        "random": [(rng.randrange(200), rng.randrange(200))
+                   for _ in range(120)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["node"]: r["comp"]
+               for r in connected_components(pairs).collect()}
+        want = union_find(edges)
+        assert got == want, f"{name}: CC disagrees with union-find"
