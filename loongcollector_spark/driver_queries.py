@@ -3759,6 +3759,74 @@ FROM range(0, 100) t(i)
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time enrichment: every event picks up the most recent
+    per-user snapshot value at-or-before its timestamp (union +
+    last-ignorenulls running window — one exchange on user_id, no
+    range-join candidate explosion). Oracle is DuckDB's native ASOF
+    JOIN, an independent implementation of the same semantics."""
+    from loongcollector_spark.functions.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("plan_value"))
+    )
+    facts = ev.select("user_id", "ts", "event_id", "value")
+    return asof_join(facts, snaps, on="user_id", time_col="ts")
+
+
+O_ASOF_ENRICH = """
+WITH snap AS (
+  SELECT user_id, ts, max(value) AS plan_value
+  FROM events WHERE event_id % 97 = 0 GROUP BY user_id, ts
+)
+SELECT e.user_id, e.ts, e.event_id, e.value, s.plan_value
+FROM events e ASOF JOIN snap s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min silence rule) — lag + running
+    sum over one ordered window, microsecond-exact gap arithmetic;
+    per-session aggregate rows keep the oracle hash order-free (value
+    sums as integer cents)."""
+    from loongcollector_spark.functions.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, key="user_id", time_col="ts", gap_s=1800,
+                   order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+O_SESSIONIZE_EVENTS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+  min(ts) AS t_start, max(ts) AS t_end,
+  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -3853,6 +3921,8 @@ QUERIES = {
     "statsd_decode": (q_statsd_decode, O_STATSD_DECODE),
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
     "command_input": (q_command_input, O_COMMAND_INPUT),
+    "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
+    "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "url_domains": (q_url_domains, O_URL_DOMAINS),
