@@ -3827,6 +3827,105 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_range_join_windows(spark, sf_dir):
+    """Interval (range) join without a nested-loop plan: every event
+    joins the 6-hour maintenance windows that contain it via
+    bucket-equi-join + residual (intervals explode to overlapped
+    1-hour buckets, broadcast; the fact stream never shuffles). Oracle
+    is DuckDB's native inequality join — an independent plan for the
+    same predicate."""
+    from loongcollector_spark.functions.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.filter(F.col("event_id") % 499 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("t_end"),
+    )
+    facts = ev.select("event_id", "ts")
+    return range_join(facts, iv, time_col="ts", bucket_s=3600).select(
+        "event_id", "ts", "iv_id")
+
+
+O_RANGE_JOIN_WINDOWS = """
+WITH iv AS (
+  SELECT event_id AS iv_id, ts AS t_start,
+         ts + INTERVAL '6 hours' AS t_end
+  FROM events WHERE event_id % 499 = 0
+)
+SELECT e.event_id, e.ts, iv.iv_id
+FROM events e JOIN iv ON e.ts >= iv.t_start AND e.ts < iv.t_end
+"""
+
+
+def q_rollup_candlestick(spark, sf_dir):
+    """Hypertable rollup: one candlestick row (count/min/max/sum/open/
+    close) per (user, day bucket) — a single partial-aggregating
+    shuffle. Values as integer cents keep both engines bit-exact; ts is
+    unique per user in the fixture, so time-ordered first/last are
+    deterministic."""
+    from loongcollector_spark.functions.temporal import rollup_time_bucket
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return rollup_time_bucket(ev, key="user_id", time_col="ts",
+                              value_col="vc", bucket_s=86_400)
+
+
+O_ROLLUP_CANDLESTICK = """
+WITH e AS (
+  SELECT user_id, ts, cast(round(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) // 86400000000 AS b
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+  min(vc) AS v_min, max(vc) AS v_max,
+  cast(sum(vc) AS BIGINT) AS v_sum,
+  arg_min(vc, ts) AS v_first, arg_max(vc, ts) AS v_last,
+  make_timestamp(b * 86400000000) AS bucket_ts
+FROM e GROUP BY user_id, b
+"""
+
+
+def q_gapfill_locf(spark, sf_dir):
+    """Dense 6-hour series per user with last-observation-carried-
+    forward over empty buckets: grid from sequence+explode, actuals
+    left-joined on, one ordered window carries values forward. Oracle
+    rebuilds the grid with generate_series + IGNORE NULLS last_value."""
+    from loongcollector_spark.functions.temporal import gapfill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return gapfill_locf(ev, key="user_id", time_col="ts",
+                        value_col="vc", bucket_s=21_600)
+
+
+O_GAPFILL_LOCF = """
+WITH e AS (
+  SELECT user_id, ts, cast(round(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) // 21600000000 AS b
+  FROM events
+), a AS (
+  SELECT user_id, b, count(*) AS n, arg_max(vc, ts) AS vlast
+  FROM e GROUP BY user_id, b
+), k AS (
+  SELECT user_id, min(b) AS b0, max(b) AS b1 FROM e GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM k
+)
+SELECT g.user_id, make_timestamp(g.b * 21600000000) AS bucket_ts,
+  cast(coalesce(a.n, 0) AS BIGINT) AS n_events,
+  last_value(a.vlast IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.b
+    ROWS UNBOUNDED PRECEDING) AS value_locf
+FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.b = a.b
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -3923,6 +4022,9 @@ QUERIES = {
     "command_input": (q_command_input, O_COMMAND_INPUT),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
+    "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),
+    "rollup_candlestick": (q_rollup_candlestick, O_ROLLUP_CANDLESTICK),
+    "gapfill_locf": (q_gapfill_locf, O_GAPFILL_LOCF),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "url_domains": (q_url_domains, O_URL_DOMAINS),

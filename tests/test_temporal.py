@@ -9,7 +9,9 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from loongcollector_spark.functions.temporal import asof_join, sessionize
+from loongcollector_spark.functions.temporal import (
+    asof_join, gapfill_locf, range_join, rollup_time_bucket, sessionize,
+)
 
 
 def _ts(s):
@@ -137,3 +139,132 @@ class TestSessionize:
         plan = sessionize(df, key="user_id")._jdf.queryExecution() \
             .executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestRangeJoin:
+    def _frames(self, spark):
+        facts = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:30:00")),
+             (2, _ts("2024-01-01 02:00:00")),   # == an interval end: excluded
+             (3, _ts("2024-01-01 01:59:59")),
+             (4, _ts("2024-01-02 00:00:00"))],  # matches nothing
+            "event_id int, ts timestamp")
+        iv = spark.createDataFrame(
+            [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+             (11, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 03:00:00"))],
+            "iv_id int, t_start timestamp, t_end timestamp")
+        return facts, iv
+
+    def test_half_open_semantics(self, spark):
+        facts, iv = self._frames(spark)
+        pairs = {(r.event_id, r.iv_id)
+                 for r in range_join(facts, iv, bucket_s=3600).collect()}
+        # overlapping intervals both match; end instant is exclusive;
+        # start instant is inclusive
+        assert pairs == {(1, 10), (3, 10), (3, 11), (2, 11)}
+
+    def test_matches_cross_join_reference(self, spark):
+        facts, iv = self._frames(spark)
+        expect = {
+            (r.event_id, r.iv_id)
+            for r in facts.crossJoin(iv)
+            .filter("t_start <= ts AND ts < t_end").collect()
+        }
+        for bucket_s in (60, 3600, 86400 * 7):  # bucket width is perf-only
+            got = {(r.event_id, r.iv_id)
+                   for r in range_join(facts, iv, bucket_s=bucket_s).collect()}
+            assert got == expect, bucket_s
+
+    def test_no_duplicate_pairs(self, spark):
+        facts, iv = self._frames(spark)
+        out = range_join(facts, iv, bucket_s=60).collect()  # many buckets/iv
+        pairs = [(r.event_id, r.iv_id) for r in out]
+        assert len(pairs) == len(set(pairs))
+
+    def test_column_collision_raises(self, spark):
+        facts, iv = self._frames(spark)
+        with pytest.raises(ValueError):
+            range_join(facts, iv.withColumnRenamed("iv_id", "event_id"))
+
+    def test_broadcast_keeps_facts_unshuffled(self, spark):
+        facts, iv = self._frames(spark)
+        plan = range_join(facts, iv, bucket_s=3600)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestRollupTimeBucket:
+    def test_candlestick(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:05:00"), 3),
+             ("a", _ts("2024-01-01 00:20:00"), 1),
+             ("a", _ts("2024-01-01 00:50:00"), 2),   # same hour bucket
+             ("a", _ts("2024-01-01 01:10:00"), 9),   # next bucket
+             ("b", _ts("2024-01-01 00:30:00"), 7)],
+            "k string, ts timestamp, v long")
+        out = {(r.k, r.bucket_ts.hour): r
+               for r in rollup_time_bucket(df, "k", "ts", "v", 3600).collect()}
+        a0 = out[("a", 0)]
+        assert (a0.n_events, a0.v_min, a0.v_max, a0.v_sum) == (3, 1, 3, 6)
+        assert (a0.v_first, a0.v_last) == (3, 2)  # open at 00:05, close 00:50
+        assert out[("a", 1)].n_events == 1
+        assert out[("b", 0)].v_sum == 7
+
+    def test_bucket_ts_is_bucket_start(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 13:59:59"), 1)],
+            "k string, ts timestamp, v long")
+        [r] = rollup_time_bucket(df, "k", "ts", "v", 3600).collect()
+        assert r.bucket_ts == _ts("2024-01-01 13:00:00")
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:00:00"), 1, 5),
+             ("a", _ts("2024-01-01 00:00:00"), 2, 8)],
+            "k string, ts timestamp, seq int, v long")
+        [r] = rollup_time_bucket(df, "k", "ts", "v", 3600,
+                                 tiebreak="seq").collect()
+        assert (r.v_first, r.v_last) == (5, 8)
+
+    def test_single_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:00:00"), 1)],
+            "k string, ts timestamp, v long")
+        plan = rollup_time_bucket(df, "k", "ts", "v", 3600) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestGapfillLocf:
+    def test_fills_gaps_and_carries_forward(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:10:00"), 5),
+             ("a", _ts("2024-01-01 03:10:00"), 7)],  # 2 empty hours between
+            "k string, ts timestamp, v long")
+        out = sorted(gapfill_locf(df, "k", "ts", "v", 3600).collect(),
+                     key=lambda r: r.bucket_ts)
+        assert [r.bucket_ts.hour for r in out] == [0, 1, 2, 3]
+        assert [r.n_events for r in out] == [1, 0, 0, 1]
+        assert [r.value_locf for r in out] == [5, 5, 5, 7]
+
+    def test_locf_uses_latest_in_bucket(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:10:00"), 5),
+             ("a", _ts("2024-01-01 00:40:00"), 6),  # later in same bucket
+             ("a", _ts("2024-01-01 02:00:00"), 9)],
+            "k string, ts timestamp, v long")
+        out = sorted(gapfill_locf(df, "k", "ts", "v", 3600).collect(),
+                     key=lambda r: r.bucket_ts)
+        assert [r.value_locf for r in out] == [6, 6, 9]
+
+    def test_keys_get_independent_grids(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:00:00"), 1),
+             ("a", _ts("2024-01-01 05:00:00"), 2),
+             ("b", _ts("2024-01-01 02:00:00"), 3)],
+            "k string, ts timestamp, v long")
+        out = gapfill_locf(df, "k", "ts", "v", 3600)
+        counts = {r.k: r.n for r in
+                  out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"a": 6, "b": 1}
