@@ -87,10 +87,14 @@ def main():
         # retry-until-pass bias, and robust to one lucky/unlucky tail
         # (best-of amplified whichever side drew the lucky run: measured
         # efficiency swung 0.79-1.00 across best-of-2 runs, 0.86-0.93
-        # with medians).
+        # with medians). Five reps, not three: with 3, a single co-tenant
+        # burst landing on two same-side runs moves the median (one
+        # observed window: high-side medians 22.7 vs 20.5 only minutes
+        # apart -> efficiency 0.75 vs 0.83 for identical code); the
+        # median of 5 needs three bad draws on one side to move.
         import statistics
 
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
         lows, highs = [], []
         for _ in range(reps):
             lows.append(_sub("bench_worker.py", low_cpus, f"{base}/low", low_turns))

@@ -149,7 +149,12 @@ def range_join(facts: DataFrame, intervals: DataFrame,
     if overlap:
         raise ValueError(f"facts/intervals column collision: {sorted(overlap)}")
     bucket_us = bucket_s * 1_000_000
-    iv = intervals.withColumn(
+    iv = intervals.filter(
+        # empty/inverted intervals match nothing; dropping them up front
+        # also keeps sequence() ascending (sequence(a, b) with b < a
+        # generates a DESCENDING range — phantom buckets, not an error)
+        F.col(start_col) < F.col(end_col)
+    ).withColumn(
         "_bkt",
         F.explode(F.sequence(
             F.floor(_us(F.col(start_col)) / bucket_us),

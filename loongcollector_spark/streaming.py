@@ -199,6 +199,46 @@ def windowed_counter_stream(
     return writer.start()
 
 
+def session_counter_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "conv_id",
+    available_now: bool = True,
+):
+    """Streaming gap sessionization — the continuous twin of
+    ``functions.temporal.sessionize``: Spark's native ``session_window``
+    merges events whose gaps are under ``gap`` into one growing window
+    per key, finalizes a session once the watermark passes its end, and
+    emits (key, session_start, session_end, n_events) in append mode.
+
+    Same boundary rule as the batch operator for sub-gap spacing; state
+    per key is one open window, bounded by the watermark horizon — the
+    shape a 10^12-turn continuous ingest needs (exact session indices
+    over all history belong to the batch pass)."""
+    agg = (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_dir}/sessions")
+        .option("checkpointLocation", f"{out_dir}/_session_checkpoint")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_exact_dedup(
     stream_df: DataFrame,
     out_dir: str,

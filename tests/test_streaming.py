@@ -230,3 +230,59 @@ def test_streaming_exact_dedup_across_batches(spark, stream_dirs):
     fps = [r["fp"] for r in got.select("fp").collect()]
     assert len(fps) == len(set(fps))          # no fingerprint twice
     assert set(fps) == expected_fps           # nothing lost
+
+
+def test_session_counter_stream_matches_batch(spark, stream_dirs):
+    from datetime import datetime
+
+    from loongcollector_spark.functions.temporal import sessionize
+    from loongcollector_spark.streaming import session_counter_stream
+
+    src, out = stream_dirs
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    rows = [
+        # conv a: two sessions under a 10-minute gap rule
+        ("a", t("00:00:00")), ("a", t("00:05:00")), ("a", t("00:08:00")),
+        ("a", t("01:00:00")), ("a", t("01:04:00")),
+        # conv b: one session
+        ("b", t("00:02:00")),
+        # sentinel far in the future: pushes the watermark past every
+        # real session so append mode finalizes them
+        ("zz_sentinel", t("23:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(src)
+    q = session_counter_stream(stream, out, gap="10 minutes",
+                               watermark="1 minute")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/sessions")
+    # every emitted session must equal the batch session_window result
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "conv_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("conv_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    mismatch = got.alias("g").join(
+        batch.alias("b"), ["conv_id", "session_start"], "inner"
+    ).filter("g.n_events != b.n_events OR g.session_end != b.session_end")
+    assert mismatch.count() == 0
+    emitted = {(r.conv_id, r.session_start.isoformat(), r.n_events)
+               for r in got.collect()}
+    # the three real sessions are finalized (sentinel's own session may
+    # or may not be, depending on where the final watermark lands)
+    assert {("a", "2024-01-01T00:00:00", 3),
+            ("a", "2024-01-01T01:00:00", 2),
+            ("b", "2024-01-01T00:02:00", 1)} <= emitted
+
+    # cross-check the batch operator: session COUNT per key agrees with
+    # the lag+cumsum sessionize formulation at the same gap
+    s = sessionize(spark.read.parquet(src), key="conv_id", gap_s=600)
+    per_key = {r.conv_id: r.n for r in
+               s.groupBy("conv_id")
+               .agg(F.countDistinct("session_idx").alias("n")).collect()}
+    assert per_key == {"a": 2, "b": 1, "zz_sentinel": 1}

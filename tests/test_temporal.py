@@ -186,6 +186,17 @@ class TestRangeJoin:
         with pytest.raises(ValueError):
             range_join(facts, iv.withColumnRenamed("iv_id", "event_id"))
 
+    def test_empty_and_inverted_intervals_ignored(self, spark):
+        facts = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:30:00"))], "event_id int, ts timestamp")
+        iv = spark.createDataFrame(
+            [(10, _ts("2024-01-01 00:30:00"), _ts("2024-01-01 00:30:00")),
+             (11, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 00:00:00")),
+             (12, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+            "iv_id int, t_start timestamp, t_end timestamp")
+        out = [r.iv_id for r in range_join(facts, iv, bucket_s=3600).collect()]
+        assert out == [12]  # zero-length + inverted both match nothing
+
     def test_broadcast_keeps_facts_unshuffled(self, spark):
         facts, iv = self._frames(spark)
         plan = range_join(facts, iv, bucket_s=3600)._jdf.queryExecution() \
