@@ -3926,6 +3926,86 @@ FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.b = a.b
 """
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 relevance search over the documents corpus for a fixed
+    query; the token explode is filtered to the query's terms before
+    the (doc, term) shuffle, corpus stats come from one no-explode
+    scan. Score quantized to milli-units for engine-exact equality."""
+    from loongcollector_spark.functions.ranking import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, ["spark", "shuffle", "vector"])
+
+
+O_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_docs,
+         avg(cast(dl AS DOUBLE)) AS avg_dl FROM lens
+), tf AS (
+  SELECT doc_id, term, cast(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ('spark', 'shuffle', 'vector')
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, cast(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY term
+)
+SELECT tf.doc_id, cast(count(*) AS BIGINT) AS n_terms_matched,
+  cast(round(sum(
+    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+    * tf.tf * (1.2 + 1)
+    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avg_dl))
+  ) * 1000) AS BIGINT) AS score_milli
+FROM tf
+JOIN dfreq d USING (term) CROSS JOIN stats s
+JOIN lens l ON l.doc_id = tf.doc_id
+GROUP BY tf.doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document, rank made total by (quantized
+    score desc, term asc) so row_number agrees across engines."""
+    from loongcollector_spark.functions.ranking import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, top_k=3)
+
+
+O_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, cast(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, cast(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY term
+), n AS (
+  SELECT cast(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+    cast(round(tf.tf * ln(n.n_docs / d.df) * 1000) AS BIGINT) AS tfidf_milli
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf_milli,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_milli DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, cast(rank AS INT) AS rank, term, tfidf_milli
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -4025,6 +4105,8 @@ QUERIES = {
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),
     "rollup_candlestick": (q_rollup_candlestick, O_ROLLUP_CANDLESTICK),
     "gapfill_locf": (q_gapfill_locf, O_GAPFILL_LOCF),
+    "bm25_search": (q_bm25_search, O_BM25_SEARCH),
+    "tfidf_top_terms": (q_tfidf_top_terms, O_TFIDF_TOP_TERMS),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "url_domains": (q_url_domains, O_URL_DOMAINS),
