@@ -4006,6 +4006,76 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_latency_percentiles(spark, sf_dir):
+    """Telemetry SLO rollup: exact p50/p95/p99 (linear interpolation,
+    the R-7 estimator both engines implement bit-identically) + count
+    per event_type — one partial-aggregating shuffle; at scale this is
+    where an approx-percentile sketch would slot in, but the oracle
+    pins the exact variant."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), pct.alias("_p"))
+        .select(
+            "event_type", "n",
+            F.col("_p")[0].alias("p50"),
+            F.col("_p")[1].alias("p95"),
+            F.col("_p")[2].alias("p99"),
+        )
+    )
+
+
+O_LATENCY_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.95) AS p95,
+  quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-user anomaly signal: each event's z-score against its user's
+    mean/stddev, quantized to centi-units — one window shuffle on
+    user_id, no self-join. Users need >= 3 events and non-degenerate
+    spread so both engines see the same denominator."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id")
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count("*").over(w)
+    return (
+        ev.select(
+            "event_id", "user_id", "value",
+            mean.alias("_m"), sd.alias("_s"), n.alias("_n"),
+        )
+        .filter((F.col("_n") >= 3) & (F.col("_s") > 1e-9))
+        .select(
+            "event_id", "user_id",
+            F.round((F.col("value") - F.col("_m")) / F.col("_s") * 100)
+            .cast("long").alias("z_centi"),
+        )
+    )
+
+
+O_ZSCORE_OUTLIERS = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+    avg(value) OVER w AS m,
+    stddev_samp(value) OVER w AS sd,
+    count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id,
+  cast(round((value - m) / sd * 100) AS BIGINT) AS z_centi
+FROM s WHERE n >= 3 AND sd > 1e-9
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -4107,6 +4177,8 @@ QUERIES = {
     "gapfill_locf": (q_gapfill_locf, O_GAPFILL_LOCF),
     "bm25_search": (q_bm25_search, O_BM25_SEARCH),
     "tfidf_top_terms": (q_tfidf_top_terms, O_TFIDF_TOP_TERMS),
+    "latency_percentiles": (q_latency_percentiles, O_LATENCY_PERCENTILES),
+    "zscore_outliers": (q_zscore_outliers, O_ZSCORE_OUTLIERS),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "url_domains": (q_url_domains, O_URL_DOMAINS),
