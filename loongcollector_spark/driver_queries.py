@@ -4076,6 +4076,55 @@ FROM s WHERE n >= 3 AND sd > 1e-9
 """
 
 
+def q_log_to_sls_metric(spark, sf_dir):
+    """processor_log_to_sls_metric, the reference-exact Go twin: metric
+    NAME from the action FIELD's value (names[name],
+    processor_log_to_sls_metric.go:312-322), labels sorted and joined
+    ``k#$#v|...`` (converter_sls_metric.go:83-91), raw-string value
+    validated float-parseable, whole log dropped on any validation
+    failure."""
+    df = transcripts_from_events(spark, sf_dir).filter(
+        F.col("text").rlike(r"^\w+=[^ ]*&")
+    )
+    kv = build_operator({
+        "Type": "processor_split_key_value", "SourceKey": "text",
+        "Delimiter": "&", "Separator": "=",
+        "Keys": ["action", "lat_ms", "ok", "tok"],
+    })
+    df = kv(df).filter("_parse_ok")
+    m = build_operator({
+        "Type": "processor_log_to_sls_metric",
+        "MetricLabelKeys": ["role"],
+        "MetricValues": {"action": "lat_ms"},
+        "CustomMetricLabels": {"env": "prod"},
+    })(df)
+    return m.groupBy("__name__", "__labels__").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__value__").cast("long")).alias("value_sum"),
+        F.max("__time_nano__").alias("max_tn"),
+    )
+
+
+O_LOG_TO_SLS_METRIC = _ORACLE_T + r"""
+, kv AS (
+  SELECT role, epoch_us(ts) * 1000 AS tn,
+    regexp_extract(text, 'action=([^&]*)', 1) AS action,
+    regexp_extract(text, 'lat_ms=([^&]*)', 1) AS lat_ms
+  FROM t WHERE regexp_matches(text, '^\w+=[^ ]*&')
+)
+SELECT action AS __name__,
+  'env#$#prod|role#$#' || role AS __labels__,
+  count(*) AS n,
+  cast(sum(cast(lat_ms AS BIGINT)) AS BIGINT) AS value_sum,
+  cast(max(tn) AS VARCHAR) AS max_tn
+FROM kv
+WHERE regexp_matches(action, '^[a-zA-Z_:][a-zA-Z0-9_:]*$')
+  AND try_cast(lat_ms AS DOUBLE) IS NOT NULL
+  AND role IS NOT NULL AND NOT contains(role, '|') AND NOT contains(role, '#$#')
+GROUP BY action, role
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -4179,6 +4228,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, O_TFIDF_TOP_TERMS),
     "latency_percentiles": (q_latency_percentiles, O_LATENCY_PERCENTILES),
     "zscore_outliers": (q_zscore_outliers, O_ZSCORE_OUTLIERS),
+    "log_to_sls_metric": (q_log_to_sls_metric, O_LOG_TO_SLS_METRIC),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "url_domains": (q_url_domains, O_URL_DOMAINS),

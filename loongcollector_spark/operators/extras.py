@@ -244,8 +244,25 @@ _alias("processor_regex", "processor_parse_regex",
 
 # processor_json (plugins/processor/json/processor_json.go:29-43) — JSON
 # expansion with connector flattening; same engine as processor_parse_json.
-_alias("processor_json", "processor_parse_json",
-       {"KeepSourceIfParseError": "KeepingSourceWhenParseFail"})
+# Source-keep rule is an OR the rename-alias can't express
+# (shouldKeepSource, processor_json.go:100-101):
+#   keep = KeepSource || (KeepSourceIfParseError && parse failed)
+# with BOTH defaulting true (processor_json.go:112-113).
+@register("processor_json",
+          keys={"SourceKey", "KeepSource", "KeepSourceIfParseError",
+                "ExpandConnector", "Prefix", "ExpandDepth", "Schema",
+                "AttrsKey", "NoKeyError", "UseSourceKeyAsPrefix",
+                "ExpandArray", "IgnoreFirstConnector"})
+def json_twin(cfg: dict):
+    keep = cfg.get("KeepSource", True)
+    keep_on_err = cfg.get("KeepSourceIfParseError", True)
+    t = {k: v for k, v in cfg.items()
+         if k in {"SourceKey", "ExpandConnector", "Prefix", "ExpandDepth",
+                  "Schema", "AttrsKey"}}
+    t["KeepingSourceWhenParseSucceed"] = bool(keep)
+    t["KeepingSourceWhenParseFail"] = bool(keep or keep_on_err)
+    from loongcollector_spark.operators import REGISTRY
+    return REGISTRY["processor_parse_json"](t)
 
 
 @register("processor_csv",

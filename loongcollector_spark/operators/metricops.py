@@ -1,10 +1,18 @@
 """Log→metric reshaping and value-group aggregation.
 
+* processor_log_to_metric: the engine-native reshape —
+  ``__name__/__labels__/__value__/__time_nano__`` with LITERAL metric
+  names (the MetricValues dict key is the name) and ``k=v|...`` labels;
+  this is the contract the suite's downstream encoders/oracles pin.
 * processor_log_to_sls_metric (processor_log_to_sls_metric.go:32-51):
-  log → metric event with ``__name__/__labels__/__value__/__time_nano__``,
-  labels sorted by key and joined ``k1#$#v1|k2#$#v2`` — we use the sorted
-  ``|``-joined convention with ``=`` (documented deviation: separator is
-  config-able).
+  the reference-exact Go twin — metric NAME read from a log FIELD
+  (``MetricValues: {nameField: valueField}``, names[name] at :312-322),
+  labels sorted and joined ``k1#$#v1|k2#$#v2`` (converter
+  KeyValueSeparator/LabelSeparator, converter_sls_metric.go:45-46,
+  83-91), CustomMetricLabels constants, per-row validation that drops
+  the WHOLE log on any failure (continue TraverseLogArray), and
+  MetricTimeKey second/ms/µs/ns digit-strings padded to ns by length
+  (:256-276).
 * aggregator_content_value_group (aggregator_content_value_group.go:66-80):
   group logs by the values of GroupKeys → per-group counts/tags.
 """
@@ -53,6 +61,107 @@ def log_to_metric(cfg: dict):
             "__labels__",
             F.col("_m.__value__").alias("__value__"),
             "__time_nano__",
+        )
+
+    return run
+
+
+_NAME_RX = "^[a-zA-Z_:][a-zA-Z0-9_:]*$"
+
+
+@register("processor_log_to_sls_metric",
+          keys={"MetricTimeKey", "MetricLabelKeys", "MetricValues",
+                "CustomMetricLabels", "IgnoreError", "TsKey"})
+def log_to_sls_metric(cfg: dict):
+    """Reference-exact Go twin (see module docstring). ``IgnoreError``
+    only controls the reference's self-monitor logging — dropped rows
+    are dropped either way, so it is accepted and has no plan effect.
+    ``TsKey`` (engine extension, default ``ts``) supplies the log time
+    when MetricTimeKey is unset."""
+    time_key = cfg.get("MetricTimeKey", "")
+    label_keys = cfg.get("MetricLabelKeys", []) or []
+    values = cfg["MetricValues"]  # {name_FIELD: value_FIELD}
+    custom = cfg.get("CustomMetricLabels", {}) or {}
+    ts_key = cfg.get("TsKey", "ts")
+    import re as _re
+
+    for k in list(label_keys) + list(custom):
+        if not _re.match("^[a-zA-Z_][a-zA-Z0-9_]*$", k):
+            raise ValueError(f"invalid metric label key {k!r}")
+
+    def run(df):
+        bad_label = F.lit(False)
+        for k in label_keys:
+            v = F.col(k)
+            bad_label = bad_label | v.isNull() \
+                | v.cast("string").contains("|") \
+                | v.cast("string").contains("#$#")
+        bad = bad_label
+        for name_field, value_field in values.items():
+            bad = bad | ~F.coalesce(
+                F.col(name_field).cast("string").rlike(_NAME_RX), F.lit(False))
+            bad = bad | F.col(value_field).cast("string").try_cast(
+                "double").isNull()
+        pairs = F.array(*(
+            [F.struct(F.lit(k).alias("k"),
+                      F.col(k).cast("string").alias("v"))
+             for k in label_keys]
+            + [F.struct(F.lit(k).alias("k"), F.lit(v).alias("v"))
+               for k, v in custom.items()]
+        ))
+        if "__labels__" in df.columns:
+            # an incoming __labels__ content contributes its pairs
+            # (processor_log_to_sls_metric.go:189-216); malformed pairs
+            # or keys colliding with configured label fields drop the log
+            inc = F.transform(
+                F.split(F.coalesce(F.col("__labels__"), F.lit("")), r"\|"),
+                lambda p: F.struct(
+                    F.split_part(p, F.lit("#$#"), F.lit(1)).alias("k"),
+                    F.split_part(p, F.lit("#$#"), F.lit(2)).alias("v"),
+                ),
+            )
+            has_inc = F.coalesce(F.col("__labels__") != "", F.lit(False))
+            bad_inc = F.exists(
+                inc,
+                lambda s: ~s["k"].rlike("^[a-zA-Z_][a-zA-Z0-9_]*$")
+                | (s["v"] == "")
+                | s["k"].isin(list(label_keys)),
+            )
+            bad = bad | (has_inc & bad_inc)
+            pairs = F.when(has_inc, F.concat(pairs, inc)).otherwise(pairs)
+        labels = F.array_join(
+            F.transform(F.array_sort(pairs),
+                        lambda s: F.concat(s["k"], F.lit("#$#"), s["v"])),
+            "|",
+        )
+        if time_key:
+            tv = F.col(time_key).cast("string")
+            valid_t = tv.rlike("^[0-9]+$") & F.length(tv).isin(10, 13, 16, 19)
+            bad = bad | ~F.coalesce(valid_t, F.lit(False))
+            time_nano = F.rpad(tv, 19, "0")
+        elif ts_key in df.columns:
+            time_nano = (
+                F.unix_micros(F.col(ts_key).cast("timestamp")) * 1000
+            ).cast("string")
+        else:
+            time_nano = F.lit(None).cast("string")
+        metric = F.explode(F.array(*[
+            F.struct(
+                F.col(name_field).cast("string").alias("__name__"),
+                F.col(value_field).cast("string").alias("__value__"),
+            )
+            for name_field, value_field in values.items()
+        ]))
+        return (
+            df.filter(~F.coalesce(bad, F.lit(True)))
+            .select(metric.alias("_m"), labels.alias("__labels__"),
+                    time_nano.alias("__time_nano__"))
+            .select(
+                F.col("_m.__name__").alias("__name__"),
+                "__labels__",
+                F.col("_m.__value__").alias("__value__"),
+                "__time_nano__",
+            )
         )
 
     return run

@@ -41,28 +41,44 @@ def split_log_string(cfg: dict):
     return run
 
 
-@register("processor_split_log_regex", keys={"SourceKey", "SplitRegex", "OrderKeys"})
+@register("processor_split_log_regex",
+          keys={"SourceKey", "SplitKey", "SplitRegex", "OrderKeys",
+                "PreserveOthers", "NoKeyError", "EnableLogPositionMeta"})
 def split_log_regex(cfg: dict):
     """1 log → N logs split where SplitRegex matches line starts
     (split_log_regex.go:27-35): split the blob on newlines, then merge
     lines that do NOT start a new record back onto the previous one —
     the start-regex multiline state machine, expressed as a cumulative-sum
-    group id over the exploded lines (no Python state)."""
-    src = cfg.get("SourceKey", "text")
+    group id over the exploded lines (no Python state).
+
+    ``SplitKey`` is the Go name for the source field; ``PreserveOthers``
+    copies the original log's other fields onto every split log (they
+    are constant within a source row, so ``first()`` per group is
+    exact). ``EnableLogPositionMeta`` is accepted (file offset meta is
+    the provenance pair input_file already attaches)."""
+    src = cfg.get("SplitKey") or cfg.get("SourceKey", "text")
     start_rx = cfg["SplitRegex"]
     order_cols = cfg.get("OrderKeys", ["conv_id", "turn_idx"])
+    preserve = cfg.get("PreserveOthers", False)
 
     def run(df):
         others = [c for c in df.columns if c != src]
+        order = [c for c in order_cols if c in df.columns] or others
         lines = df.select(
             *others, F.posexplode(F.split(F.col(src), "\n")).alias("line_idx", src)
         )
-        w = Window.partitionBy(*order_cols).orderBy("line_idx")
-        starts = F.col(src).rlike("^" + start_rx)
+        w = Window.partitionBy(*order).orderBy("line_idx")
+        # Go fullMatch (split_log_regex.go:52-55): the WHOLE line must
+        # match (rst[0]==0 && rst[1]==len) — anchor both ends
+        starts = F.col(src).rlike("^(?:" + start_rx + ")$")
         gid = F.sum(F.when(starts, 1).otherwise(0)).over(w)
+        extra = [
+            F.first(c).alias(c) for c in others
+            if preserve and c not in order
+        ]
         merged = (
             lines.withColumn("_gid", gid)
-            .groupBy(*order_cols, "_gid")
+            .groupBy(*order, "_gid")
             .agg(
                 F.concat_ws(
                     "\n", F.transform(F.array_sort(
@@ -70,9 +86,12 @@ def split_log_regex(cfg: dict):
                     ), lambda s: s[src])
                 ).alias(src),
                 F.min("line_idx").alias("line_idx"),
+                *extra,
             )
             .drop("_gid")
         )
+        if not preserve:
+            merged = merged.select(*order, src, "line_idx")
         return merged
 
     return run

@@ -87,6 +87,8 @@ CONFIGS: dict[str, dict] = {
     "processor_cloud_meta": {"Metadata": {"iid": "i-1"}},
     "processor_log_to_metric": {"MetricLabelKeys": ["role"],
                                 "MetricValues": {"m": "turn_idx"}},
+    "processor_log_to_sls_metric": {"MetricLabelKeys": ["role"],
+                                    "MetricValues": {"role": "turn_idx"}},
     "processor_default": {},
     "processor_spl": {"Script": "* | where role is not null"},
     "aggregator_content_value_group": {"GroupKeys": ["role", "tool"]},

@@ -342,7 +342,9 @@ def test_split_log_regex_multiline(spark):
     df = spark.createDataFrame([("c1", 0, blob)], "conv_id string, turn_idx int, text string")
     op = build_operator({
         "Type": "processor_split_log_regex", "SourceKey": "text",
-        "SplitRegex": r"\d{4}-\d{2}-\d{2} ",
+        # full-LINE match like Go fullMatch (split_log_regex.go:52-55) —
+        # a bare prefix pattern would never open a new record
+        "SplitRegex": r"\d{4}-\d{2}-\d{2} .*",
     })
     out = op(df).orderBy("line_idx").collect()
     assert len(out) == 2
