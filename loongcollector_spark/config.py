@@ -112,6 +112,21 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
             ignore_error=cfg.get("IgnoreError", False),
         )
     if typ in ("service_mock", "metric_mock"):
+        tags = cfg.get("Tags") or {}
+        fields = cfg.get("Fields") or {}
+        if tags or fields:
+            # the reference mock contract (input_mock.go:29-67): each
+            # tick emits Tags + Fields + an incrementing Index, all as
+            # string log fields; IntervalMs × run-length becomes an
+            # explicit row count in batch
+            from pyspark.sql import functions as F
+
+            n = int(cfg.get("Turns", 16))
+            return spark.range(1, n + 1).select(
+                F.col("id").cast("string").alias("Index"),
+                *[F.lit(str(v)).alias(str(k))
+                  for k, v in {**tags, **fields}.items()],
+            )
         return sources.service_mock(
             spark, n_turns=cfg.get("Turns", 10_000)
         ).withColumnRenamed("text", "content")

@@ -74,8 +74,24 @@ def apply_parse_result(
     ok = F.col(pp)["__ok"]
     for i, name in enumerate(cols):
         v = F.col(pp)[f"f{i}"]
-        out = out.withColumn(name, v if already_masked else F.when(ok, v))
+        if name == source_key and keep_fail:
+            # extraction overwrites the source column; failed rows fall
+            # back to the raw value (references the pre-projection
+            # column) instead of null
+            out = out.withColumn(name, F.when(ok, v).otherwise(F.col(name)))
+        else:
+            out = out.withColumn(name, v if already_masked else F.when(ok, v))
     out = out.withColumn(PARSE_OK, ok).drop(pp)
+
+    if source_key in cols:
+        # the extraction itself overwrote the source column — the
+        # reference skips the source-retention matrix in that case
+        # (isSourceKeyOverwritten, e.g. processor_json.go:283, which
+        # would clobber the extracted value); only the discard-on-fail
+        # rule still applies
+        if not keep_fail:
+            out = out.filter(F.col(PARSE_OK))
+        return out
 
     if not keep_fail:
         # reference: parse-fail + not keeping source ⇒ discard the event

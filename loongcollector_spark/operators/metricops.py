@@ -177,3 +177,27 @@ def content_value_group(cfg: dict):
         return df.groupBy(*keys).agg(F.count("*").alias("group_count"))
 
     return run
+
+
+@register("aggregator_context", keys={"SourceKeys", "OrderKeys"})
+def aggregator_context(cfg: dict):
+    """aggregator_context (aggregator_context.go): keep per-source log
+    order across grouping — each source's events stay contiguous and
+    in sequence. Spark shape: hash-partition on the source identity,
+    then sort within partitions on (source, offset) — order within a
+    source is total, no global sort. Defaults use the input_file
+    provenance pair; transcripts pipelines pass (conv_id, turn_idx)."""
+    src_keys = cfg.get("SourceKeys")
+    order_keys = cfg.get("OrderKeys")
+
+    def run(df):
+        srcs = src_keys or [
+            c for c in ("_ingest_file", "conv_id") if c in df.columns][:1]
+        orders = order_keys or [
+            c for c in ("_line_idx", "turn_idx") if c in df.columns][:1]
+        if not srcs:
+            return df
+        return df.repartition(*[F.col(c) for c in srcs]) \
+            .sortWithinPartitions(*srcs, *orders)
+
+    return run

@@ -1,0 +1,160 @@
+"""Replay of the reference's e2e test cases (test/e2e/test_cases/*/
+case.feature) — the feature files are read from the reference tree at
+runtime, never vendored. A minimal extractor pulls each scenario's
+pipeline YAML and its Then-assertions (at-least count, field list,
+field/tag regex maps); the docker-compose environment steps become
+local equivalents (file mounts → tmp copies, HTTP POST bodies → df
+rows). Cases needing a real broker/DB/container runtime are out of
+scope here and covered by their unit contracts instead.
+"""
+
+import os
+import re
+import shutil
+
+import pytest
+import yaml
+
+from loongcollector_spark.config import PipelineConfig, run_config
+
+CASES = "/root/reference/test/e2e/test_cases"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CASES), reason="reference tree not present")
+
+
+def parse_feature(case: str) -> dict:
+    """Extract config + assertions from a case.feature file."""
+    text = open(f"{CASES}/{case}/case.feature").read()
+    blocks = re.findall(r'"""\n(.*?)"""', text, re.S)
+    out = {"config": None, "at_least": None, "field_list": None,
+           "field_kv": None, "tag_kv": None}
+    # walk the steps in order, pairing each with its following block
+    steps = re.findall(
+        r'(Given[^\n]*config as below|Then the log fields match as below'
+        r'|Then the log fields match kv|Then the log tags match kv)'
+        r'[^\n]*\n\s+"""\n(.*?)"""', text, re.S)
+    for step, block in steps:
+        if "config as below" in step:
+            out["config"] = block
+        elif "fields match as below" in step:
+            out["field_list"] = yaml.safe_load(block)
+        elif "fields match kv" in step:
+            out["field_kv"] = yaml.safe_load(block)
+        elif "tags match kv" in step:
+            out["tag_kv"] = yaml.safe_load(block)
+    m = re.search(r"at least \{(\d+)\} logs", text)
+    if m:
+        out["at_least"] = int(m.group(1))
+    assert out["config"], f"no config block in {case}"
+    return out
+
+
+def _patched_config(case: dict, file_map: dict[str, str]) -> PipelineConfig:
+    cfg = yaml.safe_load(case["config"])
+    for inp in cfg.get("inputs", []):
+        if "FilePaths" in inp:
+            inp["FilePaths"] = [
+                file_map.get(p, p) for p in inp["FilePaths"]]
+        # container discovery needs a container runtime — the filter
+        # keys are deployment-side, not data semantics
+        inp.pop("EnableContainerDiscovery", None)
+        inp.pop("ContainerFilters", None)
+    cfg.setdefault("flushers", [])
+    cfg["flushers"] = [f for f in cfg["flushers"]
+                       if f.get("Type") != "flusher_sls"]
+    return PipelineConfig.parse(yaml.dump(cfg))
+
+
+def check_kv(rows, kv, colmap=None):
+    """Every asserted key must exist and every row's value match the
+    anchored-or-search regex (the harness uses re.MatchString —
+    unanchored search)."""
+    for key, rx in kv.items():
+        col = (colmap or {}).get(key, key)
+        for r in rows:
+            v = r[col]
+            assert v is not None, (key, col)
+            assert re.search(rx, str(v)), (key, rx, v)
+
+
+def test_input_mock_log_case(spark):
+    case = parse_feature("input_mock_log")
+    cfg = _patched_config(case, {})
+    rows = run_config(spark, cfg).collect()
+    assert len(rows) >= case["at_least"]
+    for field in case["field_list"]:
+        assert field in rows[0].asDict(), field
+    assert rows[0]["tag1"] == "aaaa" and rows[0]["content"] == "xxxxxx"
+
+
+def test_input_static_file_case(spark, tmp_path):
+    case = parse_feature("input_static_file")
+    # "mount {./a.log} to {/root/test/1/2/3/axxxx.log}" with the glob
+    # /root/test/**/a*.log → same nesting under tmp
+    dest = tmp_path / "test" / "1" / "2" / "3"
+    dest.mkdir(parents=True)
+    shutil.copy(f"{CASES}/input_static_file/a.log", dest / "axxxx.log")
+    cfg = _patched_config(
+        case, {"/root/test/**/a*.log": f"{tmp_path}/test/*/*/*/a*.log"})
+    rows = run_config(spark, cfg).collect()
+    assert len(rows) >= case["at_least"]          # at least 1000
+    check_kv(rows, {k: v for k, v in case["field_kv"].items()
+                    if k != "__tag__:__path__"})
+    # the __tag__:__path__ regex pins the MOUNT target; our provenance
+    # column pins the same file at the same nesting under tmp
+    assert all(r["_ingest_file"].endswith("/1/2/3/axxxx.log") for r in rows)
+
+
+def test_reader_flush_timeout_case(spark, tmp_path):
+    case = parse_feature("reader_flush_timeout")
+    logdir = tmp_path / "test"
+    logdir.mkdir()
+    shutil.copy(f"{CASES}/reader_flush_timeout/a.log", logdir / "simple.log")
+    # run.sh appends an UNTERMINATED 5th line after 5 s — the event the
+    # FlushTimeoutSecs reader must still emit
+    with open(logdir / "simple.log", "a") as f:
+        f.write("5=====")
+    cfg = _patched_config(
+        case, {"/root/test/simple.log": f"{logdir}/simple.log"})
+    rows = run_config(spark, cfg).collect()
+    assert len(rows) >= case["at_least"]
+    assert any(r["content"] == "5=====" for r in rows)
+
+
+def test_aggregator_context_case(spark, tmp_path):
+    case = parse_feature("aggregator_context")
+    logdir = tmp_path / "test"
+    logdir.mkdir()
+    (logdir / "example.log").write_text(
+        "".join(f"{i}|message-{i}\n" for i in range(1, 201)))
+    cfg = _patched_config(
+        case, {"/root/test/example.log": f"{logdir}/example.log"})
+    df = run_config(spark, cfg)
+    assert df.count() >= case["at_least"]
+    # "the context of log is valid": per-source order is preserved —
+    # the split rows keep their file order (aggregator_context.go keeps
+    # per-source sequence; ours sorts within partitions on provenance)
+    rows = df.orderBy("_line_idx").collect()
+    nos = [int(r["no"]) for r in rows]
+    assert nos == sorted(nos)
+    assert rows[0]["no"] == "1" and rows[0]["content"] == "message-1"
+
+
+def test_input_http_server_case(spark):
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_http_server")
+    cfg = yaml.safe_load(case["config"])
+    http_cfg = cfg["inputs"][0]
+    # the POSTed url is ?db=mydb — the form value reaches the decoder
+    # as the DB parameter (decoder.go:160)
+    op = build_operator({**http_cfg, "Address": None, "DB": "mydb",
+                         "Type": "service_http_server"})
+    body = "weather,city=hz value=32"
+    df = spark.createDataFrame([(body,)], "content string")
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, {k: v for k, v in case["field_kv"].items()
+                    if k != "__tag__:db"})
+    assert rows[0]["__tag__:db"] == "mydb"

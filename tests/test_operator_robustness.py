@@ -92,6 +92,7 @@ CONFIGS: dict[str, dict] = {
     "processor_default": {},
     "processor_spl": {"Script": "* | where role is not null"},
     "aggregator_content_value_group": {"GroupKeys": ["role", "tool"]},
+    "aggregator_context": {},
     "aggregator_metadata_group": {"GroupMetadataKeys": ["role"]},
     "processor_prom_parse_metric": {"SourceKey": "text"},
     "processor_prom_relabel_metric": {"RelabelConfigs": [
