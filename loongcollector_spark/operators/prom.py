@@ -319,3 +319,28 @@ def _relabel_factory(cfg: dict):
         return prom_relabel(df, configs)
 
     return run
+
+
+def to_sls_metric_events(df: DataFrame) -> DataFrame:
+    """Parsed exposition rows → the SLS metric-event shape the native
+    processor emits into the pipeline (__name__/__labels__/__value__/
+    __time_nano__): labels sorted by key and joined ``k#$#v|...``
+    excluding the ``__name__`` tag, value formatted with the Go 'g'
+    float repr the send path uses, timestamp widened to nanoseconds."""
+    from loongcollector_spark.operators.decoders import go_g_str
+
+    entries = F.filter(
+        F.map_entries(F.col("labels")),
+        lambda e: e["key"] != "__name__",
+    )
+    labels_str = F.array_join(
+        F.transform(F.array_sort(entries),
+                    lambda e: F.concat(e["key"], F.lit("#$#"), e["value"])),
+        "|",
+    )
+    return df.select(
+        "__name__",
+        labels_str.alias("__labels__"),
+        go_g_str(F.col("value")).alias("__value__"),
+        (F.col("ts_ms") * 1_000_000).cast("string").alias("__time_nano__"),
+    )

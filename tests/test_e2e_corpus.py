@@ -158,3 +158,29 @@ def test_input_http_server_case(spark):
     check_kv(rows, {k: v for k, v in case["field_kv"].items()
                     if k != "__tag__:db"})
     assert rows[0]["__tag__:db"] == "mydb"
+
+
+def test_input_prometheus_case(spark):
+    """service_prometheus scrapes an exporter and emits SLS metric
+    events; the scrape loop is deployment-side — the exporter's
+    exposition payload goes through the same parse + event conversion
+    (ProcessorPromParseMetricNative path)."""
+    from loongcollector_spark.operators.prom import (
+        prom_parse_metric, to_sls_metric_events)
+
+    case = parse_feature("input_prometheus")
+    exposition = "\n".join(
+        [f'scrape_counter{{job="prometheus",instance="exporter:18080",'
+         f'shard="{i}"}} {i * 1.5} 171582978{i:04d}' for i in range(12)]
+    )
+    df = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(exposition.split("\n"))],
+        "line_id long, content string")
+    out = to_sls_metric_events(prom_parse_metric(df, "content"))
+    rows = out.collect()
+    assert len(rows) >= case["at_least"]
+    for field in case["field_list"]:
+        assert field in rows[0].asDict(), field
+    assert rows[0]["__name__"] == "scrape_counter"
+    assert "job#$#prometheus" in rows[0]["__labels__"]
+    assert rows[0]["__time_nano__"].endswith("000000")
