@@ -214,3 +214,63 @@ def test_cross_doc_gram_share_is_sort_free(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_filters_tokens_before_shuffle(spark, tmp_path):
+    """The query-term filter must run INSIDE the scan/explode stage —
+    the (doc, term) exchange carries only matching tokens, never the
+    full token stream."""
+    from loongcollector_spark.functions.ranking import bm25_search
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"spark word{i} filler text") for i in range(50)],
+        "doc_id long, text string").write.parquet(p)
+    import re
+
+    plan = _plan(bm25_search(spark.read.parquet(p), ["spark"]))
+    # the term filter sits DIRECTLY above the explode — i.e. inside the
+    # scan stage, below every exchange
+    assert re.search(r"Filter \(term#\d+ = spark\)[^\n]*\n[\s:]*\+- Generate",
+                     plan), plan
+
+
+def test_rollup_is_single_partial_agg_shuffle(spark, tmp_path):
+    from loongcollector_spark.functions.temporal import rollup_time_bucket
+
+    p = str(tmp_path / "ev.parquet")
+    gen_transcripts(spark, 500, 50).write.parquet(p)
+    df = spark.read.parquet(p).withColumn("v", F.col("turn_idx").cast("long"))
+    plan = _plan(rollup_time_bucket(df, "conv_id", "ts", "v", 3600))
+    assert plan.count("Exchange") == 1
+    # partial (map-side) aggregation before the exchange
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_asof_union_reuses_single_exchange(spark, tmp_path):
+    """asof_join on parquet facts+snapshots: one exchange on the key for
+    the union, zero join operators."""
+    from loongcollector_spark.functions.temporal import asof_join
+
+    p = str(tmp_path / "ev2.parquet")
+    gen_transcripts(spark, 500, 50).write.parquet(p)
+    ev = spark.read.parquet(p)
+    facts = ev.select("conv_id", "ts", "turn_idx")
+    snaps = ev.groupBy("conv_id", "ts").agg(F.count("*").alias("snap_n"))
+    plan = _plan(asof_join(facts, snaps, on="conv_id"))
+    assert "Join" not in plan
+
+
+def test_gapfill_grid_never_shuffles_wide_rows(spark, tmp_path):
+    """gapfill's exchanges carry (key, bucket) aggregates and grid rows
+    only — the raw event stream shuffles nowhere."""
+    from loongcollector_spark.functions.temporal import gapfill_locf
+
+    p = str(tmp_path / "ev3.parquet")
+    gen_transcripts(spark, 500, 50).write.parquet(p)
+    df = spark.read.parquet(p).withColumn("v", F.col("turn_idx").cast("long"))
+    plan = _plan(gapfill_locf(df, "conv_id", "ts", "v", 3600))
+    # no exchange partition expression references the text column
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.split("\n")[0]
+        assert "text" not in first_line
