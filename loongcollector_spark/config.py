@@ -111,6 +111,13 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
             environments=cfg.get("Environments"),
             ignore_error=cfg.get("IgnoreError", False),
         )
+    if typ == "metric_http":
+        return sources.metric_http(
+            spark, cfg.get("Addresses") or ["http://localhost"],
+            method=cfg.get("Method", "GET"),
+            include_body=bool(cfg.get("IncludeBody")),
+            timeout_s=cfg.get("ResponseTimeoutMs", 3000) / 1000,
+        )
     if typ in ("service_mock", "metric_mock"):
         tags = cfg.get("Tags") or {}
         fields = cfg.get("Fields") or {}

@@ -120,11 +120,15 @@ def appender(cfg: dict):
     return run
 
 
-@register("processor_anchor", keys={"SourceKey", "Anchors"})
+@register("processor_anchor", keys={"SourceKey", "Anchors", "NoAnchorError"})
 def anchor(cfg: dict):
     """Substring extraction between Start/Stop literals per anchor
     (anchor.go:36-63). Start=='' anchors at string start; Stop=='' runs to
-    end. Output FieldName per anchor."""
+    end. Output FieldName per anchor. ``NoAnchorError`` only suppresses
+    the reference's per-log error logging — accepted, no plan effect.
+    ``FieldType: json`` + ``ExpondJson`` (anchor.go:77-90) parses the
+    extracted substring; dynamic keys land in the FieldName column as a
+    ``map<string,string>`` (this engine's schema-less JSON convention)."""
     src = cfg.get("SourceKey", "text")
     anchors = cfg["Anchors"]
 
@@ -137,7 +141,12 @@ def anchor(cfg: dict):
                 + "(.*?)"
                 + ("$" if not stop else re.escape(stop))
             )
-            df = df.withColumn(name, F.regexp_extract(c, pat, 1))
+            extracted = F.regexp_extract(c, pat, 1)
+            is_json = str(a.get("FieldType", "string")).lower() == "json"
+            expand = a.get("ExpondJson", a.get("ExpondJSON", False))
+            if is_json and expand and a.get("MaxExpondDepth") != 1:
+                extracted = F.from_json(extracted, "map<string,string>")
+            df = df.withColumn(name, extracted)
         return df
 
     return run

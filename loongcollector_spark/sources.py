@@ -303,3 +303,65 @@ def service_mock(
         F.lit("").alias("tool"),
         F.col("timestamp").alias("ts"),
     )
+
+
+def metric_http(
+    spark: SparkSession,
+    addresses: list[str],
+    method: str = "GET",
+    include_body: bool = False,
+    timeout_s: float = 3.0,
+    prober=None,
+) -> DataFrame:
+    """metric_http availability-probe input (plugins/input/http/
+    input_http.go): one log per probed address with the reference's
+    field contract — ``_method_`` (tag), ``_address_``, ``_result_``
+    (success / timeout / connection_failed), ``_http_response_code_``,
+    ``_response_time_ms_`` (fixed 3-decimal format, :253), plus
+    ``content`` when ``IncludeBody``.
+
+    Probing is control-plane work (a handful of endpoints on a fixed
+    interval), so it runs driver-side and the results parallelize —
+    the same place the reference's poller lives. ``prober(address) ->
+    (result, status_code, elapsed_ms, body)`` injects the transport;
+    the default uses urllib and degrades to ``connection_failed`` rows
+    when the sandbox has no egress.
+    """
+    import socket
+    import time as _t
+    import urllib.error
+    import urllib.request
+
+    def default_probe(addr):
+        t0 = _t.monotonic()
+        try:
+            req = urllib.request.Request(addr, method=method)
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read().decode("utf-8", "replace")
+                return ("success", resp.status,
+                        (_t.monotonic() - t0) * 1000, body)
+        except socket.timeout:
+            return ("timeout", 0, (_t.monotonic() - t0) * 1000, "")
+        except (urllib.error.URLError, OSError):
+            return ("connection_failed", 0, (_t.monotonic() - t0) * 1000, "")
+
+    probe = prober or default_probe
+    rows = []
+    for addr in addresses:
+        result, code, ms, body = probe(addr)
+        row = {
+            "_method_": method,
+            "_address_": addr,
+            "_result_": result,
+            "_http_response_code_": str(int(code)),
+            "_response_time_ms_": f"{ms:.3f}",
+        }
+        if include_body:
+            row["content"] = body
+        rows.append(row)
+    cols = ["_method_", "_address_", "_result_", "_http_response_code_",
+            "_response_time_ms_"] + (["content"] if include_body else [])
+    return spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows],
+        ", ".join(f"`{c}` string" for c in cols),
+    )

@@ -184,3 +184,39 @@ def test_input_prometheus_case(spark):
     assert rows[0]["__name__"] == "scrape_counter"
     assert "job#$#prometheus" in rows[0]["__labels__"]
     assert rows[0]["__time_nano__"].endswith("000000")
+
+
+def test_input_http_case(spark):
+    """metric_http polls the configured address and emits the probe
+    field contract; the transport is injected (no egress here), the
+    anchor processor chain from the config runs verbatim."""
+    import yaml as _yaml
+
+    from loongcollector_spark import sources
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_http")
+    cfg = _yaml.safe_load(case["config"])
+    http = cfg["inputs"][0]
+
+    def fake_probe(addr):
+        return ("success", 200, 12.3456, '{"status":"ok"}')
+
+    df = sources.metric_http(
+        spark, http["Addresses"], include_body=http["IncludeBody"],
+        prober=fake_probe)
+    # IntervalMs repetition is the deployment loop; four ticks → union
+    for _ in range(3):
+        df = df.unionByName(sources.metric_http(
+            spark, http["Addresses"], include_body=http["IncludeBody"],
+            prober=fake_probe))
+    for proc in cfg["processors"]:
+        df = build_operator(proc)(df)
+    rows = df.collect()
+    assert len(rows) >= case["at_least"]
+    for field in case["field_list"]:
+        assert field in rows[0].asDict(), field
+    r = rows[0]
+    assert (r["_result_"], r["_http_response_code_"]) == ("success", "200")
+    assert r["_response_time_ms_"] == "12.346"  # 3-decimal contract
+    assert r["_address_"] == http["Addresses"][0]
