@@ -729,12 +729,16 @@ FROM m GROUP BY 1, 2
 
 
 def q_content_value_group(spark, sf_dir):
-    """aggregator_content_value_group: per distinct (role, tool) combo."""
+    """aggregator_content_value_group: the operator groups (co-locates)
+    events per distinct (role, tool) combo WITHOUT dropping any
+    (aggregator_content_value_group.go:160-177); the count here is the
+    harness's check that every event landed in exactly one group."""
     df = transcripts_from_events(spark, sf_dir)
     op = build_operator({
         "Type": "aggregator_content_value_group", "GroupKeys": ["role", "tool"],
     })
-    return op(df)
+    return op(df).groupBy("role", "tool").agg(
+        F.count("*").alias("group_count"))
 
 
 O_CONTENT_VALUE_GROUP = _ORACLE_T + """

@@ -169,12 +169,16 @@ def log_to_sls_metric(cfg: dict):
 
 @register("aggregator_content_value_group", keys={"GroupKeys"})
 def content_value_group(cfg: dict):
-    """Count per distinct GroupKeys combo; the per-group tags of the
-    reference become the grouping columns themselves."""
+    """Group logs by the VALUES of GroupKeys — one LogGroup per distinct
+    combo, group-key tags attached, events RETAINED
+    (aggregator_content_value_group.go:121,160-177: the aggregator
+    re-batches, it never drops). Spark shape: hash-partition on the
+    group keys so each group's events are co-located for the downstream
+    batch/flush, rows unchanged (the grouping columns ARE the tags)."""
     keys = cfg["GroupKeys"]
 
     def run(df):
-        return df.groupBy(*keys).agg(F.count("*").alias("group_count"))
+        return df.repartition(*[F.col(k) for k in keys])
 
     return run
 

@@ -220,3 +220,32 @@ def test_input_http_case(spark):
     assert (r["_result_"], r["_http_response_code_"]) == ("success", "200")
     assert r["_response_time_ms_"] == "12.346"  # 3-decimal contract
     assert r["_address_"] == http["Addresses"][0]
+
+
+def test_flusher_http_case_influx_roundtrip(spark):
+    """flusher_http with Convert.Protocol=influxdb: the mock metric
+    rows serialize to influx line protocol (what the case POSTs into
+    influxdb) and the independent influx DECODER recovers exactly the
+    asserted fields — a closed-loop replay of the subscriber check.
+    The request-breaker interceptor and Query templating are transport
+    concerns."""
+    import yaml as _yaml
+
+    from loongcollector_spark.config import PipelineConfig, run_config
+    from loongcollector_spark.operators.decoders import influx_decode
+    from loongcollector_spark.serializer import influxdb_line_column
+
+    case = parse_feature("flusher_http")
+    cfg = _yaml.safe_load(case["config"])
+    cfg["flushers"] = []
+    pipeline = PipelineConfig.parse(_yaml.dump(cfg))
+    df = run_config(spark, pipeline)
+    assert df.count() >= case["at_least"]  # mock rows survive grouping
+
+    lines = df.select(influxdb_line_column(df).alias("line"))
+    decoded = influx_decode(lines, "line", fields_extend=True)
+    rows = decoded.collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, {k: v for k, v in case["field_kv"].items()
+                    if k in ("__name__", "__value__", "__labels__",
+                             "__type__", "__time_nano__")})

@@ -416,8 +416,15 @@ def test_log_to_metric(spark):
 def test_content_value_group(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
     op = build_operator({"Type": "aggregator_content_value_group", "GroupKeys": ["k"]})
-    out = {r["k"]: r["group_count"] for r in op(df).collect()}
-    assert out == {"a": 2, "b": 1}
+    out = op(df)
+    # the aggregator groups (co-locates) — it never drops events
+    # (aggregator_content_value_group.go:160-177)
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+        ("a", 1), ("a", 2), ("b", 3)]
+    # each group's rows land in one partition
+    parts = out.withColumn("_p", F.spark_partition_id()) \
+        .groupBy("k").agg(F.countDistinct("_p").alias("np")).collect()
+    assert all(r["np"] == 1 for r in parts)
 
 
 def test_split_key_value_anomaly_keys(spark):
