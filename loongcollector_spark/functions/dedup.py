@@ -132,12 +132,23 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     vote_k > 0; chunk c = Σ_{j<16} sigbit(16c+j) << j.
     """
     # Shape: explode to one row per (doc, word), md5 once per word, 16
-    # hex-digit columns, then 64 ±1-vote SUM aggregates grouped by doc.
+    # hex-digit columns, then SIMD-in-a-register bit counting: the 64
+    # per-bit set-counts pack into 16 LONG sums of four 16-bit lanes
+    # each (lane q of packed[j] counts bit k = 16q+j; counts fit — a
+    # doc would need 65536 words to overflow a lane), plus one count(*)
+    # for the word total. 17 agg buffers instead of the 64 ±1-vote sums
+    # of the previous formulation, same signature bit-for-bit:
+    # vote_k = 2*cnt_k - n_words > 0  ⇔  2*cnt_k > n_words.
+    # Measured wall-clock parity at sf0.1 local[32] (the md5-per-word
+    # dominates either way); the win is the partial-agg shuffle row
+    # narrowing 64 ints → 16 longs + 1 count (~2x), which is what
+    # matters once signatures shuffle across executors.
     # Everything stays inside WholeStageCodegen (no interpreted
     # higher-order lambdas — an earlier array-fold formulation ran ~50x
     # slower because transform/aggregate lambdas are interpreted per
     # element); the groupBy partial-aggregates map-side, so the shuffle
-    # carries one (doc_id, 64 ints) row per doc per input partition.
+    # carries one (doc_id, 16 longs, 1 count) row per doc per input
+    # partition.
     # Null/empty/whitespace-only docs are excluded up front on BOTH
     # engines (explode would silently drop NULL rows while an oracle CTE
     # would keep them — an engine/oracle divergence unless filtered
@@ -148,21 +159,29 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     h = F.md5(F.col("_w").cast("binary"))
     w = w.select(
         id_col,
-        *[F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int").alias(f"_d{d}")
+        *[F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long").alias(f"_d{d}")
           for d in range(16)],
     )
-    votes = [
-        F.sum(
-            F.shiftright(F.col(f"_d{k // 4}"), k % 4).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"_v{k}")
-        for k in range(64)
+    # packed[j] lanes: bit(16q + j) = (digit[4q + j//4] >> (j%4)) & 1
+    packed = [
+        F.sum(sum(
+            F.shiftleft(
+                F.shiftright(F.col(f"_d{4 * q + j // 4}"), j % 4)
+                .bitwiseAND(F.lit(1)),
+                16 * q,
+            )
+            for q in range(4)
+        )).alias(f"_p{j}")
+        for j in range(16)
     ]
-    agg = w.groupBy(id_col).agg(*votes)
+    agg = w.groupBy(id_col).agg(*packed, F.count("*").alias("_n"))
+    n = F.col("_n")
     chunk_cols = []
     for c in range(4):
         chunk = None
         for j in range(16):
-            bit = F.when(F.col(f"_v{16 * c + j}") > 0, 1 << j).otherwise(0)
+            cnt = F.shiftright(F.col(f"_p{j}"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(cnt * 2 > n, 1 << j).otherwise(0)
             chunk = bit if chunk is None else chunk + bit
         chunk_cols.append(chunk.cast("int").alias(f"sh{c}"))
     return agg.select(id_col, *chunk_cols)
