@@ -249,3 +249,58 @@ def test_flusher_http_case_influx_roundtrip(spark):
     check_kv(rows, {k: v for k, v in case["field_kv"].items()
                     if k in ("__name__", "__value__", "__labels__",
                              "__type__", "__time_nano__")})
+
+
+def _cri_lines(spark, lines, stream="stdout"):
+    rows = [
+        (f"2024-01-01T00:00:{i:02d}.000000000Z {stream} F {ln}", "c.log", i)
+        for i, ln in enumerate(lines)
+    ]
+    return spark.createDataFrame(
+        rows, "content string, _ingest_file string, _line_idx long")
+
+
+def test_input_container_stdio_case(spark):
+    """Container stdout in containerd CRI format through the parse with
+    the case's stream filters; the _image_name_/_container_name_/
+    _container_ip_ TAGS are container-discovery runtime metadata
+    (deployment-side), the FIELD assertions replay."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_container_stdio")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    op = build_operator({
+        "Type": "processor_parse_container_log", "SourceKey": "content",
+        "IgnoringStdout": cfg.get("IgnoringStdout", False),
+        "IgnoringStderr": cfg.get("IgnoringStderr", False),
+    })
+    df = _cri_lines(spark, ["hello"]).unionByName(
+        _cri_lines(spark, ["noise"], stream="stderr"))
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, case["field_kv"])  # content ^hello$, _time_ RFC3339,
+    assert all(r["_source_"] == "stdout" for r in rows)  # stderr ignored
+
+
+def test_input_container_stdio_multiline_case(spark):
+    """The multiline variant: CRI lines 'today' + 'hello' merge into one
+    event under the input-level Multiline StartPattern."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_container_stdio_multiline")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    parse = build_operator({
+        "Type": "processor_parse_container_log", "SourceKey": "content",
+        "IgnoringStderr": cfg.get("IgnoringStderr", False),
+    })
+    merge = build_operator({
+        "Type": "processor_merge_multiline_log", "SourceKey": "content",
+        "MergeType": "regex", **cfg["Multiline"],
+        "GroupKeys": ["_ingest_file"], "OrderKey": "_line_idx",
+    })
+    parsed = parse(_cri_lines(spark, ["today", "hello"]))
+    assert all(r["_source_"] == "stdout" for r in parsed.collect())
+    rows = merge(parsed).collect()
+    assert len(rows) >= case["at_least"]
+    assert rows[0]["content"] == "today\nhello"  # the case's field regex
+    check_kv(rows, {"content": case["field_kv"]["content"]})
