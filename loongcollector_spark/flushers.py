@@ -104,13 +104,62 @@ def flusher_stdout(cfg: dict):
     return write
 
 
+_TOPIC_PLACEHOLDER = r"%\{([^}]+)\}"
+
+
+def format_topic_column(df: DataFrame, pattern: str):
+    """Per-event dynamic topic (core/common/FormattedString.cpp:50-137,
+    pkg/fmtstr/format_topic.go): ``${ENV}`` expands once at plan time
+    (missing env → empty), then ``%{content.X}`` / ``%{tag.X}`` pull the
+    event field X per row — both resolve to plain columns here, like the
+    loki label convention. A missing column or a null/empty value fails
+    the whole format and the topic falls back to the raw template
+    (FlusherKafka.cpp:181-185). Static patterns fold to a literal."""
+    import os
+    import re
+
+    expanded = re.sub(r"\$\{([^}]*)\}",
+                      lambda m: os.environ.get(m.group(1), ""), pattern)
+    keys = re.findall(_TOPIC_PLACEHOLDER, expanded)
+    if not keys:
+        return F.lit(expanded)
+    parts, guards, pos = [], [], 0
+    for m in re.finditer(_TOPIC_PLACEHOLDER, expanded):
+        parts.append(F.lit(expanded[pos:m.start()]))
+        key = m.group(1)
+        col = key.split(".", 1)[1] if key.startswith(("content.", "tag.")) \
+            else key
+        if col in df.columns:
+            val = F.col(col).cast("string")
+        elif "attrs" in df.columns:  # schema-less parse keeps contents
+            val = F.col("attrs").getItem(col).cast("string")  # in a map
+        else:  # field absent for every row → permanent fallback
+            guards.append(F.lit(True))
+            pos = m.end()
+            continue
+        guards.append(val.isNull() | (val == ""))
+        parts.append(val)
+        pos = m.end()
+    parts.append(F.lit(expanded[pos:]))
+    failed = guards[0]
+    for g in guards[1:]:
+        failed = failed | g
+    return F.when(failed, F.lit(expanded)).otherwise(F.concat(*parts))
+
+
 def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
-                        hash_keys: list | None = None) -> DataFrame:
-    """The (key, value) frame flusher_kafka ships to the broker —
-    factored out so the serialization contract is testable without a
-    kafka package/broker in the container. PartitionerType 'hash' maps
-    HashKeys onto the message key (broker-side hash partitioning,
-    flusher_kafka_v2.go:43-83); random/roundrobin leave the key null."""
+                        hash_keys: list | None = None,
+                        topic: str | None = None,
+                        headers: list[dict] | None = None) -> DataFrame:
+    """The (key, value[, topic, headers]) frame flusher_kafka ships to
+    the broker — factored out so the serialization contract is testable
+    without a kafka package/broker in the container. PartitionerType
+    'hash' maps HashKeys onto the message key (broker-side hash
+    partitioning, flusher_kafka_v2.go:43-83); random/roundrobin leave
+    the key null. ``topic`` may carry %{content.X}/%{tag.X} placeholders
+    (per-event routing, FlusherKafka.cpp:167-186); ``headers`` is the
+    static per-message header list (KafkaConfig.h:63,117-134) in the
+    kafka writer's array<struct<key,value:binary>> shape."""
     from loongcollector_spark.serializer import serializable_columns
 
     cols = [c for c in serializable_columns(df) if c != "ts"]
@@ -123,27 +172,49 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
         sel.insert(0, F.concat_ws(
             "_", *[F.col(k).cast("string") for k in hash_keys]
         ).alias("key"))
+    if topic is not None:
+        sel.append(format_topic_column(df, topic).alias("topic"))
+    if headers:
+        sel.append(F.array(*[
+            F.struct(F.lit(h["key"]).alias("key"),
+                     F.lit(h["value"]).cast("binary").alias("value"))
+            for h in headers
+        ]).alias("headers"))
     return df.select(*sel)
 
 
 @register_flusher("flusher_kafka")
 def flusher_kafka(cfg: dict):
-    """Kafka sink (flusher_kafka_v2.go:43-83). Requires the
-    spark-sql-kafka package on the cluster; the payload shape is
-    kafka_payload_frame (contract-tested in-container)."""
+    """Kafka sink (flusher_kafka_v2.go:43-83, native FlusherKafka.cpp).
+    Requires the spark-sql-kafka package on the cluster; the payload
+    shape is kafka_payload_frame (contract-tested in-container). A
+    dynamic Topic rides as a per-row ``topic`` column (the kafka writer
+    honors it over the option); static Headers attach to every message
+    (the writer needs ``includeHeaders`` semantics only on read — on
+    write the column is always shipped)."""
     brokers = cfg["Brokers"]
     topic = cfg["Topic"]
     partitioner = cfg.get("PartitionerType", "random")
     hash_keys = cfg.get("HashKeys", [])
+    headers = cfg.get("Headers", [])
+    dynamic = "%{" in topic
 
     def write(df: DataFrame) -> None:
-        (kafka_payload_frame(df, partitioner, hash_keys)
-         .write.format("kafka")
-         .option("kafka.bootstrap.servers", brokers)
-         .option("topic", topic)
-         .save())
+        frame = kafka_payload_frame(df, partitioner, hash_keys,
+                                    topic=topic if dynamic else None,
+                                    headers=headers)
+        w = (frame.write.format("kafka")
+             .option("kafka.bootstrap.servers", brokers))
+        if not dynamic:
+            w = w.option("topic", topic)
+        w.save()
 
     return write
+
+
+# the Go plugin spells it _v2, the native C++ one _native — same contract
+FLUSHERS["flusher_kafka_v2"] = flusher_kafka
+FLUSHERS["flusher_kafka_native"] = flusher_kafka
 
 
 @register_flusher("flusher_http")

@@ -304,3 +304,99 @@ def test_input_container_stdio_multiline_case(spark):
     assert len(rows) >= case["at_least"]
     assert rows[0]["content"] == "today\nhello"  # the case's field regex
     check_kv(rows, {"content": case["field_kv"]["content"]})
+
+
+def parse_scenarios(case: str) -> list[dict]:
+    """Like parse_feature but one dict per Scenario (some features
+    carry several — e.g. the kafka dynamic-topic content + tag pair)."""
+    text = open(f"{CASES}/{case}/case.feature").read()
+    out = []
+    for chunk in re.split(r"\n  @e2e", text)[1:]:
+        d = {"config": None, "at_least": None, "field_kv": None}
+        steps = re.findall(
+            r'(Given[^\n]*config as below|Then the log fields match kv)'
+            r'[^\n]*\n\s+"""\n(.*?)"""', chunk, re.S)
+        for step, block in steps:
+            if "config as below" in step:
+                d["config"] = block
+            else:
+                d["field_kv"] = yaml.safe_load(block)
+        m = re.search(r"at least \{(\d+)\} logs", chunk)
+        d["at_least"] = int(m.group(1)) if m else 1
+        # the local-config step block is the PIPELINE yaml; skip the
+        # subscriber-config block that precedes it
+        assert d["config"] and "inputs" in d["config"], case
+        out.append(d)
+    return out
+
+
+def _kafka_case_frame(spark, tmp_path, scenario, lines):
+    """Run a kafka-flusher scenario's input+processors, then build the
+    payload frame the flusher would ship (no broker in container)."""
+    from loongcollector_spark.flushers import kafka_payload_frame
+
+    cfg = yaml.safe_load(scenario["config"])
+    logdir = tmp_path / "test" / "1" / "2" / "3"
+    logdir.mkdir(parents=True, exist_ok=True)
+    (logdir / "input.log").write_text("".join(l + "\n" for l in lines))
+    for inp in cfg["inputs"]:
+        inp["FilePaths"] = [f"{tmp_path}/test/*/*/*/input.log"]
+    fl = cfg["flushers"][0]
+    cfg["flushers"] = []
+    df = run_config(spark, PipelineConfig.parse(yaml.dump(cfg)))
+    return kafka_payload_frame(
+        df, fl.get("PartitionerType", "random"), fl.get("HashKeys", []),
+        topic=fl["Topic"] if "%{" in fl["Topic"] else None,
+        headers=fl.get("Headers", [])), fl
+
+
+def test_flusher_kafka_dynamic_topic_content_case(spark, tmp_path):
+    """Scenario 1: Topic app-%{content.service} — every message routes
+    to app-serviceA (run.sh emits {"service":"serviceA",...} JSON)."""
+    scenario = parse_scenarios("flusher_kafka_native_dynamic_topic")[0]
+    lines = ['{"env":"prod","service":"serviceA","msg":"hello-%d"}' % i
+             for i in range(1, 31)]
+    frame, _ = _kafka_case_frame(spark, tmp_path, scenario, lines)
+    rows = frame.collect()
+    assert len(rows) >= scenario["at_least"]
+    check_kv(rows, {"topic": scenario["field_kv"]["topic"]})
+    import json as _json
+    assert all(_json.loads(r["value"])["content"] for r in rows)
+
+
+def test_flusher_kafka_dynamic_topic_tag_case(spark, tmp_path):
+    """Scenario 2: Topic app-%{tag.__hostname__} — the host tag rides
+    into the topic; missing tag falls back to the raw template
+    (FlusherKafka.cpp:181-185)."""
+    from loongcollector_spark.flushers import format_topic_column
+
+    scenario = parse_scenarios("flusher_kafka_native_dynamic_topic")[1]
+    lines = ['{"service":"serviceA","msg":"hello-%d"}' % i
+             for i in range(1, 31)]
+    cfg = yaml.safe_load(scenario["config"])
+    topic = cfg["flushers"][0]["Topic"]
+    df = spark.createDataFrame(
+        [(l, "loongcollector") for l in lines],
+        "content string, __hostname__ string")
+    out = df.select(format_topic_column(df, topic).alias("topic")).collect()
+    assert all(r["topic"] == "app-loongcollector" for r in out)
+    # tag column absent → per-event format fails → raw template survives
+    bare = df.drop("__hostname__")
+    fb = bare.select(format_topic_column(bare, topic).alias("t")).first()
+    assert fb["t"] == topic
+
+
+def test_flusher_kafka_headers_case(spark, tmp_path):
+    """Static Headers (KafkaConfig.h:117-134) attach to every message;
+    the case asserts header.h1=v1 / header.h2=v2 on the consumed side."""
+    scenario = parse_scenarios("flusher_kafka_native_headers")[0]
+    lines = [f"hello-{i}" for i in range(1, 31)]
+    frame, fl = _kafka_case_frame(spark, tmp_path, scenario, lines)
+    rows = frame.collect()
+    assert len(rows) >= scenario["at_least"]
+    want = {h["key"]: h["value"] for h in fl["Headers"]}
+    for r in rows:
+        got = {h["key"]: bytes(h["value"]).decode() for h in r["headers"]}
+        assert got == want
+    check_kv(rows, {"topic": scenario["field_kv"]["topic"]}) if \
+        "topic" in frame.columns else None
