@@ -121,6 +121,26 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
     if typ in ("service_mock", "metric_mock"):
         tags = cfg.get("Tags") or {}
         fields = cfg.get("Fields") or {}
+        if cfg.get("OpenPrometheusPattern"):
+            # input_mock.go:41-59 + helper.NewMetricLog (pkg/helper/
+            # log_helper.go:258-290): each tick is ONE metric event
+            # __name__/__time_nano__/__labels__/__value__, labels =
+            # sorted tags+fields joined `k#$#v|...`, value = Index
+            from pyspark.sql import functions as F
+
+            labels = "|".join(
+                f"{k}#$#{v}" for k, v in
+                sorted({**tags, **{k: str(v) for k, v in fields.items()}}.items())
+            )
+            n = int(cfg.get("Turns", 16))
+            base_nano = 1_700_000_000_000_000_000
+            return spark.range(1, n + 1).select(
+                F.lit("metrics_mock").alias("__name__"),
+                (F.lit(base_nano) + F.col("id") * 1_000_000_000)
+                .cast("string").alias("__time_nano__"),
+                F.lit(labels).alias("__labels__"),
+                F.col("id").cast("string").alias("__value__"),
+            )
         if tags or fields:
             # the reference mock contract (input_mock.go:29-67): each
             # tick emits Tags + Fields + an incrementing Index, all as

@@ -363,3 +363,224 @@ def processor_spl(cfg: dict):
         return next(iter(outs.values()))
 
     return run
+
+
+_DOCKER_STDOUT_KEYS = {
+    # collection knobs the Spark model honors
+    "Stdout", "Stderr", "BeginLineRegex", "BeginLineCheckLength",
+    "MaxLogSize", "GroupKeys", "OrderKey", "Tags",
+    # discovery / runtime knobs (container selection + tailing cadence) —
+    # deployment-side in the reference, accepted for config compatibility
+    "IncludeEnv", "ExcludeEnv", "IncludeLabel", "ExcludeLabel",
+    "IncludeContainerLabel", "ExcludeContainerLabel", "IncludeK8sLabel",
+    "ExcludeK8sLabel", "ExternalEnvTag", "ExternalK8sLabelTag",
+    "FlushIntervalMs", "ReadIntervalMs", "SaveCheckPointSec",
+    "BeginLineTimeoutMs", "CloseUnChangedSec", "StartLogMaxOffset",
+    "K8sNamespaceRegex", "K8sPodRegex", "K8sContainerRegex",
+}
+
+
+def _docker_line_parse(df, src):
+    """Per-line auto-detect (docker_stdout_processor.go:185-203,
+    ParseContainerLogLine): '{'-prefixed → docker json-file
+    {"log","stream","time"}; else CRI ``<time> <stream> <P|F> <body>``;
+    unparseable lines keep the whole line as content with empty
+    time/stream (the reference's error branches)."""
+    c = F.coalesce(F.col(src), F.lit(""))
+    m = F.from_json(c, "map<string,string>")
+    json_ok = c.startswith("{") & m.getItem("log").isNotNull()
+    cri_rx = r"^(\S+) (\S+) ([PF]) ?(.*)$"
+    cri_ok = (~c.startswith("{")) & c.rlike(cri_rx)
+    return (
+        df.withColumn("_parse_ok", json_ok | cri_ok)
+        .withColumn("_time_", F.when(json_ok, m.getItem("time"))
+                    .when(cri_ok, F.regexp_extract(c, cri_rx, 1))
+                    .otherwise(F.lit("")))
+        .withColumn("_source_", F.when(json_ok, m.getItem("stream"))
+                    .when(cri_ok, F.regexp_extract(c, cri_rx, 2))
+                    .otherwise(F.lit("")))
+        # partial line: CRI 'P' flag, or docker log value missing the
+        # trailing \n the json-file driver appends to complete lines
+        .withColumn("_part_", F.when(
+            json_ok, ~m.getItem("log").endswith("\n")
+        ).when(cri_ok, F.regexp_extract(c, cri_rx, 3) == "P")
+         .otherwise(F.lit(False)))
+        .withColumn("content", F.when(
+            json_ok, F.regexp_replace(m.getItem("log"), r"\n$", "")
+        ).when(cri_ok, F.regexp_extract(c, cri_rx, 4)).otherwise(c))
+    )
+
+
+def _stream_filter(df, stdout: bool, stderr: bool):
+    """StreamAllowed (docker_stdout_processor.go:205-216): only checked
+    when exactly one of stdout/stderr collects; empty stream is always
+    allowed."""
+    if stdout and stderr:
+        return df
+    allowed = "stderr" if stderr else "stdout"
+    return df.filter((F.col("_source_") == "") |
+                     F.col("_source_").isNull() |
+                     (F.col("_source_") == allowed))
+
+
+def _docker_stdout_factory(cfg: dict, raw: bool):
+    stdout = cfg.get("Stdout", True)
+    stderr = cfg.get("Stderr", True)
+    begin_rx = cfg.get("BeginLineRegex") or None
+    check_len = cfg.get("BeginLineCheckLength", 10 * 1024)
+    group_keys = cfg.get("GroupKeys", ["_ingest_file"])
+    order_key = cfg.get("OrderKey", "_line_idx")
+    # container-discovery tags (_image_name_/_container_name_/…): the
+    # reference appends them to every log (NewDockerStdoutProcessor tags
+    # param); here they arrive from whatever discovery populated the cfg
+    tags = cfg.get("Tags") or {}
+
+    def _tagged(out):
+        for k, v in tags.items():
+            out = out.withColumn(str(k), F.lit(str(v)))
+        return out
+
+    def run(df):
+        src = "content" if "content" in df.columns else "text"
+        if raw:
+            # rawstdout pump (rawstdout/input_docker_stdout.go:107-135):
+            # lines are `<time> <content>` from docker attach with
+            # timestamps; no stream/partial framing in the line itself —
+            # _source_ rides in on a column when the demultiplexer
+            # (deployment-side stdcopy) provides one.
+            c = F.coalesce(F.col(src), F.lit(""))
+            rx = r"^(\S+) (.*)$"
+            ok = c.rlike(rx)
+            df = (
+                df.withColumn("_time_", F.when(ok, F.regexp_extract(c, rx, 1))
+                              .otherwise(F.lit("")))
+                .withColumn("content", F.when(ok, F.regexp_extract(c, rx, 2))
+                            .otherwise(c))
+            )
+            if "_source_" not in df.columns:
+                df = df.withColumn("_source_", F.lit("stdout"))
+            df = _stream_filter(df, stdout, stderr)
+            if begin_rx:
+                df = _merge_events(df, group_keys, order_key, begin_rx,
+                                   check_len, anchored=True)
+            return _tagged(df)
+        if src != "content":
+            df = df.withColumnRenamed(src, "content")
+        df = _docker_line_parse(df, "content")
+        df = _stream_filter(df, stdout, stderr)
+        # reassemble split-up long lines first (CRI P-runs / docker
+        # json partials) — concatenated WITHOUT separators, exactly the
+        # beginLineReg==nil branch (docker_stdout_processor.go:233-243)
+        df = _merge_partial_runs(
+            df.drop("_parse_ok"), group_keys, order_key)
+        if begin_rx:
+            df = _merge_events(df, group_keys, order_key, begin_rx, check_len,
+                               anchored=False)
+        return _tagged(df)
+
+    return run
+
+
+def _agg_docker_events(df, group_keys, order_key, joiner):
+    """Collapse ``_mgid`` runs into events. The multiline event carries
+    the LAST line's time/stream (newRawLogByMultiLine,
+    docker_stdout_processor.go:314-348 uses ``lastOne``)."""
+    carry = [k for k in ("_time_", "_source_") if k in df.columns]
+    return (
+        df.groupBy(*group_keys, "_mgid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col(order_key).alias("o"),
+                                 F.col("content").alias("c")))),
+                    lambda s: s["c"],
+                ),
+                joiner,
+            ).alias("content"),
+            F.min(order_key).alias(order_key),
+            *[F.max_by(F.col(k), F.col(order_key)).alias(k) for k in carry],
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_mgid")
+    )
+
+
+def _merge_partial_runs(df, group_keys, order_key):
+    """Partial-line reassembly (beginLineReg==nil branch,
+    docker_stdout_processor.go:233-243): runs of partial rows concatenate
+    with the first following complete row, WITHOUT separators. Event id =
+    running count of rows whose previous row was complete."""
+    wo = Window.partitionBy(*group_keys).orderBy(order_key)
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_p = F.coalesce(F.lag("_part_").over(wo), F.lit(False))
+    df = df.withColumn("_mgid", F.sum((~prev_p).cast("long")).over(wc))
+    return _agg_docker_events(df.drop("_part_"), group_keys, order_key,
+                              joiner="")
+
+
+def _merge_events(df, group_keys, order_key, pattern, check_len, anchored):
+    """BeginLineRegex multiline (docker_stdout_processor.go:244-258): a
+    begin-matching line flushes the accumulated event and starts a new
+    one; leading non-matching lines accumulate and flush as their own
+    event when the first begin-match arrives (unlike
+    processor_merge_multiline's single_line treatment). Pure window
+    algebra: event id = running count of begin matches (the leading
+    unmatched run is group 0). The json variant searches anywhere in the
+    first ``check_len`` chars (Go regexp.Match); the raw variant
+    (rawstdout/input_docker_stdout.go:180) requires the match to span
+    the whole truncated check line — ``anchored=True``."""
+    check = F.substring(F.col("content"), 1, int(check_len))
+    rx = f"^(?:{pattern})$" if anchored else pattern
+    begin = check.rlike(rx)
+    wo = Window.partitionBy(*group_keys).orderBy(order_key)
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = df.withColumn("_mgid", F.sum(begin.cast("long")).over(wc))
+    return _agg_docker_events(df.drop("n_merged") if "n_merged" in df.columns
+                              else df, group_keys, order_key, joiner="\n")
+
+
+@register("service_docker_stdout", keys=_DOCKER_STDOUT_KEYS)
+def service_docker_stdout(cfg: dict):
+    """Docker stdout service input modeled as a processor over tailed
+    json-file/CRI log lines (plugins/input/docker/stdout/
+    docker_stdout_processor.go:185-282 + input_docker_stdout.go:420-433
+    defaults). Container discovery (IncludeEnv/IncludeLabel…) and the
+    _image_name_/_container_name_/_container_ip_ tags are runtime
+    metadata a deployment attaches per container; the line-level
+    semantics — auto-detected json/CRI parse, stream filtering, partial
+    reassembly, BeginLineRegex multiline — replay here."""
+    return _docker_stdout_factory(cfg, raw=False)
+
+
+@register("service_docker_stdout_raw", keys=_DOCKER_STDOUT_KEYS)
+def service_docker_stdout_raw(cfg: dict):
+    """Raw docker attach variant (plugins/input/docker/rawstdout/
+    input_docker_stdout.go:100-200): `<time> <content>` lines from the
+    multiplexed attach stream; BeginLineRegex must span the whole
+    check-length prefix (FindStringIndex anchored both ends)."""
+    return _docker_stdout_factory(cfg, raw=True)
+
+
+@register("service_docker_event",
+          keys={"IntervalMs", "EventQueueSize", "IgnoreAttributes"})
+def service_docker_event(cfg: dict):
+    """Docker daemon events (plugins/input/docker/event/
+    input_docker_event.go:61-83): each event becomes a log with
+    ``_time_nano_``/``_action_``/``_type_``/``_id_`` plus the actor
+    attributes unless IgnoreAttributes. The daemon subscription is
+    deployment-side; the field contract applies over an events frame
+    with (time_nano, action, type, id[, attrs map])."""
+    ignore_attrs = cfg.get("IgnoreAttributes", False)
+
+    def run(df):
+        out = df.select(
+            F.col("time_nano").cast("string").alias("_time_nano_"),
+            F.col("action").alias("_action_"),
+            F.col("type").alias("_type_"),
+            F.col("id").alias("_id_"),
+            *([c for c in ("attrs",) if c in df.columns and not ignore_attrs]),
+        )
+        return out
+
+    return run

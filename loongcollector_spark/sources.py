@@ -48,7 +48,25 @@ def input_file(
     metadata (EventGroupMetaKey LOG_FILE_PATH/LOG_FILE_OFFSET). With a
     multiline start regex, continuation lines merge onto their record
     (the LogFileReader multiline state machine as sessionization).
-    ``file_encoding`` maps FileReaderOptions.h:30-34 (UTF8/UTF16/GBK)."""
+    ``file_encoding`` maps FileReaderOptions.h:30-34 (UTF8/UTF16/GBK).
+
+    A ``**`` path segment means any-depth recursion (the reference's
+    MaxDirSearchDepth wildcard, input-file.md): Hadoop globs have no
+    recursive ``**``, so it becomes ``recursiveFileLookup`` from the
+    glob's base directory with the basename as ``pathGlobFilter``."""
+    read_opts: dict[str, str] = {}
+    if "**" in path_glob:
+        base, _, rest = path_glob.partition("**")
+        basename = rest.rsplit("/", 1)[-1]
+        if "/" in rest.strip("/"):
+            raise ValueError(
+                "input_file: '**' is only supported as the final directory "
+                f"wildcard (got {path_glob!r})"
+            )
+        path_glob = base or "."
+        read_opts = {"recursiveFileLookup": "true"}
+        if basename:
+            read_opts["pathGlobFilter"] = basename
     enc = file_encoding.upper().replace("-", "").replace("_", "")
     if fmt == "text" and enc not in ("", "UTF8"):
         charset = _ENCODINGS.get(enc)
@@ -69,6 +87,7 @@ def input_file(
             .option("sep", "\x01")
             .option("quote", "\x00")
             .option("header", False)
+            .options(**read_opts)
             .load(path_glob)
         )
         # parity with the UTF-8 text source (Hadoop's line reader):
@@ -81,9 +100,10 @@ def input_file(
         keep = ["_metadata"] if with_provenance else []
         df = df.select(text.alias("text"), *keep)
     elif fmt == "text":
-        df = spark.read.text(path_glob).withColumnRenamed("value", "text")
+        df = (spark.read.options(**read_opts).text(path_glob)
+              .withColumnRenamed("value", "text"))
     else:
-        df = spark.read.format(fmt).load(path_glob)
+        df = spark.read.options(**read_opts).format(fmt).load(path_glob)
     if with_provenance:
         if fmt == "text":
             # Per-file line index WITHOUT a per-file window (a window

@@ -8,6 +8,7 @@ rows). Cases needing a real broker/DB/container runtime are out of
 scope here and covered by their unit contracts instead.
 """
 
+import json
 import os
 import re
 import shutil
@@ -400,3 +401,147 @@ def test_flusher_kafka_headers_case(spark, tmp_path):
         assert got == want
     check_kv(rows, {"topic": scenario["field_kv"]["topic"]}) if \
         "topic" in frame.columns else None
+
+
+def _docker_json_lines(spark, logs, stream="stdout"):
+    """json-file driver lines: complete lines carry a trailing \\n in
+    the `log` value (the docker daemon appends it)."""
+    rows = [
+        (json.dumps({"log": ln, "stream": stream,
+                     "time": f"2024-01-01T00:00:{i:02d}.000000000Z"}),
+         "c.log", i)
+        for i, ln in enumerate(logs)
+    ]
+    return spark.createDataFrame(
+        rows, "content string, _ingest_file string, _line_idx long")
+
+
+_DISCOVERY_TAGS = {
+    "_image_name_": "e2e-container:latest",
+    "_container_name_": "e2e-container-1",
+    "_container_ip_": "172.20.0.2",
+}
+
+
+def test_input_docker_stdout_case(spark):
+    """service_docker_stdout over json-file lines: the stdout stream
+    collects with _time_/_source_ + discovery tags; IncludeEnv is the
+    container-selection filter (deployment-side)."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_docker_stdout")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    assert cfg["Type"] == "service_docker_stdout"
+    op = build_operator({"Type": cfg["Type"], "Tags": _DISCOVERY_TAGS})
+    df = _docker_json_lines(spark, ["hello\n"])
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, case["field_kv"])
+
+
+def test_input_docker_stdout_multiline_case(spark):
+    """BeginLineRegex multiline: 'today' opens an event, following lines
+    append — content ^today\\nhello$ exactly as the case asserts."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_docker_stdout_multiline")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    op = build_operator({
+        "Type": cfg["Type"], "Tags": _DISCOVERY_TAGS,
+        "BeginLineRegex": cfg["BeginLineRegex"],
+        "Stdout": cfg.get("Stdout", True),
+    })
+    df = _docker_json_lines(spark, ["today\n", "hello\n"])
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    assert rows[0]["content"] == "today\nhello"
+    check_kv(rows, case["field_kv"])
+
+
+def test_input_docker_rawstdout_case(spark):
+    """service_docker_stdout_raw over attach-with-timestamps lines
+    `<rfc3339> <content>`."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_docker_rawstdout")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    assert cfg["Type"] == "service_docker_stdout_raw"
+    op = build_operator({"Type": cfg["Type"], "Tags": _DISCOVERY_TAGS})
+    df = spark.createDataFrame(
+        [(f"2024-01-01T00:00:0{i}.000000000Z hello", "c", i)
+         for i in range(2)],
+        "content string, _ingest_file string, _line_idx long")
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, case["field_kv"])
+
+
+def test_input_docker_rawstdout_multiline_case(spark):
+    """The raw variant's multiline config (same service, BeginLineRegex
+    absent in the case config — single lines stay single)."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_docker_rawstdout_multiline")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    op = build_operator({"Type": cfg["Type"], "Tags": _DISCOVERY_TAGS})
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:01.000000000Z hello", "c", 0)],
+        "content string, _ingest_file string, _line_idx long")
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, case["field_kv"])
+
+
+def test_input_docker_event_case(spark):
+    """service_docker_event: daemon events → _time_nano_/_action_/
+    _type_/_id_ fields (the daemon subscription is deployment-side)."""
+    from loongcollector_spark.operators import build_operator
+
+    case = parse_feature("input_docker_event")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    op = build_operator({"Type": cfg["Type"],
+                         "IntervalMs": cfg.get("IntervalMs")})
+    df = spark.createDataFrame(
+        [(1700000000000000000, "die", "container", "abc123"),
+         (1700000000500000000, "disconnect", "network", "def456")],
+        "time_nano long, action string, type string, id string")
+    rows = op(df).collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, case["field_kv"])
+
+
+def test_input_docker_static_file_case(spark, tmp_path):
+    """input_file with a `**` any-depth glob (MaxDirSearchDepth): 1000
+    lines from a file four directories deep, path provenance intact."""
+    case = parse_feature("input_docker_static_file")
+    deep = tmp_path / "a" / "b" / "c" / "d"
+    deep.mkdir(parents=True)
+    target = deep / "axxxxxxx.log"
+    target.write_text(
+        "".join(f"{i}====================\n" for i in range(1000)))
+    (tmp_path / "a" / "other.log").write_text("decoy\n")  # fails a*.log
+
+    cfg = _patched_config(case, {"/root/test/**/a*.log":
+                                 f"{tmp_path}/**/a*.log"})
+    out = run_config(spark, cfg)
+    rows = out.collect()
+    assert len(rows) >= case["at_least"]
+    check_kv(rows, case["field_kv"])
+    assert all(r["_ingest_file"].endswith("/a/b/c/d/axxxxxxx.log")
+               for r in rows)  # the case's __path__ tag, container-relative
+
+
+def test_input_mock_metric_case(spark):
+    """metric_mock with OpenPrometheusPattern: each tick is one metric
+    event with the __name__/__time_nano__/__labels__/__value__ contract
+    and labels = sorted tags+fields pairs."""
+    case = parse_feature("input_mock_metric")
+    cfg = _patched_config(case, {})
+    out = run_config(spark, cfg)
+    rows = out.collect()
+    assert len(rows) >= case["at_least"]
+    assert set(out.columns) == set(case["field_list"])
+    labels = rows[0]["__labels__"]
+    got_keys = [p.split("#$#")[0] for p in labels.split("|")]
+    assert got_keys == sorted(["content", "tag1", "tag2", "time"])
+    assert all(re.fullmatch(r"[0-9]+", r["__time_nano__"]) for r in rows)

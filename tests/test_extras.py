@@ -605,3 +605,92 @@ def test_image_resize_handles_png_rgb(spark):
     assert out.shape == (3, 4, 3)
     # nearest-neighbor picks source pixels exactly
     assert (out == rgb[[0, 2, 4]][:, [0, 2, 4, 6]]).all()
+
+
+class TestDockerStdoutService:
+    """service_docker_stdout line semantics (docker_stdout_processor.go)."""
+
+    def _lines(self, spark, rows):
+        return spark.createDataFrame(
+            [(r, "c.log", i) for i, r in enumerate(rows)],
+            "content string, _ingest_file string, _line_idx long")
+
+    def test_partial_lines_concatenate_without_separator(self, spark):
+        import json as j
+        from loongcollector_spark.operators import build_operator
+
+        op = build_operator({"Type": "service_docker_stdout"})
+        df = self._lines(spark, [
+            j.dumps({"log": "part1", "stream": "stdout", "time": "t1"}),
+            j.dumps({"log": "part2\n", "stream": "stdout", "time": "t2"}),
+            j.dumps({"log": "whole\n", "stream": "stdout", "time": "t3"}),
+        ])
+        got = sorted((r["content"], r["_time_"], r["n_merged"])
+                     for r in op(df).collect())
+        # merged event carries the LAST line's time (newRawLogByMultiLine
+        # uses lastOne, docker_stdout_processor.go:314-348)
+        assert got == [("part1part2", "t2", 2), ("whole", "t3", 1)]
+
+    def test_cri_and_json_lines_auto_detect(self, spark):
+        import json as j
+        from loongcollector_spark.operators import build_operator
+
+        op = build_operator({"Type": "service_docker_stdout"})
+        df = self._lines(spark, [
+            "2024-01-01T00:00:01.0Z stdout P par",
+            "2024-01-01T00:00:02.0Z stdout F tial",
+            j.dumps({"log": "dockerline\n", "stream": "stdout", "time": "t"}),
+        ])
+        got = sorted((r["content"], r["n_merged"]) for r in op(df).collect())
+        assert got == [("dockerline", 1), ("partial", 2)]
+
+    def test_stream_filter_only_when_single_stream(self, spark):
+        import json as j
+        from loongcollector_spark.operators import build_operator
+
+        rows = [
+            j.dumps({"log": "out\n", "stream": "stdout", "time": "t1"}),
+            j.dumps({"log": "err\n", "stream": "stderr", "time": "t2"}),
+        ]
+        both = build_operator({"Type": "service_docker_stdout"})
+        assert both(self._lines(spark, rows)).count() == 2
+        only_err = build_operator(
+            {"Type": "service_docker_stdout", "Stdout": False})
+        got = only_err(self._lines(spark, rows)).collect()
+        assert [r["content"] for r in got] == ["err"]
+
+    def test_begin_line_regex_leading_lines_join_first_event(self, spark):
+        import json as j
+        from loongcollector_spark.operators import build_operator
+
+        op = build_operator(
+            {"Type": "service_docker_stdout", "BeginLineRegex": "^BEGIN"})
+        df = self._lines(spark, [
+            j.dumps({"log": f"{ln}\n", "stream": "stdout", "time": f"t{i}"})
+            for i, ln in enumerate(
+                ["orphan1", "orphan2", "BEGIN a", "tail", "BEGIN b"])
+        ])
+        got = sorted(r["content"] for r in op(df).collect())
+        assert got == ["BEGIN a\ntail", "BEGIN b", "orphan1\norphan2"]
+
+    def test_raw_variant_anchored_check(self, spark):
+        from loongcollector_spark.operators import build_operator
+
+        # raw: the begin regex must span the whole check line
+        # (rawstdout/input_docker_stdout.go:180 FindStringIndex ==len)
+        op = build_operator({"Type": "service_docker_stdout_raw",
+                             "BeginLineRegex": "today"})
+        df = self._lines(spark, ["2024-01-01T00:00:01.0Z today-x",
+                                 "2024-01-01T00:00:02.0Z today"])
+        got = sorted(r["content"] for r in op(df).collect())
+        # "today-x" does NOT full-match -> joins the leading event;
+        # bare "today" does -> opens a new one
+        assert got == ["today", "today-x"]
+
+    def test_unparseable_line_kept_as_content(self, spark):
+        from loongcollector_spark.operators import build_operator
+
+        op = build_operator({"Type": "service_docker_stdout"})
+        got = op(self._lines(spark, ["no framing here"])).collect()
+        assert got[0]["content"] == "no framing here"
+        assert got[0]["_time_"] == ""
