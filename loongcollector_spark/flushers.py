@@ -266,10 +266,13 @@ def flusher_loki(cfg: dict):
     if not static and not dynamic:
         # Validate(), flusher_loki.go:138-140
         raise ValueError("flusher_loki: at least one label should be set")
-    protocol = cfg.get("Convert", {}).get("Protocol", "custom_single")
+    conv = cfg.get("Convert", {})
+    protocol = conv.get("Protocol", "custom_single")
+    rename = conv.get("TagFieldsRename")
 
     def write(df: DataFrame) -> None:
-        (loki_streams_frame(df, static, dynamic, line_protocol=protocol)
+        (loki_streams_frame(df, static, dynamic, line_protocol=protocol,
+                            tag_fields_rename=rename)
          .select("payload").write.mode("overwrite").text(path))
 
     return write

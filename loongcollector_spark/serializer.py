@@ -71,10 +71,20 @@ def write_json_sink(df: DataFrame, path: str, time_col: str = "ts",
 #   ``measurement[,k=v...] field=value[ time_nano]``, labels key-sorted.
 
 
+def _row_tags(df: DataFrame) -> dict:
+    """Per-row tags: a ``__tag__:x`` column is the tag ``x``
+    (convertLogToMap, converter.go:230-262 strips the prefix into the
+    tags map — the reference's inputs stamp discovery tags this way)."""
+    return {c[len("__tag__:"):]: F.col(c).cast("string")
+            for c in df.columns if c.startswith("__tag__:")}
+
+
 def _content_struct(df: DataFrame, skip: tuple[str, ...]):
     """contents as a sorted-key struct of string casts (the reference's
-    map[string]string contents; Go marshals map keys sorted)."""
-    cols = sorted(c for c in serializable_columns(df) if c not in skip)
+    map[string]string contents; Go marshals map keys sorted). ``__tag__:``
+    columns are tags, not contents."""
+    cols = sorted(c for c in serializable_columns(df)
+                  if c not in skip and not c.startswith("__tag__:"))
     return F.struct(*[F.col(c).cast("string").alias(c) for c in cols])
 
 
@@ -84,10 +94,12 @@ def custom_single_column(df: DataFrame, time_col: str = "ts",
     """custom_single JSON value per event. ``rename`` is the
     ProtocolKeyRenameMap (keys: time/contents/tags)."""
     rename = rename or {}
+    merged_tags: dict = {k: F.lit(v) for k, v in (tags or {}).items()}
+    merged_tags.update(_row_tags(df))
     fields = {
         rename.get("contents", "contents"): _content_struct(df, (time_col,)),
         rename.get("tags", "tags"): F.struct(
-            *[F.lit(v).alias(k) for k, v in sorted((tags or {}).items())]
+            *[expr.alias(k) for k, expr in sorted(merged_tags.items())]
         ),
         rename.get("time", "time"): F.unix_timestamp(F.col(time_col))
         if time_col in df.columns else F.lit(0),
@@ -105,11 +117,12 @@ def jsonline_column(df: DataFrame, time_col: str = "ts",
     rename = rename or {}
     merged: dict = {}
     for c in serializable_columns(df):
-        if c != time_col:
+        if c != time_col and not c.startswith("__tag__:"):
             merged[c] = F.col(c).cast("string")
     if not only_contents:
         for k, v in (tags or {}).items():
             merged[k] = F.lit(v)
+        merged.update(_row_tags(df))
     merged[rename.get("time", "time")] = (
         F.unix_timestamp(F.col(time_col)) if time_col in df.columns else F.lit(0)
     )
@@ -277,7 +290,8 @@ def otlp_resource_logs_frame(df: DataFrame, group_cols=("conv_id",),
 def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
                        dynamic_labels: list[str] | None = None,
                        time_col: str = "ts",
-                       line_protocol: str = "jsonline") -> DataFrame:
+                       line_protocol: str = "jsonline",
+                       tag_fields_rename: dict[str, str] | None = None) -> DataFrame:
     """The Loki push-API v1 payload (flusher_loki.go:152-171,218-227):
     each event becomes (labels, ts, line) where labels = StaticLabels +
     DynamicLabels read from the event (``content.``/``tag.`` prefixes
@@ -288,13 +302,28 @@ def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
     document per label set, values in (ts, line) order (the client's
     arrival order is not defined under parallelism, so the stable sort
     makes payloads deterministic)."""
+    def resolve(key: str):
+        """A ``tag.X`` label reads tag X; when absent, Convert.
+        TagFieldsRename[X] names the underlying tag (findTargetValues,
+        converter.go:296-302 — the loki case maps label loki_name onto
+        tag name this way). Tags live in ``__tag__:``-prefixed columns
+        or plain ones."""
+        for cand in (key, (tag_fields_rename or {}).get(key)):
+            if cand is None:
+                continue
+            for col in (f"__tag__:{cand}", cand):
+                if col in df.columns:
+                    return F.col(col).cast("string")
+        return None
+
     trimmed = sorted(
         lbl.split(".", 1)[1] if lbl.startswith(("content.", "tag.")) else lbl
         for lbl in (dynamic_labels or [])
     )
     line = _HTTP_PROTOCOLS[line_protocol](df)
     merged = {k: F.lit(v) for k, v in static_labels.items()}
-    merged.update({c: F.col(c).cast("string") for c in trimmed})
+    merged.update({c: expr for c in trimmed
+                   if (expr := resolve(c)) is not None})
     # Go marshals the LabelSet map with sorted keys — all labels together
     label_fields = [expr.alias(k) for k, expr in sorted(merged.items())]
     stream = F.to_json(F.struct(*label_fields))

@@ -385,3 +385,69 @@ def metric_http(
         [tuple(r[c] for c in cols) for r in rows],
         ", ".join(f"`{c}` string" for c in cols),
     )
+
+
+def service_rdb(
+    spark: SparkSession,
+    url: str,
+    statement: str,
+    checkpoint_column: str | None = None,
+    checkpoint_value: str | None = None,
+    checkpoint_type: str = "int",
+    max_sync_size: int = 0,
+    num_partitions: int = 8,
+    **options,
+) -> DataFrame:
+    """Checkpointed RDB sync (plugins/input/rdb/rdb.go:218-279, the
+    service_mysql/pgsql/mssql statement mode): ``StateMent`` carries a
+    ``?`` placeholder bound to the saved checkpoint; rows past the
+    checkpoint are collected and the checkpoint advances to the max of
+    ``CheckPointColumn``.
+
+    Spark shape: the bound statement becomes a JDBC *subquery* dbtable —
+    the WHERE reaches the database, not Spark — partitioned on the
+    checkpoint column when numeric (each executor reads one key range;
+    the reference's LIMIT-OFFSET paging loop is a single-connection
+    cursor, which is exactly the non-scalable part this replaces).
+    ``MaxSyncSize`` caps the batch like the reference's break. Use
+    :func:`rdb_checkpoint` on the result to get the value to persist."""
+    bound = statement
+    if "?" in statement:
+        if checkpoint_value is None:
+            raise ValueError("statement has a ? placeholder but no "
+                             "checkpoint value (CheckPointStart)")
+        literal = (str(int(checkpoint_value))
+                   if checkpoint_type in ("int", "long")
+                   else "'" + str(checkpoint_value).replace("'", "''") + "'")
+        bound = statement.replace("?", literal, 1)
+    reader = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", f"({bound}) sync_q")
+    )
+    if checkpoint_column and checkpoint_type in ("int", "long"):
+        lo = int(checkpoint_value or 0)
+        reader = (
+            reader.option("partitionColumn", checkpoint_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lo)
+            .option("upperBound", max(lo + 1, 1 << 31))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if max_sync_size and max_sync_size > 0:
+        # keep the LOWEST checkpoint keys (TakeOrdered, not an arbitrary
+        # limit) so max(checkpoint_column) over the batch never skips an
+        # unread row — the ordered-paging invariant of the reference loop
+        if checkpoint_column:
+            df = df.orderBy(checkpoint_column)
+        df = df.limit(int(max_sync_size))
+    return df
+
+
+def rdb_checkpoint(df: DataFrame, checkpoint_column: str) -> str | None:
+    """The post-batch checkpoint (rdb.go:281-299 SaveCheckPoint): the max
+    of the checkpoint column in the collected batch, as a string; None
+    when the batch was empty (checkpoint unchanged)."""
+    row = df.agg(F.max(checkpoint_column).alias("cp")).first()
+    return None if row["cp"] is None else str(row["cp"])

@@ -545,3 +545,103 @@ def test_input_mock_metric_case(spark):
     got_keys = [p.split("#$#")[0] for p in labels.split("|")]
     assert got_keys == sorted(["content", "tag1", "tag2", "time"])
     assert all(re.fullmatch(r"[0-9]+", r["__time_nano__"]) for r in rows)
+
+
+def test_input_mysql_case(spark):
+    """service_mysql's checkpointed StateMent sync (rdb.go:218-299)
+    replayed on embedded Derby: the ? placeholder binds the saved
+    checkpoint, rows past it collect, the checkpoint advances to
+    max(CheckPointColumn) and a re-sync returns only newer rows."""
+    from loongcollector_spark.sources import rdb_checkpoint, service_rdb
+
+    case = parse_feature("input_mysql")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    assert cfg["Type"] == "service_mysql"
+
+    url = "jdbc:derby:memory:lcs_mysql_case;create=true"
+    names = ["INSERT", "SELECT", "CREATE", "GRANT-X", "A<B>", "(JOIN)"]
+    # Derby resolves the statement's unquoted identifiers as UPPERCASE;
+    # seed with uppercase column names (MySQL itself is case-insensitive)
+    seed = spark.createDataFrame(
+        [(i, names[i % len(names)]) for i in range(1, 601)],
+        "HELP_KEYWORD_ID int, NAME string")
+    (seed.write.format("jdbc").option("url", url)
+     .option("dbtable", "help_keyword").mode("overwrite").save())
+
+    df = service_rdb(
+        spark, url, cfg["StateMent"],
+        checkpoint_column=cfg["CheckPointColumn"],
+        checkpoint_value=cfg["CheckPointStart"],
+        checkpoint_type=cfg["CheckPointColumnType"],
+        num_partitions=4,
+    )
+    rows = df.collect()
+    assert len(rows) >= case["at_least"]
+    assert {c.lower() for c in df.columns} >= set(case["field_list"])
+    check_kv(rows, case["field_kv"], colmap={"help_keyword_id": "HELP_KEYWORD_ID",
+                                             "name": "NAME"})
+
+    # checkpoint advance: re-sync sees nothing, new rows sync alone
+    cp = rdb_checkpoint(df, cfg["CheckPointColumn"].upper())
+    assert cp == "600"
+    again = service_rdb(
+        spark, url, cfg["StateMent"],
+        checkpoint_column=cfg["CheckPointColumn"],
+        checkpoint_value=cp, checkpoint_type="int")
+    assert again.count() == 0
+    more = spark.createDataFrame([(601, "UPDATE")],
+                                 "HELP_KEYWORD_ID int, NAME string")
+    (more.write.format("jdbc").option("url", url)
+     .option("dbtable", "help_keyword").mode("append").save())
+    assert [r["HELP_KEYWORD_ID"] for r in again.collect()] == [601]
+
+
+def test_reader_log_rotate_case(spark, tmp_path):
+    """Rotation (reader_log_rotate/run.sh): simple.log accrues an
+    unterminated '5=====', rotates to simple.log.1, the fresh file gets
+    '6====='. The rotated sibling keeps collecting — all 6 lines, each
+    exactly once."""
+    case = parse_feature("reader_log_rotate")
+    vol = tmp_path / "vol"
+    vol.mkdir()
+    (vol / "simple.log").write_text(
+        "1=====\n2=====\n3=====\n4=====\n5=====")  # no trailing newline
+    (vol / "simple.log").rename(vol / "simple.log.1")
+    (vol / "simple.log").write_text("6=====\n")
+
+    cfg = _patched_config(
+        case, {"/root/test/simple.log": f"{vol}/simple.log*"})
+    out = run_config(spark, cfg)
+    got = sorted(r["content"] for r in out.collect())
+    assert len(got) >= case["at_least"]
+    assert got == [f"{i}=====" for i in range(1, 7)]
+
+
+def test_reader_deleted_case(spark, tmp_path):
+    """reader_deleted: the unterminated tail of a file must flush before
+    deletion — the batch read of the pre-delete snapshot emits it."""
+    case = parse_feature("reader_deleted")
+    f = tmp_path / "simple.log"
+    f.write_text("1=====\n2=====\n3=====\n4=====\n5=====")
+    cfg = _patched_config(case, {"/root/test/simple.log": str(f)})
+    out = run_config(spark, cfg)
+    got = sorted(r["content"] for r in out.collect())
+    assert len(got) >= case["at_least"]
+    assert "5=====" in got  # the no-newline tail is an event
+
+
+def test_reader_new_line_after_timeout_case(spark, tmp_path):
+    """reader_new_line_after_timeout: '5=====' flushes on timeout, the
+    later '\\n6=====' starts a NEW event — final splits are stable (no
+    '5=====6' merge, no re-emit)."""
+    case = parse_feature("reader_new_line_after_timeout")
+    f = tmp_path / "a.log"
+    f.write_text("1=====\n2=====\n3=====\n4=====\n")
+    with open(f, "a") as fh:
+        fh.write("5=====")       # timeout flush point
+        fh.write("\n6=====\n")   # the run.sh follow-up append
+    cfg = _patched_config(case, {"/root/test/a.log": str(f)})
+    out = run_config(spark, cfg)
+    got = sorted(r["content"] for r in out.collect())
+    assert len(got) >= case["at_least"]
+    assert got == [f"{i}=====" for i in range(1, 7)]
