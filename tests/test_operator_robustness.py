@@ -113,6 +113,14 @@ CONFIGS: dict[str, dict] = {
     "service_journal": {"SourceKey": "text", "ParsePriority": True,
                         "ParseSyslogFacility": True,
                         "Units": ["nginx.service"]},
+    "service_docker_stdout": {"GroupKeys": ["conv_id"],
+                              "OrderKey": "turn_idx",
+                              "BeginLineRegex": r"\d.*",
+                              "Tags": {"_container_name_": "c"}},
+    "service_docker_stdout_raw": {"GroupKeys": ["conv_id"],
+                                  "OrderKey": "turn_idx",
+                                  "BeginLineRegex": r"\d.*"},
+    "service_docker_event": {"IgnoreAttributes": False},
 }
 
 
@@ -129,11 +137,27 @@ def _with_map_shapes(df):
     return df.withColumn("labels", m).withColumn("contents", m)
 
 
+def _as_docker_events(df):
+    """service_docker_event consumes a daemon-events frame; hostile text
+    rides in as the action, null-able ids/types included."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("turn_idx").cast("long").alias("time_nano"),
+        F.col("text").alias("action"),
+        F.col("role").alias("type"),
+        F.col("conv_id").alias("id"),
+        F.create_map(F.lit("image"),
+                     F.coalesce(F.col("tool"), F.lit(""))).alias("attrs"),
+    )
+
+
 # ops that require a non-raw input shape: prep fn applied before the op
 PREP = {
     "processor_prom_relabel_metric": _with_map_shapes,
     "aggregator_opentelemetry": _with_map_shapes,
     "aggregator_skywalking": _with_map_shapes,
+    "service_docker_event": _as_docker_events,
 }
 
 
