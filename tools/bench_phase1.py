@@ -31,13 +31,14 @@ def main():
                 fn(spark, warm_dir).count()
             except Exception:
                 pass
-    # materialize the transcripts input table for the timed sf up front
-    # (input preparation, not query work — the production analog is the
-    # Iceberg table already existing; build time reported separately)
-    from loongcollector_spark.driver_queries import transcripts_from_events
+    # materialize the transcripts table and the synthesized payload
+    # fixtures for the timed sf up front (input preparation, not query
+    # work — the production analog is the landed tables already
+    # existing; build time reported separately)
+    from loongcollector_spark.driver_queries import prebuild_fixtures
 
     t_fix = time.monotonic()
-    transcripts_from_events(spark, sf_dir).count()
+    prebuild_fixtures(spark, sf_dir)
     fixture_build_s = round(time.monotonic() - t_fix, 3)
     # min-of-R per query: this box is co-tenant-shared and a burst mid
     # suite inflated a 5 s query to 38 s in one recorded run. The MIN of
