@@ -149,11 +149,14 @@ def _read_input(spark: SparkSession, cfg: dict) -> DataFrame:
             from pyspark.sql import functions as F
 
             n = int(cfg.get("Turns", 16))
+            # Go map semantics (input_mock.go:62-65): fields["Index"] is
+            # set FIRST, then user Fields — a user field named Index
+            # overwrites the counter
+            merged = {"Index": F.col("id").cast("string")}
+            merged.update({str(k): F.lit(str(v))
+                           for k, v in {**tags, **fields}.items()})
             return spark.range(1, n + 1).select(
-                F.col("id").cast("string").alias("Index"),
-                *[F.lit(str(v)).alias(str(k))
-                  for k, v in {**tags, **fields}.items()],
-            )
+                *[e.alias(k) for k, e in merged.items()])
         return sources.service_mock(
             spark, n_turns=cfg.get("Turns", 10_000)
         ).withColumnRenamed("text", "content")

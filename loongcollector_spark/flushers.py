@@ -183,6 +183,124 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
     return df.select(*sel)
 
 
+def _parse_kafka_version(s: str) -> tuple:
+    """KafkaUtil::ParseKafkaVersion (KafkaUtil.cpp:42-89): x.y.z[.n],
+    digits only, 1-4 parts, zero-padded to 4. Raises on malformed input
+    exactly where the reference refuses the config."""
+    parts = s.split(".") if s else []
+    if not parts or len(parts) > 4 or not all(p.isdigit() for p in parts):
+        raise ValueError(
+            f"flusher_kafka: invalid Version {s!r}, expected x.y.z[.n]")
+    out = [int(p) for p in parts]
+    return tuple(out + [0] * (4 - len(out)))
+
+
+def kafka_producer_options(cfg: dict) -> dict:
+    """The reference's KafkaConfig → producer-config mapping
+    (KafkaConfig.h:31-150, KafkaProducer.cpp:290-540, AuthConfig.cpp),
+    re-expressed as the ``kafka.*`` options Spark's kafka sink passes to
+    the Java producer. Validation parity with AuthConfig::Validate:
+    TLS Cert/Key paired, SASL mechanism requires user+pass, Kerberos
+    requires principal+keytab, Kerberos+SASL conflict. librdkafka-only
+    knobs with no Java-producer equivalent (QueueBufferingMaxMessages,
+    BulkMaxSize message-count batching, CompressionLevel, KinitCmd,
+    api.version fallback) are validated but not emitted.
+
+    TLS file options use the Java client's PEM support (KIP-651):
+    CAFile → ssl.truststore.location + type=PEM; CertFile/KeyFile are
+    read driver-side and inlined as ssl.keystore.certificate.chain /
+    ssl.keystore.key (PEM keystores take contents, not split paths).
+    """
+    auth = cfg.get("Authentication", {}) or {}
+    tls = auth.get("TLS", {}) or {}
+    sasl = auth.get("SASL", {}) or {}
+    krb = auth.get("Kerberos", {}) or {}
+    tls_on = bool(tls.get("Enabled", False))
+    krb_on = bool(krb.get("Enabled", False))
+    mech = sasl.get("Mechanism", "")
+
+    # AuthConfig::Validate parity
+    if tls_on and bool(tls.get("CertFile")) != bool(tls.get("KeyFile")):
+        raise ValueError(
+            "Authentication.TLS: CertFile and KeyFile must be set together")
+    if mech and (not sasl.get("Username") or not sasl.get("Password")):
+        raise ValueError("Authentication.SASL: Username and Password are "
+                         "required when Mechanism is set")
+    if krb_on and (not krb.get("Principal") or not krb.get("Keytab")):
+        raise ValueError("Authentication.Kerberos: Principal and Keytab are "
+                         "required when Enabled=true")
+    if krb_on and mech:
+        raise ValueError(
+            "Authentication: Kerberos and SASL cannot be enabled together")
+
+    _parse_kafka_version(cfg.get("Version") or cfg.get("KafkaVersion")
+                         or "1.0.0")
+
+    brokers = cfg["Brokers"]
+    opts = {"kafka.bootstrap.servers":
+            brokers if isinstance(brokers, str) else ",".join(brokers)}
+    # delivery configs (KafkaProducer.cpp:309-330)
+    acks = cfg.get("RequiredAcks", 1)
+    opts["kafka.acks"] = "all" if acks < 0 else str(acks)
+    opts["kafka.request.timeout.ms"] = str(cfg.get("Timeout", 30000))
+    # librdkafka message.timeout.ms == Java delivery.timeout.ms
+    opts["kafka.delivery.timeout.ms"] = str(
+        cfg.get("MessageTimeoutMs", 300000))
+    opts["kafka.retries"] = str(cfg.get("MaxRetries", 3))
+    opts["kafka.retry.backoff.ms"] = str(cfg.get("RetryBackoffMs", 100))
+    opts["kafka.linger.ms"] = str(cfg.get("BulkFlushFrequency", 0))
+    opts["kafka.max.request.size"] = str(cfg.get("MaxMessageBytes", 1000000))
+    opts["kafka.buffer.memory"] = str(
+        int(cfg.get("QueueBufferingMaxKbytes", 1048576)) * 1024)
+    if cfg.get("Compression"):
+        opts["kafka.compression.type"] = cfg["Compression"]
+
+    # security.protocol (KafkaProducer.cpp:390-409)
+    if krb_on or mech:
+        opts["kafka.security.protocol"] = (
+            "SASL_SSL" if tls_on else "SASL_PLAINTEXT")
+    elif tls_on:
+        opts["kafka.security.protocol"] = "SSL"
+
+    if tls_on:
+        if tls.get("CAFile"):
+            opts["kafka.ssl.truststore.type"] = "PEM"
+            opts["kafka.ssl.truststore.location"] = tls["CAFile"]
+        if tls.get("CertFile"):
+            # Java PEM keystores take inline contents (KIP-651): the
+            # separate CertFile/KeyFile paths are read driver-side once
+            opts["kafka.ssl.keystore.type"] = "PEM"
+            with open(tls["CertFile"]) as fh:
+                opts["kafka.ssl.keystore.certificate.chain"] = fh.read()
+            with open(tls["KeyFile"]) as fh:
+                opts["kafka.ssl.keystore.key"] = fh.read()
+        if tls.get("KeyPassword"):
+            opts["kafka.ssl.key.password"] = tls["KeyPassword"]
+
+    if mech:  # PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512
+        opts["kafka.sasl.mechanism"] = mech
+        module = ("org.apache.kafka.common.security.plain.PlainLoginModule"
+                  if mech.upper() == "PLAIN" else
+                  "org.apache.kafka.common.security.scram.ScramLoginModule")
+        opts["kafka.sasl.jaas.config"] = (
+            f'{module} required username="{sasl["Username"]}" '
+            f'password="{sasl["Password"]}";')
+    elif krb_on:
+        opts["kafka.sasl.mechanism"] = krb.get("Mechanisms") or "GSSAPI"
+        opts["kafka.sasl.kerberos.service.name"] = (
+            krb.get("ServiceName") or "kafka")
+        opts["kafka.sasl.jaas.config"] = (
+            "com.sun.security.auth.module.Krb5LoginModule required "
+            f'useKeyTab=true storeKey=true keyTab="{krb["Keytab"]}" '
+            f'principal="{krb["Principal"]}";')
+
+    # CustomConfig passthrough (KafkaConfig.h:138-141, "Kafka" object) —
+    # last so user overrides win, like rd_kafka_conf_set ordering
+    for k, v in (cfg.get("Kafka") or {}).items():
+        opts[f"kafka.{k}"] = str(v)
+    return opts
+
+
 @register_flusher("flusher_kafka")
 def flusher_kafka(cfg: dict):
     """Kafka sink (flusher_kafka_v2.go:43-83, native FlusherKafka.cpp).
@@ -192,19 +310,18 @@ def flusher_kafka(cfg: dict):
     honors it over the option); static Headers attach to every message
     (the writer needs ``includeHeaders`` semantics only on read — on
     write the column is always shipped)."""
-    brokers = cfg["Brokers"]
     topic = cfg["Topic"]
     partitioner = cfg.get("PartitionerType", "random")
     hash_keys = cfg.get("HashKeys", [])
     headers = cfg.get("Headers", [])
+    options = kafka_producer_options(cfg)  # validates auth/version too
     dynamic = "%{" in topic
 
     def write(df: DataFrame) -> None:
         frame = kafka_payload_frame(df, partitioner, hash_keys,
                                     topic=topic if dynamic else None,
                                     headers=headers)
-        w = (frame.write.format("kafka")
-             .option("kafka.bootstrap.servers", brokers))
+        w = frame.write.format("kafka").options(**options)
         if not dynamic:
             w = w.option("topic", topic)
         w.save()
@@ -274,6 +391,123 @@ def flusher_loki(cfg: dict):
         (loki_streams_frame(df, static, dynamic, line_protocol=protocol,
                             tag_fields_rename=rename)
          .select("payload").write.mode("overwrite").text(path))
+
+    return write
+
+
+def clickhouse_jdbc_options(cfg: dict) -> tuple[str, dict]:
+    """flusher_clickhouse's connection config → JDBC url + options
+    (flusher_clickhouse.go:32-67): Addresses + Authentication.PlainText
+    {Database, Username, Password}, MaxExecutionTime (sec) → query
+    timeout. The Buffer* knobs configure ClickHouse's server-side
+    Buffer-engine table, not the client — they are accepted (validated
+    as ints) but have no client-side option; Spark's writer batches via
+    its own JDBC batchsize. Cluster rides into the dbtable as the
+    ON CLUSTER target's distributed table name convention."""
+    auth = (cfg.get("Authentication") or {}).get("PlainText") or {}
+    db = auth.get("Database") or "default"
+    addrs = ",".join(cfg["Addresses"])
+    url = f"jdbc:clickhouse://{addrs}/{db}"
+    opts = {}
+    if auth.get("Username"):
+        opts["user"] = auth["Username"]
+    if auth.get("Password"):
+        opts["password"] = auth["Password"]
+    if cfg.get("MaxExecutionTime"):
+        opts["queryTimeout"] = str(int(cfg["MaxExecutionTime"]))
+    for k in ("BufferNumLayers", "BufferMinTime", "BufferMaxTime",
+              "BufferMinRows", "BufferMaxRows", "BufferMinBytes",
+              "BufferMaxBytes", "MaxOpenConns", "MaxIdleConns",
+              "BlockBufferSize"):
+        if k in cfg:
+            int(cfg[k])  # config-shape validation only
+    return url, opts
+
+
+@register_flusher("flusher_clickhouse")
+def flusher_clickhouse(cfg: dict):
+    """ClickHouse sink (flusher_clickhouse.go): the connection/auth
+    option mapping over the shared JDBC write path. Needs the
+    clickhouse JDBC driver on the cluster; the mapping itself is
+    contract-tested in-container (e2e case flusher_clickhouse)."""
+    url, opts = clickhouse_jdbc_options(cfg)
+    table = cfg["Table"]
+
+    def write(df: DataFrame) -> None:
+        w = df.write.format("jdbc").option("url", url).option(
+            "dbtable", table)
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode("append").save()
+
+    return write
+
+
+@register_flusher("flusher_doris")
+def flusher_doris(cfg: dict):
+    """Doris sink (flusher_doris.go:37-58): Stream Load ships one
+    json-lines body per batch to
+    ``{address}/api/{Database}/{Table}/_stream_load``. The body frame is
+    the converter output (default custom_single_flatten like the e2e
+    case); no Doris FE in this container, so the exact PUT bodies land
+    as text files under ``Path``. LoadProperties become the stream-load
+    HTTP headers — recorded in the directory's _load_properties.json."""
+    from loongcollector_spark.serializer import convert_events
+
+    path = cfg["Path"]
+    conv = cfg.get("Convert") or {}
+    protocol = conv.get("Protocol", "custom_single_flatten")
+    if conv.get("Encoding", "json") != "json":
+        raise ValueError("flusher_doris: stream load body is json lines")
+    cfg["Database"], cfg["Table"]  # mandatory, like Validate()
+    props = cfg.get("LoadProperties") or {}
+
+    def write(df: DataFrame) -> None:
+        convert_events(df, protocol).write.mode("overwrite").text(path)
+        if props:
+            import json as _json
+            import os as _os
+            with open(_os.path.join(path, "_load_properties.json"),
+                      "w") as fh:
+                _json.dump(props, fh, sort_keys=True)
+
+    return write
+
+
+def es_doc_frame(df: DataFrame, index: str,
+                 protocol: str = "custom_single") -> DataFrame:
+    """flusher_elasticsearch's bulk-request frame: (index, doc) per
+    event. ``Index`` may carry %{content.x}/%{tag.x} placeholders
+    (getIndexKeys, flusher_elasticsearch.go:155-176) — the same
+    fmtstr grammar as the kafka dynamic topic, so the same codegen
+    formatter resolves it per row."""
+    from loongcollector_spark.serializer import _HTTP_PROTOCOLS
+
+    if protocol not in _HTTP_PROTOCOLS:
+        raise ValueError(f"unsupported Convert.Protocol {protocol!r}")
+    return df.select(
+        format_topic_column(df, index).alias("index"),
+        _HTTP_PROTOCOLS[protocol](df).alias("doc"),
+    )
+
+
+@register_flusher("flusher_elasticsearch")
+def flusher_elasticsearch(cfg: dict):
+    """Elasticsearch sink (flusher_elasticsearch.go:35-57): converter
+    docs bulk-indexed into ``Index`` (static or per-event dynamic). No
+    ES in this container: docs land under ``Path`` partitioned by
+    resolved index — exactly the (index, source) pairs a bulk request
+    carries. Authentication.PlainText supplies basic-auth user/pass
+    (recorded, unused offline)."""
+    path = cfg["Path"]
+    index = cfg["Index"]
+    if not cfg.get("Addresses"):
+        raise ValueError("flusher_elasticsearch: Addresses required")
+    protocol = (cfg.get("Convert") or {}).get("Protocol", "custom_single")
+
+    def write(df: DataFrame) -> None:
+        (es_doc_frame(df, index, protocol)
+         .write.mode("overwrite").partitionBy("index").text(path))
 
     return write
 

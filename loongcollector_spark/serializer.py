@@ -327,7 +327,11 @@ def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
     # Go marshals the LabelSet map with sorted keys — all labels together
     label_fields = [expr.alias(k) for k, expr in sorted(merged.items())]
     stream = F.to_json(F.struct(*label_fields))
-    ns = (F.unix_timestamp(F.col(time_col)) * F.lit(1000000000)).cast("string")
+    # events without a time column (e.g. metric_mock rows) stamp 0,
+    # like the converters' missing-__time__ default
+    t = (F.unix_timestamp(F.col(time_col)) if time_col in df.columns
+         else F.lit(0))
+    ns = (t * F.lit(1000000000)).cast("string")
     keyed = df.select(
         stream.alias("_stream"),
         F.struct(ns.alias("ts"), line.alias("line")).alias("_v"),
@@ -352,6 +356,9 @@ def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
 _HTTP_PROTOCOLS = {
     "custom_single": custom_single_column,
     "jsonline": jsonline_column,
+    # the Go converter registers the flatten shape under both names
+    # (converter.go / converter_single_log_flatten.go)
+    "custom_single_flatten": jsonline_column,
     "influxdb": influxdb_line_column,
     "otlp_v1": otlp_log_record_column,
 }

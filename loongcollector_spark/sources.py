@@ -412,14 +412,22 @@ def service_rdb(
     ``MaxSyncSize`` caps the batch like the reference's break. Use
     :func:`rdb_checkpoint` on the result to get the value to persist."""
     bound = statement
-    if "?" in statement:
+    import re as _re
+
+    # mysql/mssql drivers use `?`, pgsql uses `$1` (rdb.go binds one
+    # checkpoint param either way)
+    has_ph = "?" in statement or _re.search(r"\$\d+", statement)
+    if has_ph:
         if checkpoint_value is None:
             raise ValueError("statement has a ? placeholder but no "
                              "checkpoint value (CheckPointStart)")
         literal = (str(int(checkpoint_value))
                    if checkpoint_type in ("int", "long")
                    else "'" + str(checkpoint_value).replace("'", "''") + "'")
-        bound = statement.replace("?", literal, 1)
+        if "?" in statement:
+            bound = statement.replace("?", literal, 1)
+        else:
+            bound = _re.sub(r"\$\d+", literal, statement, count=1)
     reader = (
         spark.read.format("jdbc").option("url", url)
         .option("dbtable", f"({bound}) sync_q")

@@ -16,6 +16,8 @@ import shutil
 import pytest
 import yaml
 
+from pyspark.sql import functions as F
+
 from loongcollector_spark.config import PipelineConfig, run_config
 
 CASES = "/root/reference/test/e2e/test_cases"
@@ -645,3 +647,323 @@ def test_reader_new_line_after_timeout_case(spark, tmp_path):
     got = sorted(r["content"] for r in out.collect())
     assert len(got) >= case["at_least"]
     assert got == [f"{i}=====" for i in range(1, 7)]
+
+
+# ---------------------------------------------------------------------------
+# kafka producer-option cases: the security/compression/version variants
+# configure the PRODUCER, not the payload — replayed as config → Java
+# producer option mapping (kafka_producer_options), no broker needed.
+# ---------------------------------------------------------------------------
+
+def _kafka_case_flusher(case: str) -> dict:
+    """The flusher dict from a kafka e2e case's local-config block."""
+    text = open(f"{CASES}/{case}/case.feature").read()
+    m = re.search(
+        r'local config as below[^\n]*\n\s+"""\n(.*?)"""', text, re.S)
+    cfg = yaml.safe_load(m.group(1))
+    return cfg["flushers"][0]
+
+
+def test_flusher_kafka_tls_case_options():
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    fl = _kafka_case_flusher("flusher_kafka_native_tls")
+    opts = kafka_producer_options(fl)
+    assert opts["kafka.bootstrap.servers"] == "kafka:29093"
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.ssl.truststore.type"] == "PEM"
+    assert opts["kafka.ssl.truststore.location"] == "/etc/kafka/ssl/ca.crt"
+    assert "kafka.sasl.mechanism" not in opts
+
+
+def test_flusher_kafka_sasl_plain_case_options():
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    fl = _kafka_case_flusher("flusher_kafka_native_sasl_plain")
+    opts = kafka_producer_options(fl)
+    assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+    assert opts["kafka.sasl.mechanism"] == "PLAIN"
+    assert opts["kafka.sasl.jaas.config"] == (
+        'org.apache.kafka.common.security.plain.PlainLoginModule required '
+        'username="user" password="pass";')
+
+
+def test_flusher_kafka_kerberos_case_options():
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    fl = _kafka_case_flusher("flusher_kafka_native_kerberos")
+    opts = kafka_producer_options(fl)
+    assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+    assert opts["kafka.sasl.mechanism"] == "GSSAPI"
+    assert opts["kafka.sasl.kerberos.service.name"] == "kafka"
+    assert 'keyTab="/var/kerberos/client.keytab"' in opts[
+        "kafka.sasl.jaas.config"]
+    assert 'principal="client@EXAMPLE.COM"' in opts["kafka.sasl.jaas.config"]
+    # MessageTimeoutMs 60000 → Java delivery.timeout.ms
+    assert opts["kafka.delivery.timeout.ms"] == "60000"
+    # CustomConfig "Kafka: debug" passthrough (KafkaConfig.h:138-141)
+    assert opts["kafka.debug"] == "security,broker"
+
+
+def test_flusher_kafka_compression_case_options():
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    fl = _kafka_case_flusher("flusher_kafka_native_compression")
+    opts = kafka_producer_options(fl)
+    assert opts["kafka.compression.type"] == "gzip"
+    assert opts["kafka.max.request.size"] == "5242880"
+    assert opts["kafka.linger.ms"] == "200"
+
+
+@pytest.mark.parametrize("case", [
+    "flusher_kafka_native_0.10.x", "flusher_kafka_native_1.x.x",
+    "flusher_kafka_native_2.x.x", "flusher_kafka_native_3.x.x"])
+def test_flusher_kafka_version_cases_options(case):
+    """The 4-broker-version matrix: every case's config builds a valid
+    option map (version accepted incl. the 4-part 0.10.2.1) with the
+    delivery knobs mapped (KafkaProducer.cpp:309-330)."""
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    fl = _kafka_case_flusher(case)
+    opts = kafka_producer_options(fl)
+    assert opts["kafka.acks"] == str(fl.get("RequiredAcks", 1))
+    assert opts["kafka.retries"] == str(fl.get("MaxRetries", 3))
+    assert opts["kafka.request.timeout.ms"] == str(fl.get("Timeout", 30000))
+    assert opts["kafka.buffer.memory"] == str(
+        fl.get("QueueBufferingMaxKbytes", 1048576) * 1024)
+
+
+def test_kafka_producer_options_validation(tmp_path):
+    """AuthConfig::Validate parity (AuthConfig.cpp:70-107) + version
+    grammar (KafkaUtil.cpp:42-89) + PEM keystore inlining (KIP-651)."""
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    base = {"Brokers": ["b:9092"], "Topic": "t"}
+    with pytest.raises(ValueError, match="Username and Password"):
+        kafka_producer_options(
+            {**base, "Authentication": {"SASL": {"Mechanism": "PLAIN",
+                                                 "Username": "u"}}})
+    with pytest.raises(ValueError, match="CertFile and KeyFile"):
+        kafka_producer_options(
+            {**base, "Authentication": {"TLS": {"Enabled": True,
+                                                "CertFile": "c.pem"}}})
+    with pytest.raises(ValueError, match="Principal and Keytab"):
+        kafka_producer_options(
+            {**base, "Authentication": {"Kerberos": {"Enabled": True}}})
+    with pytest.raises(ValueError, match="cannot be enabled together"):
+        kafka_producer_options(
+            {**base, "Authentication": {
+                "Kerberos": {"Enabled": True, "Principal": "p",
+                             "Keytab": "k"},
+                "SASL": {"Mechanism": "PLAIN", "Username": "u",
+                         "Password": "p"}}})
+    with pytest.raises(ValueError, match="invalid Version"):
+        kafka_producer_options({**base, "Version": "2.x"})
+    # SCRAM mechanism → ScramLoginModule; TLS+SASL → SASL_SSL
+    cert = tmp_path / "client.pem"; cert.write_text("CERTPEM\n")
+    key = tmp_path / "client.key"; key.write_text("KEYPEM\n")
+    opts = kafka_producer_options({**base, "Authentication": {
+        "TLS": {"Enabled": True, "CertFile": str(cert), "KeyFile": str(key),
+                "KeyPassword": "kp"},
+        "SASL": {"Mechanism": "SCRAM-SHA-256", "Username": "u",
+                 "Password": "pw"}}})
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert "ScramLoginModule" in opts["kafka.sasl.jaas.config"]
+    assert opts["kafka.ssl.keystore.certificate.chain"] == "CERTPEM\n"
+    assert opts["kafka.ssl.keystore.key"] == "KEYPEM\n"
+    assert opts["kafka.ssl.key.password"] == "kp"
+
+
+def test_input_pgsql_case(spark):
+    """service_pgsql's $1-placeholder checkpoint sync (rdb.go:218-299;
+    the pgsql driver numbers its params) replayed on embedded Derby with
+    the case's init.sql table shape."""
+    from loongcollector_spark.sources import rdb_checkpoint, service_rdb
+
+    case = parse_feature("input_pgsql")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    assert cfg["Type"] == "service_pgsql" and "$1" in cfg["StateMent"]
+
+    url = "jdbc:derby:memory:lcs_pgsql_case;create=true"
+    # init.sql shape: id / time / alarmtype / ip / count ("TIME" and
+    # "COUNT" need delimited identifiers on Derby, so seed via SQL DDL)
+    seed = spark.createDataFrame(
+        [(i, "2026-01-01 00:00:00", "NO_ALARM", "10.10.***.***", i - 1)
+         for i in range(1, 21)],
+        "ID int, TIME string, ALARMTYPE string, IP string, COUNT int")
+    (seed.write.format("jdbc").option("url", url)
+     .option("dbtable", "specialalarmtest").mode("overwrite").save())
+
+    df = service_rdb(
+        spark, url, cfg["StateMent"],
+        checkpoint_column=cfg["CheckPointColumn"],
+        checkpoint_value=cfg["CheckPointStart"],
+        checkpoint_type=cfg["CheckPointColumnType"],
+        max_sync_size=cfg.get("MaxSyncSize", 0),
+        num_partitions=4,
+    )
+    rows = df.collect()
+    assert len(rows) >= case["at_least"]
+    assert {c.lower() for c in df.columns} >= {
+        f.strip() for f in case["field_list"]}
+    cp = rdb_checkpoint(df, cfg["CheckPointColumn"].upper())
+    assert cp == "20"
+    assert service_rdb(
+        spark, url, cfg["StateMent"],
+        checkpoint_column=cfg["CheckPointColumn"],
+        checkpoint_value=cp, checkpoint_type="int").count() == 0
+
+
+def test_input_mssql_case(spark):
+    """service_mssql's ?-placeholder + ORDER BY statement (the case's
+    StateMent) on embedded Derby with the init.sql LogtailTestTable
+    shape; MaxSyncSize keeps the LOWEST ids so the checkpoint never
+    skips unread rows."""
+    from loongcollector_spark.sources import rdb_checkpoint, service_rdb
+
+    case = parse_feature("input_mssql")
+    cfg = yaml.safe_load(case["config"])["inputs"][0]
+    assert cfg["Type"] == "service_mssql"
+
+    url = "jdbc:derby:memory:lcs_mssql_case;create=true"
+    seed = spark.createDataFrame(
+        [(i, f"item{i}", i * 10) for i in range(1, 301)],
+        "ID int, NAME string, QUANTITY int")
+    (seed.write.format("jdbc").option("url", url)
+     .option("dbtable", "LogtailTestTable").mode("overwrite").save())
+
+    df = service_rdb(
+        spark, url, cfg["StateMent"],
+        checkpoint_column=cfg["CheckPointColumn"],
+        checkpoint_value=cfg["CheckPointStart"],
+        checkpoint_type=cfg["CheckPointColumnType"],
+        max_sync_size=cfg.get("MaxSyncSize", 0),
+        num_partitions=4,
+    )
+    rows = df.collect()
+    assert len(rows) >= case["at_least"]
+    assert {c.lower() for c in df.columns} >= {
+        f.strip() for f in case["field_list"]}
+    # MaxSyncSize=100: the batch is ids 1..100 (ordered paging), so the
+    # checkpoint is 100 and the NEXT sync starts there — no skipped rows
+    assert len(rows) == cfg["MaxSyncSize"]
+    cp = rdb_checkpoint(df, cfg["CheckPointColumn"].upper())
+    assert cp == "100"
+    nxt = service_rdb(
+        spark, url, cfg["StateMent"],
+        checkpoint_column=cfg["CheckPointColumn"],
+        checkpoint_value=cp, checkpoint_type="int",
+        max_sync_size=cfg.get("MaxSyncSize", 0))
+    assert [r["ID"] for r in nxt.orderBy("ID").collect()] == list(
+        range(101, 201))
+
+
+def _flusher_case(case: str):
+    """(input frame, flusher dict) for a metric_mock-driven flusher case."""
+    c = parse_feature(case)
+    cfg = yaml.safe_load(c["config"])
+    fl = cfg["flushers"][0]
+    cfg["flushers"] = []
+    return c, cfg, fl
+
+
+def test_flusher_loki_case(spark, tmp_path):
+    """flusher_loki case: mock rows tagged __tag__:name=hello →
+    TagFieldsRename maps label loki_name onto that tag → every stream
+    carries {loki_name: hello, source: loongcollector} and the lines
+    hold the case's value field (the subscriber-side kv assertions)."""
+    case, cfg, fl = _flusher_case("flusher_loki")
+    df = run_config(spark, PipelineConfig.parse(yaml.dump(cfg)))
+    from loongcollector_spark.serializer import loki_streams_frame
+
+    frame = loki_streams_frame(
+        df, fl["StaticLabels"], fl["DynamicLabels"],
+        tag_fields_rename=fl["Convert"]["TagFieldsRename"])
+    payloads = [json.loads(r["payload"]) for r in frame.collect()]
+    n = 0
+    for p in payloads:
+        for s in p["streams"]:
+            assert s["stream"]["loki_name"] == "hello"
+            assert s["stream"]["source"] == "loongcollector"
+            for _, line in s["values"]:
+                assert "log contents" in line
+                n += 1
+    assert n >= case["at_least"]
+
+
+def test_flusher_clickhouse_case(spark):
+    """flusher_clickhouse case: the connection/auth option mapping
+    (flusher_clickhouse.go:32-67) from the case's verbatim YAML, plus
+    the data round trip through the shared JDBC write path on Derby —
+    the landed rows carry the case's asserted _name/_value fields."""
+    from loongcollector_spark.flushers import (
+        build_flusher, clickhouse_jdbc_options)
+
+    case, cfg, fl = _flusher_case("flusher_clickhouse")
+    url, opts = clickhouse_jdbc_options(fl)
+    assert url == "jdbc:clickhouse://clickhouse:9000/default"
+    assert opts == {}  # empty user/password stay unset
+    build_flusher(fl | {"Type": "flusher_clickhouse"})  # validates knobs
+
+    df = run_config(spark, PipelineConfig.parse(yaml.dump(cfg)))
+    derby = "jdbc:derby:memory:lcs_ch_case;create=true"
+    rows = df.select(F.col("_name").alias("NAME"),
+                     F.col("_value").alias("VAL"))
+    build_flusher({"Type": "flusher_jdbc", "Url": derby,
+                   "Table": fl["Table"], "Mode": "overwrite"})(rows)
+    back = (spark.read.format("jdbc").option("url", derby)
+            .option("dbtable", fl["Table"]).load().collect())
+    assert len(back) >= case["at_least"]
+    check_kv(back, {"_name": case["field_kv"]["_name"],
+                    "_value": case["field_kv"]["_value"]},
+             colmap={"_name": "NAME", "_value": "VAL"})
+
+
+def test_flusher_doris_case(spark, tmp_path):
+    """flusher_doris case: custom_single_flatten json-lines stream-load
+    bodies — every landed line carries the case's content/value kv."""
+    from loongcollector_spark.flushers import build_flusher
+
+    case, cfg, fl = _flusher_case("flusher_doris")
+    df = run_config(spark, PipelineConfig.parse(yaml.dump(cfg)))
+    out = str(tmp_path / "doris")
+    build_flusher(fl | {"Type": "flusher_doris", "Path": out})(df)
+    lines = [json.loads(r["value"])
+             for r in spark.read.text(out).collect()]
+    assert len(lines) >= case["at_least"]
+    for doc in lines:
+        assert re.search(case["field_kv"]["content"], doc["content"])
+        assert re.search(case["field_kv"]["value"], doc["value"])
+
+
+def test_flusher_elasticsearch_case(spark, tmp_path):
+    """flusher_elasticsearch case: converter docs land under the
+    resolved index; the case asserts index+content on what arrives."""
+    from loongcollector_spark.flushers import build_flusher, es_doc_frame
+
+    case, cfg, fl = _flusher_case("flusher_elasticsearch")
+    df = run_config(spark, PipelineConfig.parse(yaml.dump(cfg)))
+    frame = es_doc_frame(df, fl["Index"])
+    rows = frame.collect()
+    assert len(rows) >= case["at_least"]
+    for r in rows:
+        assert re.search(case["field_kv"]["index"], r["index"])
+        assert re.search(case["field_kv"]["content"],
+                         json.loads(r["doc"])["contents"]["Content"])
+    out = str(tmp_path / "es")
+    build_flusher(fl | {"Type": "flusher_elasticsearch", "Path": out})(df)
+    import glob as _glob
+    assert _glob.glob(f"{out}/index=default/*.txt")
+
+
+def test_es_doc_frame_dynamic_index(spark):
+    """Dynamic %{content.x} Index (getIndexKeys,
+    flusher_elasticsearch.go:155-176) resolves per event."""
+    from loongcollector_spark.flushers import es_doc_frame
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "svc string, content string"
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    got = {r["index"] for r in
+           es_doc_frame(df, "logs-%{content.svc}").collect()}
+    assert got == {"logs-a", "logs-b"}
