@@ -4237,6 +4237,66 @@ GROUP BY action, role
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution entropy gibberish signal over the
+    documents corpus (per-char integer-quantized log terms keep the sum
+    order-free and hash-oracle-able, the lm.py trick)."""
+    from loongcollector_spark.functions.text import char_entropy
+
+    docs = _docs(spark, sf_dir).filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+    return char_entropy(docs)
+
+
+O_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pc AS (
+  SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2
+), d AS (
+  SELECT doc_id, cast(sum(n) AS BIGINT) AS n_chars,
+         cast(sum(cast(floor(n * log2(n) * 1e6) AS BIGINT)) AS BIGINT) AS s
+  FROM pc GROUP BY 1
+)
+SELECT doc_id, n_chars,
+  cast(floor((log2(n_chars) - s / (n_chars * 1e6)) * 1000) AS BIGINT)
+    AS entropy_1e3
+FROM d
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup: the documents corpus split into an
+    accumulated snapshot (doc_id % 3 != 0) and a new batch (% 3 == 0);
+    each batch doc is admitted (new) or flagged dup_snapshot /
+    dup_batch against the snapshot's fingerprint set."""
+    from loongcollector_spark.functions.curation import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    snap = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental_dedup(batch, snap)
+
+
+O_INCREMENTAL_DEDUP = r"""
+WITH snap AS (
+  SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+), batch AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, fingerprint,
+  CASE WHEN fp IS NOT NULL THEN 'dup_snapshot'
+       WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
+         THEN 'dup_batch'
+       ELSE 'new' END AS status
+FROM batch LEFT JOIN snap ON fingerprint = fp
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -4306,6 +4366,8 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
     "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
+    "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
+    "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "fieldops_chain": (q_fieldops_chain, O_FIELDOPS_CHAIN),
     "filterops_combo": (q_filterops_combo, O_FILTEROPS_COMBO),

@@ -400,3 +400,45 @@ def cross_doc_gram_share(df: DataFrame, n: int = 5,
             .cast("long"),
         )
     )
+
+
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup — the daily-increment
+    path of a crawl/ingest pipeline: a new batch is admitted against the
+    accumulated corpus, keeping a doc only if its content fingerprint is
+    (a) unseen in the snapshot and (b) first within the batch (min id,
+    retry-stable). Returns one row per NEW batch doc:
+    ``(id, fingerprint, status)`` with status ∈ {new, dup_snapshot,
+    dup_batch} — the admitted set is ``status = 'new'`` and the
+    fingerprints to append to the snapshot are exactly those rows.
+
+    ``seen`` is either the snapshot docs frame (same text column) or a
+    precomputed frame with a ``fingerprint`` column — at 100 TB the
+    snapshot IS the stored fingerprint table, appended each increment,
+    so the text of the historical corpus is never re-read.
+
+    Scale shape: one LEFT join on the 16-byte fingerprint (both sides
+    shuffle (fingerprint[, id]) pairs only — never text) plus one
+    min-id window per batch fingerprint; hot fingerprints (viral copies)
+    collapse in the map-side partial min."""
+    from loongcollector_spark.functions.text import with_fingerprint
+
+    if "fingerprint" not in seen.columns:
+        seen = with_fingerprint(seen, text_col)
+    seen_fps = seen.select("fingerprint").distinct()
+    batch = with_fingerprint(new_docs, text_col).select(
+        id_col, "fingerprint")
+    first = Window.partitionBy("fingerprint")
+    flagged = (
+        batch.join(seen_fps.withColumn("_seen", F.lit(True)),
+                   "fingerprint", "left")
+        .withColumn("_first", F.min(id_col).over(first))
+    )
+    status = (
+        F.when(F.col("_seen"), F.lit("dup_snapshot"))
+        .when(F.col(id_col) != F.col("_first"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return flagged.select(id_col, "fingerprint", status.alias("status"))

@@ -215,3 +215,39 @@ def dup_ngram_stats(df: DataFrame, n: int = 2, text_col: str = "text",
         F.coalesce(dup_frac, F.lit(0)).cast("int").alias("dup_frac_1e3"),
         F.coalesce(top_frac, F.lit(0)).cast("int").alias("top_gram_frac_1e3"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the classic
+    gibberish/binary-spill detector (low entropy = repeated filler, very
+    high = random bytes; used alongside the Gopher rules in web-corpus
+    cleaning): ``(id, n_chars, entropy_1e3)`` with
+    entropy = log2(N) − Σ c·log2(c) / N over per-character counts.
+
+    Cross-engine determinism: floating sums are order-dependent, so each
+    character's c·log2(c) term is quantized to an INTEGER
+    (floor(1e6·c·log2 c)) BEFORE the sum — integer sums are order-free
+    and log2 over small integer counts evaluates identically on Spark
+    and DuckDB (the functions/lm.py trick). The final entropy is floored
+    to milli-bits.
+
+    Scale shape: explode characters → two map-side-combinable
+    aggregations ((doc, char) → doc); shuffles carry single characters
+    and counts, never documents. Null/empty documents are dropped
+    (filter on trimmed text on both engines)."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    )
+    per_char = chars.groupBy(id_col, "_c").agg(F.count("*").alias("_n"))
+    q = F.floor(F.col("_n") * F.log2("_n") * F.lit(1e6)).cast("long")
+    per_doc = per_char.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_chars"),
+        F.sum(q).alias("_s"),
+    )
+    ent = F.floor(
+        (F.log2("n_chars") - F.col("_s") / (F.col("n_chars") * F.lit(1e6)))
+        * F.lit(1000)
+    ).cast("long")
+    return per_doc.select(id_col, "n_chars", ent.alias("entropy_1e3"))

@@ -239,3 +239,39 @@ def test_minhash_verified_pairs_prunes_false_positives(spark):
     assert set(got) <= cand          # verify only ever prunes
     assert all(j >= 500 for j in got.values())
     assert not any(4 in p for p in got)  # unrelated doc never survives
+
+
+def test_char_entropy_known_values(spark):
+    """aaaa = 0 bits, abab = 1, abcd = 2, and empty/null docs drop."""
+    from loongcollector_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "hello world")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy_1e3"])
+           for r in char_entropy(df).collect()}
+    assert got == {1: (4, 0), 2: (4, 1000), 3: (4, 2000), 4: (11, 2845)}
+
+
+def test_incremental_dedup_statuses(spark):
+    """Admitted = unseen in snapshot AND first in batch (min id);
+    whitespace/case normalization matches exact_dedup's fingerprint."""
+    from loongcollector_spark.functions.curation import incremental_dedup
+
+    snap = spark.createDataFrame(
+        [(1, "old doc"), (2, "shared  TEXT")], "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(10, "brand new"), (11, "shared text"), (12, "brand NEW"),
+         (13, "another")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(batch, snap).collect()}
+    assert got == {10: "new", 11: "dup_snapshot", 12: "dup_batch",
+                   13: "new"}
+    # precomputed-fingerprint snapshot (the 100 TB path: stored fp table)
+    from loongcollector_spark.functions.text import with_fingerprint
+
+    fps = with_fingerprint(snap).select("fingerprint")
+    got2 = {r["doc_id"]: r["status"]
+            for r in incremental_dedup(batch, fps).collect()}
+    assert got2 == got
