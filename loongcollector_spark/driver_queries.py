@@ -1042,8 +1042,16 @@ def q_prom_remote_write(spark, sf_dir):
             yield pd.DataFrame(
                 rows, columns=["name", "labels", "value", "ts_ms"])
 
-    dec = frames.select("write_request_pb").mapInPandas(
-        batches, "name string, labels string, value double, ts_ms long")
+    # spread the blobs BEFORE the Python walker: AQE coalesces the
+    # chunking agg's small output to ~1 partition, which would serialize
+    # the whole decode on one python worker (measured 5-6 s; parallel
+    # it's sub-second). One narrow shuffle of blobs buys 32-way decode —
+    # the same shape a real cluster wants.
+    dec = (frames.select("write_request_pb")
+           .repartition(spark.sparkContext.defaultParallelism)
+           .mapInPandas(
+               batches,
+               "name string, labels string, value double, ts_ms long"))
     return dec.groupBy("name", "labels").agg(
         F.sum("value").alias("value_sum"),
         F.count("*").alias("n_points"),
