@@ -244,7 +244,8 @@ def boilerplate_lines(lines: DataFrame, threshold: int = 5,
 
 def line_dedup(lines: DataFrame, threshold: int = 5,
                id_col: str = "doc_id", order_col: str = "line_idx",
-               line_col: str = "text") -> DataFrame:
+               line_col: str = "text",
+               broadcast_boilerplate: bool = True) -> DataFrame:
     """Corpus-level repeated-line removal (CCNet §3.1 / Dolma's exact
     paragraph dedup): drop every line whose trimmed form appears at
     least ``threshold`` times across the corpus, then reassemble each
@@ -263,9 +264,14 @@ def line_dedup(lines: DataFrame, threshold: int = 5,
     test; the only full shuffle is the per-document reassembly, keyed by
     doc id (no hot keys: a document has bounded lines). At 100 TB the
     broadcast holds only lines repeated ≥ threshold times, and the
-    threshold is precisely the knob that keeps it small.
+    threshold is precisely the knob that keeps it small; when even the
+    thresholded set won't fit an executor (low threshold × web-scale
+    boilerplate), pass ``broadcast_boilerplate=False`` to fall back to
+    a shuffle join on the line key instead.
     """
-    bp = F.broadcast(boilerplate_lines(lines, threshold, line_col))
+    bp = boilerplate_lines(lines, threshold, line_col)
+    if broadcast_boilerplate:
+        bp = F.broadcast(bp)
     key = F.trim(F.coalesce(F.col(line_col), F.lit("")))
     flagged = (
         lines.join(bp, key == F.col("_bp_line"), "left")

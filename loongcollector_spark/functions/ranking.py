@@ -109,8 +109,12 @@ def tfidf_top_terms(df: DataFrame, top_k: int = 3,
         F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(
         F.countDistinct(id_col).cast("double").alias("df"))
+    # dfreq spans the FULL term vocabulary — unbounded at corpus scale
+    # (unlike bm25_search's, which is capped at |query_terms|), so no
+    # broadcast hint: the join stays keyed on term (AQE still converts
+    # to broadcast at runtime when the table is actually small)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf_milli",

@@ -353,8 +353,11 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    # dup_ids is a corpus-sized fraction (semantic dedup routinely prunes
+    # a third of the docs), so NO broadcast hint — the membership join
+    # shuffles narrow (id) rows; AQE still broadcasts when it's small
     return (
-        members.join(F.broadcast(dup_ids.withColumn("_dup", F.lit(True))),
+        members.join(dup_ids.withColumn("_dup", F.lit(True)),
                      id_col, "left")
         .select(
             id_col, "cell",
