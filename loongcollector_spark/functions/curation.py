@@ -132,7 +132,11 @@ def stratified_sample(df: DataFrame, strata_col: str = "source",
     serves both rate- and quota-sampling.
 
     The rate filter itself needs no shuffle (it runs inside the scan);
-    only the rank column costs a per-stratum window.
+    only the rank column costs a per-stratum window. That window holds a
+    stratum's SAMPLED rows in one partition — fine for quota cuts on
+    bounded samples; when a single stratum's sample is itself huge,
+    skip the rank and cut by tightening the hash cutoff instead
+    (hash4 < cutoff(K/N_stratum)), which stays scan-local.
     """
     rates = rates or {}
     h = _hash4(id_col)
@@ -167,7 +171,13 @@ def pack_assignments(df: DataFrame, budget: int = 256,
 
     Null/empty documents count 0 tokens. The running sum is Spark's
     two-pass window (per-partition partials + offsets); the shuffle
-    carries (group, order, token count) only.
+    carries (group, order, token count) only. A group's rows land in
+    one window partition — the prefix sum is inherently sequential per
+    packing stream — so at corpus scale the knob is the granularity of
+    ``group_col`` itself: pre-split a giant source into parallel
+    streams with a deterministic hash prefix (e.g. ``concat(source,
+    '_', pmod(xxhash64(doc_id), 64))``) and each stream packs
+    independently.
     """
     t = F.col(text_col)
     n_tokens = F.when(

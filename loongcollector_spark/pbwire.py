@@ -81,10 +81,22 @@ def loongsuite_group_frame(
     level: str | None = None,
     metadata: dict[str, str] | None = None,
     tags: dict[str, str] | None = None,
+    max_logs: int | None = None,
 ) -> DataFrame:
     """One serialized ``PipelineEventGroup`` per group: constant
     Metadata=1/Tags=2 entries (driver-side literals), then Logs=3
-    wrapping the ordered per-row LogEvent fold."""
+    wrapping the ordered per-row LogEvent fold.
+
+    ``max_logs`` chunks each group into consecutive sub-groups of at
+    most that many events (reference MaxLogCount=1024 group cap,
+    ``plugins/aggregator/baseagg/aggregator_base.go:26-29,93-137``),
+    adding a 0-based ``group_seq`` column; it also bounds per-group
+    aggregation state for hot keys."""
+    from loongcollector_spark.serializer import _chunked
+
+    df = _chunked(df, group_cols, order_col, max_logs)
+    if max_logs is not None:
+        group_cols = tuple(group_cols) + ("_batch_seq",)
     ev = loongsuite_log_event_column(df, time_col, content_cols, level)
     logs = F.array_sort(
         F.collect_list(F.struct(F.col(order_col).alias("o"), ev.alias("b")))
@@ -102,9 +114,12 @@ def loongsuite_group_frame(
     group_bytes = F.concat(
         F.lit(const), _pb_len_delim(0x1A, body)  # Logs = field 3
     )
-    return df.groupBy(*group_cols).agg(
+    out = df.groupBy(*group_cols).agg(
         group_bytes.alias("group_pb"), F.count("*").alias("n_logs")
     )
+    if max_logs is not None:
+        out = out.withColumnRenamed("_batch_seq", "group_seq")
+    return out
 
 
 # --------------------- pure-Python wire decoder -------------------------

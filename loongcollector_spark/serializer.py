@@ -516,10 +516,21 @@ def sls_pb_loggroup_frame(df: DataFrame, group_cols=("conv_id",),
                           order_col: str = "turn_idx", time_col: str = "ts",
                           topic: str = "", source: str = "",
                           machine_uuid: str = "",
-                          tags: dict[str, str] | None = None) -> DataFrame:
+                          tags: dict[str, str] | None = None,
+                          max_logs: int | None = None) -> DataFrame:
     """One ``LogGroup`` blob per group: logs in stable order, then the
     constant Topic/Source/MachineUUID/LogTags fields (assembled once
-    driver-side as literal bytes)."""
+    driver-side as literal bytes).
+
+    ``max_logs`` splits a group into consecutive sub-groups of at most
+    that many logs (the reference caps LogGroups at MaxLogCount=1024,
+    ``plugins/aggregator/baseagg/aggregator_base.go:26-29,93-137``) and
+    adds a ``group_seq`` column — the 0-based chunk index, the pack-id
+    sequence twin. Besides parity, it bounds per-group aggregation
+    state: without it a hot key's whole history lands in ONE blob."""
+    df = _chunked(df, group_cols, order_col, max_logs)
+    if max_logs is not None:
+        group_cols = tuple(group_cols) + ("_batch_seq",)
     log = sls_pb_log_column(df, time_col)
     logs = F.array_sort(
         F.collect_list(F.struct(F.col(order_col).alias("o"), log.alias("b")))
@@ -541,7 +552,30 @@ def sls_pb_loggroup_frame(df: DataFrame, group_cols=("conv_id",),
     for k, v in (tags or {}).items():
         tag_msg = pb_string_field(1, k) + pb_string_field(2, v)
         const += bytes([0x32]) + py_varint(len(tag_msg)) + tag_msg
-    return df.groupBy(*group_cols).agg(
+    out = df.groupBy(*group_cols).agg(
         F.concat(body, F.lit(const)).alias("loggroup_pb"),
         F.count("*").alias("n_logs"),
+    )
+    if max_logs is not None:
+        out = out.withColumnRenamed("_batch_seq", "group_seq")
+    return out
+
+
+def _chunked(df: DataFrame, group_cols, order_col: str,
+             max_logs: int | None) -> DataFrame:
+    """Stamp each row with its group's 0-based chunk index under a
+    ``max_logs``-per-chunk cap (``_batch_seq``, an internal-prefix
+    column so it never serializes as a content). One exchange on the
+    group key + in-partition sort — the same shuffle the group
+    aggregation pays anyway."""
+    if max_logs is None:
+        return df
+    if max_logs < 1:
+        raise ValueError(f"max_logs must be >= 1, got {max_logs}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    return df.withColumn(
+        "_batch_seq",
+        F.floor((F.row_number().over(w) - 1) / max_logs).cast("int"),
     )

@@ -242,3 +242,65 @@ def test_sls_pb_loggroup_matches_python_model(spark):
     ])
     assert out["c1"] == want_c1
     assert out["c2"] == want_c2
+
+
+def test_sls_pb_loggroup_max_logs_chunking(spark):
+    """max_logs splits a group into ordered sub-groups (the reference's
+    MaxLogCount cap, aggregator_base.go:26-29): chunk k holds logs
+    [k*max_logs, (k+1)*max_logs) in turn order, concatenating the
+    chunks reproduces the uncapped group's Logs bytes, and group_seq
+    never serializes as a content."""
+    from loongcollector_spark.serializer import sls_pb_loggroup_frame
+
+    rows = [("c1", i, f"t{i}", "2026-01-01 00:00:00") for i in range(5)]
+    rows.append(("c2", 0, "solo", "2026-01-01 00:00:01"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    whole = {
+        r["conv_id"]: bytes(r["loggroup_pb"])
+        for r in sls_pb_loggroup_frame(df).collect()
+    }
+    chunked = sorted(
+        (r["conv_id"], r["group_seq"], bytes(r["loggroup_pb"]), r["n_logs"])
+        for r in sls_pb_loggroup_frame(df, max_logs=2).collect()
+    )
+    assert [(c, s, n) for c, s, _, n in chunked] == [
+        ("c1", 0, 2), ("c1", 1, 2), ("c1", 2, 1), ("c2", 0, 1)]
+    # chunk payloads concatenate to the uncapped group's bytes
+    assert b"".join(b for c, _, b, _ in chunked if c == "c1") == whole["c1"]
+    assert chunked[-1][2] == whole["c2"]
+    # no chunk serialized the internal _batch_seq column as a content
+    assert b"_batch_seq" not in b"".join(b for *_, b, _ in chunked)
+
+
+def test_loongsuite_group_max_logs_chunking(spark):
+    """Same cap on the proto3 PipelineEventGroup encoder: the decode
+    walker reassembles the original rows across chunks with per-chunk
+    log_idx restarting at 0."""
+    from loongcollector_spark.operators import build_operator
+    from loongcollector_spark.pbwire import loongsuite_group_frame
+
+    rows = [("7", i, f"m{i}", "2026-01-01 00:00:00") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "gid string, idx int, msg string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    payloads = loongsuite_group_frame(
+        df, group_cols=("gid",), order_col="idx", time_col="ts",
+        content_cols=["msg"], max_logs=2,
+    )
+    assert [r["n_logs"] for r in payloads.orderBy("group_seq").collect()] \
+        == [2, 2, 1]
+    op = build_operator(
+        {"Type": "processor_parse_from_pb", "Protocol": "LoongSuite"})
+    # decode keyed by the chunk index (the decoder's one passthrough id)
+    decoded = op(payloads.select(
+        F.col("group_seq").cast("long").alias("group_id"),
+        F.col("group_pb").alias("payload")))
+    got = sorted(
+        (r["group_id"], r["log_idx"], r["contents"]["msg"])
+        for r in decoded.collect()
+    )
+    assert got == [(0, 0, "m0"), (0, 1, "m1"), (1, 0, "m2"),
+                   (1, 1, "m3"), (2, 0, "m4")]
