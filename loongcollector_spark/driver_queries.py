@@ -594,6 +594,45 @@ FROM (
 """
 
 
+def q_aggregator_base_packs(spark, sf_dir):
+    """aggregator_base through the config front-end: MaxLogCount=8 group
+    cap + Topic tag (aggregator_base.go:26-29,40-47). Verifies the chunk
+    semantics exactly — every pack holds 8 logs except a conversation's
+    last (min_fill/max_fill), pack ids are the md5-prefix + hex-seq
+    lineage format, and __topic__ lands on every row."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({"Type": "aggregator_base", "MaxLogCount": 8,
+                         "Topic": "transcripts"})
+    packed = op(df)
+    per_pack = packed.groupBy("conv_id", "__pack_id__", "__topic__").agg(
+        F.count("*").alias("fill"))
+    return per_pack.groupBy("conv_id").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("fill").alias("n_logs"),
+        F.max("fill").alias("max_fill"),
+        F.min("fill").alias("min_fill"),
+        F.min("__pack_id__").alias("first_pack_id"),
+        F.min("__topic__").alias("topic"),
+    )
+
+
+O_AGGREGATOR_BASE_PACKS = _ORACLE_T + """
+, r AS (
+  SELECT conv_id,
+    substr(md5(conv_id), 1, 16) || '-' || printf('%x',
+      cast(floor((row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1) / 8)
+           AS BIGINT)) AS pack_id
+  FROM t
+), p AS (
+  SELECT conv_id, pack_id, count(*) AS fill FROM r GROUP BY 1, 2
+)
+SELECT conv_id, count(*) AS n_packs, sum(fill) AS n_logs,
+  max(fill) AS max_fill, min(fill) AS min_fill,
+  min(pack_id) AS first_pack_id, 'transcripts' AS topic
+FROM p GROUP BY conv_id
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -4321,6 +4360,7 @@ QUERIES = {
     "window_hourly_counts": (q_window_hourly_counts, O_WINDOW_HOURLY_COUNTS),
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
+    "aggregator_base_packs": (q_aggregator_base_packs, O_AGGREGATOR_BASE_PACKS),
     "log_to_metric": (q_log_to_metric, O_LOG_TO_METRIC),
     "content_value_group": (q_content_value_group, O_CONTENT_VALUE_GROUP),
     "parse_apsara_fields": (q_parse_apsara_fields, O_PARSE_APSARA_FIELDS),

@@ -183,6 +183,58 @@ def content_value_group(cfg: dict):
     return run
 
 
+@register("aggregator_base",
+          keys={"MaxLogGroupCount", "MaxLogCount", "PackFlag", "Topic"})
+def aggregator_base(cfg: dict):
+    """aggregator_base (plugins/aggregator/baseagg/aggregator_base.go:
+    26-29,40-47): LogGroups hold at most MaxLogCount logs; each log is
+    tagged with its group's deterministic ``__pack_id__`` (prefix + hex
+    chunk seq, :139-147) when PackFlag is on, and Topic lands as a
+    ``__topic__`` column. Chunk semantics match the pb encoders'
+    ``_chunked``: chunk k holds the group's logs
+    [k*MaxLogCount, (k+1)*MaxLogCount) in order. MaxLogGroupCount is a
+    flush-pressure trigger — in this engine that's the batcher's
+    maxRecordsPerFile / trigger knob (plans/pipeline.py), so the key is
+    accepted but has no per-row effect.
+
+    Scale note: the rank needs one window shuffle over (group, order).
+    When the order column is already a dense per-group index (transcripts
+    turn_idx), ``aggregate.with_pack_id`` computes the same chunks
+    shuffle-free — the pipeline plan uses that path; this operator is the
+    reference-exact count-based twin for arbitrary order columns."""
+    max_logs = int(cfg.get("MaxLogCount", 1024))
+    if max_logs < 1:
+        raise ValueError(f"MaxLogCount must be >= 1, got {max_logs}")
+    pack_flag = bool(cfg.get("PackFlag", True))
+    topic = cfg.get("Topic", "")
+
+    def run(df):
+        from pyspark.sql.window import Window
+
+        out = df
+        if pack_flag:
+            group = next(
+                (c for c in ("conv_id", "_ingest_file") if c in df.columns), None)
+            order = next(
+                (c for c in ("turn_idx", "_line_idx") if c in df.columns), None)
+            if group is not None and order is not None:
+                w = Window.partitionBy(group).orderBy(order)
+                seq = F.floor((F.row_number().over(w) - 1) / max_logs)
+                out = out.withColumn(
+                    "__pack_id__",
+                    F.concat_ws(
+                        "-",
+                        F.substring(F.md5(F.col(group).cast("binary")), 1, 16),
+                        F.format_string("%x", seq.cast("long")),
+                    ),
+                )
+        if topic:
+            out = out.withColumn("__topic__", F.lit(topic))
+        return out
+
+    return run
+
+
 @register("aggregator_context", keys={"SourceKeys", "OrderKeys"})
 def aggregator_context(cfg: dict):
     """aggregator_context (aggregator_context.go): keep per-source log

@@ -93,6 +93,8 @@ CONFIGS: dict[str, dict] = {
     "processor_spl": {"Script": "* | where role is not null"},
     "aggregator_content_value_group": {"GroupKeys": ["role", "tool"]},
     "aggregator_context": {},
+    "aggregator_base": {"MaxLogCount": 8, "Topic": "x", "PackFlag": True,
+                        "MaxLogGroupCount": 4},
     "aggregator_metadata_group": {"GroupMetadataKeys": ["role"]},
     "processor_prom_parse_metric": {"SourceKey": "text"},
     "processor_prom_relabel_metric": {"RelabelConfigs": [

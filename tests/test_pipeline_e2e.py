@@ -131,3 +131,28 @@ def test_pack_id_deterministic(spark):
     # same conv + same 1024-block ⇒ same pack id
     one = a[a.conv_id == "conv_00000000"]
     assert one[one.turn_idx < 1024]["__pack_id__"].nunique() == 1
+
+
+def test_aggregator_base_operator_chunks(spark):
+    """aggregator_base through the registry: MaxLogCount=2 over a 5-turn
+    conversation yields packs of [2, 2, 1] in turn order with hex seqs
+    0/1/2; Topic lands as __topic__; PackFlag=False adds no pack column."""
+    from loongcollector_spark.operators import build_operator
+
+    df = spark.createDataFrame(
+        [("c1", i, f"t{i}") for i in range(5)] + [("c2", 0, "x")],
+        "conv_id string, turn_idx int, text string",
+    )
+    op = build_operator({"Type": "aggregator_base", "MaxLogCount": 2,
+                         "Topic": "tp"})
+    out = op(df).toPandas().sort_values(["conv_id", "turn_idx"])
+    assert (out["__topic__"] == "tp").all()
+    c1 = out[out.conv_id == "c1"]
+    seqs = [p.rsplit("-", 1)[1] for p in c1["__pack_id__"]]
+    assert seqs == ["0", "0", "1", "1", "2"]
+    prefixes = {p.rsplit("-", 1)[0] for p in c1["__pack_id__"]}
+    assert len(prefixes) == 1 and len(next(iter(prefixes))) == 16
+    assert out[out.conv_id == "c2"]["__pack_id__"].iloc[0].endswith("-0")
+
+    plain = build_operator({"Type": "aggregator_base", "PackFlag": False})(df)
+    assert "__pack_id__" not in plain.columns and "__topic__" not in plain.columns
