@@ -538,6 +538,68 @@ FROM t GROUP BY 1
 """
 
 
+def q_logstore_router_agg(spark, sf_dir):
+    """aggregator_logstore_router through the config front-end: FULL-match
+    first-wins regex routing on role ('assi.*' wins before '.*t' for
+    'assistant'), unmatched roles land in the default '' logstore
+    (aggregator_router.go:98-112)."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "aggregator_logstore_router", "SourceKey": "role",
+        "RouterRegex": ["assi.*", ".*t", "user"],
+        "RouterLogstore": ["ls_assistant", "ls_t", "ls_user"],
+        "Topic": "routed",
+    })
+    return op(df).groupBy("__logstore__", "__topic__").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+O_LOGSTORE_ROUTER_AGG = _ORACLE_T + """
+SELECT CASE
+    WHEN regexp_full_match(role, 'assi.*') THEN 'ls_assistant'
+    WHEN regexp_full_match(role, '.*t') THEN 'ls_t'
+    WHEN regexp_full_match(role, 'user') THEN 'ls_user'
+    ELSE '' END AS __logstore__,
+  'routed' AS __topic__,
+  count(*) AS n_rows, count(DISTINCT conv_id) AS n_convs
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_shardhash_agg_contract(spark, sf_dir):
+    """aggregator_shardhash through the config front-end: every
+    (conv_id, role) key combo hashes to exactly ONE of ShardCount
+    buckets (selectShardAgg is a pure function of the joined source
+    value, aggregator_shardhash.go:157-161). The hash itself is
+    engine-local (xxhash64); the oracle pins the functional contract +
+    per-key row totals, the distribution is pinned by
+    shardhash_distribution."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({
+        "Type": "aggregator_shardhash", "SourceKeys": ["conv_id", "role"],
+        "ShardCount": 16, "Connector": "_",
+    })
+    out = op(df)
+    per_key = out.groupBy("conv_id", "role").agg(
+        F.countDistinct("__shardhash__").alias("n_buckets"),
+        F.count("*").alias("n_rows"),
+        F.max("__shardhash__").alias("b"),
+    )
+    return per_key.select(
+        "conv_id", "role", "n_buckets", "n_rows",
+        ((F.col("b") >= 0) & (F.col("b") < 16)).alias("in_range"),
+    )
+
+
+O_SHARDHASH_AGG_CONTRACT = _ORACLE_T + """
+SELECT conv_id, role, cast(1 AS BIGINT) AS n_buckets,
+  count(*) AS n_rows, true AS in_range
+FROM t GROUP BY conv_id, role
+"""
+
+
 def q_window_hourly_counts(spark, sf_dir):
     """event-time tumbling-window counters (Batcher/flush analog)."""
     df = transcripts_from_events(spark, sf_dir)
@@ -4361,6 +4423,8 @@ QUERIES = {
     "merge_conversation": (q_merge_conversation, O_MERGE_CONVERSATION),
     "pack_id_lineage": (q_pack_id_lineage, O_PACK_ID_LINEAGE),
     "aggregator_base_packs": (q_aggregator_base_packs, O_AGGREGATOR_BASE_PACKS),
+    "logstore_router_agg": (q_logstore_router_agg, O_LOGSTORE_ROUTER_AGG),
+    "shardhash_agg_contract": (q_shardhash_agg_contract, O_SHARDHASH_AGG_CONTRACT),
     "log_to_metric": (q_log_to_metric, O_LOG_TO_METRIC),
     "content_value_group": (q_content_value_group, O_CONTENT_VALUE_GROUP),
     "parse_apsara_fields": (q_parse_apsara_fields, O_PARSE_APSARA_FIELDS),

@@ -183,6 +183,101 @@ def content_value_group(cfg: dict):
     return run
 
 
+@register("aggregator_logstore_router",
+          keys={"MaxLogGroupCount", "MaxLogCount", "PackFlag", "Topic",
+                "DropDisMatch", "SourceKey", "NoMatchError",
+                "RouterRegex", "RouterLogstore"})
+def aggregator_logstore_router(cfg: dict):
+    """aggregator_logstore_router (plugins/aggregator/logstorerouter/
+    aggregator_router.go:43-52,98-112): ordered RouterRegex → the matching
+    RouterLogstore, FULL-match first-wins on SourceKey's value; unmatched
+    logs go to the default logstore ('') unless DropDisMatch. Spark shape:
+    one codegen routing column ``__logstore__`` (the per-sink fan-out
+    filters on it downstream — routing.py multi-sink path), plus the
+    baseagg Topic tag it wraps."""
+    from loongcollector_spark.routing import logstore_router_column
+
+    regexes = cfg.get("RouterRegex", [])
+    stores = cfg.get("RouterLogstore", [])
+    if len(regexes) != len(stores):
+        raise ValueError(
+            f"router regex count {len(regexes)}, logstore count {len(stores)}")
+    source_key = cfg.get("SourceKey", "")
+    drop_dis_match = bool(cfg.get("DropDisMatch", False))
+    topic = cfg.get("Topic", "")
+
+    def run(df):
+        src = source_key or "content"
+        if src not in df.columns:
+            # reference: a log without SourceKey goes to the default
+            # aggregator (or is dropped under DropDisMatch)
+            out = df.withColumn(
+                "__logstore__",
+                F.lit(None).cast("string") if drop_dis_match else F.lit(""))
+        else:
+            out = df.withColumn(
+                "__logstore__",
+                logstore_router_column(
+                    src, list(zip(regexes, stores)),
+                    default=None if drop_dis_match else ""),
+            )
+        if drop_dis_match:
+            out = out.filter(F.col("__logstore__").isNotNull())
+        if topic:
+            out = out.withColumn("__topic__", F.lit(topic))
+        return out
+
+    return run
+
+
+@register("aggregator_shardhash",
+          keys={"SourceKeys", "ShardCount", "Topic", "Connector",
+                "ErrIfKeyNotFound", "EnablePackID"})
+def aggregator_shardhash(cfg: dict):
+    """aggregator_shardhash (plugins/aggregator/shardhash/
+    aggregator_shardhash.go:67-73,157-161,165-188): bucket =
+    hash(join(SourceKeys values, Connector)) % ShardCount, ShardCount a
+    power of two in [1, 512]. Spark analog: a codegen ``__shardhash__``
+    int column via xxhash64 (the documented stand-in for Go
+    xxhash.Sum64 — same family, different seed, same distribution
+    contract; oracle `shardhash_distribution` pins the distribution).
+    Missing keys contribute '' exactly like the reference's not-found
+    branch (:176-186). The bucket column then drives the salted
+    repartition — this is the hot-key shard knob of the pipeline
+    (``routing.shardhash_bucket`` is the canonical single-column form)."""
+    source_keys = cfg.get("SourceKeys") or []
+    if not source_keys:
+        raise ValueError("aggregator_shardhash must specify SourceKeys")
+    shard_count = int(cfg.get("ShardCount", 8))
+    if shard_count <= 0 or shard_count > 512:
+        raise ValueError(
+            f"invalid ShardCount: {shard_count}, range [1, 512]")
+    if shard_count & (shard_count - 1):
+        raise ValueError(f"ShardCount must be a power of two: {shard_count}")
+    connector = cfg.get("Connector", "_")
+    topic = cfg.get("Topic", "")
+    enable_pack = bool(cfg.get("EnablePackID", False))
+
+    def run(df):
+        # absent columns join as '' (reference appends the empty value)
+        vals = [
+            F.coalesce(F.col(k).cast("string"), F.lit(""))
+            if k in df.columns else F.lit("")
+            for k in source_keys
+        ]
+        joined = F.concat_ws(connector, *vals)
+        out = df.withColumn(
+            "__shardhash__",
+            F.pmod(F.xxhash64(joined), F.lit(shard_count)).cast("int"))
+        if enable_pack:
+            out = aggregator_base({})(out)
+        if topic:
+            out = out.withColumn("__topic__", F.lit(topic))
+        return out
+
+    return run
+
+
 @register("aggregator_base",
           keys={"MaxLogGroupCount", "MaxLogCount", "PackFlag", "Topic"})
 def aggregator_base(cfg: dict):
@@ -257,3 +352,11 @@ def aggregator_context(cfg: dict):
             .sortWithinPartitions(*srcs, *orders)
 
     return run
+
+
+@register("aggregator_default", keys={"SourceKeys", "OrderKeys"})
+def aggregator_default(cfg: dict):
+    """aggregator_default (plugins/aggregator/aggregator_default.go:51-55):
+    the reference registers it as a NewAggregatorContext — identical
+    semantics to aggregator_context, under the name most configs use."""
+    return aggregator_context(cfg)

@@ -95,6 +95,12 @@ CONFIGS: dict[str, dict] = {
     "aggregator_context": {},
     "aggregator_base": {"MaxLogCount": 8, "Topic": "x", "PackFlag": True,
                         "MaxLogGroupCount": 4},
+    "aggregator_default": {},
+    "aggregator_logstore_router": {"SourceKey": "role",
+                                   "RouterRegex": ["user"],
+                                   "RouterLogstore": ["ls_u"]},
+    "aggregator_shardhash": {"SourceKeys": ["conv_id"], "ShardCount": 8,
+                             "EnablePackID": True},
     "aggregator_metadata_group": {"GroupMetadataKeys": ["role"]},
     "processor_prom_parse_metric": {"SourceKey": "text"},
     "processor_prom_relabel_metric": {"RelabelConfigs": [

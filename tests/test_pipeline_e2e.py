@@ -156,3 +156,68 @@ def test_aggregator_base_operator_chunks(spark):
 
     plain = build_operator({"Type": "aggregator_base", "PackFlag": False})(df)
     assert "__pack_id__" not in plain.columns and "__topic__" not in plain.columns
+
+
+def test_logstore_router_agg_semantics(spark):
+    """Full-match first-wins, default '' logstore, DropDisMatch filter,
+    and the missing-SourceKey branch (aggregator_router.go:98-133)."""
+    import pytest
+    from loongcollector_spark.operators import build_operator
+
+    df = spark.createDataFrame(
+        [("assistant",), ("user",), ("tool",)], "role string")
+    route = build_operator({
+        "Type": "aggregator_logstore_router", "SourceKey": "role",
+        "RouterRegex": ["assi.*", ".*an.*"], "RouterLogstore": ["a", "an"],
+    })
+    got = {r["role"]: r["__logstore__"] for r in route(df).collect()}
+    # 'assistant' full-matches BOTH rules; first wins. 'tool' matches
+    # neither fully (rules must span the whole value) -> default ''.
+    assert got == {"assistant": "a", "user": "", "tool": ""}
+
+    swapped = build_operator({
+        "Type": "aggregator_logstore_router", "SourceKey": "role",
+        "RouterRegex": [".*an.*", "assi.*"], "RouterLogstore": ["an", "a"],
+    })
+    got2 = {r["role"]: r["__logstore__"] for r in swapped(df).collect()}
+    assert got2["assistant"] == "an"  # order decides
+
+    dropped = build_operator({
+        "Type": "aggregator_logstore_router", "SourceKey": "role",
+        "RouterRegex": ["assi.*"], "RouterLogstore": ["a"],
+        "DropDisMatch": True,
+    })(df)
+    assert [r.role for r in dropped.collect()] == ["assistant"]
+
+    # SourceKey column absent: default aggregator unless DropDisMatch
+    no_key = build_operator({
+        "Type": "aggregator_logstore_router", "SourceKey": "nope",
+        "RouterRegex": ["x"], "RouterLogstore": ["a"],
+    })(df)
+    assert [r["__logstore__"] for r in no_key.collect()] == ["", "", ""]
+
+    with pytest.raises(ValueError, match="regex count"):
+        build_operator({"Type": "aggregator_logstore_router",
+                        "RouterRegex": ["a", "b"], "RouterLogstore": ["x"]})
+
+
+def test_shardhash_agg_validation_and_stability(spark):
+    import pytest
+    from loongcollector_spark.operators import build_operator
+
+    for bad in ({"SourceKeys": []}, {"SourceKeys": ["k"], "ShardCount": 3},
+                {"SourceKeys": ["k"], "ShardCount": 1024}):
+        with pytest.raises(ValueError):
+            build_operator({"Type": "aggregator_shardhash", **bad})
+
+    df = spark.createDataFrame(
+        [("c1", 0, "u"), ("c1", 1, "u"), ("c2", 0, "a")],
+        "conv_id string, turn_idx int, role string")
+    op = build_operator({"Type": "aggregator_shardhash",
+                         "SourceKeys": ["conv_id", "role", "absent"],
+                         "ShardCount": 4, "EnablePackID": True})
+    out = op(df).toPandas()
+    assert out["__shardhash__"].between(0, 3).all()
+    # same key combo -> same bucket, absent key joins as ''
+    assert out[out.conv_id == "c1"]["__shardhash__"].nunique() == 1
+    assert "__pack_id__" in out.columns
