@@ -389,18 +389,12 @@ def encode_jpeg(pixels, quality: int = 75, subsample: bool = False,
 
     hmax = max(p[3] for p in planes)
     vmax = max(p[4] for p in planes)
-    padded = []
-    for plane, q2, dct, hs, vs in planes:
-        # plane dims in MCU grid: ceil over (8 * v/vmax scale of image)
-        padded.append((_pad_to(np.asarray(plane), 8 * vs, 8 * hs)
-                       if (hs, vs) == (hmax, vmax)
-                       else _pad_to(np.asarray(plane), 8, 8),
-                       q2, dct, hs, vs))
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # re-pad every plane to its full MCU-grid extent
+    # pad every plane to its full MCU-grid extent (edge replication)
     planes2 = []
-    for plane, q2, dct, hs, vs in padded:
+    for plane, q2, dct, hs, vs in planes:
+        plane = np.asarray(plane)
         need_h = mcus_y * 8 * vs
         need_w = mcus_x * 8 * hs
         ph = max(0, need_h - plane.shape[0])
@@ -507,6 +501,10 @@ def _decode_jpeg(buf: bytes):
                 return None
             fh, fw, comps = frame
             ns = body[0]
+            if ns != len(comps):
+                # multi-scan sequential (one scan per component): only
+                # the first scan would be read — refuse, don't garble
+                return None
             sel = []
             for s in range(ns):
                 cs, tabs = body[1 + 2 * s], body[2 + 2 * s]
@@ -525,57 +523,80 @@ def _decode_scan(buf, pos, fh, fw, sel, qtables, huff, dri):
     vmax = max(c["v"] for c, _d, _a in sel)
     if hmax not in (1, 2) or vmax not in (1, 2):
         return None
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    planes = []
-    for comp, _dc, _ac in sel:
-        planes.append(np.zeros((mcus_y * 8 * comp["v"],
-                                mcus_x * 8 * comp["h"]), np.float64))
     reader = _BitReader(buf, pos)
     preds = [0] * len(sel)
+
+    class _Bad(Exception):
+        pass
+
+    def read_block(ci, dc_tab, ac_tab, q2):
+        zz = np.zeros(64, np.int32)
+        size = _huff_decode(reader, dc_tab)
+        diff = _extend(reader.receive(size), size) if size else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, sz = sym >> 4, sym & 0x0F
+            if sz == 0:
+                if run != 15:  # only ZRL is legal
+                    raise _Bad
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise _Bad
+            zz[k] = _extend(reader.receive(sz), sz)
+            k += 1
+        nat = np.zeros(64, np.float64)
+        nat[ZIGZAG] = zz  # dezigzag to natural order
+        return (_T.T @ ((nat.reshape(8, 8) * q2)) @ _T) + 128.0
+
+    def tables(comp, dc_id, ac_id):
+        dc_tab = huff.get((0, dc_id))
+        ac_tab = huff.get((1, ac_id))
+        q2 = qtables.get(comp["tq"])
+        if dc_tab is None or ac_tab is None or q2 is None:
+            raise _Bad
+        return dc_tab, ac_tab, q2
+
+    if len(sel) == 1:
+        # T.81 A.2.3: a single-component scan is NON-interleaved — the
+        # MCU is exactly one 8x8 data unit walking the component's own
+        # block grid in raster order, whatever its sampling factors say
+        # (a sole component is full resolution; factors are relative).
+        comp, dc_id, ac_id = sel[0]
+        sel = [(dict(comp, h=1, v=1), dc_id, ac_id)]
+        hmax = vmax = 1
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * comp["v"], mcus_x * 8 * comp["h"]),
+                 np.float64)
+        for comp, _dc, _ac in sel
+    ]
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and mcu_count and mcu_count % dri == 0:
-                if not reader.align_to_marker():
-                    return None
-                preds = [0] * len(sel)
-            for ci, (comp, dc_id, ac_id) in enumerate(sel):
-                dc_tab = huff.get((0, dc_id))
-                ac_tab = huff.get((1, ac_id))
-                q2 = qtables.get(comp["tq"])
-                if dc_tab is None or ac_tab is None or q2 is None:
-                    return None
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int32)
-                        size = _huff_decode(reader, dc_tab)
-                        diff = _extend(reader.receive(size), size) if size else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(reader, ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, sz = sym >> 4, sym & 0x0F
-                            if sz == 0:
-                                if run != 15:  # only ZRL is legal
-                                    return None
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                return None
-                            zz[k] = _extend(reader.receive(sz), sz)
-                            k += 1
-                        nat = np.zeros(64, np.float64)
-                        nat[ZIGZAG] = zz  # dezigzag to natural order
-                        blk = (_T.T @ ((nat.reshape(8, 8) * q2)) @ _T) + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-            mcu_count += 1
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    if not reader.align_to_marker():
+                        return None
+                    preds = [0] * len(sel)
+                for ci, (comp, dc_id, ac_id) in enumerate(sel):
+                    dc_tab, ac_tab, q2 = tables(comp, dc_id, ac_id)
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = read_block(ci, dc_tab, ac_tab, q2)
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+                mcu_count += 1
+    except _Bad:
+        return None
     # crop + upsample (sample replication) to full resolution
     full = []
     for (comp, _d, _a), plane in zip(sel, planes):

@@ -50,6 +50,11 @@ def asof_join(facts: DataFrame, snapshots: DataFrame, on: str,
     if not dim_cols:
         raise ValueError("snapshots must carry at least one value column")
     fact_cols = [c for c in facts.columns if c not in (on, time_col)]
+    clash = set(fact_cols) & set(dim_cols)
+    if clash:
+        raise ValueError(
+            f"fact/snapshot value columns collide: {sorted(clash)}; "
+            "rename one side before asof_join")
 
     lhs = facts.select(
         F.col(on), F.col(time_col),

@@ -461,10 +461,18 @@ def service_http_server(cfg: dict):
 
             return prom_parse_metric(
                 df, src, default_ts_ms=default_ts // 1_000_000)
-        if fmt in ("sls", "otlp_logv1"):
+        if fmt == "sls":
+            # sls bodies are sls_logs.LogGroup wire format (Logs=1,
+            # Category=2, ...), NOT PipelineEventGroup — route to the
+            # matching walker or every push decodes to zero logs
             from loongcollector_spark.operators.pbops import parse_from_pb
 
-            return parse_from_pb(df, src, protocol="LoongSuite")
+            return parse_from_pb(df, src, protocol="SLS_LogGroup")
+        if fmt == "otlp_logv1":
+            raise ValueError(
+                "service_http_server: Format otlp_logv1 (OTLP logs "
+                "protobuf) has no wire walker here; push OTLP-JSON "
+                "through service_otlp instead")
         if fmt == "raw":
             return df.withColumnRenamed(src, "content") if src != "content" else df
         raise ValueError(f"service_http_server: unsupported Format {fmt!r}")

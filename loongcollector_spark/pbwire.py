@@ -156,9 +156,13 @@ def parse_fields(buf) -> list[tuple[int, int, object]]:
             val = bytes(buf[pos:pos + ln])
             pos += ln
         elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32 field")
             val = int.from_bytes(buf[pos:pos + 4], "little")
             pos += 4
         elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64 field")
             val = int.from_bytes(buf[pos:pos + 8], "little")
             pos += 8
         else:

@@ -228,6 +228,38 @@ def test_service_http_server_format_dispatch(spark):
                         "Format": "bogus"})(df)
 
 
+def test_service_http_server_sls_format_decodes_loggroup(spark):
+    """Format 'sls' bodies are sls_logs.LogGroup wire format — the
+    decoder must walk THAT schema (Logs=1 submessages), not the
+    PipelineEventGroup one, or every push decodes to zero rows."""
+    from loongcollector_spark.serializer import sls_pb_loggroup_frame
+
+    from datetime import datetime
+
+    src = spark.createDataFrame(
+        [("c1", 0, datetime(2026, 1, 1, 0, 0, 0), "hello"),
+         ("c1", 1, datetime(2026, 1, 1, 0, 0, 1), "world")],
+        "conv_id string, turn_idx int, ts timestamp, text string",
+    )
+    from pyspark.sql import functions as F
+
+    blobs = sls_pb_loggroup_frame(src, group_cols=("conv_id",)) \
+        .select(F.lit(0).alias("group_id"),
+                F.col("loggroup_pb").alias("content"))
+    out = build_operator({
+        "Type": "service_http_server", "Format": "sls",
+    })(blobs).collect()
+    got = sorted(r["contents"]["text"] for r in out)
+    assert got == ["hello", "world"]
+
+
+def test_service_http_server_otlp_logv1_refused(spark):
+    df = spark.createDataFrame([(b"\x0a\x00",)], "content binary")
+    with pytest.raises(ValueError, match="otlp_logv1"):
+        build_operator({"Type": "service_http_server",
+                        "Format": "otlp_logv1"})(df)
+
+
 def test_service_otlp_modes(spark):
     import json
 

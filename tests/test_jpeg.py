@@ -104,6 +104,42 @@ def test_corrupted_entropy_degrades_to_none_not_crash():
         try_decode_jpeg(bytes(mutated))  # must not raise
 
 
+def test_single_component_scan_is_noninterleaved():
+    """T.81 A.2.3: a single-component scan is NON-interleaved — blocks
+    walk the 8x8 raster grid regardless of the declared sampling
+    factors. A grayscale file whose SOF says 2x2 (legal; factors are
+    relative and the sole component is still full resolution) must
+    decode identically to the 1x1 encoding of the same stream."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    blob = bytearray(encode_jpeg(img, quality=75))
+    i = blob.find(b"\xff\xc0")
+    assert i >= 0
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) Nf(1) [id(1) HV(1) Tq(1)]
+    assert blob[i + 11] == 0x11
+    blob[i + 11] = 0x22
+    ref = try_decode_jpeg(encode_jpeg(img, quality=75))
+    dec = try_decode_jpeg(bytes(blob))
+    assert dec is not None and dec.shape == ref.shape
+    assert (dec == ref).all()
+
+
+def test_multiscan_sequential_rejected_not_garbled():
+    """A color SOS carrying fewer components than the SOF declares is a
+    multi-scan sequential file; only the first scan would be read, so
+    the decoder must refuse (None), never return a garbled image."""
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    blob = bytearray(encode_jpeg(rgb, quality=75))
+    i = blob.find(b"\xff\xda")
+    assert i >= 0
+    # SOS: marker(2) len(2) Ns(1) [Cs(1) Td/Ta(1)]*Ns ...; shrink Ns to 1
+    # and splice out the other two component entries
+    assert blob[i + 4] == 3
+    patched = (blob[:i + 2] + (8).to_bytes(2, "big") + bytes([1])
+               + blob[i + 5:i + 7] + blob[i + 11:])
+    assert try_decode_jpeg(bytes(patched)) is None
+
+
 def test_spark_image_path_decodes_jpeg(spark):
     from loongcollector_spark.functions.multimodal import (
         extract_features, image_resize, synthetic_media,

@@ -27,6 +27,10 @@ def test_parse_fields_rejects_malformed():
         W.parse_fields(b"\x0a\x10abc")       # truncated len-delim
     with pytest.raises(ValueError):
         W.parse_fields(b"\x0b\x00")          # wire type 3 (group)
+    with pytest.raises(ValueError):
+        W.parse_fields(b"\x09\x01\x02\x03")  # truncated fixed64
+    with pytest.raises(ValueError):
+        W.parse_fields(b"\x0d\x01")          # truncated fixed32
 
 
 def test_decode_sls_loggroup_full():

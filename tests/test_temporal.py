@@ -71,6 +71,16 @@ class TestAsofJoin:
         with pytest.raises(ValueError):
             asof_join(facts, empty_snaps, on="k")
 
+    def test_value_column_collision_raises(self, facts, spark):
+        # both sides carrying 'fact_id' would emit two identically-named
+        # output columns (ambiguous downstream) — refuse like range_join
+        clash = spark.createDataFrame(
+            [("a", "2026-01-01 00:00:00", 1)],
+            "k string, ts string, fact_id int",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(facts, clash, on="k")
+
     def test_single_exchange_plan(self, facts, snaps):
         """The whole as-of is one shuffle on the key — no join operator,
         no range-join candidate explosion."""
