@@ -114,7 +114,9 @@ def rate_cutoff_hex(rate: float) -> str:
     sorts after every hex digit, so rate ≥ 1 keeps everything."""
     if rate >= 1.0:
         return "g"
-    return format(int(round(rate * 65536)), "04x")
+    # cap at 0xffff: rates rounding to 65536 would format as the 5-char
+    # '10000', which compares BELOW most 4-char hashes and keeps ~6%
+    return format(min(int(round(rate * 65536)), 0xFFFF), "04x")
 
 
 def stratified_sample(df: DataFrame, strata_col: str = "source",

@@ -55,7 +55,12 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     closer to 0 reads more like the corpus; a quality gate keeps
     documents above a threshold (CCNet's head/middle/tail split).
     """
-    bg = _doc_bigrams(df, text_col)
+    # materialize the exploded (doc, w1, w2) frame ONCE: c2, c1 and the
+    # probe side of the score join all consume it, and their exchanges
+    # differ in key so Catalyst cannot reuse one — without this the
+    # scan+split+sequence+explode subtree (the most expensive projection
+    # here) runs three times (same trap ngram_hash_frame documents)
+    bg = _doc_bigrams(df, text_col).localCheckpoint(eager=False)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

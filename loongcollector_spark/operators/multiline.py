@@ -406,15 +406,22 @@ def split_multiline_log_string(cfg: dict):
 
     def run(df):
         others = [c for c in df.columns if c != src]
-        lines = df.select(
-            *others, F.posexplode(F.split(F.col(src), "\n")).alias("line_idx", src)
+        # each SOURCE ROW splits independently (the reference walks one
+        # event's content at a time) — tag rows pre-explode so two blobs
+        # sharing the same GroupKeys values can never interleave their
+        # line_idx sequences inside one merge group
+        blob_id = F.monotonically_increasing_id().alias("_blob_id")
+        lines = df.select(*others, F.col(src), blob_id).select(
+            *others, "_blob_id",
+            F.posexplode(F.split(F.col(src), "\n")).alias("line_idx", src),
         )
         if not cfg.get("KeepingEmptyLines", True):
             lines = lines.filter(F.col(src) != "")
         inner = dict(cfg)
         inner.pop("OrderKeys", None)
         inner.pop("KeepingEmptyLines", None)
-        inner.update({"GroupKeys": list(order_cols), "OrderKey": "line_idx"})
-        return merge_lines(lines, inner)
+        inner.update({"GroupKeys": list(order_cols) + ["_blob_id"],
+                      "OrderKey": "line_idx"})
+        return merge_lines(lines, inner).drop("_blob_id")
 
     return run

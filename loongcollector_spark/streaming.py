@@ -83,24 +83,32 @@ def run_streaming_pipeline(
             with ThreadPoolExecutor(len(rules)) as ex:
                 stages = list(ex.map(write_sink, rules))
             # batch metrics are a handful of driver-resident records —
-            # append as plain JSONL (spark.read.json-compatible), not a
-            # per-batch Spark job; non-local out_dirs keep the (tiny)
-            # Spark write
+            # write them as one JSONL file through the Hadoop FileSystem
+            # API so they land on the SAME filesystem the sinks resolve
+            # to (a bare path on an HDFS-default cluster must go to
+            # HDFS, not the driver's local disk), without paying a
+            # per-batch Spark job
             recs = [(batch_id, stage) for stage in stages]
-            if "://" in out_dir and not out_dir.startswith("file:"):
+            payload = "".join(
+                _json.dumps({"batch_id": bid, "stage": stage}) + "\n"
+                for bid, stage in recs)
+            try:
+                spark_s = batch_df.sparkSession
+                jvm = spark_s._jvm
+                hconf = spark_s._jsc.hadoopConfiguration()
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{out_dir}/_stream_metrics/batch-{batch_id}.json")
+                fs = jpath.getFileSystem(hconf)
+                stream = fs.create(jpath, True)
+                try:
+                    stream.write(bytearray(payload.encode()))
+                finally:
+                    stream.close()
+            except Exception:
+                # JVM gateway unavailable (e.g. Connect) → tiny Spark job
                 batch_df.sparkSession.createDataFrame(
                     recs, "batch_id long, stage string"
                 ).write.mode("append").json(f"{out_dir}/_stream_metrics")
-            else:
-                root = (out_dir[len("file:"):]
-                        if out_dir.startswith("file:") else out_dir)
-                mdir = _os.path.join(root, "_stream_metrics")
-                _os.makedirs(mdir, exist_ok=True)
-                with open(_os.path.join(mdir, f"batch-{batch_id}.json"),
-                          "w") as f:
-                    for bid, stage in recs:
-                        f.write(_json.dumps(
-                            {"batch_id": bid, "stage": stage}) + "\n")
         finally:
             routed.unpersist()
 
@@ -144,7 +152,10 @@ def rate_limit_stream(
         else:
             tokens, last_ts = float(burst), float("-inf")
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+            # admit in event-time order; stable sort keeps the Arrow
+            # batch order for ties (schema-generic — the operator takes
+            # arbitrary fields, so no other column can be assumed)
+            pdf = pdf.sort_values("ts", kind="stable")
             ts = pdf["ts"].astype("int64").to_numpy() / 1e9
             keep = []
             for t in ts:
@@ -257,9 +268,15 @@ def streaming_exact_dedup(
     exactly the deal a 10^12-turn continuous ingest needs (exact
     global-history dedup belongs to the batch compaction pass; the
     stream guards the recent horizon)."""
-    fp = F.md5(F.col(text_col).cast("binary")).alias("fp")
+    from loongcollector_spark.functions.text import with_fingerprint
+
+    # the SAME normalized fingerprint as the batch pass — fp values
+    # written here must join against batch-built fingerprint tables
+    # (incremental_dedup), so raw-text md5 would silently pass dups the
+    # batch pass collapses ('Foo  Bar' vs 'foo bar')
     deduped = (
-        stream_df.select("*", fp)
+        with_fingerprint(stream_df, text_col)
+        .withColumnRenamed("fingerprint", "fp")
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(keys))
     )
@@ -346,6 +363,13 @@ def multiline_merge_stream(
             new = new.sort_values(order_key)
             p_idxs += [int(v) for v in new[order_key]]
             p_lines += ["" if v is None else str(v) for v in new[src]]
+            # a continuation can arrive in a LATER micro-batch than its
+            # start line: re-sort the carried tail + new lines by the
+            # order key so the FSM sees the same sequence the batch
+            # operator sorts into (stable: ties keep arrival order)
+            order = sorted(range(len(p_idxs)), key=lambda i: p_idxs[i])
+            p_idxs = [p_idxs[i] for i in order]
+            p_lines = [p_lines[i] for i in order]
         closed, open_tail = fsm_events_open(p_lines, sp, cp, ep, single_line)
         out = rows_from(closed, p_idxs, p_lines)
         state.update((

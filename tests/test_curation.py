@@ -60,6 +60,10 @@ def test_rate_cutoff_hex_bounds():
     assert rate_cutoff_hex(0.25) == "4000"
     assert rate_cutoff_hex(1.0) == "g"
     assert rate_cutoff_hex(1.5) == "g"
+    # rates that ROUND to 65536 must not emit the 5-char '10000', which
+    # compares below most 4-char hashes and would keep only ~6%
+    assert rate_cutoff_hex(0.999995) == "ffff"
+    assert len(rate_cutoff_hex(0.9999999)) == 4
 
 
 def test_stratified_sample_rates_and_rank(spark):

@@ -195,6 +195,41 @@ def test_multiline_merge_stream_spans_batches(spark, stream_dirs):
     assert got.get(3) == ("ERROR next", 1)
 
 
+def test_multiline_merge_stream_out_of_order_batches(spark, stream_dirs):
+    """A continuation line with a SMALLER order key arriving in a LATER
+    micro-batch must still merge in order-key position, not append
+    order — the carried tail re-sorts before the FSM runs."""
+    src, out = stream_dirs
+    base = datetime.datetime(2026, 1, 1)
+    batch1 = [("c1", 0, "x", "ERROR boom", "", base),
+              ("c1", 2, "x", "  at frame2", "", base)]
+    batch2 = [("c1", 1, "x", "  at frame1", "", base),
+              ("c1", 3, "x", "ERROR next", "", base)]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    spark.createDataFrame(batch1, schema).repartition(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    from loongcollector_spark.streaming import multiline_merge_stream
+
+    merged = multiline_merge_stream(
+        transcripts_stream(spark, src, max_files_per_trigger=1),
+        start_pattern=r"ERROR.*", flush_timeout_ms=1,
+    )
+    q = (
+        merged.writeStream.format("parquet")
+        .option("path", f"{out}/merged")
+        .option("checkpointLocation", f"{out}/_ml_checkpoint")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["turn_idx"]: (r["text"], r["n_merged"])
+           for r in spark.read.parquet(f"{out}/merged").collect()}
+    assert got[0] == ("ERROR boom\n  at frame1\n  at frame2", 3)
+
+
 def test_streaming_exact_dedup_across_batches(spark, stream_dirs):
     """duplicate text arriving in a LATER micro-batch is dropped while
     within the watermark horizon; the survivor set matches the batch
@@ -222,10 +257,14 @@ def test_streaming_exact_dedup_across_batches(spark, stream_dirs):
 
     got = spark.read.parquet(f"{out}/deduped")
     batch_union = df1.unionByName(dup).unionByName(fresh)
+    # the stream's fp MUST be the batch pass's normalized fingerprint
+    # (with_fingerprint), or stream-written fp tables can never join
+    # against batch-built ones
     from loongcollector_spark.functions.dedup import exact_dedup
     expected_fps = {
-        r["fp"] for r in batch_union.select(
-            F.md5(F.col("text").cast("binary")).alias("fp")).distinct().collect()
+        r["fp"] for r in exact_dedup(
+            batch_union.withColumn("doc_id", F.col("conv_id"))
+        ).select("fp").collect()
     }
     fps = [r["fp"] for r in got.select("fp").collect()]
     assert len(fps) == len(set(fps))          # no fingerprint twice
