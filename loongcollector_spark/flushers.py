@@ -277,22 +277,27 @@ def kafka_producer_options(cfg: dict) -> dict:
         if tls.get("KeyPassword"):
             opts["kafka.ssl.key.password"] = tls["KeyPassword"]
 
+    def jaas_quote(v) -> str:
+        # JAAS option values are double-quoted strings: escape \ and "
+        # or a quote in a password breaks (or injects into) the config
+        return '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+
     if mech:  # PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512
         opts["kafka.sasl.mechanism"] = mech
         module = ("org.apache.kafka.common.security.plain.PlainLoginModule"
                   if mech.upper() == "PLAIN" else
                   "org.apache.kafka.common.security.scram.ScramLoginModule")
         opts["kafka.sasl.jaas.config"] = (
-            f'{module} required username="{sasl["Username"]}" '
-            f'password="{sasl["Password"]}";')
+            f'{module} required username={jaas_quote(sasl["Username"])} '
+            f'password={jaas_quote(sasl["Password"])};')
     elif krb_on:
         opts["kafka.sasl.mechanism"] = krb.get("Mechanisms") or "GSSAPI"
         opts["kafka.sasl.kerberos.service.name"] = (
             krb.get("ServiceName") or "kafka")
         opts["kafka.sasl.jaas.config"] = (
             "com.sun.security.auth.module.Krb5LoginModule required "
-            f'useKeyTab=true storeKey=true keyTab="{krb["Keytab"]}" '
-            f'principal="{krb["Principal"]}";')
+            f'useKeyTab=true storeKey=true keyTab={jaas_quote(krb["Keytab"])} '
+            f'principal={jaas_quote(krb["Principal"])};')
 
     # CustomConfig passthrough (KafkaConfig.h:138-141, "Kafka" object) —
     # last so user overrides win, like rd_kafka_conf_set ordering
@@ -649,13 +654,16 @@ def flusher_statistics(cfg: dict):
         row = statistics_frame(df, group_cols,
                                generate_pb=generate_pb).collect()[0]
         wall = max(_time.monotonic() - t0, 1e-9)
+        # SUM over an empty frame is NULL — report zero rates, don't raise
+        n_logs = row["n_logs"] or 0
+        pb_bytes = (row["pb_bytes"] or 0) if generate_pb else 0
         msg = (f"[flusher_statistics] loggroups={row['n_loggroups']} "
-               f"logs={row['n_logs']} "
+               f"logs={n_logs} "
                f"loggroup_tps={row['n_loggroups'] / wall:.1f} "
-               f"log_tps={row['n_logs'] / wall:.1f}")
+               f"log_tps={n_logs / wall:.1f}")
         if generate_pb:
-            msg += (f" bytes={row['pb_bytes']} "
-                    f"rate_mb={row['pb_bytes'] / wall / 1048576.0:.2f}")
+            msg += (f" bytes={pb_bytes} "
+                    f"rate_mb={pb_bytes / wall / 1048576.0:.2f}")
         print(msg)
 
     return write

@@ -52,7 +52,10 @@ def parse_from_pb(
         for pdf in it:
             rows = []
             for gid, payload in zip(pdf[group_id_col], pdf[source_col]):
-                gid = int(gid)
+                try:
+                    gid = int(gid)  # NULL arrives as NaN/None — marker row,
+                except (TypeError, ValueError):  # never a task kill
+                    gid = -1
                 try:
                     g = decode(bytes(payload))
                 except Exception:

@@ -92,6 +92,14 @@ def parse_syslog(df: DataFrame, source: str = "content",
     def g5(i):
         return F.regexp_extract(line, _RFC5424, i)
 
+    # PRI is 0..191 (facility 0-23 × severity 0-7); the jeromer/RFC
+    # parsers FAIL lines like <999>..., they never emit facility 124 —
+    # gate the match itself so such lines take the parse-failure path
+    if protocol != "rfc5424":
+        is3164 = is3164 & (g3(1).cast("int") <= 191)
+    if protocol != "rfc3164":
+        is5424 = is5424 & (g5(1).cast("int") <= 191)
+
     month3 = F.array_position(
         F.array(*[F.lit(m) for m in _MONTHS]), g3(2)).cast("int")
     ts3 = F.to_timestamp(

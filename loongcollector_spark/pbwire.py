@@ -55,8 +55,13 @@ def loongsuite_log_event_column(
     from loongcollector_spark.serializer import serializable_columns
 
     cols = content_cols or [c for c in serializable_columns(df) if c != time_col]
+    # NULL/pre-1970 times stamp 0 (a NULL would null the concat and
+    # silently drop the event from the group blob; a negative epoch
+    # corrupts the varint) — same guard as sls_pb_log_column
     t = (
-        F.unix_timestamp(F.col(time_col)) if time_col in df.columns else F.lit(0)
+        F.greatest(F.coalesce(F.unix_timestamp(F.col(time_col)), F.lit(0)),
+                   F.lit(0))
+        if time_col in df.columns else F.lit(0)
     )
     parts = [F.lit(b"\x08"), _pb_varint(t)]
     for c in cols:

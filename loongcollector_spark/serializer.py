@@ -302,28 +302,38 @@ def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
     document per label set, values in (ts, line) order (the client's
     arrival order is not defined under parallelism, so the stable sort
     makes payloads deterministic)."""
-    def resolve(key: str):
-        """A ``tag.X`` label reads tag X; when absent, Convert.
-        TagFieldsRename[X] names the underlying tag (findTargetValues,
-        converter.go:296-302 — the loki case maps label loki_name onto
-        tag name this way). Tags live in ``__tag__:``-prefixed columns
-        or plain ones."""
+    def resolve(key: str, kind: str):
+        """``tag.X`` reads tag X only, ``content.X`` reads the content
+        column only (findTargetValues keys each prefix to its own store,
+        converter.go:219-228) — an unprefixed label tries tags first.
+        When a tag is absent, Convert.TagFieldsRename[X] names the
+        underlying tag (converter.go:296-302). Tags live in
+        ``__tag__:``-prefixed columns."""
         for cand in (key, (tag_fields_rename or {}).get(key)):
             if cand is None:
                 continue
-            for col in (f"__tag__:{cand}", cand):
+            cols = []
+            if kind in ("tag", "any"):
+                cols.append(f"__tag__:{cand}")
+            if kind in ("content", "any"):
+                cols.append(cand)
+            for col in cols:
                 if col in df.columns:
                     return F.col(col).cast("string")
         return None
 
-    trimmed = sorted(
-        lbl.split(".", 1)[1] if lbl.startswith(("content.", "tag.")) else lbl
-        for lbl in (dynamic_labels or [])
-    )
+    def split_label(lbl: str):
+        if lbl.startswith("content."):
+            return lbl.split(".", 1)[1], "content"
+        if lbl.startswith("tag."):
+            return lbl.split(".", 1)[1], "tag"
+        return lbl, "any"
+
+    trimmed = sorted(split_label(lbl) for lbl in (dynamic_labels or []))
     line = _HTTP_PROTOCOLS[line_protocol](df)
     merged = {k: F.lit(v) for k, v in static_labels.items()}
-    merged.update({c: expr for c in trimmed
-                   if (expr := resolve(c)) is not None})
+    merged.update({c: expr for c, kind in trimmed
+                   if (expr := resolve(c, kind)) is not None})
     # Go marshals the LabelSet map with sorted keys — all labels together
     label_fields = [expr.alias(k) for k, expr in sorted(merged.items())]
     stream = F.to_json(F.struct(*label_fields))
@@ -331,14 +341,17 @@ def loki_streams_frame(df: DataFrame, static_labels: dict[str, str],
     # like the converters' missing-__time__ default
     t = (F.unix_timestamp(F.col(time_col)) if time_col in df.columns
          else F.lit(0))
-    ns = (t * F.lit(1000000000)).cast("string")
+    # sort on the NUMERIC ns value (a lexicographic string sort misorders
+    # mixed-digit-length timestamps, and Loki rejects out-of-order
+    # entries within a stream), stringify after
+    ns = (t.cast("long") * F.lit(1000000000))
     keyed = df.select(
         stream.alias("_stream"),
         F.struct(ns.alias("ts"), line.alias("line")).alias("_v"),
     )
     values = F.transform(
         F.array_sort(F.collect_list("_v")),
-        lambda s: F.array(s["ts"], s["line"]),
+        lambda s: F.array(s["ts"].cast("string"), s["line"]),
     )
     grouped = keyed.groupBy("_stream").agg(
         F.to_json(values).alias("_values"),
@@ -496,9 +509,14 @@ def sls_pb_log_column(df: DataFrame, time_col: str = "ts",
     cols = content_cols or [
         c for c in serializable_columns(df) if c != time_col
     ]
+    # NULL/pre-1970 times stamp 0 like the converters' missing-__time__
+    # default: a NULL here would null the whole concat and silently DROP
+    # the log from the group blob while n_logs still counts it, and a
+    # negative epoch corrupts the varint stream
     t = (
-        F.unix_timestamp(F.col(time_col)) if time_col in df.columns
-        else F.lit(0)
+        F.greatest(F.coalesce(F.unix_timestamp(F.col(time_col)), F.lit(0)),
+                   F.lit(0))
+        if time_col in df.columns else F.lit(0)
     )
     parts = [F.lit(b"\x08"), _pb_varint(t)]
     for c in cols:

@@ -223,6 +223,93 @@ def test_flusher_loki_requires_labels(spark):
         build_flusher({"Type": "flusher_loki", "Path": "/tmp/x"})
 
 
+def test_flusher_statistics_empty_frame_reports_zero(spark, capsys):
+    """SUM over an empty frame is NULL — the stats flusher must print
+    zero rates, not raise TypeError (a pipeline whose filters drop every
+    row still flushes)."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, ts timestamp, text string")
+    build_flusher({"Type": "flusher_statistics", "GeneratePB": True})(empty)
+    outp = capsys.readouterr().out
+    assert "loggroups=0" in outp and "logs=0" in outp
+
+
+def test_kafka_jaas_values_escaped():
+    from loongcollector_spark.flushers import kafka_producer_options
+
+    opts = kafka_producer_options({
+        "Brokers": ["b:9092"], "Topic": "t",
+        "Authentication": {"SASL": {
+            "Mechanism": "PLAIN", "Username": "u",
+            "Password": 'pa"ss\\wd'}},
+    })
+    jaas = opts["kafka.sasl.jaas.config"]
+    assert 'password="pa\\"ss\\\\wd"' in jaas
+    assert jaas.endswith('";')
+
+
+def test_parse_from_pb_null_group_id_marker_row(spark):
+    from loongcollector_spark.operators import build_operator
+
+    df = spark.createDataFrame(
+        [(None, bytearray(b"\xff\xff"))],
+        "group_id long, payload binary")
+    op = build_operator({"Type": "processor_parse_from_pb",
+                         "SourceKey": "payload", "Protocol": "LoongSuite",
+                         "GroupIdKey": "group_id"})
+    rows = op(df).collect()
+    assert len(rows) == 1 and rows[0]["_decode_ok"] is False
+
+
+def test_sls_pb_null_ts_stamps_zero_not_dropped(spark):
+    """A NULL time must stamp 0, not null the whole Log blob (which
+    silently dropped the event from the group while n_logs counted it)."""
+    from loongcollector_spark.pbwire import decode_sls_loggroup
+    from loongcollector_spark.serializer import sls_pb_loggroup_frame
+
+    df = spark.createDataFrame(
+        [("c1", 0, None, "hello"), ("c1", 1, "2026-01-01 00:00:00", "world")],
+        "conv_id string, turn_idx int, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = sls_pb_loggroup_frame(df, group_cols=("conv_id",)).collect()[0]
+    g = decode_sls_loggroup(bytes(row["loggroup_pb"]))
+    assert row["n_logs"] == 2 and len(g["logs"]) == 2
+    times = sorted(log["time"] for log in g["logs"])
+    assert times[0] == 0 and times[1] > 0
+
+
+def test_loki_streams_numeric_ts_order_and_label_prefixes(spark):
+    """Mixed-digit-length timestamps must sort NUMERICALLY (Loki rejects
+    out-of-order entries; '999...' 18-digit sorts after 19-digit
+    lexicographically), and content./tag. prefixes bind to their own
+    store: content.level reads the content column even when a
+    __tag__:level column exists."""
+    from loongcollector_spark.serializer import loki_streams_frame
+
+    df = spark.createDataFrame(
+        [("a", "info", "tagval", "2001-09-08 00:00:00"),   # epoch < 1e9 s
+         ("b", "info", "tagval", "2026-01-01 00:00:00")],
+        "text string, level string, `__tag__:level` string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = loki_streams_frame(
+        df, static_labels={"job": "j"},
+        dynamic_labels=["content.level"], line_protocol="jsonline",
+    ).collect()
+    doc = json.loads(out[0]["payload"])
+    stream = doc["streams"][0]
+    assert stream["stream"]["level"] == "info"  # content, not 'tagval'
+    ts_vals = [int(v[0]) for v in stream["values"]]
+    assert ts_vals == sorted(ts_vals)
+    assert len(str(ts_vals[0])) == 18 and len(str(ts_vals[1])) == 19
+
+    tagged = loki_streams_frame(
+        df, static_labels={"job": "j"},
+        dynamic_labels=["tag.level"], line_protocol="jsonline",
+    ).collect()
+    tdoc = json.loads(tagged[0]["payload"])
+    assert tdoc["streams"][0]["stream"]["level"] == "tagval"
+
+
 def test_flusher_pulsar_and_otel_and_prometheus(spark, tmp_path):
     """Adapter smoke: pulsar (kafka payload contract + partition key),
     opentelemetry (ResourceLogs docs), prometheus (WriteRequest blobs

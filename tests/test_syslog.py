@@ -76,3 +76,11 @@ def test_syslog_failure_modes(spark):
     # strict mode drops the line entirely (syslog.go:403-409)
     rows = _parse(spark, ["garbage"], IgnoreParseFailure=False)
     assert rows == []
+    # PRI > 191 is invalid (facility would exceed 23): the RFC parsers
+    # FAIL the line, they never emit facility 124
+    rows = _parse(spark, ["<999>Oct 11 22:14:15 host app: msg"])
+    assert rows[0]["_parse_ok"] is False
+    assert rows[0]["_facility_"] == "-1"
+    rows = _parse(spark, ["<191>Oct 11 22:14:15 host app: msg"])
+    assert rows[0]["_parse_ok"] is True
+    assert rows[0]["_facility_"] == "23" and rows[0]["_severity_"] == "7"
