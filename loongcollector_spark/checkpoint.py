@@ -26,20 +26,76 @@ import tempfile
 from dataclasses import dataclass
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _hadoop_read_text(spark, path: str) -> str | None:
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    """Atomic-enough write for any Hadoop FS: tmp + rename (rename is
+    atomic on HDFS/local; on S3 it's copy+delete — still safe here
+    because a torn manifest only forces a full re-run)."""
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    fs.rename(tmp, jpath)
+
+
 @dataclass
 class Manifest:
     path: str
     data: dict
+    spark: object = None
 
     @classmethod
-    def load(cls, out_dir: str) -> "Manifest":
+    def load(cls, out_dir: str, spark=None) -> "Manifest":
+        if "://" in out_dir:
+            # URI out_dir (s3a://, hdfs://, file://): os.path would write
+            # the manifest to a bogus LOCAL path while the data goes
+            # remote — resume from another driver would silently re-run
+            # everything. Route through the Hadoop FileSystem API.
+            if spark is None:
+                raise ValueError(
+                    f"Manifest.load({out_dir!r}): URI paths need the "
+                    "spark session (Manifest.load(out_dir, spark))"
+                )
+            p = out_dir.rstrip("/") + "/_manifest.json"
+            txt = _hadoop_read_text(spark, p)
+            data = (json.loads(txt) if txt is not None
+                    else {"input_fingerprint": None, "stages": {}})
+            return cls(p, data, spark)
         p = os.path.join(out_dir, "_manifest.json")
         if os.path.exists(p):
             with open(p) as f:
-                return cls(p, json.load(f))
-        return cls(p, {"input_fingerprint": None, "stages": {}})
+                return cls(p, json.load(f), spark)
+        return cls(p, {"input_fingerprint": None, "stages": {}}, spark)
 
     def save(self) -> None:
+        if "://" in self.path:
+            _hadoop_write_text(
+                self.spark, self.path,
+                json.dumps(self.data, indent=1, sort_keys=True),
+            )
+            return
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path), suffix=".tmp")
         with os.fdopen(fd, "w") as f:

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 
 import yaml
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from loongcollector_spark.flushers import build_flusher
 from loongcollector_spark.operators import REGISTRY, build_operator
@@ -181,10 +181,79 @@ def run_config_streaming(
     src = cfg.inputs[0]
     if src["Type"] not in ("input_file", "input_static_file_onetime"):
         raise KeyError(f"streaming input {src['Type']!r} unsupported here")
-    stream = spark.readStream.text(src["FilePaths"][0])
-    stream = stream.withColumnRenamed("value", "content")
 
-    ops = [
+    multiline = src.get("Multiline")
+
+    def read_glob(glob: str) -> DataFrame:
+        enc = (src.get("FileEncoding", "UTF8") or "UTF8").upper()
+        enc = enc.replace("-", "").replace("_", "")
+        if enc not in ("", "UTF8"):
+            # same decode-in-the-scan trick as the batch reader
+            # (sources.input_file): csv with a control-char separator
+            # degenerates to "text with charset"
+            from loongcollector_spark.sources import _ENCODINGS
+
+            charset = _ENCODINGS.get(enc)
+            if charset is None:
+                raise ValueError(f"unsupported FileEncoding {enc!r}")
+            if charset == "GBK":
+                spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+            out = (spark.readStream.format("csv")
+                   .schema("content string")
+                   .option("encoding", charset).option("lineSep", "\n")
+                   .option("sep", "\x01").option("quote", "\x00")
+                   .load(glob))
+            text = F.regexp_replace(
+                F.coalesce(F.col("content"), F.lit("")), "\r$", "")
+        else:
+            reader = spark.readStream.format("text")
+            if multiline:
+                # one row per WHOLE file: the file is the streaming unit,
+                # so line order within it is exact (posexplode below) and
+                # the BATCH merge_lines code path applies verbatim — no
+                # cross-batch state, no order caveats. NOTE: must go
+                # through format().load() — reader.text(path) RESETS
+                # wholetext to its False default over a prior option()
+                reader = reader.option("wholetext", "true")
+            out = reader.load(glob)
+            text = F.col("value")
+        cols = [text.alias("content")]
+        if multiline:
+            # _metadata is a hidden scan column — it must be selected
+            # HERE, before projections/unions make it unresolvable
+            cols.append(F.col("_metadata.file_path").alias("_ingest_file"))
+        return out.select(*cols)
+
+    # ALL FilePaths globs — the batch twin unions them; dropping all but
+    # the first would silently never ingest the other globs
+    globs = src["FilePaths"]
+    stream = read_glob(globs[0])
+    for g in globs[1:]:
+        stream = stream.unionByName(read_glob(g))
+    def merge_multiline_batch(bdf: DataFrame) -> DataFrame:
+        """Runs inside foreachBatch (batch context): whole-file blobs →
+        lines via posexplode (exact per-file order) → the SAME merge_lines
+        helper the batch reader uses. A trailing newline's empty last
+        element is dropped; interior blank lines are kept (Hadoop line-
+        reader parity)."""
+        from loongcollector_spark.operators.multiline import merge_lines
+
+        arr = F.split(F.col("content"), "\n")
+        arr = F.when(
+            (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+            F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        ).otherwise(arr)
+        lines = bdf.select(
+            "_ingest_file",
+            F.posexplode(arr).alias("_line_idx", "text"),
+        )
+        merged = merge_lines(lines, {
+            "Multiline": multiline, "SourceKey": "text",
+            "GroupKeys": ["_ingest_file"], "OrderKey": "_line_idx",
+        })
+        return merged.select(F.col("text").alias("content"))
+
+    ops = ([merge_multiline_batch] if multiline else []) + [
         build_operator({**proc, "Type": _resolve_type(proc["Type"])})
         for proc in cfg.processors + cfg.aggregators
     ]
@@ -233,6 +302,12 @@ def run_config(spark: SparkSession, cfg: PipelineConfig,
         op = build_operator({**proc, "Type": _resolve_type(proc["Type"])})
         df = op(df)
 
+    if len(cfg.flushers) > 1:
+        # fan-out: persist once so N flushers don't recompute the full
+        # input scan + processor chain N times (the streaming twin already
+        # persists per micro-batch); left cached for the returned frame —
+        # Spark evicts LRU, and the common CLI path stops the session next
+        df = df.persist()
     for flusher in cfg.flushers:
         build_flusher(flusher)(df)
     return df

@@ -90,7 +90,7 @@ _ORACLE_PARSED = f"""
 p AS (
   SELECT *,
     CASE WHEN text LIKE '{{%' THEN 'json'
-         WHEN contains(text, ' - - [') THEN 'nginx'
+         WHEN regexp_matches(text, '^\\S+ \\S+ \\S+ \\[') THEN 'nginx'
          WHEN regexp_matches(text, '^\\w+=[^ ]*&') THEN 'kv'
          WHEN regexp_matches(text, '^\\d+\\.\\d+\\.\\d+\\.\\d+ \\w+ /') THEN 'app'
          ELSE 'unknown' END AS fmt

@@ -46,7 +46,7 @@ def parse_row(text: str) -> dict:
         out["tok"] = meta.get("tok")
         out["model"] = meta.get("model")
         return out
-    if " - - [" in text:
+    if re.match(r"\S+ \S+ \S+ \[", text):
         out["_fmt"] = "nginx"
         m = _NGINX.match(text)
         if not m:

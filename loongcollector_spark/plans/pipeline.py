@@ -69,7 +69,10 @@ def parse_stage(df: DataFrame) -> DataFrame:
     t = F.col("text")
     fmt = (
         F.when(t.startswith("{"), "json")
-        .when(t.contains(" - - ["), "nginx")
+        # combined-log sniff tolerates non-dash ident/auth users
+        # ('1.2.3.4 - alice [...]' is a valid nginx line NGINX_RX accepts;
+        # a literal ' - - [' test would misroute it to sink_errors)
+        .when(t.rlike(r"^\S+ \S+ \S+ \["), "nginx")
         .when(t.rlike(r"^\w+=[^ ]*&"), "kv")
         .when(t.rlike(r"^\d+\.\d+\.\d+\.\d+ \w+ /"), "app")
         .otherwise("unknown")
@@ -264,10 +267,21 @@ def run_pipeline(
     """
     rules = rules or DEFAULT_SINK_RULES
     mc = MetricsCollector()
-    manifest = Manifest.load(out_dir)
+    manifest = Manifest.load(out_dir, spark)
 
     t0 = time.monotonic()
-    fp = input_fingerprint(df)
+    # fingerprint = input files + the CONFIG that shapes the output: a
+    # changed sink rule / window / counter key must invalidate completed
+    # stages, else resume keeps parquet computed under the old config
+    import hashlib as _hashlib
+    import json as _cjson
+
+    cfg_sig = _hashlib.md5(_cjson.dumps([
+        [[r.name, r.kind, r.key, r.value, r.expr, r.discarding_tag]
+         for r in rules],
+        window_duration, list(counter_keys),
+    ]).encode()).hexdigest()[:16]
+    fp = f"{input_fingerprint(df)}|cfg:{cfg_sig}"
     if not resume:
         manifest.data = {"input_fingerprint": None, "stages": {}}
     manifest.reset_if_input_changed(fp)

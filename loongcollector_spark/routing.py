@@ -125,7 +125,11 @@ def salted_repartition(
     not skewed writes). Rows are then sorted within partitions to restore
     the stable (conv_id, turn_idx) ordering contract.
     """
-    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_mod))
+    # salt from the within-key order columns (turn_idx in the transcript
+    # schema) so a hot key spreads deterministically; hardcoding turn_idx
+    # would break any caller using the advertised key/order_within params
+    salt_cols = [c for c in order_within if c != key] or [key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_mod))
     args = [F.col(key), salt]
     out = (
         df.repartition(num_partitions, *args)

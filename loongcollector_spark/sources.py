@@ -54,6 +54,15 @@ def input_file(
     MaxDirSearchDepth wildcard, input-file.md): Hadoop globs have no
     recursive ``**``, so it becomes ``recursiveFileLookup`` from the
     glob's base directory with the basename as ``pathGlobFilter``."""
+    # the multiline merge groups on _ingest_file and orders by _line_idx —
+    # it REQUIRES provenance; honor with_provenance=False by attaching the
+    # columns internally and dropping them after the merge instead of
+    # failing at first action with an unresolved-column error
+    drop_provenance_after_merge = (
+        multiline_start_rx is not None and fmt == "text" and not with_provenance
+    )
+    if drop_provenance_after_merge:
+        with_provenance = True
     read_opts: dict[str, str] = {}
     if "**" in path_glob:
         base, _, rest = path_glob.partition("**")
@@ -155,6 +164,8 @@ def input_file(
             "OrderKey": "_line_idx",
         })
         df = merge(df.withColumn("ts", F.lit(None).cast("timestamp")))
+        if drop_provenance_after_merge:
+            df = df.drop("_ingest_file", "_line_idx")
     return df
 
 
@@ -362,7 +373,15 @@ def metric_http(
                         (_t.monotonic() - t0) * 1000, body)
         except socket.timeout:
             return ("timeout", 0, (_t.monotonic() - t0) * 1000, "")
-        except (urllib.error.URLError, OSError):
+        except (urllib.error.URLError, OSError) as e:
+            # connect-phase timeouts arrive wrapped: urllib raises
+            # URLError(reason=TimeoutError) for a dropped SYN, which the
+            # socket.timeout arm above never sees — classify by the
+            # wrapped reason so both phases report 'timeout' like the
+            # reference's client-timeout status (input_http.go)
+            reason = getattr(e, "reason", e)
+            if isinstance(reason, (socket.timeout, TimeoutError)):
+                return ("timeout", 0, (_t.monotonic() - t0) * 1000, "")
             return ("connection_failed", 0, (_t.monotonic() - t0) * 1000, "")
 
     probe = prober or default_probe

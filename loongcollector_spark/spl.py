@@ -703,8 +703,21 @@ def _compile_cmd(cmd: _Cmd):
                 ddl = ", ".join(f"`{k}` string" for k in keys)
                 parsed = F.from_csv(F.col(col), F.lit(ddl),
                                     {"sep": delim, "quote": quote})
+                ok = None
+                if strict:
+                    # -strict with quoting: from_csv silently drops
+                    # overflow fields, so count fields quote-aware —
+                    # blank out quoted sections (doubled-quote escapes
+                    # included), then count remaining delimiters
+                    q = re.escape(quote)
+                    qrx = f"{q}(?:[^{q}]|{q}{q})*{q}"
+                    stripped = F.regexp_replace(F.col(col), qrx, "")
+                    ok = F.size(F.split(stripped, re.escape(delim))) == len(keys)
                 for k in keys:
-                    df = df.withColumn(k, parsed.getField(k))
+                    v = parsed.getField(k)
+                    if ok is not None:
+                        v = F.when(ok, v)
+                    df = df.withColumn(k, v)
                 return df
             parts = F.split(F.col(col), re.escape(delim))
             n = F.size(parts)
@@ -922,7 +935,13 @@ def spl_run(df: DataFrame, script: str,
             frame = resolve(st.split("|", 1)[0].strip())
             for cmd in _split_pipeline(st):
                 frame = _compile_cmd(cmd)(frame)
-            outputs["out"] = frame
+            # N anonymous pipelines → out, out1, out2, … (overwriting
+            # 'out' would silently discard every branch but the last)
+            key, i = "out", 0
+            while key in outputs:
+                i += 1
+                key = f"out{i}"
+            outputs[key] = frame
     return outputs
 
 

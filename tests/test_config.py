@@ -143,3 +143,37 @@ def test_reference_yaml_streaming_mode(spark, tmp_path):
             lines += [json.loads(ln) for ln in f if ln.strip()]
     assert len(lines) == 6
     assert all(ln["ip"] == "192.168.0.1" for ln in lines)
+
+
+def test_streaming_mode_reads_all_globs_and_multiline(spark, tmp_path):
+    """Streaming twin parity with the batch reader: ALL FilePaths globs
+    are ingested and the input-level Multiline block merges lines."""
+    from loongcollector_spark.config import run_config_streaming
+
+    d1, d2 = tmp_path / "l1", tmp_path / "l2"
+    d1.mkdir(); d2.mkdir()
+    (d1 / "a.log").write_text("ERROR one\n  tail a\nERROR two\n")
+    (d2 / "b.log").write_text("ERROR three\n  tail b\n")
+    cfg = PipelineConfig.parse(f"""
+enable: true
+inputs:
+  - Type: input_file
+    FilePaths:
+      - {d1}/*.log
+      - {d2}/*.log
+    Multiline:
+      StartPattern: ERROR.*
+flushers:
+  - Type: flusher_file
+    FilePath: {tmp_path}/out/ml.out
+""")
+    q = run_config_streaming(spark, cfg, str(tmp_path / "stream"))
+    q.awaitTermination(120)
+
+    lines = []
+    for p in glob.glob(f"{tmp_path}/out/ml.out/batch=*/part-*"):
+        opener = gzip.open if p.endswith(".gz") else open
+        with opener(p, "rt") as f:
+            lines += [json.loads(ln) for ln in f if ln.strip()]
+    texts = sorted(ln["content"] for ln in lines)
+    assert texts == ["ERROR one\n  tail a", "ERROR three\n  tail b", "ERROR two"]

@@ -129,3 +129,33 @@ def test_normalize_text_idempotent_and_clean(spark, texts):
         assert not _re.search("[\x00-\x08\x0b-\x1f\x7f“”‘’—– ]", r["text"])
         assert "  " not in r["text"]
         assert r["text"] == r["text"].strip()
+
+
+def test_salted_repartition_generic_key(spark):
+    """The advertised key/order_within params must work for non-transcript
+    schemas (the salt used to hardcode turn_idx)."""
+    df = spark.createDataFrame(
+        [("u1", i, f"e{i}") for i in range(100)] + [("u2", 0, "x")],
+        "user_id string, seq int, payload string",
+    )
+    out = routing.salted_repartition(
+        df, key="user_id", order_within=("user_id", "seq"),
+        num_partitions=4, salt_mod=4,
+    )
+    rows = out.collect()
+    assert len(rows) == 101  # no turn_idx column needed, no exception
+
+
+def test_nginx_sniff_tolerates_auth_user(spark):
+    """A combined-log line with a non-dash ident/auth user is valid nginx
+    (NGINX_RX accepts it) and must parse, not route to sink_errors."""
+    line = ('1.2.3.4 - alice [10/Oct/2025:13:55:36 +0000] '
+            '"GET /x HTTP/1.1" 200 512 "-" "ua"')
+    df = spark.createDataFrame(
+        [("c1", 0, "user", line, "", datetime.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = parse_stage(df).first()
+    assert r["_fmt"] == "nginx" and r["_parse_ok"]
+    assert r["client_ip"] == "1.2.3.4" and r["response_code"] == "200"

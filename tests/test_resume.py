@@ -100,3 +100,42 @@ def test_file_fingerprint_metadata_path(spark, tmp_path):
     # in-memory frames fall back to the scan fingerprint
     f4 = input_fingerprint(gen_transcripts(spark, 100, 10))
     assert not f4.startswith("files:") and ":" in f4
+
+
+def test_config_change_invalidates_manifest(spark, tmp_path):
+    """A changed sink rule must re-run stages — resume keyed only on the
+    input fingerprint would keep parquet computed under the OLD rule."""
+    from loongcollector_spark.routing import SinkRule
+
+    df = gen_transcripts(spark, 500, 50)
+    out = str(tmp_path / "o")
+    rules_a = [SinkRule("sink_x", kind="tag", key="role", value="assistant"),
+               SinkRule("sink_default", kind="always")]
+    run_pipeline(spark, df, out, rules=rules_a)
+    n_a = spark.read.parquet(f"{out}/sinks/sink_x").count()
+
+    rules_b = [SinkRule("sink_x", kind="tag", key="role", value="tool"),
+               SinkRule("sink_default", kind="always")]
+    summary = run_pipeline(spark, df, out, rules=rules_b)
+    skipped = [r for r in summary["metrics"] if "skipped:resume" in r["stage"]]
+    assert skipped == []  # config change → nothing skipped
+    n_b = spark.read.parquet(f"{out}/sinks/sink_x").count()
+    assert n_a != n_b  # output reflects the NEW rule
+
+
+def test_manifest_uri_path_roundtrip(spark, tmp_path):
+    """URI out_dirs route manifest IO through the Hadoop FS API — a
+    file:// URI exercises the same code path s3a/hdfs take."""
+    uri = f"file://{tmp_path}/uri_run"
+    m = Manifest.load(uri, spark)
+    assert m.path.endswith("/_manifest.json") and "://" in m.path
+    m.mark_done("sink:x", rows=7)
+    m2 = Manifest.load(uri, spark)
+    assert m2.is_done("sink:x")
+    assert m2.data["stages"]["sink:x"]["rows"] == 7
+    # and no bogus LOCAL 'file:' directory appeared relative to cwd
+    import os
+    assert not os.path.exists("file:")
+
+    with pytest.raises(ValueError, match="spark session"):
+        Manifest.load("s3a://bucket/run")

@@ -197,3 +197,14 @@ def test_table_adapter_parquet_fallback(spark, tmp_path):
     back = tables.read_table(spark, p)
     assert back.count() == 200
     assert set(back.columns) == set(df.columns)
+
+
+def test_input_file_multiline_without_provenance(spark, text_dir):
+    """multiline_start_rx with with_provenance=False must merge (via
+    internal provenance) and drop the provenance columns — not fail with
+    an unresolved-column error at first action."""
+    df = input_file(spark, f"{text_dir}/*.log", multiline_start_rx=r"ERROR.*",
+                    with_provenance=False)
+    texts = sorted(r["text"] for r in df.collect())
+    assert "ERROR first\n  detail 1\n  detail 2" in texts
+    assert "_ingest_file" not in df.columns and "_line_idx" not in df.columns

@@ -353,3 +353,27 @@ def test_empty_approx_set_is_a_real_hll_sketch(spark):
         % sketch.hex().upper()
     ).first()
     assert merged == 2
+
+
+def test_parse_csv_strict_with_quote(spl_df):
+    """-strict must apply on the quoted path too: 3 fields vs 2 keys →
+    nulls, while an exact-count row still parses (quote-aware count)."""
+    out = spl_run(
+        spl_df, "* | parse-csv -strict -quote='\"' content_csv as ip, time"
+    )["out"]
+    assert all(r["ip"] is None for r in out.collect())
+
+    out = spl_run(
+        spl_df, "* | parse-csv -strict -quote='\"' content_csv as ip, time, host"
+    )["out"]
+    got = {r["host"]: r["ip"] for r in out.collect()}
+    assert got["web02"] == "quoted,ip"  # embedded delimiter not miscounted
+
+
+def test_multiple_anonymous_pipelines_keep_all_outputs(spl_df):
+    outs = spl_run(
+        spl_df,
+        "* | where content like '%GET%'; * | where content like '%POST%';",
+    )
+    assert set(outs) == {"out", "out1"}
+    assert outs["out"].count() == 1 and outs["out1"].count() == 1
