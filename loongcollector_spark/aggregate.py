@@ -89,6 +89,11 @@ def sink_counters(
 ) -> DataFrame:
     """One counters frame across all sinks: (sink, window_start, keys..., n_rows).
     Each sink's counts come from its (cached) branch frame — no re-scan."""
+    if not sinks:
+        raise ValueError(
+            "sink_counters needs at least one sink frame (no routing rule "
+            "matched / empty sink dict)"
+        )
     parts = []
     for name, sdf in sinks.items():
         parts.append(

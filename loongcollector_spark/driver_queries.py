@@ -1837,7 +1837,10 @@ def q_token_count(spark, sf_dir):
 
 
 O_TOKEN_COUNT = """
-SELECT doc_id, cast(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+SELECT doc_id,
+  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+       ELSE cast(len(string_split_regex(trim(text), '\\s+')) AS INT)
+  END AS n_tokens
 FROM documents
 """
 

@@ -30,11 +30,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingles(text_col: str, shingle: int):
-    """Word-shingle array. IMPORTANT: evaluate on a frame where the word
-    array is already a materialized column (see _with_shingles) — a raw
-    split() expression captured inside the transform lambda is re-evaluated
-    per shingle (O(words²) per document, measured 10x slower)."""
+def _shingles(shingle: int):
+    """Word-shingle array over the materialized ``_words`` column.
+    IMPORTANT: evaluate on a frame where the word array is already a
+    materialized column (see _with_shingles) — a raw split() expression
+    captured inside the transform lambda is re-evaluated per shingle
+    (O(words²) per document, measured 10x slower)."""
     words = F.col("_words")
     n = F.size(words)
     return F.when(
@@ -51,7 +52,7 @@ def _with_shingles(df: DataFrame, text_col: str, shingle: int,
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     return (
         df.select(id_col, words.alias("_words"))
-        .select(id_col, _shingles(text_col, shingle).alias("_shingles"))
+        .select(id_col, _shingles(shingle).alias("_shingles"))
     )
 
 
@@ -133,11 +134,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     """
     # Shape: explode to one row per (doc, word), md5 once per word, 16
     # hex-digit columns, then SIMD-in-a-register bit counting: the 64
-    # per-bit set-counts pack into 16 LONG sums of four 16-bit lanes
-    # each (lane q of packed[j] counts bit k = 16q+j; counts fit — a
-    # doc would need 65536 words to overflow a lane), plus one count(*)
-    # for the word total. 17 agg buffers instead of the 64 ±1-vote sums
-    # of the previous formulation, same signature bit-for-bit:
+    # per-bit set-counts pack into 32 LONG sums of two 32-bit lanes
+    # each (lane q of packed[j] counts bit k = 32q+j). 32-bit lanes
+    # hold counts to 2^31 words/doc — an earlier 16-bit-lane packing
+    # (16 longs) overflowed LONG at ~32k same-bit words, which under
+    # ANSI (Spark 4 default) KILLS the job with ARITHMETIC_OVERFLOW on
+    # any ≥32k-token doc, and silently lane-wraps without ANSI. 33 agg
+    # buffers instead of the 64 ±1-vote sums of the original
+    # formulation, same signature bit-for-bit:
     # vote_k = 2*cnt_k - n_words > 0  ⇔  2*cnt_k > n_words.
     # Measured wall-clock parity at sf0.1 local[32] (the md5-per-word
     # dominates either way); the win is the partial-agg shuffle row
@@ -162,17 +166,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         *[F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long").alias(f"_d{d}")
           for d in range(16)],
     )
-    # packed[j] lanes: bit(16q + j) = (digit[4q + j//4] >> (j%4)) & 1
+    # packed[j] lanes: bit(32q + j) = (digit[8q + j//4] >> (j%4)) & 1
     packed = [
         F.sum(sum(
             F.shiftleft(
-                F.shiftright(F.col(f"_d{4 * q + j // 4}"), j % 4)
+                F.shiftright(F.col(f"_d{8 * q + j // 4}"), j % 4)
                 .bitwiseAND(F.lit(1)),
-                16 * q,
+                32 * q,
             )
-            for q in range(4)
+            for q in range(2)
         )).alias(f"_p{j}")
-        for j in range(16)
+        for j in range(32)
     ]
     agg = w.groupBy(id_col).agg(*packed, F.count("*").alias("_n"))
     n = F.col("_n")
@@ -180,7 +184,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     for c in range(4):
         chunk = None
         for j in range(16):
-            cnt = F.shiftright(F.col(f"_p{j}"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            k = 16 * c + j  # global bit k lives in packed[k % 32], lane k // 32
+            cnt = (F.shiftright(F.col(f"_p{k % 32}"), 32 * (k // 32))
+                   .bitwiseAND(F.lit(0xFFFFFFFF)))
             bit = F.when(cnt * 2 > n, 1 << j).otherwise(0)
             chunk = bit if chunk is None else chunk + bit
         chunk_cols.append(chunk.cast("int").alias(f"sh{c}"))
@@ -303,14 +309,20 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
             spark.conf.get("spark.sql.shuffle.partitions"),
     }
     small_graph = n_edges < 16_000_000
+    loop_edges = edges
     if small_graph:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(8, min(int(saved["spark.sql.shuffle.partitions"]),
-                           n_edges // 2_000_000 + 8))))
+        parts = max(8, min(int(saved["spark.sql.shuffle.partitions"]),
+                           n_edges // 2_000_000 + 8))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # the edge list was materialized at the SESSION partition count —
+        # without this, every loop round still scans it with one
+        # near-empty task per session partition (the fixed scheduling
+        # latency the AQE-off tuning exists to avoid); coalesce reads
+        # the cache through `parts` tasks, no re-shuffle
+        loop_edges = edges.coalesce(parts)
     try:
-        labels = _cc_loop(edges, max_iter)
+        labels = _cc_loop(loop_edges, max_iter)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -417,12 +429,18 @@ def minhash_verified_pairs(
     )
     cand = minhash_lsh_pairs(df, n_hashes, shingle, bands, text_col, id_col)
     shingled = _with_shingles(df, text_col, shingle, id_col)
+    # materialize the per-doc shingle-hash sets ONCE (the
+    # cross_doc_gram_share pattern): sa, sb and sizes all read this
+    # frame, and its md5-per-shingle corpus scan is the dominant cost —
+    # without the checkpoint the differently-keyed joins defeat exchange
+    # reuse and the scan runs 3x
     sets = (
         shingled.select(
             F.col(id_col).alias("_sid"), F.explode("_shingles").alias("_s")
         )
         .select("_sid", F.md5(F.col("_s").cast("binary")).alias("_h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sets.groupBy("_sid").agg(F.count("*").alias("_n"))
     inter = (

@@ -30,6 +30,31 @@ def cosine_expr(a, b):
     return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _assign_cells(vecs: DataFrame, cent: DataFrame, id_col: str,
+                  out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, pick
+    the best cell per vector with a map-side struct-argmax (ties →
+    lowest cid; zero-norm vectors score null and never win). Shared by
+    ivf_topk and semantic_dedup — the ``cent`` frame is the k-means
+    drop-in point for BOTH. ``vecs`` needs (id_col, emb, norm); ``cent``
+    needs (cid, cvec, cnorm)."""
+    cell_cos = F.try_divide(_dot(F.col("emb"), F.col("cvec")),
+                            F.col("norm") * F.col("cnorm"))
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            F.struct(
+                cell_cos.alias("cs"),
+                (-F.col("cid")).alias("ncid"),  # ties -> lowest cid
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+        .groupBy(id_col).agg(F.max("sc").alias("best"))
+        .select(id_col, F.col("best.cid").alias(out_col))
+    )
+
+
 def cosine_topk(
     df: DataFrame, query_vec_id: int = 0, k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -57,6 +82,11 @@ def band_values(vec_col, n_bits: int = 16, bands: int = 4) -> list:
     more total bits = finer buckets (superlinear candidate pruning as the
     corpus grows), banding restores the recall that a single wide bucket
     key would destroy."""
+    assert n_bits % bands == 0, (
+        f"n_bits={n_bits} must divide evenly into bands={bands} — a "
+        "remainder would silently drop the trailing sign bits and give "
+        "coarser buckets than requested"
+    )
     per = n_bits // bands
     vals = []
     for b in range(bands):
@@ -204,21 +234,7 @@ def ivf_topk(
     ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
              F.col("norm").alias("cnorm"))
     corpus = e.filter(F.col(id_col) != query_vec_id)
-    cell_cos = F.try_divide(_dot(F.col("emb"), F.col("cvec")),
-                            F.col("norm") * F.col("cnorm"))
-    assign = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select(
-            id_col,
-            F.struct(
-                cell_cos.alias("cs"),
-                (-F.col("cid")).alias("ncid"),  # ties -> lowest cid
-                F.col("cid").alias("cid"),
-            ).alias("sc"),
-        )
-        .groupBy(id_col).agg(F.max("sc").alias("best"))
-        .select(id_col, F.col("best.cid").alias("cid"))
-    )
+    assign = _assign_cells(corpus, cent, id_col, out_col="cid")
     q = e.filter(F.col(id_col) == query_vec_id).select(
         F.col("emb").alias("qe"), F.col("norm").alias("qnorm"))
     qcos = F.try_divide(_dot(F.col("cvec"), F.col("qe")),
@@ -321,21 +337,7 @@ def semantic_dedup(
         (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
     ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
              F.col("norm").alias("cnorm"))
-    cell_cos = F.try_divide(_dot(F.col("emb"), F.col("cvec")),
-                            F.col("norm") * F.col("cnorm"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            id_col,
-            F.struct(
-                cell_cos.alias("cs"),
-                (-F.col("cid")).alias("ncid"),  # ties -> lowest cid
-                F.col("cid").alias("cid"),
-            ).alias("sc"),
-        )
-        .groupBy(id_col).agg(F.max("sc").alias("best"))
-        .select(id_col, F.col("best.cid").alias("cell"))
-    )
+    assign = _assign_cells(e, cent, id_col, out_col="cell")
     members = assign.join(e, id_col).select(id_col, "cell", "emb", "norm")
     a = members.select(
         F.col("cell"), F.col(id_col).alias("id_a"),

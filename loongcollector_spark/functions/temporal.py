@@ -77,8 +77,11 @@ def asof_join(facts: DataFrame, snapshots: DataFrame, on: str,
         F.struct(*dim_cols).alias("_dim"),
     )
     # snapshots sort BEFORE facts at equal timestamps (_side 0 < 1) so
-    # an equal-ts snapshot is visible to the fact row
-    w = (Window.partitionBy(on).orderBy(time_col, "_side")
+    # an equal-ts snapshot is visible to the fact row; _dim breaks ties
+    # BETWEEN snapshots sharing a timestamp (struct compare, greatest
+    # value wins) — without it which duplicate snapshot attaches would
+    # vary with shuffle arrival order run to run
+    w = (Window.partitionBy(on).orderBy(time_col, "_side", "_dim")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = lhs.unionByName(rhs).withColumn(
         "_asof", F.last("_dim", ignorenulls=True).over(w))

@@ -13,9 +13,13 @@ from pyspark.sql import DataFrame, functions as F
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokenization count (the BPE-ish variant is
-    with_bpe_token_estimate below)."""
+    with_bpe_token_estimate below). Null/empty/whitespace-only documents
+    count 0 — split('') returning [''] would report 1, disagreeing with
+    pack_assignments' and bm25's token accounting on identical input."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     return df.withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("int")
+        "n_tokens",
+        F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("int"),
     )
 
 
@@ -236,6 +240,10 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     aggregations ((doc, char) → doc); shuffles carry single characters
     and counts, never documents. Null/empty documents are dropped
     (filter on trimmed text on both engines)."""
+    # the documented filter, applied HERE so direct callers match the
+    # oracle too: Spark's split('', '') returns [''] (a phantom
+    # n_chars=1 row) while DuckDB's string_split unnests to zero rows
+    df = df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
     chars = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "")).alias("_c"),

@@ -694,3 +694,24 @@ class TestDockerStdoutService:
         got = op(self._lines(spark, ["no framing here"])).collect()
         assert got[0]["content"] == "no framing here"
         assert got[0]["_time_"] == ""
+
+
+def test_simhash_long_doc_no_overflow(spark):
+    """A >=32k-token doc used to overflow the 16-bit-lane packing —
+    ARITHMETIC_OVERFLOW under ANSI, silent lane-wrap without. The 32-bit
+    lanes must match the Python model exactly."""
+    from loongcollector_spark.functions.dedup import simhash_signatures
+
+    text = "foo bar " * 40_000  # 80k tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = simhash_signatures(df).first()
+
+    acc = [0] * 64
+    for w in text.split():
+        hx = hashlib.md5(w.encode()).hexdigest()[:16]
+        for k in range(64):
+            acc[k] += 1 if (int(hx[k // 4], 16) >> (k % 4)) & 1 else -1
+    exp = [sum(1 << j for j in range(16) if acc[16 * c + j] > 0)
+           for c in range(4)]
+    assert [r["sh0"], r["sh1"], r["sh2"], r["sh3"]] == exp
+
