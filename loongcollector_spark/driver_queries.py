@@ -3983,6 +3983,87 @@ FROM range(0, 100) t(i)
 """
 
 
+def q_canal_rows(spark, sf_dir):
+    """service_canal binlog row/DDL events → logs (input_canal.go:273-460):
+    one deterministic binlog event per events row cycling insert / update
+    / delete / ddl, converted with PackValues=true — exercises the
+    (old,new) update pairing, the _old_ prefix, the GTID trio, the DDL
+    field set, and the Go json.Marshal pack (sorted keys, empty→\"\").
+    Pure codegen: synth + convert is one projection + generate, zero
+    exchanges (test_canal.py pins the plan shape)."""
+    from loongcollector_spark.operators import build_operator
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    k = F.pmod("event_id", F.lit(4))
+    uid = F.col("user_id").cast("string")
+    vi = F.pmod("event_id", F.lit(97)).cast("string")
+    one = lambda v: F.array(F.array(uid, v))  # noqa: E731
+    binlog = ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.element_at(
+            F.array(F.lit("insert"), F.lit("update"),
+                    F.lit("delete"), F.lit("ddl")), (k + 1).cast("int")
+        ).alias("action"),
+        F.lit("appdb").alias("db"), F.col("event_type").alias("tbl"),
+        F.array(F.lit("id"), F.lit("v")).alias("columns"),
+        F.when(k == 1, F.concat(one(F.concat(F.lit("o"), vi)),
+                                one(F.concat(F.lit("n"), vi))))
+        .when(k == 3, F.lit(None).cast("array<array<string>>"))
+        .otherwise(one(vi)).alias("rows"),
+        F.concat(F.lit("g:"), F.col("event_id").cast("string")).alias("gtid"),
+        F.lit("mysql-bin.000007").alias("filename"),
+        (F.col("event_id") + 1000).alias("log_pos"),
+        F.lit(0).cast("long").alias("event_time"),
+        F.lit(0).cast("long").alias("event_size"),
+        F.lit(0).cast("long").alias("server_id"),
+        F.when(k == 3, F.concat(F.lit("ALTER TABLE "), F.col("event_type")))
+        .alias("query"),
+        F.lit(0).cast("long").alias("error_code"),
+        F.lit(1).cast("long").alias("exec_time"),
+        F.lit("").alias("status_vars"),
+    )
+    op = build_operator({
+        "Type": "service_canal", "Host": "db1",
+        "EnableDDL": True, "PackValues": True,
+    })
+    out = op(binlog)
+    c = F.col("contents")
+    return out.select(
+        "event_seq", "log_idx",
+        c["_event_"].alias("evt"), c["_db_"].alias("dbname"),
+        c["_gtid_"].alias("gtid"), c["_offset_"].alias("off"),
+        c["old_data"].alias("old_data"), c["data"].alias("data"),
+    )
+
+
+O_CANAL_ROWS = """
+WITH e AS (
+  SELECT event_id, event_type, event_id % 4 AS k,
+         cast(user_id AS VARCHAR) AS uid,
+         cast(event_id % 97 AS VARCHAR) AS vi
+  FROM events
+)
+SELECT event_id AS event_seq, 0 AS log_idx,
+  CASE k WHEN 0 THEN 'row_insert' WHEN 1 THEN 'row_update'
+         WHEN 2 THEN 'row_delete' ELSE 'ddl' END AS evt,
+  'appdb' AS dbname,
+  'g:' || event_id AS gtid,
+  cast(event_id + 1000 AS VARCHAR) AS off,
+  CASE WHEN k = 1 THEN '{"_old_id":"' || uid || '","_old_v":"o' || vi || '"}'
+       ELSE '' END AS old_data,
+  CASE k
+    WHEN 0 THEN '{"id":"' || uid || '","v":"' || vi || '"}'
+    WHEN 1 THEN '{"id":"' || uid || '","v":"n' || vi || '"}'
+    WHEN 2 THEN '{"id":"' || uid || '","v":"' || vi || '"}'
+    ELSE '{"ErrorCode":"0","ExecutionTime":"1","Query":"ALTER TABLE '
+         || event_type || '","StatusVars":""}'
+  END AS data
+FROM e
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time enrichment: every event picks up the most recent
     per-user snapshot value at-or-before its timestamp (union +
@@ -4508,6 +4589,7 @@ QUERIES = {
     "statsd_decode": (q_statsd_decode, O_STATSD_DECODE),
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
     "command_input": (q_command_input, O_COMMAND_INPUT),
+    "canal_rows": (q_canal_rows, O_CANAL_ROWS),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),
