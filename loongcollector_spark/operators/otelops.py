@@ -542,15 +542,56 @@ register("aggregator_skywalking", keys=_AGG_KEYS)(
 # --------------------------- registry glue ------------------------------
 
 
-def _check_format(cfg: dict):
+def _check_format(cfg: dict) -> str:
     fmt = cfg.get("Format", "").lower()
     if fmt == "":  # processor_otel_trace.go Init: empty format is an error
         raise ValueError("The format field is empty")
-    if fmt not in ("json", "protojson"):
-        raise NotImplementedError(
-            f"Format={fmt!r}: binary OTLP protobuf decode is not implemented "
-            "in this build — use json/protojson"
-        )
+    if fmt not in ("json", "protojson", "protobuf"):
+        raise ValueError(f"Format={fmt!r}: expected json/protojson/protobuf")
+    return fmt
+
+
+def otlp_pb_to_json(df: DataFrame, source_col: str, mode: str) -> DataFrame:
+    """Format=protobuf (processor_otel_trace.go:117-128): binary
+    TracesData/MetricsData payloads transcoded per Arrow batch into the
+    OTLP/JSON shape (``pbwire.decode_otlp_traces``/``_metrics``), so the
+    binary format feeds the SAME codegen conversion plan as json — ids
+    land hex-encoded, no second decode. A malformed payload transcodes
+    to an empty document (the reference logs-and-skips,
+    processor_otel_trace.go:58-63)."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from loongcollector_spark.pbwire import (
+        decode_otlp_metrics, decode_otlp_traces,
+    )
+
+    decode = decode_otlp_traces if mode == "trace" else decode_otlp_metrics
+    empty = '{"resourceSpans":[]}' if mode == "trace" else \
+        '{"resourceMetrics":[]}'
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([
+        StructField(f.name, StringType()) if f.name == source_col else f
+        for f in df.schema.fields
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def one(v):
+                try:
+                    raw = v if isinstance(v, (bytes, bytearray)) else \
+                        str(v).encode("latin-1")  # Go []byte(string) cast
+                    return _json.dumps(decode(raw), separators=(",", ":"))
+                except Exception:
+                    return empty
+            pdf = pdf.copy()
+            pdf[source_col] = pdf[source_col].map(one)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
 
 
 @register(
@@ -559,26 +600,31 @@ def _check_format(cfg: dict):
           "SpanIDNeedDecode", "ParentSpanIDNeedDecode"},
 )
 def _trace_factory(cfg: dict):
-    _check_format(cfg)
+    fmt = _check_format(cfg)
     src = cfg.get("SourceKey", "content")
 
     def run(df: DataFrame) -> DataFrame:
-        return otel_trace_to_logs(
-            df, src,
+        decode_ids = (
             bool(cfg.get("TraceIDNeedDecode", False)),
             bool(cfg.get("SpanIDNeedDecode", False)),
             bool(cfg.get("ParentSpanIDNeedDecode", False)),
         )
+        if fmt == "protobuf":
+            df = otlp_pb_to_json(df, src, "trace")
+            decode_ids = (False, False, False)  # walker emits hex already
+        return otel_trace_to_logs(df, src, *decode_ids)
 
     return run
 
 
 @register("processor_otel_metric", keys={"SourceKey", "Format", "NoKeyError"})
 def _metric_factory(cfg: dict):
-    _check_format(cfg)
+    fmt = _check_format(cfg)
     src = cfg.get("SourceKey", "content")
 
     def run(df: DataFrame) -> DataFrame:
+        if fmt == "protobuf":
+            df = otlp_pb_to_json(df, src, "metric")
         return otel_metrics_to_logs(df, src)
 
     return run

@@ -434,3 +434,245 @@ def py_sls_log(time_sec: int, contents: list[tuple[str, str]]) -> bytes:
     for k, v in contents:
         body += py_field(2, py_kv(k, v))
     return body
+
+
+# ------------------- OTLP binary protobuf → OTLP JSON -------------------
+# The reference's Format=protobuf branch unmarshals binary TracesData /
+# MetricsData with the otel collector's ProtoUnmarshaler
+# (plugins/processor/otel/processor_otel_trace.go:117-128, _metric.go)
+# and converts with the same ConvertTrace path as the JSON formats. Here
+# the wire walk transcodes straight into the OTLP/JSON shape the codegen
+# converters already consume (ids hex-encoded like the OTLP JSON
+# encoding, nanos as strings), so the binary format reuses the whole
+# oracle-checked conversion plan. Field numbers are the public
+# opentelemetry-proto schema (trace/v1/trace.proto,
+# metrics/v1/metrics.proto, common/v1/common.proto).
+
+import struct as _struct
+
+
+def _f64(v: int) -> float:
+    return _struct.unpack("<d", v.to_bytes(8, "little"))[0]
+
+
+def _sf64(v: int) -> int:
+    return int.from_bytes(v.to_bytes(8, "little"), "little", signed=True)
+
+
+def _packed(wt: int, val, width: int = 8) -> list[int]:
+    """A repeated fixed64/double field arrives packed (wt2 blob) or as
+    individual wt1 entries — normalize to a list of raw 8-byte ints."""
+    if wt == 2:
+        return [int.from_bytes(val[i:i + width], "little")
+                for i in range(0, len(val) - width + 1, width)]
+    return [val]
+
+
+def _otlp_any(buf: bytes) -> dict:
+    """common.v1.AnyValue → protojson dict (string/bool/int/double/bytes
+    subset — the span/metric converters read exactly these)."""
+    for f, wt, val in parse_fields(buf):
+        if f == 1:
+            return {"stringValue": val.decode("utf-8", "replace")}
+        if f == 2:
+            return {"boolValue": bool(val)}
+        if f == 3:
+            return {"intValue": str(_sf64(val) if wt == 1 else
+                                    (val - (1 << 64) if val >> 63 else val))}
+        if f == 4:
+            return {"doubleValue": _f64(val)}
+    return {}
+
+
+def _otlp_attrs(val: bytes) -> dict:
+    kv = {"key": "", "value": {}}
+    for f, _wt, v in parse_fields(val):
+        if f == 1:
+            kv["key"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            kv["value"] = _otlp_any(v)
+    return kv
+
+
+def _otlp_scope(buf: bytes) -> dict:
+    out = {"name": "", "version": ""}
+    for f, _wt, v in parse_fields(buf):
+        if f == 1:
+            out["name"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            out["version"] = v.decode("utf-8", "replace")
+    return out
+
+
+def _otlp_span(buf: bytes) -> dict:
+    s = {"traceId": "", "spanId": "", "parentSpanId": "", "name": "",
+         "kind": 0, "traceState": "", "startTimeUnixNano": "0",
+         "endTimeUnixNano": "0", "attributes": [], "events": [],
+         "links": [], "status": {"code": 0, "message": ""}}
+    for f, wt, v in parse_fields(buf):
+        if f == 1:
+            s["traceId"] = v.hex()
+        elif f == 2:
+            s["spanId"] = v.hex()
+        elif f == 3:
+            s["traceState"] = v.decode("utf-8", "replace")
+        elif f == 4:
+            s["parentSpanId"] = v.hex()
+        elif f == 5:
+            s["name"] = v.decode("utf-8", "replace")
+        elif f == 6:
+            s["kind"] = v
+        elif f == 7:
+            s["startTimeUnixNano"] = str(v)
+        elif f == 8:
+            s["endTimeUnixNano"] = str(v)
+        elif f == 9:
+            s["attributes"].append(_otlp_attrs(v))
+        elif f == 11:
+            ev = {"name": "", "timeUnixNano": "0", "attributes": []}
+            for ef, _ewt, evv in parse_fields(v):
+                if ef == 1:
+                    ev["timeUnixNano"] = str(evv)
+                elif ef == 2:
+                    ev["name"] = evv.decode("utf-8", "replace")
+                elif ef == 3:
+                    ev["attributes"].append(_otlp_attrs(evv))
+            s["events"].append(ev)
+        elif f == 13:
+            ln = {"traceId": "", "spanId": "", "attributes": []}
+            for lf, _lwt, lv in parse_fields(v):
+                if lf == 1:
+                    ln["traceId"] = lv.hex()
+                elif lf == 2:
+                    ln["spanId"] = lv.hex()
+                elif lf == 4:
+                    ln["attributes"].append(_otlp_attrs(lv))
+            s["links"].append(ln)
+        elif f == 15:
+            for sf, _swt, sv in parse_fields(v):
+                if sf == 2:
+                    s["status"]["message"] = sv.decode("utf-8", "replace")
+                elif sf == 3:
+                    s["status"]["code"] = sv
+    return s
+
+
+def _otlp_resource_grp(buf: bytes, scoped_key: str, item_key: str,
+                       item_fn) -> dict:
+    rs = {"resource": {"attributes": []}, scoped_key: []}
+    for f, _wt, v in parse_fields(buf):
+        if f == 1:
+            rs["resource"]["attributes"] = [
+                _otlp_attrs(av) for af, _awt, av in parse_fields(v) if af == 1
+            ]
+        elif f == 2:
+            sc = {"scope": {"name": "", "version": ""}, item_key: []}
+            for sf, _swt, sv in parse_fields(v):
+                if sf == 1:
+                    sc["scope"] = _otlp_scope(sv)
+                elif sf == 2:
+                    sc[item_key].append(item_fn(sv))
+            rs[scoped_key].append(sc)
+    return rs
+
+
+def decode_otlp_traces(buf: bytes) -> dict:
+    """TracesData bytes → {"resourceSpans": [...]} (OTLP/JSON shape)."""
+    return {"resourceSpans": [
+        _otlp_resource_grp(v, "scopeSpans", "spans", _otlp_span)
+        for f, _wt, v in parse_fields(buf) if f == 1
+    ]}
+
+
+def _otlp_number_dp(buf: bytes) -> dict:
+    dp = {"attributes": [], "timeUnixNano": "0"}
+    for f, wt, v in parse_fields(buf):
+        if f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["asDouble"] = _f64(v)
+        elif f == 6:
+            dp["asInt"] = str(_sf64(v))
+        elif f == 7:
+            dp["attributes"].append(_otlp_attrs(v))
+    return dp
+
+
+def _otlp_hist_dp(buf: bytes) -> dict:
+    dp = {"attributes": [], "timeUnixNano": "0", "count": "0",
+          "bucketCounts": [], "explicitBounds": []}
+    for f, wt, v in parse_fields(buf):
+        if f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["count"] = str(v)
+        elif f == 5:
+            dp["sum"] = _f64(v)
+        elif f == 6:
+            dp["bucketCounts"] += [str(x) for x in _packed(wt, v)]
+        elif f == 7:
+            dp["explicitBounds"] += [_f64(x) for x in _packed(wt, v)]
+        elif f == 9:
+            dp["attributes"].append(_otlp_attrs(v))
+        elif f == 11:
+            dp["min"] = _f64(v)
+        elif f == 12:
+            dp["max"] = _f64(v)
+    return dp
+
+
+def _otlp_summary_dp(buf: bytes) -> dict:
+    dp = {"attributes": [], "timeUnixNano": "0", "count": "0",
+          "sum": 0.0, "quantileValues": []}
+    for f, _wt, v in parse_fields(buf):
+        if f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["count"] = str(v)
+        elif f == 5:
+            dp["sum"] = _f64(v)
+        elif f == 6:
+            q = {"quantile": 0.0, "value": 0.0}
+            for qf, _qwt, qv in parse_fields(v):
+                if qf == 1:
+                    q["quantile"] = _f64(qv)
+                elif qf == 2:
+                    q["value"] = _f64(qv)
+            dp["quantileValues"].append(q)
+    return dp
+
+
+def _otlp_metric(buf: bytes) -> dict:
+    m = {"name": ""}
+    for f, _wt, v in parse_fields(buf):
+        if f == 1:
+            m["name"] = v.decode("utf-8", "replace")
+        elif f == 5:
+            m["gauge"] = {"dataPoints": [
+                _otlp_number_dp(dv) for df_, _dwt, dv in parse_fields(v)
+                if df_ == 1]}
+        elif f == 7:
+            s = {"dataPoints": [], "isMonotonic": False}
+            for sf, _swt, sv in parse_fields(v):
+                if sf == 1:
+                    s["dataPoints"].append(_otlp_number_dp(sv))
+                elif sf == 3:
+                    s["isMonotonic"] = bool(sv)
+            m["sum"] = s
+        elif f == 9:
+            m["histogram"] = {"dataPoints": [
+                _otlp_hist_dp(dv) for df_, _dwt, dv in parse_fields(v)
+                if df_ == 1]}
+        elif f == 11:
+            m["summary"] = {"dataPoints": [
+                _otlp_summary_dp(dv) for df_, _dwt, dv in parse_fields(v)
+                if df_ == 1]}
+    return m
+
+
+def decode_otlp_metrics(buf: bytes) -> dict:
+    """MetricsData bytes → {"resourceMetrics": [...]} (OTLP/JSON shape)."""
+    return {"resourceMetrics": [
+        _otlp_resource_grp(v, "scopeMetrics", "metrics", _otlp_metric)
+        for f, _wt, v in parse_fields(buf) if f == 1
+    ]}

@@ -130,8 +130,8 @@ def test_otel_registry_and_format_validation(spark):
 
     with pytest.raises(ValueError):        # empty format is an Init error
         build_operator({"Type": "processor_otel_trace"})
-    with pytest.raises(NotImplementedError):
-        build_operator({"Type": "processor_otel_metric", "Format": "protobuf"})
+    with pytest.raises(ValueError):        # unknown format
+        build_operator({"Type": "processor_otel_metric", "Format": "xml"})
 
 
 def test_otel_skywalking_aggregator_routing(spark):
@@ -187,3 +187,197 @@ def test_otel_metric_seconds_timestamp_scaling(spark):
     df = spark.createDataFrame([(1, json.dumps(m))], "i long, content string")
     row = otel_metrics_to_logs(df).collect()[0]
     assert row["__time_nano__"] == "1663904182000000000"
+
+
+# ------------------- Format=protobuf (binary OTLP) ----------------------
+# Independent test-side encoder: the JSON fixtures above are serialized
+# to binary TracesData/MetricsData wire bytes here (public
+# opentelemetry-proto field numbers), decoded by pbwire's walker, and
+# the Format=protobuf operator output must equal Format=json on the same
+# logical payload.
+
+import struct
+
+from loongcollector_spark.pbwire import py_field, py_varint
+
+
+def _enc_any(v: dict) -> bytes:
+    if "stringValue" in v:
+        return py_field(1, v["stringValue"].encode())
+    if "boolValue" in v:
+        return py_field(2, b"\x01" if v["boolValue"] else b"\x00",
+                        wire_type=0)[:1] + (b"\x01" if v["boolValue"]
+                                            else b"\x00")
+    if "intValue" in v:
+        n = int(v["intValue"])
+        return bytes([0x18]) + py_varint(n if n >= 0 else n + (1 << 64))
+    if "doubleValue" in v:
+        return bytes([0x21]) + struct.pack("<d", v["doubleValue"])
+    return b""
+
+
+def _enc_kv(kv: dict) -> bytes:
+    return py_field(1, kv["key"].encode()) + py_field(2, _enc_any(kv["value"]))
+
+
+def _enc_attrs(field_no: int, attrs: list) -> bytes:
+    return b"".join(py_field(field_no, _enc_kv(a)) for a in attrs)
+
+
+def _fixed64(field_no: int, v: int) -> bytes:
+    return py_varint((field_no << 3) | 1) + struct.pack("<Q", v)
+
+
+def _dbl(field_no: int, v: float) -> bytes:
+    return py_varint((field_no << 3) | 1) + struct.pack("<d", v)
+
+
+def _enc_span(s: dict) -> bytes:
+    b = py_field(1, bytes.fromhex(s["traceId"]))
+    b += py_field(2, bytes.fromhex(s["spanId"]))
+    b += py_field(3, s["traceState"].encode())
+    b += py_field(4, bytes.fromhex(s.get("parentSpanId", "")))
+    b += py_field(5, s["name"].encode())
+    b += bytes([0x30]) + py_varint(s["kind"])
+    b += _fixed64(7, int(s["startTimeUnixNano"]))
+    b += _fixed64(8, int(s["endTimeUnixNano"]))
+    b += _enc_attrs(9, s["attributes"])
+    for ev in s.get("events", []):
+        eb = _fixed64(1, int(ev["timeUnixNano"]))
+        eb += py_field(2, ev["name"].encode())
+        eb += _enc_attrs(3, ev["attributes"])
+        b += py_field(11, eb)
+    for ln in s.get("links", []):
+        lb = py_field(1, bytes.fromhex(ln["traceId"]))
+        lb += py_field(2, bytes.fromhex(ln["spanId"]))
+        lb += _enc_attrs(4, ln["attributes"])
+        b += py_field(13, lb)
+    st = s.get("status", {})
+    sb = py_field(2, st.get("message", "").encode())
+    sb += bytes([0x18]) + py_varint(st.get("code", 0))
+    b += py_field(15, sb)
+    return b
+
+
+def _enc_scope(sc: dict) -> bytes:
+    return py_field(1, sc["name"].encode()) + py_field(
+        2, sc["version"].encode())
+
+
+def _enc_traces(doc: dict) -> bytes:
+    out = b""
+    for rs in doc["resourceSpans"]:
+        rb = py_field(1, _enc_attrs(1, rs["resource"]["attributes"]))
+        for ss in rs["scopeSpans"]:
+            sb = py_field(1, _enc_scope(ss["scope"]))
+            sb += b"".join(py_field(2, _enc_span(s)) for s in ss["spans"])
+            rb += py_field(2, sb)
+        out += py_field(1, rb)
+    return out
+
+
+def _enc_number_dp(dp: dict) -> bytes:
+    b = _fixed64(3, int(dp["timeUnixNano"]))
+    if "asDouble" in dp:
+        b += _dbl(4, dp["asDouble"])
+    if "asInt" in dp:
+        b += py_varint((6 << 3) | 1) + struct.pack("<q", int(dp["asInt"]))
+    b += _enc_attrs(7, dp["attributes"])
+    return b
+
+
+def _enc_metric(m: dict) -> bytes:
+    b = py_field(1, m["name"].encode())
+    if "gauge" in m:
+        b += py_field(5, b"".join(
+            py_field(1, _enc_number_dp(d)) for d in m["gauge"]["dataPoints"]))
+    if "sum" in m:
+        sb = b"".join(py_field(1, _enc_number_dp(d))
+                      for d in m["sum"]["dataPoints"])
+        if m["sum"].get("isMonotonic"):
+            sb += bytes([0x18, 0x01])
+        b += py_field(7, sb)
+    if "histogram" in m:
+        hb = b""
+        for d in m["histogram"]["dataPoints"]:
+            db = _fixed64(3, int(d["timeUnixNano"]))
+            db += _fixed64(4, int(d["count"]))
+            if "sum" in d:
+                db += _dbl(5, d["sum"])
+            # packed bucket_counts / explicit_bounds (proto3 default)
+            db += py_field(6, b"".join(
+                struct.pack("<Q", int(c)) for c in d["bucketCounts"]))
+            db += py_field(7, b"".join(
+                struct.pack("<d", x) for x in d["explicitBounds"]))
+            db += _enc_attrs(9, d["attributes"])
+            if d.get("min", 0) != 0:
+                db += _dbl(11, d["min"])
+            if d.get("max", 0) != 0:
+                db += _dbl(12, d["max"])
+            hb += py_field(1, db)
+        b += py_field(9, hb)
+    if "summary" in m:
+        sb = b""
+        for d in m["summary"]["dataPoints"]:
+            db = _fixed64(3, int(d["timeUnixNano"]))
+            db += _fixed64(4, int(d["count"]))
+            db += _dbl(5, d["sum"])
+            db += _enc_attrs(7, d["attributes"])
+            for q in d["quantileValues"]:
+                db += py_field(6, _dbl(1, q["quantile"]) + _dbl(2, q["value"]))
+            sb += py_field(1, db)
+        b += py_field(11, sb)
+    return b
+
+
+def _enc_metrics(doc: dict) -> bytes:
+    out = b""
+    for rm in doc["resourceMetrics"]:
+        rb = py_field(1, _enc_attrs(1, rm["resource"]["attributes"]))
+        for sm in rm["scopeMetrics"]:
+            sb = py_field(1, _enc_scope(sm["scope"]))
+            sb += b"".join(py_field(2, _enc_metric(m)) for m in sm["metrics"])
+            rb += py_field(2, sb)
+        out += py_field(1, rb)
+    return out
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_otel_trace_protobuf_equals_json(spark):
+    pb = _enc_traces(_TRACE)
+    jdf = spark.createDataFrame([(1, json.dumps(_TRACE))],
+                                "i long, content string")
+    bdf = spark.createDataFrame([(1, bytearray(pb))],
+                                "i long, content binary")
+    jop = build_operator({"Type": "processor_otel_trace", "Format": "json"})
+    bop = build_operator({"Type": "processor_otel_trace",
+                          "Format": "protobuf"})
+    jrows = [dict(r["contents"]) for r in jop(jdf).collect()]
+    brows = [dict(r["contents"]) for r in bop(bdf).collect()]
+    assert brows == jrows and len(brows) == 1
+
+
+def test_otel_metric_protobuf_equals_json(spark):
+    pb = _enc_metrics(_METRICS)
+    jdf = spark.createDataFrame([(1, json.dumps(_METRICS))],
+                                "i long, content string")
+    bdf = spark.createDataFrame([(1, bytearray(pb))],
+                                "i long, content binary")
+    jop = build_operator({"Type": "processor_otel_metric", "Format": "json"})
+    bop = build_operator({"Type": "processor_otel_metric",
+                          "Format": "protobuf"})
+    cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
+    assert _rows(bop(bdf), cols) == _rows(jop(jdf), cols)
+    assert len(bop(bdf).collect()) == 12
+
+
+def test_otel_protobuf_malformed_payload_yields_no_rows(spark):
+    bdf = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xff\xff")), (2, None)],
+        "i long, content binary")
+    bop = build_operator({"Type": "processor_otel_trace",
+                          "Format": "protobuf"})
+    assert bop(bdf).count() == 0  # logs-and-skips, never a task kill
