@@ -3983,6 +3983,48 @@ FROM range(0, 100) t(i)
 """
 
 
+def q_hashed_classifier(spark, sf_dir):
+    """fastText-style hashed uni+bigram linear classifier over the
+    documents corpus (functions/classifier.py): codegen feature hashing,
+    (doc, bucket) count agg, BROADCAST weight join, integer milli-score
+    dot product + logistic — the quality-gating scorer of a training-data
+    pipeline, with the weight vector as a broadcast model frame."""
+    from loongcollector_spark.functions.classifier import hashed_ngram_scores
+
+    return hashed_ngram_scores(_docs(spark, sf_dir), n_buckets=4096)
+
+
+O_HASHED_CLASSIFIER = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, unnest(list_concat(ws,
+    CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE [] END)) AS gram
+  FROM w
+),
+c AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS bucket,
+         count(*) AS n
+  FROM g GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id, cast(sum(n) AS BIGINT) AS n_grams,
+    cast(sum(n * (cast(('0x' || substr(md5('w:' || bucket), 1, 8))::UBIGINT
+                       % 2001 AS BIGINT) - 1000)) AS BIGINT) AS score_milli
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_grams, score_milli,
+  1.0 / (1.0 + exp(-(score_milli::DOUBLE / (n_grams::DOUBLE * 1000.0))))
+    AS prob
+FROM s
+"""
+
+
 def q_canal_rows(spark, sf_dir):
     """service_canal binlog row/DDL events → logs (input_canal.go:273-460):
     one deterministic binlog event per events row cycling insert / update
@@ -4590,6 +4632,7 @@ QUERIES = {
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
     "command_input": (q_command_input, O_COMMAND_INPUT),
     "canal_rows": (q_canal_rows, O_CANAL_ROWS),
+    "hashed_classifier": (q_hashed_classifier, O_HASHED_CLASSIFIER),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),

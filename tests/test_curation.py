@@ -279,3 +279,49 @@ def test_incremental_dedup_statuses(spark):
     got2 = {r["doc_id"]: r["status"]
             for r in incremental_dedup(batch, fps).collect()}
     assert got2 == got
+
+
+def test_hashed_classifier_known_values(spark):
+    """Hand-computed dot product on a 2-doc corpus: the md5 bucket/weight
+    derivation is replayed in pure Python and must match the Spark frame."""
+    import hashlib
+    import math
+
+    from loongcollector_spark.functions.classifier import hashed_ngram_scores
+
+    def bucket(g, n=64):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n
+
+    def weight(b):
+        return int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    docs = [("a", "Red fox  runs"), ("b", "fox")]
+    expected = {}
+    for doc_id, text in docs:
+        ws = text.strip().lower().split()
+        grams = ws + [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        score = sum(weight(bucket(g)) for g in grams)
+        prob = 1.0 / (1.0 + math.exp(-(score / (len(grams) * 1000.0))))
+        expected[doc_id] = (len(grams), score, round(prob, 10))
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.score_milli, round(r.prob, 10))
+        for r in hashed_ngram_scores(df, n_buckets=64).collect()
+    }
+    assert got == expected
+
+
+def test_hashed_classifier_plan_broadcast_no_text_shuffle(spark):
+    """Scale posture: the weight join is BROADCAST and no exchange
+    carries the text column — shuffles move (doc, bucket, count) ints."""
+    from loongcollector_spark.functions.classifier import hashed_ngram_scores
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "some words here") for i in range(10)],
+        "doc_id string, text string")
+    plan = hashed_ngram_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
