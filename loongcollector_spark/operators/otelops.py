@@ -25,9 +25,9 @@ dataPoints) — every mapping below is a codegen/HOF expression, no Python
 on the data path. Per-span/per-datapoint work never shuffles; the
 operator composes with whatever pipeline surrounds it.
 
-Documented divergences: Format="protobuf" (binary OTLP) is not
-implemented — json/protojson only, a clear build-time error otherwise;
-exemplar rows and exponential-histogram datapoints are skipped; Go's
+Documented divergences: Format="protobuf" (binary OTLP) decodes via
+``pbwire.decode_otlp_traces``/``_metrics`` transcoding into this same
+JSON plan (see ``otlp_pb_to_json``); exemplar rows and exponential-histogram datapoints are skipped; Go's
 ``json.Marshal`` HTML-escapes ``<>&`` inside attribute JSON while
 ``to_json`` here does not; float rendering matches Go's %g for integral
 and plain-decimal values (the ``_go_float_str`` exponent rewrite covers
@@ -325,11 +325,17 @@ def _dp_value(dp: Column) -> Column:
     return F.coalesce(dp["asDouble"], dp["asInt"].cast("double"), F.lit(0.0))
 
 
-def _row(name: Column, labels: Column, t: Column, value: Column) -> Column:
-    return F.struct(
-        name, _labels_str(labels), _time_nano(t), _go_float_str(value), value,
-    ).cast(
-        "struct<name:string,labels:string,tn:string,val:string,val_num:double>"
+def _row(suffix, labels: Column, t: Column, value: Column) -> Column:
+    """One metric-log row in RAW form — suffix (not the formatted name),
+    label ENTRIES (not the joined string), unpadded time, double value.
+    The expensive per-row formatting (_metric_name regexp, _labels_str
+    sort+join, _time_nano pad, _go_float_str) runs AFTER the explode as
+    top-level codegen expressions; inside these transform lambdas it
+    would be interpreted per emitted row (measured ~2x the whole query)."""
+    sfx = F.lit(suffix) if isinstance(suffix, str) else suffix
+    return F.struct(sfx, labels, F.coalesce(t, F.lit("0")), value).cast(
+        "struct<sfx:string,ents:array<struct<k:string,v:string>>,"
+        "tn:string,val:double>"
     )
 
 
@@ -366,8 +372,7 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
             labels = dp_labels(dp)
             if extra is not None:
                 labels = _with_label(labels, *extra)
-            return _row(_metric_name(met["name"]), labels,
-                        dp["timeUnixNano"], _dp_value(dp))
+            return _row("", labels, dp["timeUnixNano"], _dp_value(dp))
 
         return F.transform(F.coalesce(dps, F.array()), one)
 
@@ -382,16 +387,15 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
     def summary_rows(dp):
         labels = dp_labels(dp)
         base = F.array(
-            _row(_metric_name(met["name"], "_sum"), labels,
-                 dp["timeUnixNano"], F.coalesce(dp["sum"], F.lit(0.0))),
-            _row(_metric_name(met["name"], "_count"), labels,
-                 dp["timeUnixNano"],
+            _row("_sum", labels, dp["timeUnixNano"],
+                 F.coalesce(dp["sum"], F.lit(0.0))),
+            _row("_count", labels, dp["timeUnixNano"],
                  F.coalesce(dp["count"].cast("double"), F.lit(0.0))),
         )
         quant = F.transform(
             F.coalesce(dp["quantileValues"], F.array()),
             lambda q: _row(
-                _metric_name(met["name"]),
+                "",
                 _with_label(labels, "quantile",
                             _go_float_str(F.coalesce(q["quantile"], F.lit(0.0)))),
                 dp["timeUnixNano"],
@@ -405,21 +409,21 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         t = dp["timeUnixNano"]
         opt = (
             F.when(F.coalesce(dp["sum"], F.lit(0.0)) != 0,
-                   F.array(_row(_metric_name(met["name"], "_sum"), labels, t,
+                   F.array(_row("_sum", labels, t,
                                 dp["sum"]))).otherwise(F.array())
         )
         opt_min = (
             F.when(F.coalesce(dp["min"], F.lit(0.0)) != 0,
-                   F.array(_row(_metric_name(met["name"], "_min"), labels, t,
+                   F.array(_row("_min", labels, t,
                                 dp["min"]))).otherwise(F.array())
         )
         opt_max = (
             F.when(F.coalesce(dp["max"], F.lit(0.0)) != 0,
-                   F.array(_row(_metric_name(met["name"], "_max"), labels, t,
+                   F.array(_row("_max", labels, t,
                                 dp["max"]))).otherwise(F.array())
         )
         count_row = F.array(_row(
-            _metric_name(met["name"], "_count"), labels, t,
+            "_count", labels, t,
             F.coalesce(dp["count"].cast("double"), F.lit(0.0)),
         ))
         bounds = F.coalesce(dp["explicitBounds"], F.array().cast("array<double>"))
@@ -433,7 +437,7 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         bucket = F.when(n_buckets > 0, F.transform(
             idx,
             lambda j: _row(
-                _metric_name(met["name"], "_bucket"),
+                "_bucket",
                 _with_label(
                     labels, "le",
                     F.when(j <= F.size(bounds),
@@ -454,14 +458,18 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         F.coalesce(met["summary"]["dataPoints"], F.array()), summary_rows
     ))
     all_rows = F.concat(gauge_rows, sum_rows, sum_hist, sum_summ)
-    out = m.select(*passthrough, F.explode(all_rows).alias("_r"))
+    out = m.select(
+        *passthrough, met["name"].alias("_mn"), F.explode(all_rows).alias("_r")
+    )
     return out.select(
         *passthrough,
-        F.col("_r.name").alias("__name__"),
-        F.col("_r.tn").alias("__time_nano__"),
-        F.col("_r.labels").alias("__labels__"),
-        F.col("_r.val").alias("__value__"),
-        F.col("_r.val_num").alias("__value_num__"),
+        _metric_name(
+            F.concat(F.coalesce(F.col("_mn"), F.lit("")), F.col("_r.sfx"))
+        ).alias("__name__"),
+        _time_nano(F.col("_r.tn")).alias("__time_nano__"),
+        _labels_str(F.col("_r.ents")).alias("__labels__"),
+        _go_float_str(F.col("_r.val")).alias("__value__"),
+        F.col("_r.val").alias("__value_num__"),
     )
 
 
