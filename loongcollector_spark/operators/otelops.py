@@ -67,6 +67,14 @@ _DP = (
     "quantileValues:array<struct<quantile:double,value:double>>>"
 )
 
+# exponential-histogram datapoint (metrics/v1 ExponentialHistogramDataPoint)
+_EDP = (
+    "struct<attributes:" + _ATTR + ",timeUnixNano:string,count:string,"
+    "sum:double,min:double,max:double,scale:int,zeroCount:string,"
+    "positive:struct<offset:int,bucketCounts:array<string>>,"
+    "negative:struct<offset:int,bucketCounts:array<string>>>"
+)
+
 OTLP_METRIC_DDL = (
     "resourceMetrics array<struct<resource:struct<attributes:" + _ATTR + ">,"
     "scopeMetrics:array<struct<scope:struct<name:string,version:string>,"
@@ -74,7 +82,8 @@ OTLP_METRIC_DDL = (
     "gauge:struct<dataPoints:array<" + _DP + ">>,"
     "sum:struct<dataPoints:array<" + _DP + ">,isMonotonic:boolean>,"
     "histogram:struct<dataPoints:array<" + _DP + ">>,"
-    "summary:struct<dataPoints:array<" + _DP + ">>>>>>>>"
+    "summary:struct<dataPoints:array<" + _DP + ">>,"
+    "exponentialHistogram:struct<dataPoints:array<" + _EDP + ">>>>>>>>"
 )
 
 
@@ -451,13 +460,81 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         )).otherwise(F.array())
         return F.concat(opt, opt_min, opt_max, count_row, bucket)
 
+    def exp_histogram_rows(dp):
+        """exponentialHistogram2Logs (otlp_metric_parser.go:77-120):
+        _sum/_min/_max (non-zero), _count, then NON-cumulative ``_bucket``
+        rows whose ``le`` label is the bucket boundary range — positive
+        ``(lower,upper]``, negative ``[-upper,-lower)`` (otlp/
+        metric_helper.go:31-36, Go %v floats) — with base =
+        2^(2^-scale), lower = base^(offset+i); plus ``le=zero.count``
+        and ``le=positive.offset``/``negative.offset`` rows. NOTE:
+        non-integral scales make the boundary a transcendental pow —
+        label strings can differ from Go in the last ulp there; exact
+        for scale ≤ 0 (base 2, 4, 16…). Exemplar rows stay out of scope."""
+        labels = dp_labels(dp)
+        t = dp["timeUnixNano"]
+
+        def opt(field, suffix):
+            return F.when(
+                F.coalesce(dp[field], F.lit(0.0)) != 0,
+                F.array(_row(suffix, labels, t, dp[field])),
+            ).otherwise(F.array())
+
+        count_row = F.array(_row(
+            "_count", labels, t,
+            F.coalesce(dp["count"].cast("double"), F.lit(0.0))))
+        base = F.pow(F.lit(2.0), F.pow(F.lit(2.0),
+                                       -F.coalesce(dp["scale"], F.lit(0))))
+
+        def side(struct_col, positive: bool):
+            counts = F.coalesce(struct_col["bucketCounts"], F.array())
+            off = F.coalesce(struct_col["offset"], F.lit(0))
+
+            def one(i):
+                lower = F.pow(base, (off + i - 1).cast("double"))
+                upper = lower * base
+                if positive:
+                    le = F.concat(F.lit("("), _go_float_str(lower),
+                                  F.lit(","), _go_float_str(upper),
+                                  F.lit("]"))
+                else:
+                    le = F.concat(F.lit("["), _go_float_str(-upper),
+                                  F.lit(","), _go_float_str(-lower),
+                                  F.lit(")"))
+                return _row("_bucket", _with_label(labels, "le", le), t,
+                            F.element_at(counts, i).cast("double"))
+
+            buckets = F.when(F.size(counts) > 0, F.transform(
+                F.sequence(F.lit(1), F.size(counts)), one
+            )).otherwise(F.array())
+            offset_row = F.array(_row(
+                "_bucket",
+                _with_label(labels, "le",
+                            F.lit("positive.offset" if positive
+                                  else "negative.offset")),
+                t, off.cast("double")))
+            return F.concat(buckets, offset_row)
+
+        zero_row = F.array(_row(
+            "_bucket", _with_label(labels, "le", F.lit("zero.count")), t,
+            F.coalesce(dp["zeroCount"].cast("double"), F.lit(0.0))))
+        return F.concat(
+            opt("sum", "_sum"), opt("min", "_min"), opt("max", "_max"),
+            count_row, side(dp["positive"], True), zero_row,
+            side(dp["negative"], False),
+        )
+
     sum_hist = F.flatten(F.transform(
         F.coalesce(met["histogram"]["dataPoints"], F.array()), histogram_rows
+    ))
+    sum_ehist = F.flatten(F.transform(
+        F.coalesce(met["exponentialHistogram"]["dataPoints"], F.array()),
+        exp_histogram_rows,
     ))
     sum_summ = F.flatten(F.transform(
         F.coalesce(met["summary"]["dataPoints"], F.array()), summary_rows
     ))
-    all_rows = F.concat(gauge_rows, sum_rows, sum_hist, sum_summ)
+    all_rows = F.concat(gauge_rows, sum_rows, sum_hist, sum_ehist, sum_summ)
     out = m.select(
         *passthrough, met["name"].alias("_mn"), F.explode(all_rows).alias("_r")
     )

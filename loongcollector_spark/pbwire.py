@@ -621,6 +621,58 @@ def _otlp_hist_dp(buf: bytes) -> dict:
     return dp
 
 
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _packed_varints(wt: int, val) -> list[int]:
+    """repeated uint64 — packed (wt2 blob of varints) or single wt0."""
+    if wt == 0:
+        return [val]
+    out, pos = [], 0
+    while pos < len(val):
+        v, pos = read_varint(val, pos)
+        out.append(v)
+    return out
+
+
+def _otlp_exp_buckets(buf: bytes) -> dict:
+    b = {"offset": 0, "bucketCounts": []}
+    for f, wt, v in parse_fields(buf):
+        if f == 1:
+            b["offset"] = _zigzag(v)
+        elif f == 2:
+            b["bucketCounts"] += [str(x) for x in _packed_varints(wt, v)]
+    return b
+
+
+def _otlp_exp_hist_dp(buf: bytes) -> dict:
+    dp = {"attributes": [], "timeUnixNano": "0", "count": "0", "scale": 0,
+          "zeroCount": "0"}
+    for f, wt, v in parse_fields(buf):
+        if f == 1:
+            dp["attributes"].append(_otlp_attrs(v))
+        elif f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["count"] = str(v)
+        elif f == 5:
+            dp["sum"] = _f64(v)
+        elif f == 6:
+            dp["scale"] = _zigzag(v)
+        elif f == 7:
+            dp["zeroCount"] = str(v)
+        elif f == 8:
+            dp["positive"] = _otlp_exp_buckets(v)
+        elif f == 9:
+            dp["negative"] = _otlp_exp_buckets(v)
+        elif f == 12:
+            dp["min"] = _f64(v)
+        elif f == 13:
+            dp["max"] = _f64(v)
+    return dp
+
+
 def _otlp_summary_dp(buf: bytes) -> dict:
     dp = {"attributes": [], "timeUnixNano": "0", "count": "0",
           "sum": 0.0, "quantileValues": []}
@@ -662,6 +714,10 @@ def _otlp_metric(buf: bytes) -> dict:
         elif f == 9:
             m["histogram"] = {"dataPoints": [
                 _otlp_hist_dp(dv) for df_, _dwt, dv in parse_fields(v)
+                if df_ == 1]}
+        elif f == 10:
+            m["exponentialHistogram"] = {"dataPoints": [
+                _otlp_exp_hist_dp(dv) for df_, _dwt, dv in parse_fields(v)
                 if df_ == 1]}
         elif f == 11:
             m["summary"] = {"dataPoints": [

@@ -381,3 +381,80 @@ def test_otel_protobuf_malformed_payload_yields_no_rows(spark):
     bop = build_operator({"Type": "processor_otel_trace",
                           "Format": "protobuf"})
     assert bop(bdf).count() == 0  # logs-and-skips, never a task kill
+
+
+_EXP_HIST = {"resourceMetrics": [{
+    "resource": {"attributes": [
+        {"key": "host.name", "value": {"stringValue": "h"}}]},
+    "scopeMetrics": [{"scope": {"name": "s", "version": "1"}, "metrics": [
+        {"name": "eh", "exponentialHistogram": {"dataPoints": [
+            {"attributes": [], "timeUnixNano": "1663904182348000000",
+             "count": "17", "sum": 9.5, "max": 12.0, "scale": 0,
+             "zeroCount": "2",
+             "positive": {"offset": 1, "bucketCounts": ["3", "0", "5"]},
+             "negative": {"offset": -1, "bucketCounts": ["7"]}}]}},
+    ]}],
+}]}
+
+
+def test_otel_exponential_histogram_mapping(spark):
+    """exponentialHistogram2Logs (otlp_metric_parser.go:77-120): base =
+    2^(2^-scale); positive buckets '(lower,upper]', negative
+    '[-upper,-lower)', zero.count + offset rows, NON-cumulative counts."""
+    df = spark.createDataFrame([(1, json.dumps(_EXP_HIST))],
+                               "i long, content string")
+    rows = [(r["__name__"], r["__labels__"].split("|")[-1], r["__value__"])
+            for r in otel_metrics_to_logs(df).collect()]
+    assert rows == [
+        ("eh_sum", "host.name#$#h", "9.5"),
+        ("eh_max", "host.name#$#h", "12"),     # min==0 row skipped
+        ("eh_count", "host.name#$#h", "17"),
+        ("eh_bucket", "le#$#(2,4]", "3"),      # base 2, offset 1
+        ("eh_bucket", "le#$#(4,8]", "0"),
+        ("eh_bucket", "le#$#(8,16]", "5"),
+        ("eh_bucket", "le#$#positive.offset", "1"),
+        ("eh_bucket", "le#$#zero.count", "2"),
+        ("eh_bucket", "le#$#[-1,-0.5)", "7"),  # offset -1 → [-2^0, -2^-1)
+        ("eh_bucket", "le#$#negative.offset", "-1"),
+    ]
+
+
+def test_otel_exponential_histogram_protobuf_equals_json(spark):
+    """Binary path: zigzag scale/offset + packed-varint bucket counts."""
+    def enc_exp_metric(m):
+        d = m["exponentialHistogram"]["dataPoints"][0]
+        def zz(n):
+            from loongcollector_spark.pbwire import py_varint
+            return py_varint((n << 1) ^ (n >> 63) if n >= 0 else ((-n) * 2 - 1))
+        from loongcollector_spark.pbwire import py_field, py_varint
+        db = _fixed64(3, int(d["timeUnixNano"]))
+        db += _fixed64(4, int(d["count"]))
+        db += _dbl(5, d["sum"])
+        db += bytes([0x30]) + zz(d["scale"])
+        db += _fixed64(7, int(d["zeroCount"]))
+        for fno, side in ((8, "positive"), (9, "negative")):
+            sb = bytes([0x08]) + zz(side and d[side]["offset"])
+            sb += py_field(2, b"".join(
+                py_varint(int(c)) for c in d[side]["bucketCounts"]))
+            db += py_field(fno, sb)
+        db += _dbl(13, d["max"])
+        return py_field(1, m["name"].encode()) + py_field(
+            10, py_field(1, db))
+
+    from loongcollector_spark.pbwire import py_field
+    rm = py_field(1, _enc_attrs(
+        1, _EXP_HIST["resourceMetrics"][0]["resource"]["attributes"]))
+    sm = py_field(1, _enc_scope({"name": "s", "version": "1"}))
+    sm += py_field(2, enc_exp_metric(
+        _EXP_HIST["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]))
+    pb = py_field(1, rm + py_field(2, sm))
+
+    jdf = spark.createDataFrame([(1, json.dumps(_EXP_HIST))],
+                                "i long, content string")
+    bdf = spark.createDataFrame([(1, bytearray(pb))],
+                                "i long, content binary")
+    jop = build_operator({"Type": "processor_otel_metric", "Format": "json"})
+    bop = build_operator({"Type": "processor_otel_metric",
+                          "Format": "protobuf"})
+    cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
+    assert _rows(bop(bdf), cols) == _rows(jop(jdf), cols)
