@@ -60,11 +60,17 @@ OTLP_TRACE_DDL = (
     "spans:array<" + _SPAN + ">>>>>"
 )
 
+_EXEMPLAR = (
+    "array<struct<filteredAttributes:" + _ATTR + ",timeUnixNano:string,"
+    "asDouble:double,asInt:string,spanId:string,traceId:string>>"
+)
+
 _DP = (
     "struct<attributes:" + _ATTR + ",timeUnixNano:string,asDouble:double,"
     "asInt:string,count:string,sum:double,min:double,max:double,"
     "explicitBounds:array<double>,bucketCounts:array<string>,"
-    "quantileValues:array<struct<quantile:double,value:double>>>"
+    "quantileValues:array<struct<quantile:double,value:double>>,"
+    "exemplars:" + _EXEMPLAR + ">"
 )
 
 # exponential-histogram datapoint (metrics/v1 ExponentialHistogramDataPoint)
@@ -72,7 +78,8 @@ _EDP = (
     "struct<attributes:" + _ATTR + ",timeUnixNano:string,count:string,"
     "sum:double,min:double,max:double,scale:int,zeroCount:string,"
     "positive:struct<offset:int,bucketCounts:array<string>>,"
-    "negative:struct<offset:int,bucketCounts:array<string>>>"
+    "negative:struct<offset:int,bucketCounts:array<string>>,"
+    "exemplars:" + _EXEMPLAR + ">"
 )
 
 OTLP_METRIC_DDL = (
@@ -376,14 +383,37 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
     def dp_labels(dp):
         return F.concat(res, _entries(dp["attributes"]))
 
+    def exemplar_rows(dp, labels):
+        """exemplarMetricToLogs (otlp_metric_parser.go:247-266): one
+        ``_exemplars`` row per exemplar — labels gain traceId/spanId hex
+        (when non-empty) plus the filteredAttributes; value is
+        asDouble/asInt; time is the exemplar's own nanos."""
+        def one(ex):
+            lbl = labels
+            for key, col in (("traceId", ex["traceId"]),
+                             ("spanId", ex["spanId"])):
+                lbl = F.when(
+                    col.isNotNull() & (col != ""), _with_label(lbl, key, col)
+                ).otherwise(lbl)
+            lbl = F.concat(lbl, _entries(ex["filteredAttributes"]))
+            return _row(
+                "_exemplars", lbl, ex["timeUnixNano"],
+                F.coalesce(ex["asDouble"], ex["asInt"].cast("double"),
+                           F.lit(0.0)))
+
+        return F.transform(F.coalesce(dp["exemplars"], F.array()), one)
+
     def simple_rows(dps, extra=None, suffixed=False):
         def one(dp):
             labels = dp_labels(dp)
             if extra is not None:
                 labels = _with_label(labels, *extra)
-            return _row("", labels, dp["timeUnixNano"], _dp_value(dp))
+            return F.concat(
+                exemplar_rows(dp, labels),
+                F.array(_row("", labels, dp["timeUnixNano"], _dp_value(dp))),
+            )
 
-        return F.transform(F.coalesce(dps, F.array()), one)
+        return F.flatten(F.transform(F.coalesce(dps, F.array()), one))
 
     gauge_rows = simple_rows(met["gauge"]["dataPoints"])
     sum_rows = simple_rows(
@@ -458,7 +488,8 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
                             lambda acc, x: acc + x).cast("double"),
             ),
         )).otherwise(F.array())
-        return F.concat(opt, opt_min, opt_max, count_row, bucket)
+        return F.concat(opt, opt_min, opt_max, count_row,
+                        exemplar_rows(dp, labels), bucket)
 
     def exp_histogram_rows(dp):
         """exponentialHistogram2Logs (otlp_metric_parser.go:77-120):
@@ -520,7 +551,8 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
             F.coalesce(dp["zeroCount"].cast("double"), F.lit(0.0))))
         return F.concat(
             opt("sum", "_sum"), opt("min", "_min"), opt("max", "_max"),
-            count_row, side(dp["positive"], True), zero_row,
+            count_row, exemplar_rows(dp, labels),
+            side(dp["positive"], True), zero_row,
             side(dp["negative"], False),
         )
 

@@ -584,13 +584,36 @@ def decode_otlp_traces(buf: bytes) -> dict:
     ]}
 
 
+def _otlp_exemplar(buf: bytes) -> dict:
+    """metrics/v1 Exemplar: filtered_attributes=7, time=2, as_double=3,
+    span_id=4, trace_id=5, as_int=6 (sfixed64)."""
+    ex = {"filteredAttributes": [], "timeUnixNano": "0", "spanId": "",
+          "traceId": ""}
+    for f, _wt, v in parse_fields(buf):
+        if f == 2:
+            ex["timeUnixNano"] = str(v)
+        elif f == 3:
+            ex["asDouble"] = _f64(v)
+        elif f == 4:
+            ex["spanId"] = v.hex()
+        elif f == 5:
+            ex["traceId"] = v.hex()
+        elif f == 6:
+            ex["asInt"] = str(_sf64(v))
+        elif f == 7:
+            ex["filteredAttributes"].append(_otlp_attrs(v))
+    return ex
+
+
 def _otlp_number_dp(buf: bytes) -> dict:
-    dp = {"attributes": [], "timeUnixNano": "0"}
+    dp = {"attributes": [], "timeUnixNano": "0", "exemplars": []}
     for f, wt, v in parse_fields(buf):
         if f == 3:
             dp["timeUnixNano"] = str(v)
         elif f == 4:
             dp["asDouble"] = _f64(v)
+        elif f == 5:
+            dp["exemplars"].append(_otlp_exemplar(v))
         elif f == 6:
             dp["asInt"] = str(_sf64(v))
         elif f == 7:
@@ -600,7 +623,7 @@ def _otlp_number_dp(buf: bytes) -> dict:
 
 def _otlp_hist_dp(buf: bytes) -> dict:
     dp = {"attributes": [], "timeUnixNano": "0", "count": "0",
-          "bucketCounts": [], "explicitBounds": []}
+          "bucketCounts": [], "explicitBounds": [], "exemplars": []}
     for f, wt, v in parse_fields(buf):
         if f == 3:
             dp["timeUnixNano"] = str(v)
@@ -612,6 +635,8 @@ def _otlp_hist_dp(buf: bytes) -> dict:
             dp["bucketCounts"] += [str(x) for x in _packed(wt, v)]
         elif f == 7:
             dp["explicitBounds"] += [_f64(x) for x in _packed(wt, v)]
+        elif f == 8:
+            dp["exemplars"].append(_otlp_exemplar(v))
         elif f == 9:
             dp["attributes"].append(_otlp_attrs(v))
         elif f == 11:
@@ -648,7 +673,7 @@ def _otlp_exp_buckets(buf: bytes) -> dict:
 
 def _otlp_exp_hist_dp(buf: bytes) -> dict:
     dp = {"attributes": [], "timeUnixNano": "0", "count": "0", "scale": 0,
-          "zeroCount": "0"}
+          "zeroCount": "0", "exemplars": []}
     for f, wt, v in parse_fields(buf):
         if f == 1:
             dp["attributes"].append(_otlp_attrs(v))
@@ -666,6 +691,8 @@ def _otlp_exp_hist_dp(buf: bytes) -> dict:
             dp["positive"] = _otlp_exp_buckets(v)
         elif f == 9:
             dp["negative"] = _otlp_exp_buckets(v)
+        elif f == 11:
+            dp["exemplars"].append(_otlp_exemplar(v))
         elif f == 12:
             dp["min"] = _f64(v)
         elif f == 13:

@@ -458,3 +458,84 @@ def test_otel_exponential_histogram_protobuf_equals_json(spark):
                           "Format": "protobuf"})
     cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
     assert _rows(bop(bdf), cols) == _rows(jop(jdf), cols)
+
+
+_EXEMPLAR_METRICS = {"resourceMetrics": [{
+    "resource": {"attributes": [
+        {"key": "host.name", "value": {"stringValue": "h"}}]},
+    "scopeMetrics": [{"scope": {"name": "s", "version": "1"}, "metrics": [
+        {"name": "g", "gauge": {"dataPoints": [
+            {"attributes": [], "timeUnixNano": "1700000000000000000",
+             "asDouble": 1.5,
+             "exemplars": [
+                 {"filteredAttributes": [
+                     {"key": "fa", "value": {"stringValue": "fv"}}],
+                  "timeUnixNano": "1700000000000000001", "asDouble": 7.25,
+                  "spanId": "0102030405060708",
+                  "traceId": "0102030405060708090a0b0c0d0e0f10"},
+                 {"filteredAttributes": [], "timeUnixNano":
+                  "1700000000000000002", "asInt": "9",
+                  "spanId": "", "traceId": ""},
+             ]}]}},
+    ]}],
+}]}
+
+
+def test_otel_metric_exemplars(spark):
+    """exemplarMetricToLogs (otlp_metric_parser.go:247-266): _exemplars
+    rows with traceId/spanId labels (non-empty only) + filtered attrs,
+    the exemplar's own time, asDouble/asInt value — emitted BEFORE the
+    datapoint's value row."""
+    df = spark.createDataFrame([(1, json.dumps(_EXEMPLAR_METRICS))],
+                               "i long, content string")
+    rows = [(r["__name__"], r["__labels__"], r["__value__"],
+             r["__time_nano__"]) for r in otel_metrics_to_logs(df).collect()]
+    assert rows == [
+        ("g_exemplars",
+         "fa#$#fv|host.name#$#h|spanId#$#0102030405060708"
+         "|traceId#$#0102030405060708090a0b0c0d0e0f10",
+         "7.25", "1700000000000000001"),
+        ("g_exemplars", "host.name#$#h", "9", "1700000000000000002"),
+        ("g", "host.name#$#h", "1.5", "1700000000000000000"),
+    ]
+
+
+def test_otel_metric_exemplars_protobuf_equals_json(spark):
+    from loongcollector_spark.pbwire import py_field
+
+    def enc_exemplar(ex):
+        b = _fixed64(2, int(ex["timeUnixNano"]))
+        if "asDouble" in ex:
+            b += _dbl(3, ex["asDouble"])
+        if ex["spanId"]:
+            b += py_field(4, bytes.fromhex(ex["spanId"]))
+        if ex["traceId"]:
+            b += py_field(5, bytes.fromhex(ex["traceId"]))
+        if "asInt" in ex:
+            b += py_varint_field_sf64(6, int(ex["asInt"]))
+        b += _enc_attrs(7, ex["filteredAttributes"])
+        return b
+
+    def py_varint_field_sf64(fno, n):
+        return py_field(fno, b"", wire_type=1)[:1] + struct.pack("<q", n)
+
+    m = _EXEMPLAR_METRICS["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]
+    dp = m["gauge"]["dataPoints"][0]
+    dpb = _fixed64(3, int(dp["timeUnixNano"])) + _dbl(4, dp["asDouble"])
+    for ex in dp["exemplars"]:
+        dpb += py_field(5, enc_exemplar(ex))
+    mb = py_field(1, m["name"].encode()) + py_field(5, py_field(1, dpb))
+    rm = py_field(1, _enc_attrs(
+        1, _EXEMPLAR_METRICS["resourceMetrics"][0]["resource"]["attributes"]))
+    sm = py_field(1, _enc_scope({"name": "s", "version": "1"})) + py_field(2, mb)
+    pb = py_field(1, rm + py_field(2, sm))
+
+    jdf = spark.createDataFrame([(1, json.dumps(_EXEMPLAR_METRICS))],
+                                "i long, content string")
+    bdf = spark.createDataFrame([(1, bytearray(pb))],
+                                "i long, content binary")
+    jop = build_operator({"Type": "processor_otel_metric", "Format": "json"})
+    bop = build_operator({"Type": "processor_otel_metric",
+                          "Format": "protobuf"})
+    cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
+    assert _rows(bop(bdf), cols) == _rows(jop(jdf), cols)
