@@ -222,8 +222,8 @@ def _status_str(code: Column) -> Column:
 
 def _span_id(raw: Column, need_decode: bool) -> Column:
     val = F.coalesce(raw, F.lit(""))
-    if need_decode:  # payload carried base64 ids (processor_otel_trace.go:36-39)
-        return F.lower(F.hex(F.unbase64(val)))
+    if need_decode:  # hex-encode the base64-decoded payload bytes
+        return F.coalesce(F.lower(F.hex(F.unbase64(val))), F.lit(""))
     return val
 
 
@@ -668,6 +668,18 @@ def _check_format(cfg: dict) -> str:
     return fmt
 
 
+def _wrap_bare(df: DataFrame, source_col: str, wrapper: str) -> DataFrame:
+    """Format=protojson carries a BARE ResourceSpans/ResourceMetrics
+    document (processor_otel_trace.go:131-139 protojson.Unmarshal into
+    v1.ResourceSpans; _metric.go:127-129 into v1.ResourceMetrics), not
+    the TracesData/MetricsData wrapper the json format uses — wrap it so
+    one parse plan serves both formats."""
+    return df.withColumn(
+        source_col,
+        F.concat(F.lit('{"%s":[' % wrapper), F.col(source_col), F.lit("]}")),
+    )
+
+
 def otlp_pb_to_json(df: DataFrame, source_col: str, mode: str) -> DataFrame:
     """Format=protobuf (processor_otel_trace.go:117-128): binary
     TracesData/MetricsData payloads transcoded per Arrow batch into the
@@ -721,14 +733,25 @@ def _trace_factory(cfg: dict):
     src = cfg.get("SourceKey", "content")
 
     def run(df: DataFrame) -> DataFrame:
-        decode_ids = (
-            bool(cfg.get("TraceIDNeedDecode", False)),
-            bool(cfg.get("SpanIDNeedDecode", False)),
-            bool(cfg.get("ParentSpanIDNeedDecode", False)),
-        )
-        if fmt == "protobuf":
+        # The reference's *IDNeedDecode flags act ONLY on the protojson
+        # path (ConvertResourceSpans, otlp_trace_parser.go:295-320): a
+        # protojson bytes field base64-decodes at parse, then NeedDecode
+        # re-reads the original string as hex — hexEncode at output makes
+        # the flag=true chain a NET PASS-THROUGH of the payload's hex id
+        # (verified against TestParserOtelData), while flag=false leaves
+        # the base64-decoded bytes to be hex-encoded. The json path
+        # (ptrace JSONUnmarshaler → ConvertTrace) and the protobuf path
+        # never consult the flags.
+        decode_ids = (False, False, False)
+        if fmt == "protojson":
+            decode_ids = (
+                not cfg.get("TraceIDNeedDecode", False),
+                not cfg.get("SpanIDNeedDecode", False),
+                not cfg.get("ParentSpanIDNeedDecode", False),
+            )
+            df = _wrap_bare(df, src, "resourceSpans")
+        elif fmt == "protobuf":
             df = otlp_pb_to_json(df, src, "trace")
-            decode_ids = (False, False, False)  # walker emits hex already
         return otel_trace_to_logs(df, src, *decode_ids)
 
     return run
@@ -742,6 +765,8 @@ def _metric_factory(cfg: dict):
     def run(df: DataFrame) -> DataFrame:
         if fmt == "protobuf":
             df = otlp_pb_to_json(df, src, "metric")
+        elif fmt == "protojson":
+            df = _wrap_bare(df, src, "resourceMetrics")
         return otel_metrics_to_logs(df, src)
 
     return run

@@ -539,3 +539,58 @@ def test_otel_metric_exemplars_protobuf_equals_json(spark):
                           "Format": "protobuf"})
     cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
     assert _rows(bop(bdf), cols) == _rows(jop(jdf), cols)
+
+
+# ----------------------- Format=protojson parity -------------------------
+
+_GO_TRACE_TEST = ("/root/reference/plugins/processor/otel/"
+                  "processor_otel_trace_test.go")
+
+
+@pytest.mark.skipif(not __import__("os").path.isfile(_GO_TRACE_TEST),
+                    reason="reference not present")
+def test_otel_trace_protojson_reference_vector(spark):
+    """The reference's own TestParserOtelData: a bare ResourceSpans
+    protojson doc with all three NeedDecode flags — 10 span logs,
+    service adb_worker, and the NET-PASS-THROUGH id chain (protojson
+    base64-parse → NeedDecode hex(base64(id)) → hex output reproduces
+    the payload's original id string)."""
+    import re
+
+    src = open(_GO_TRACE_TEST).read()
+    payload = re.search(r"const protoJSONData = `\n(.*?)\n`", src,
+                        re.S).group(1).strip()
+    df = spark.createDataFrame([(1, payload)], "i long, otel string")
+    op = build_operator({
+        "Type": "processor_otel_trace", "SourceKey": "otel",
+        "Format": "protojson", "TraceIDNeedDecode": True,
+        "SpanIDNeedDecode": True, "ParentSpanIDNeedDecode": True,
+    })
+    rows = [dict(r["contents"]) for r in op(df).collect()]
+    assert len(rows) == 10
+    assert rows[0]["service"] == "adb_worker"
+    assert rows[0]["traceID"] == "31646461386336653337343330356530"
+    assert rows[0]["spanID"] == "0108b2d29b652107"
+    # without NeedDecode the protojson path base64-decodes the id bytes
+    # and hex-encodes THOSE (ConvertResourceSpans default branch)
+    import base64 as b64
+    op2 = build_operator({
+        "Type": "processor_otel_trace", "SourceKey": "otel",
+        "Format": "protojson",
+    })
+    raw = b64.b64decode("31646461386336653337343330356530").hex()
+    rows2 = [dict(r["contents"]) for r in op2(df).collect()]
+    assert rows2[0]["traceID"] == raw
+
+
+def test_otel_metric_protojson_bare_resource_metrics(spark):
+    """Format=protojson takes a bare ResourceMetrics document."""
+    bare = json.dumps(_METRICS["resourceMetrics"][0])
+    df = spark.createDataFrame([(1, bare)], "i long, content string")
+    op = build_operator({"Type": "processor_otel_metric",
+                         "Format": "protojson"})
+    jop = build_operator({"Type": "processor_otel_metric", "Format": "json"})
+    jdf = spark.createDataFrame([(1, json.dumps(_METRICS))],
+                                "i long, content string")
+    cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
+    assert _rows(op(df), cols) == _rows(jop(jdf), cols)
