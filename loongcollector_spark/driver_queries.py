@@ -3983,6 +3983,94 @@ FROM range(0, 100) t(i)
 """
 
 
+def q_dup_line_stats(spark, sf_dir):
+    """Gopher duplicate-line signals (Rae et al. 2021 §A1.1) over a
+    multi-line view of the documents corpus: every doc gets a synthetic
+    boilerplate footer, and docs with doc_id%3==0 repeat it — exercising
+    both the dup-line and dup-char fractions non-trivially. The two-level
+    (doc, line-hash) aggregation shuffles hashes + ints only."""
+    from loongcollector_spark.functions.text import dup_line_stats
+
+    docs = _docs(spark, sf_dir)
+    footer = F.concat(F.lit("-- footer "), F.pmod("doc_id", F.lit(7)))
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), footer,
+            F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                   F.concat(F.lit("\n"), footer)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dup_line_stats(multi)
+
+
+O_DUP_LINE_STATS = """
+WITH multi AS (
+  SELECT doc_id,
+    text || chr(10) || '-- footer ' || (doc_id % 7)
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || '-- footer ' || (doc_id % 7) ELSE '' END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, trim(l) AS l
+  FROM multi, unnest(string_split(text, chr(10))) AS u(l)
+  WHERE trim(l) <> ''
+),
+per_line AS (
+  SELECT doc_id, l, count(*) AS cnt, len(l) AS ln
+  FROM lines GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+         sum(cnt * ln) AS chars, sum((cnt - 1) * ln) AS dup_chars
+  FROM per_line GROUP BY 1
+)
+SELECT doc_id, cast(n_lines AS BIGINT) AS n_lines,
+  cast(floor(((n_lines - n_distinct) * 1000) / n_lines) AS BIGINT)
+    AS dup_line_frac_1e3,
+  cast(CASE WHEN chars > 0 THEN floor((dup_chars * 1000) / chars)
+            ELSE 0 END AS BIGINT) AS dup_char_frac_1e3
+FROM agg
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Windowed top-k heavy hitters — the classic log-analytics rollup
+    (per hour, the 3 most frequent event types with counts; ties broken
+    by name). Two-level: a map-side-combinable (hour, type) count, then a
+    row_number window over the already-aggregated (small) frame — the
+    rank shuffle carries counts, never events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour").orderBy(
+        F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("hour", "rank", "event_type", "n")
+    )
+
+
+O_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, cast(rank AS INT) AS rank, event_type, n FROM (
+  SELECT hour, event_type, n,
+         row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type)
+           AS rank
+  FROM c
+) WHERE rank <= 3
+"""
+
+
 def q_hashed_classifier(spark, sf_dir):
     """fastText-style hashed uni+bigram linear classifier over the
     documents corpus (functions/classifier.py): codegen feature hashing,
@@ -4633,6 +4721,8 @@ QUERIES = {
     "command_input": (q_command_input, O_COMMAND_INPUT),
     "canal_rows": (q_canal_rows, O_CANAL_ROWS),
     "hashed_classifier": (q_hashed_classifier, O_HASHED_CLASSIFIER),
+    "dup_line_stats": (q_dup_line_stats, O_DUP_LINE_STATS),
+    "heavy_hitters": (q_heavy_hitters, O_HEAVY_HITTERS),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),

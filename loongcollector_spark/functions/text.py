@@ -259,3 +259,48 @@ def char_entropy(df: DataFrame, text_col: str = "text",
         * F.lit(1000)
     ).cast("long")
     return per_doc.select(id_col, "n_chars", ent.alias("entropy_1e3"))
+
+
+def dup_line_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-line repetition signals (Gopher §A1.1, Rae et al. 2021:
+    "duplicate line fraction" and "duplicate line character fraction" —
+    the paragraph/line-level siblings of dup_ngram_stats): per document,
+    ``n_lines`` (non-empty trimmed lines), ``dup_line_frac_1e3`` =
+    floor(1000·(1 − distinct/total)) and ``dup_char_frac_1e3`` =
+    floor(1000·chars-in-repeat-occurrences/total-chars).
+
+    Scale shape: the dup_ngram_stats two-level aggregation — explode
+    lines → partial-agg (doc, line-hash) carrying count + length →
+    partial-agg (doc). Shuffles carry (16-byte hash, two ints); text
+    never leaves the scan stage. Docs with no non-empty line drop (both
+    engines)."""
+    lines_expr = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    per_line = (
+        df.select(F.col(id_col), F.explode(lines_expr).alias("_l"))
+        .groupBy(id_col, F.md5(F.col("_l").cast("binary")).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_cnt"),
+             F.first(F.length("_l")).alias("_len"))
+    )
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("_cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.sum(F.col("_cnt") * F.col("_len")).alias("_chars"),
+        F.sum((F.col("_cnt") - 1) * F.col("_len")).alias("_dup_chars"),
+    )
+    # integer numerators, one divide per fraction — identical IEEE
+    # doubles on both engines, so floor can't straddle a boundary
+    return agg.select(
+        id_col, F.col("n_lines").cast("long").alias("n_lines"),
+        F.floor(((F.col("n_lines") - F.col("_distinct")) * 1000)
+                / F.col("n_lines")).cast("long").alias("dup_line_frac_1e3"),
+        F.when(F.col("_chars") > 0,
+               F.floor((F.col("_dup_chars") * 1000) / F.col("_chars")))
+        .otherwise(F.lit(0)).cast("long").alias("dup_char_frac_1e3"),
+    )

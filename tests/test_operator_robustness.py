@@ -129,7 +129,37 @@ CONFIGS: dict[str, dict] = {
                                   "OrderKey": "turn_idx",
                                   "BeginLineRegex": r"\d.*"},
     "service_docker_event": {"IgnoreAttributes": False},
+    "service_canal": {"Host": "db1", "EnableDDL": True, "PackValues": True,
+                      "EnableEventMeta": True},
 }
+
+
+def _as_binlog_events(df):
+    """service_canal consumes a binlog-event frame; hostile text rides in
+    as a row-image value and the DDL query, with null columns/rows/meta."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_seq"),
+        F.element_at(
+            F.array(F.lit("insert"), F.lit("update"), F.lit("delete"),
+                    F.lit("ddl")),
+            (F.pmod("turn_idx", F.lit(4)) + 1).cast("int")).alias("action"),
+        F.col("conv_id").alias("db"), F.col("tool").alias("tbl"),
+        F.when(F.col("turn_idx") % 2 == 0,
+               F.array(F.lit("id"))).alias("columns"),
+        F.when(F.col("text").isNotNull(),
+               F.array(F.array(F.col("text"), F.col("tool")))).alias("rows"),
+        F.col("role").alias("gtid"), F.col("tool").alias("filename"),
+        F.col("turn_idx").cast("long").alias("log_pos"),
+        F.lit(None).cast("long").alias("event_time"),
+        F.lit(None).cast("long").alias("event_size"),
+        F.lit(None).cast("long").alias("server_id"),
+        F.col("text").alias("query"),
+        F.lit(None).cast("long").alias("error_code"),
+        F.lit(None).cast("long").alias("exec_time"),
+        F.col("text").alias("status_vars"),
+    )
 
 
 def _with_map_shapes(df):
@@ -162,6 +192,7 @@ def _as_docker_events(df):
 
 # ops that require a non-raw input shape: prep fn applied before the op
 PREP = {
+    "service_canal": _as_binlog_events,
     "processor_prom_relabel_metric": _with_map_shapes,
     "aggregator_opentelemetry": _with_map_shapes,
     "aggregator_skywalking": _with_map_shapes,
