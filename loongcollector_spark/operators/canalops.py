@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from loongcollector_spark.operators import register
+from loongcollector_spark.operators.common import go_jstr as _go_jstr
 
 # input_canal.go:211-213 (verbatim, including the misspelling)
 CANAL_META_FIELDS = (
@@ -64,16 +65,6 @@ CANAL_META_FIELDS = (
     "_table_", "_filename_", "_offset_", "_event_time_",
     "_event_log_postion_", "_event_size_", "_event_server_id_",
 )
-
-
-def _go_jstr(s: Column) -> Column:
-    """JSON-quoted string the way Go's json.Marshal writes it: standard
-    escaping (via to_json) plus the default HTML escaper for <>&."""
-    j = F.to_json(F.array(s))
-    core = F.substring(j, 2, F.length(j) - 2)
-    for ch, rep in (("&", r"\\u0026"), ("<", r"\\u003c"), (">", r"\\u003e")):
-        core = F.regexp_replace(core, ch, rep)
-    return core
 
 
 def _go_json_obj(m: Column) -> Column:

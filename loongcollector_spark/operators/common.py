@@ -137,3 +137,15 @@ def bind_once(col: Column, fn) -> Column:
     is free to appear many times — so composition stays linear.
     """
     return F.transform(F.array(col), fn)[0]
+
+
+def go_jstr(s: Column) -> Column:
+    """JSON-quote a string exactly like Go's ``json.Marshal``: standard
+    escaping (via the to_json(array(s)) trick — proper \\uXXXX control
+    handling without a scalar to_json) plus Go's default HTML escaper
+    for ``<``, ``>``, ``&``."""
+    j = F.to_json(F.array(s))
+    core = F.substring(j, 2, F.length(j) - 2)
+    for ch, rep in (("&", r"\\u0026"), ("<", r"\\u003c"), (">", r"\\u003e")):
+        core = F.regexp_replace(core, ch, rep)
+    return core

@@ -27,9 +27,7 @@ operator composes with whatever pipeline surrounds it.
 
 Documented divergences: Format="protobuf" (binary OTLP) decodes via
 ``pbwire.decode_otlp_traces``/``_metrics`` transcoding into this same
-JSON plan (see ``otlp_pb_to_json``); exemplar rows and exponential-histogram datapoints are skipped; Go's
-``json.Marshal`` HTML-escapes ``<>&`` inside attribute JSON while
-``to_json`` here does not; float rendering matches Go's %g for integral
+JSON plan (see ``otlp_pb_to_json``); float rendering matches Go's %g for integral
 and plain-decimal values (the ``_go_float_str`` exponent rewrite covers
 the e±NN form for the magnitudes tests exercise).
 """
@@ -156,10 +154,12 @@ def _labels_str(entries: Column) -> Column:
 
 
 def _jstr(s: Column) -> Column:
-    """JSON-quoted string via the to_json(array(s)) trick (proper
-    escaping without a scalar to_json)."""
-    j = F.to_json(F.array(s))
-    return F.substring(j, 2, F.length(j) - 2)
+    """Go json.Marshal string quoting (shared helper — standard JSON
+    escaping + Go's default HTML escaper for <>&, matching the
+    reference's json.Marshal calls at otlp_trace_parser.go:90,196,267)."""
+    from loongcollector_spark.operators.common import go_jstr
+
+    return go_jstr(s)
 
 
 def _attr_json_value(v: Column) -> Column:
@@ -224,7 +224,13 @@ def _span_id(raw: Column, need_decode: bool) -> Column:
     val = F.coalesce(raw, F.lit(""))
     if need_decode:  # hex-encode the base64-decoded payload bytes
         return F.coalesce(F.lower(F.hex(F.unbase64(val))), F.lit(""))
-    return val
+    # pass-through path: the Go chain is hex-decode → hex-encode (both
+    # the json unmarshaler and protojson+NeedDecode), which lowercases
+    # well-formed ids and ERRORS the payload otherwise — normalize case
+    # and map a non-hex id to "" (the drop analog of Go's error return)
+    return F.when(
+        val.rlike("^(?:[0-9a-fA-F]{2})*$"), F.lower(val)
+    ).otherwise(F.lit(""))
 
 
 def _events_json(events: Column) -> Column:
@@ -498,10 +504,10 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         ``(lower,upper]``, negative ``[-upper,-lower)`` (otlp/
         metric_helper.go:31-36, Go %v floats) — with base =
         2^(2^-scale), lower = base^(offset+i); plus ``le=zero.count``
-        and ``le=positive.offset``/``negative.offset`` rows. NOTE:
-        non-integral scales make the boundary a transcendental pow —
-        label strings can differ from Go in the last ulp there; exact
-        for scale ≤ 0 (base 2, 4, 16…). Exemplar rows stay out of scope."""
+        and ``le=positive.offset``/``negative.offset`` rows, and the
+        datapoint's exemplar rows. NOTE: non-integral scales make the
+        boundary a transcendental pow — label strings can differ from Go
+        in the last ulp there; exact for scale ≤ 0 (base 2, 4, 16…)."""
         labels = dp_labels(dp)
         t = dp["timeUnixNano"]
 

@@ -704,7 +704,9 @@ def _otlp_summary_dp(buf: bytes) -> dict:
     dp = {"attributes": [], "timeUnixNano": "0", "count": "0",
           "sum": 0.0, "quantileValues": []}
     for f, _wt, v in parse_fields(buf):
-        if f == 3:
+        if f == 7:
+            dp["attributes"].append(_otlp_attrs(v))
+        elif f == 3:
             dp["timeUnixNano"] = str(v)
         elif f == 4:
             dp["count"] = str(v)
