@@ -361,8 +361,14 @@ def test_otel_trace_protobuf_equals_json(spark):
 
 
 def test_otel_metric_protobuf_equals_json(spark):
-    pb = _enc_metrics(_METRICS)
-    jdf = spark.createDataFrame([(1, json.dumps(_METRICS))],
+    # summary datapoint gets an attribute here: a pb walker that drops
+    # SummaryDataPoint.attributes (field 7) must fail this equivalence
+    doc = json.loads(json.dumps(_METRICS))
+    doc["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][3]["summary"][
+        "dataPoints"][0]["attributes"] = [
+        {"key": "sq", "value": {"stringValue": "sv"}}]
+    pb = _enc_metrics(doc)
+    jdf = spark.createDataFrame([(1, json.dumps(doc))],
                                 "i long, content string")
     bdf = spark.createDataFrame([(1, bytearray(pb))],
                                 "i long, content binary")
