@@ -228,6 +228,7 @@ def prebuild_fixtures(spark, sf_dir):
     transcripts_from_events(spark, sf_dir).count()
     for name, synth in _PAYLOAD_FIXTURES.items():
         _materialized(spark, sf_dir, name, synth).count()
+    _warc_fixture_dir(spark, sf_dir)
 
 
 def _docs(spark, sf_dir):
@@ -3983,6 +3984,82 @@ FROM range(0, 100) t(i)
 """
 
 
+def _warc_fixture_dir(spark, sf_dir) -> str:
+    """Deterministic WET-style WARC archives built once per sf_dir from
+    the documents table (one conversion record per doc, round-robin over
+    4 archive files — the CC many-files layout). Cache keyed like
+    _materialized: documents fixture identity + this builder's source."""
+    import hashlib
+    import inspect
+
+    import pandas as pd
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{inspect.getsource(_warc_fixture_dir)}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(_FIXTURE_CACHE, f"warc_{tag}")
+    if not os.path.exists(out_dir):
+        os.makedirs(_FIXTURE_CACHE, exist_ok=True)
+        tmp = f"{out_dir}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        docs = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_values("doc_id")
+        parts: list[list[bytes]] = [[] for _ in range(4)]
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            if text is None:
+                continue
+            payload = str(text).encode("utf-8")
+            hdr = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: http://ex.com/doc/{doc_id}\r\n"
+                f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            parts[int(doc_id) % 4].append(hdr + payload + b"\r\n\r\n")
+        for i, recs in enumerate(parts):
+            with open(os.path.join(tmp, f"part{i}.warc"), "wb") as f:
+                f.write(b"".join(recs))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def q_warc_records(spark, sf_dir):
+    """WARC/WET crawl-archive ingestion (ISO 28500, the CommonCrawl
+    container): length-framed record walk over binary archive files —
+    one task per archive, no shuffle (the production partitioning for a
+    100k-file crawl snapshot). The oracle recomputes every record's
+    URI / byte length / payload md5 closed-form from the documents
+    table, so the framing + payload extraction is hash-checked
+    end-to-end."""
+    from loongcollector_spark.sources import read_warc
+
+    recs = read_warc(spark, _warc_fixture_dir(spark, sf_dir),
+                     record_types=["conversion"])
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "warc_type", "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+O_WARC_RECORDS = """
+SELECT doc_id, 'conversion' AS warc_type,
+       octet_length(encode(text)) AS content_length,
+       md5(text) AS payload_md5
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_dup_line_stats(spark, sf_dir):
     """Gopher duplicate-line signals (Rae et al. 2021 §A1.1) over a
     multi-line view of the documents corpus: every doc gets a synthetic
@@ -4722,6 +4799,7 @@ QUERIES = {
     "canal_rows": (q_canal_rows, O_CANAL_ROWS),
     "hashed_classifier": (q_hashed_classifier, O_HASHED_CLASSIFIER),
     "dup_line_stats": (q_dup_line_stats, O_DUP_LINE_STATS),
+    "warc_records": (q_warc_records, O_WARC_RECORDS),
     "heavy_hitters": (q_heavy_hitters, O_HEAVY_HITTERS),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),

@@ -478,3 +478,109 @@ def rdb_checkpoint(df: DataFrame, checkpoint_column: str) -> str | None:
     when the batch was empty (checkpoint unchanged)."""
     row = df.agg(F.max(checkpoint_column).alias("cp")).first()
     return None if row["cp"] is None else str(row["cp"])
+
+
+_WARC_SCHEMA = (
+    "path string, record_idx int, warc_type string, target_uri string, "
+    "warc_date string, record_id string, content_length long, "
+    "headers map<string,string>, payload binary, _parse_ok boolean"
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | list[str],
+    record_types: list[str] | None = None,
+) -> DataFrame:
+    """WARC/WET/WAT archive reader (ISO 28500, the CommonCrawl container
+    — the landed form of a web-scale training-data crawl). Each archive
+    file is one task (the CC layout: ~1 GB archives, thousands of files
+    per snapshot — file-level parallelism is the production partitioning;
+    a 100 TB snapshot is ~100k independent tasks, no shuffle anywhere).
+
+    The walk is LENGTH-FRAMED, never delimiter-split: a record is
+    ``WARC/1.x\\r\\n`` + header lines + ``\\r\\n\\r\\n`` + exactly
+    ``Content-Length`` payload bytes + ``\\r\\n\\r\\n`` — so payloads
+    containing blank lines or binary data parse correctly (the reason
+    naive line-splitting breaks on real crawl data). Gzip archives
+    (.warc.gz, one gzip member per record as CC ships them — or one
+    member for the whole file) are inflated with a multi-member zlib
+    loop. A malformed tail emits one ``_parse_ok=false`` marker row
+    instead of failing the task.
+
+    ``record_types`` filters on WARC-Type (e.g. ["response"],
+    ["conversion"] for WET) — applied inside the walker so skipped
+    payloads never materialize into Arrow.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    want = {t.lower() for t in record_types} if record_types else None
+
+    def _inflate(data: bytes) -> bytes:
+        import zlib
+
+        if not data.startswith(b"\x1f\x8b"):
+            return data
+        out, pos = [], 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            out.append(d.decompress(data[pos:]))
+            tail = d.unused_data
+            if not tail:
+                break
+            pos = len(data) - len(tail)
+        return b"".join(out)
+
+    def _walk(path: str, data: bytes):
+        pos, idx, n = 0, 0, len(data)
+        while pos < n:
+            # tolerate inter-record padding
+            while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if pos >= n:
+                return
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            if not data.startswith(b"WARC/", pos) or hdr_end < 0:
+                yield (path, idx, "", "", "", "", -1, {}, None, False)
+                return
+            headers: dict[str, str] = {}
+            lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                if _:
+                    headers[k.strip().lower()] = v.strip()
+            try:
+                cl = int(headers["content-length"])
+            except (KeyError, ValueError):
+                yield (path, idx, "", "", "", "", -1, {}, None, False)
+                return
+            body_start = hdr_end + 4
+            if body_start + cl > n:
+                yield (path, idx, "", "", "", "", -1, {}, None, False)
+                return
+            wtype = headers.get("warc-type", "")
+            if want is None or wtype.lower() in want:
+                yield (
+                    path, idx, wtype,
+                    headers.get("warc-target-uri", ""),
+                    headers.get("warc-date", ""),
+                    headers.get("warc-record-id", ""),
+                    cl, headers, data[body_start:body_start + cl], True,
+                )
+            idx += 1
+            pos = body_start + cl
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "record_idx", "warc_type", "target_uri",
+                "warc_date", "record_id", "content_length", "headers",
+                "payload", "_parse_ok"]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_walk(path, _inflate(bytes(content))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    bf = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return bf.mapInPandas(batches, _WARC_SCHEMA)

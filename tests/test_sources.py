@@ -208,3 +208,56 @@ def test_input_file_multiline_without_provenance(spark, text_dir):
     texts = sorted(r["text"] for r in df.collect())
     assert "ERROR first\n  detail 1\n  detail 2" in texts
     assert "_ingest_file" not in df.columns and "_line_idx" not in df.columns
+
+
+# --------------------------- read_warc (ISO 28500) -----------------------
+
+def _warc_record(wtype, uri, payload: bytes, extra=""):
+    hdr = (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+           f"WARC-Target-URI: {uri}\r\n"
+           f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           f"WARC-Record-ID: <urn:uuid:{wtype}-1>\r\n{extra}"
+           f"Content-Length: {len(payload)}\r\n\r\n")
+    return hdr.encode() + payload + b"\r\n\r\n"
+
+
+def test_read_warc_length_framed_and_type_filter(spark, tmp_path):
+    from loongcollector_spark.sources import read_warc
+
+    # payload CONTAINS the record separator — only length framing survives
+    p1 = b"hello\r\n\r\nworld \xf0\x9f\x8c\x8d"
+    p2 = b"GET / HTTP/1.1\r\n\r\n"
+    raw = (_warc_record("conversion", "http://ex.com/a", p1)
+           + _warc_record("request", "http://ex.com/b", p2))
+    f = tmp_path / "x.warc"
+    f.write_bytes(raw)
+    rows = read_warc(spark, str(f)).orderBy("record_idx").collect()
+    assert [r.warc_type for r in rows] == ["conversion", "request"]
+    assert bytes(rows[0].payload) == p1
+    assert rows[0].content_length == len(p1) and rows[0]._parse_ok
+    assert rows[0].target_uri == "http://ex.com/a"
+    assert rows[0].headers["warc-date"] == "2026-01-01T00:00:00Z"
+    only = read_warc(spark, str(f), record_types=["conversion"]).collect()
+    assert len(only) == 1 and only[0].warc_type == "conversion"
+
+
+def test_read_warc_gzip_members_and_truncated_tail(spark, tmp_path):
+    import gzip as _gzip
+
+    from loongcollector_spark.sources import read_warc
+
+    # CC-style: one gzip member PER record, concatenated
+    r1 = _warc_record("conversion", "http://ex.com/a", b"abc")
+    r2 = _warc_record("conversion", "http://ex.com/b", b"defgh")
+    gz = _gzip.compress(r1) + _gzip.compress(r2)
+    f = tmp_path / "x.warc.gz"
+    f.write_bytes(gz)
+    rows = read_warc(spark, str(f)).orderBy("record_idx").collect()
+    assert [bytes(r.payload) for r in rows] == [b"abc", b"defgh"]
+
+    # truncated record -> one marker row, no task failure
+    bad = r1 + b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    f2 = tmp_path / "bad.warc"
+    f2.write_bytes(bad)
+    rows2 = read_warc(spark, str(f2)).orderBy("record_idx").collect()
+    assert [r._parse_ok for r in rows2] == [True, False]
