@@ -53,7 +53,6 @@ class SplUnsupported(SplError):
 
 
 _UNSUPPORTED = {
-    "spooky_hash_v2_32", "spooky_hash_v2_64",
     "classify", "features",
 }
 
@@ -86,7 +85,7 @@ def _empty_hll_hex() -> str:
 # Presto names with no Spark builtin, shimmed as registered UDFs
 # (registered lazily on the active session by spl_run)
 _SHIMMED = {"hmac_md5", "hmac_sha1", "hmac_sha256", "hmac_sha512",
-            "combinations"}
+            "combinations", "spooky_hash_v2_32", "spooky_hash_v2_64"}
 
 
 def register_spl_shims(spark) -> None:
@@ -119,6 +118,29 @@ def register_spl_shims(spark) -> None:
         ])
 
     spark.udf.register("combinations", combos)
+
+    from .functions import spooky as _spooky
+
+    @pandas_udf("binary")
+    def spooky32(data: pd.Series) -> pd.Series:
+        # Presto returns the 32-bit hash as big-endian bytes (airlift
+        # SpookyHashV2, seed 0); VARBINARY in -> VARBINARY out.
+        return pd.Series([
+            None if d is None
+            else _spooky.hash32(bytes(d), 0).to_bytes(4, "big")
+            for d in data
+        ])
+
+    @pandas_udf("binary")
+    def spooky64(data: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if d is None
+            else _spooky.hash64(bytes(d), 0).to_bytes(8, "big")
+            for d in data
+        ])
+
+    spark.udf.register("spooky_hash_v2_32", spooky32)
+    spark.udf.register("spooky_hash_v2_64", spooky64)
 
 
 def _pct_fmt_to_jdk(fmt: str) -> str:

@@ -159,7 +159,7 @@ $ds2;
 
 def test_unsupported_raises_at_compile(spl_df):
     with pytest.raises(SplUnsupported):
-        spl_run(spl_df, "* | extend a = spooky_hash_v2_32(content)")
+        spl_run(spl_df, "* | extend a = classify(content)")
 
 
 CORPUS_SMOKE = [
@@ -377,3 +377,36 @@ def test_multiple_anonymous_pipelines_keep_all_outputs(spl_df):
     )
     assert set(outs) == {"out", "out1"}
     assert outs["out"].count() == 1 and outs["out1"].count() == 1
+
+
+def test_spooky_hash_v2_known_answer_and_spl_surface(spl_df):
+    """SpookyHash V2 shim (spl.txt:77-78 corpus lines).
+
+    Pinned to the public known-answer vector hash64("", 0) =
+    0x232706FC6BF50919 (published in the test suites of multiple
+    independent SpookyHash V2 ports), plus the spec identity
+    hash32 == low 32 bits of hash64, on both the short (<192 B) and
+    long (>=192 B) paths. The SPL surface mirrors Presto's output
+    contract: VARBINARY in, hash bytes big-endian out.
+    """
+    from loongcollector_spark.functions import spooky
+
+    assert spooky.hash64(b"", 0) == 0x232706FC6BF50919
+    assert spooky.hash32(b"", 0) == 0x6BF50919
+    for data in (b"4444", b"x" * 191, b"x" * 192, bytes(range(256)) * 3):
+        assert spooky.hash32(data, 0) == spooky.hash64(data, 0) & 0xFFFFFFFF
+        # avalanche: flipping one input bit flips a third+ of output bits
+        flipped = bytes([data[0] ^ 1]) + data[1:]
+        delta = spooky.hash64(data, 0) ^ spooky.hash64(flipped, 0)
+        assert 20 <= bin(delta).count("1") <= 44
+
+    outs = spl_run(
+        spl_df,
+        "* | extend a = cast('4444' as VARBINARY)"
+        " | extend b32 = spooky_hash_v2_32(a)"
+        " | extend b64 = spooky_hash_v2_64(a)",
+    )
+    row = outs["out"].select("b32", "b64").first()
+    assert bytes(row["b32"]) == spooky.hash32(b"4444", 0).to_bytes(4, "big")
+    assert bytes(row["b64"]) == spooky.hash64(b"4444", 0).to_bytes(8, "big")
+    assert bytes(row["b64"])[4:] == bytes(row["b32"])

@@ -25,7 +25,6 @@ CORPUS_PATH = "/root/reference/core/unittest/spl/spl.txt"
 # substring → reason; any corpus line containing the substring is an
 # expected failure (no Spark analog / Velox-only behavior)
 XFAIL = {
-    "spooky_hash_v2": "SpookyHash has no Spark builtin or public shim",
     "slice(a, 0, 3)": "0 start index rejected by both Spark and Presto",
 }
 
