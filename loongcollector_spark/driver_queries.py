@@ -696,6 +696,120 @@ FROM p GROUP BY conv_id
 """
 
 
+def q_conv_transitions(spark, sf_dir):
+    """Agent-loop transition matrix: role → next-role counts across all
+    conversations, in stable (conv_id, turn_idx) order — the Markov view
+    of the transcript corpus (which roles hand off to which). One window
+    shuffle on conv_id, then a tiny (role, next_role) partial-agg."""
+    from pyspark.sql import Window
+
+    df = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        df.select("role", F.lead("role").over(w).alias("next_role"))
+        .filter(F.col("next_role").isNotNull())
+        .groupBy("role", "next_role")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_CONV_TRANSITIONS = _ORACLE_T + """
+SELECT role, next_role, count(*) AS n FROM (
+  SELECT role,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM t
+) WHERE next_role IS NOT NULL
+GROUP BY role, next_role
+"""
+
+
+def q_conv_shape_dedup(spark, sf_dir):
+    """Structural conversation dedup: fingerprint each conversation by the
+    ordered (role/tool) SHAPE of its opening turns (text ignored,
+    turn_idx < 4) and count conversations per shape — the
+    curriculum-diversity signal a training pipeline uses to cap
+    over-represented agent-loop templates / boilerplate openings.
+    Ordered merge uses the same sort_array(collect_list(struct))
+    contract as processor_merge_conversation; the prefix filter prunes
+    rows BEFORE the conv_id shuffle, and only 16-byte fingerprints
+    shuffle again."""
+    df = transcripts_from_events(spark, sf_dir).filter(F.col("turn_idx") < 4)
+    shape = (
+        df.groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "turn_idx",
+                                    F.concat_ws("/", "role", "tool").alias("_s"),
+                                )
+                            )
+                        ),
+                        lambda s: s["_s"],
+                    ),
+                ).cast("binary")
+            ).alias("shape_fp")
+        )
+    )
+    return shape.groupBy("shape_fp").agg(
+        F.count("*").alias("n_convs"),
+        F.min("conv_id").alias("canonical_conv"),
+    )
+
+
+O_CONV_SHAPE_DEDUP = _ORACLE_T + """
+, s AS (
+  SELECT conv_id,
+    md5(string_agg(role || '/' || tool, '|' ORDER BY turn_idx)) AS shape_fp
+  FROM t WHERE turn_idx < 4 GROUP BY conv_id
+)
+SELECT shape_fp, count(*) AS n_convs, min(conv_id) AS canonical_conv
+FROM s GROUP BY shape_fp
+"""
+
+
+def q_tool_retry_funnel(spark, sf_dir):
+    """Tool-retry funnel: among tool turns in turn order, how often is a
+    tool's next tool call in the same conversation the SAME tool (an
+    immediate retry)? Per tool: calls, retries, milli-quantized retry
+    rate. The window shuffles only (conv_id, turn_idx, tool) for tool
+    turns; the final agg is a handful of rows."""
+    from pyspark.sql import Window
+
+    df = transcripts_from_events(spark, sf_dir).filter(F.col("role") == "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    s = df.select("tool", F.lead("tool").over(w).alias("next_tool"))
+    retries = F.sum(
+        F.when(F.col("next_tool") == F.col("tool"), 1).otherwise(0)
+    ).cast("long")
+    return s.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        retries.alias("n_retries"),
+        F.floor(
+            retries * 1000
+            / F.count("*")
+        ).cast("int").alias("retry_rate_milli"),
+    )
+
+
+O_TOOL_RETRY_FUNNEL = _ORACLE_T + """
+, s AS (
+  SELECT tool,
+    lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM t WHERE role = 'tool'
+)
+SELECT tool, count(*) AS n_calls,
+  cast(sum(CASE WHEN next_tool = tool THEN 1 ELSE 0 END) AS BIGINT) AS n_retries,
+  cast(floor(1000 * sum(CASE WHEN next_tool = tool THEN 1 ELSE 0 END)
+             / count(*)) AS INT) AS retry_rate_milli
+FROM s GROUP BY tool
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -4817,4 +4931,7 @@ QUERIES = {
     "text_normalize": (q_text_normalize, O_TEXT_NORMALIZE),
     "dup_ngram_ratio": (q_dup_ngram_ratio, O_DUP_NGRAM_RATIO),
     "curation_pipeline": (q_curation_pipeline, O_CURATION_PIPELINE),
+    "conv_transitions": (q_conv_transitions, O_CONV_TRANSITIONS),
+    "conv_shape_dedup": (q_conv_shape_dedup, O_CONV_SHAPE_DEDUP),
+    "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
 }
