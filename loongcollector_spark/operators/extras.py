@@ -584,3 +584,43 @@ def service_docker_event(cfg: dict):
         return out
 
     return run
+
+
+@register("ext_groupinfo_filter", keys={"Tags", "Metas"})
+def ext_groupinfo_filter(cfg: dict):
+    """FlushInterceptor ``ext_groupinfo_filter`` (plugins/extension/
+    group_info_filter/group_info_filter.go:78-99): an AND of per-key
+    regex conditions over group tags/metas — a group is dropped as soon
+    as any condition's unanchored match result differs from ``not
+    Reverse``. Keys resolve ``__tag__:k`` columns first (the per-row tag
+    convention the serializers use), then plain columns; a key absent
+    from the frame tests the pattern against '' exactly like Go's
+    ``GetTags().Get(k)``. Each condition spec is either a plain pattern
+    string or ``{Pattern, Reverse}``. Patterns compile at build time
+    (Init parity: a bad regex fails the pipeline build, not the run)."""
+    import re as _re
+
+    conds = []
+    for section in ("Metas", "Tags"):
+        for k, spec in (cfg.get(section) or {}).items():
+            if isinstance(spec, dict):
+                pattern = str(spec.get("Pattern", ""))
+                reverse = bool(spec.get("Reverse", False))
+            else:
+                pattern, reverse = str(spec), False
+            _re.compile(pattern)
+            conds.append((k, pattern, reverse))
+
+    def run(df):
+        keep = F.lit(True)
+        for k, pattern, reverse in conds:
+            col = next(
+                (F.col(c).cast("string")
+                 for c in (f"__tag__:{k}", k) if c in df.columns),
+                F.lit(""),
+            )
+            m = F.coalesce(col, F.lit("")).rlike(pattern)
+            keep = keep & (~m if reverse else m)
+        return df.filter(keep)
+
+    return run

@@ -715,3 +715,46 @@ def test_simhash_long_doc_no_overflow(spark):
            for c in range(4)]
     assert [r["sh0"], r["sh1"], r["sh2"], r["sh3"]] == exp
 
+
+
+class TestGroupInfoFilter:
+    """ext_groupinfo_filter (group_info_filter.go:78-99): AND of per-key
+    unanchored regex conditions, Reverse flips each, missing key tests
+    against ''."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("app-1", "prod", "a"), ("app-2", "dev", "b"),
+             ("db-1", "prod", "c")],
+            "`__tag__:service` string, env string, content string",
+        )
+
+    def test_tag_regex_match_anywhere(self, spark):
+        op = build_operator({"Type": "ext_groupinfo_filter",
+                             "Tags": {"service": {"Pattern": "app"}}})
+        got = {r["content"] for r in op(self._df(spark)).collect()}
+        assert got == {"a", "b"}  # unanchored: 'app' inside 'app-1'
+
+    def test_reverse_and_multi_condition_and(self, spark):
+        op = build_operator({
+            "Type": "ext_groupinfo_filter",
+            "Tags": {"service": {"Pattern": "^db", "Reverse": True}},
+            "Metas": {"env": {"Pattern": "prod"}},
+        })
+        got = {r["content"] for r in op(self._df(spark)).collect()}
+        assert got == {"a"}  # prod AND not-db
+
+    def test_missing_key_tests_empty_string(self, spark):
+        # key absent from the frame -> Get() returns '', '^$' matches it
+        op = build_operator({"Type": "ext_groupinfo_filter",
+                             "Tags": {"nope": {"Pattern": "^$"}}})
+        assert op(self._df(spark)).count() == 3
+        op2 = build_operator({"Type": "ext_groupinfo_filter",
+                              "Tags": {"nope": {"Pattern": "x"}}})
+        assert op2(self._df(spark)).count() == 0
+
+    def test_bad_pattern_fails_at_build(self, spark):
+        import re, pytest
+        with pytest.raises(re.error):
+            build_operator({"Type": "ext_groupinfo_filter",
+                            "Tags": {"service": {"Pattern": "("}}})
