@@ -696,6 +696,68 @@ FROM p GROUP BY conv_id
 """
 
 
+def _synth_lumberjack_blobs(spark, sf_dir):
+    """Deterministic lumberjack-v2 client batches from the events table:
+    events in event_id order, 256 per batch; each batch blob is a window
+    frame plus ONE compressed ('2C') frame holding the 2J JSON frames
+    (seq 1..n within the batch) — the shape go-lumber clients actually
+    send. JSON text is closed-form from (event_id, event_type) so the
+    DuckDB oracle can rebuild it byte-for-byte."""
+    import struct as _struct
+    import zlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    ).sort_values("event_id")
+    blobs = []
+    ids = ev["event_id"].to_numpy()
+    types = ev["event_type"].to_numpy()
+    for start in range(0, len(ids), 256):
+        frames = []
+        for seq0, i in enumerate(range(start, min(start + 256, len(ids)))):
+            payload = (
+                f'{{"event_id":{ids[i]},"event_type":"{types[i]}"}}'
+            ).encode()
+            frames.append(
+                b"2J" + _struct.pack(">II", seq0 + 1, len(payload)) + payload
+            )
+        comp = zlib.compress(b"".join(frames), 6)
+        blobs.append(
+            b"2W" + _struct.pack(">I", 256)
+            + b"2C" + _struct.pack(">I", len(comp)) + comp
+        )
+    return spark.createDataFrame(
+        pd.DataFrame({"batch_idx": range(len(blobs)), "content": blobs}),
+        "batch_idx long, content binary",
+    )
+
+
+def q_lumberjack_decode(spark, sf_dir):
+    """service_lumberjack wire decode: window/compressed/JSON frame walk
+    over synthesized v2 client batches; seq + raw-JSON content are
+    hash-checked against the oracle's closed-form reconstruction — the
+    framing (batch boundaries, in-batch sequence, zlib inflation) is
+    verified end-to-end, not just the JSON text."""
+    blobs = _materialized(
+        spark, sf_dir, "lumberjack_blobs", _synth_lumberjack_blobs)
+    op = build_operator({"Type": "service_lumberjack", "V2": True})
+    out = op(blobs)
+    return out.select(
+        F.col("seq"),
+        F.md5(F.col("content").cast("binary")).alias("content_md5"),
+    )
+
+
+O_LUMBERJACK_DECODE = """
+SELECT cast((row_number() OVER (ORDER BY event_id) - 1) % 256 + 1 AS BIGINT) AS seq,
+  md5('{"event_id":' || event_id || ',"event_type":"' || event_type || '"}')
+    AS content_md5
+FROM events
+"""
+
+
 def q_conv_transitions(spark, sf_dir):
     """Agent-loop transition matrix: role → next-role counts across all
     conversations, in stable (conv_id, turn_idx) order — the Markov view
@@ -3901,6 +3963,7 @@ _PAYLOAD_FIXTURES = {
     "otlp_metric_lines": _synth_otlp_metric_lines,
     "influx_lines": _synth_influx_lines,
     "otel_route_rows": _synth_otel_route_rows,
+    "lumberjack_blobs": _synth_lumberjack_blobs,
 }
 
 
@@ -4932,6 +4995,7 @@ QUERIES = {
     "dup_ngram_ratio": (q_dup_ngram_ratio, O_DUP_NGRAM_RATIO),
     "curation_pipeline": (q_curation_pipeline, O_CURATION_PIPELINE),
     "conv_transitions": (q_conv_transitions, O_CONV_TRANSITIONS),
+    "lumberjack_decode": (q_lumberjack_decode, O_LUMBERJACK_DECODE),
     "conv_shape_dedup": (q_conv_shape_dedup, O_CONV_SHAPE_DEDUP),
     "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
 }

@@ -624,3 +624,28 @@ def ext_groupinfo_filter(cfg: dict):
         return df.filter(keep)
 
     return run
+
+
+@register("service_lumberjack",
+          keys={"BindAddress", "V1", "V2", "SSLCA", "SSLCert", "SSLKey",
+                "InsecureSkipVerify", "SourceKey"})
+def service_lumberjack(cfg: dict):
+    """service_lumberjack (input_lumberjack.go:139-160, defaults :178-186:
+    V2 on, V1 off): decode beats-protocol batch blobs. V2 events keep the
+    raw JSON payload as ONE string under ``content`` (rawJSONDecoder +
+    AddDataArray(keys=["content"])); V1 'D' frames land their k/v pairs
+    as the ``fields`` map (AddData parity). BindAddress/TLS options are
+    accepted for config parity; the listener itself is deployment-side —
+    this operator consumes the landed batch blobs."""
+    v2 = cfg.get("V2", True)
+    src = cfg.get("SourceKey", "content")
+
+    def run(df):
+        from loongcollector_spark.sources import lumberjack_events
+
+        out = lumberjack_events(df, src).filter(F.col("_parse_ok"))
+        if v2:
+            return out.select("record_idx", "seq", "content")
+        return out.select("record_idx", "seq", "fields")
+
+    return run

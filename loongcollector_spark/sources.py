@@ -584,3 +584,129 @@ def read_warc(
 
     bf = spark.read.format("binaryFile").load(paths).select("path", "content")
     return bf.mapInPandas(batches, _WARC_SCHEMA)
+
+
+_LUMBER_SCHEMA = (
+    "record_idx int, seq long, version string, content string, "
+    "fields map<string,string>, _parse_ok boolean"
+)
+
+
+def lumberjack_events(df: DataFrame, source_col: str = "content") -> DataFrame:
+    """Lumberjack (beats) wire-protocol decoder — the batch form of
+    ``service_lumberjack`` (plugins/input/lumberjack/input_lumberjack.go:
+    139-160; framing per the public elastic/go-lumber protocol). Each
+    input row's binary blob is one client batch:
+
+    - ``'2' 'J'`` seq:uint32BE len:uint32BE payload — v2 JSON frame; the
+      reference's rawJSONDecoder keeps the payload as ONE raw string and
+      emits it under the ``content`` key (input_lumberjack.go:40-48,146),
+      so ``content`` is the undecoded JSON text here too.
+    - ``'1' 'D'`` seq:uint32BE n:uint32BE then n × (klen,key,vlen,value)
+      — v1 data frame; the k/v map lands in ``fields`` (AddData parity).
+    - ``'W'`` size:uint32BE — window announcement, consumed (no event).
+    - ``'C'`` len:uint32BE payload — zlib-DEFLATE block of concatenated
+      frames, inflated and walked recursively (both versions).
+    - ``'A'`` is server→client and never appears in ingest.
+
+    A malformed frame emits one ``_parse_ok=false`` marker row and stops
+    that blob (framing is lost beyond it). Arrow-batched ``mapInPandas``;
+    blobs never shuffle and decode one task per input partition.
+    """
+    import struct as _struct
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _walk(data: bytes, idx_start: int):
+        pos, n, idx = 0, len(data), idx_start
+        while pos < n:
+            if pos + 2 > n:
+                yield (idx, -1, "", None, None, False)
+                return
+            version = chr(data[pos])
+            code = chr(data[pos + 1])
+            pos += 2
+            if version not in ("1", "2"):
+                yield (idx, -1, "", None, None, False)
+                return
+            if code == "W":
+                if pos + 4 > n:
+                    yield (idx, -1, version, None, None, False)
+                    return
+                pos += 4
+            elif code == "C":
+                if pos + 4 > n:
+                    yield (idx, -1, version, None, None, False)
+                    return
+                (clen,) = _struct.unpack_from(">I", data, pos)
+                pos += 4
+                if pos + clen > n:
+                    yield (idx, -1, version, None, None, False)
+                    return
+                try:
+                    inner = zlib.decompress(data[pos:pos + clen])
+                except zlib.error:
+                    yield (idx, -1, version, None, None, False)
+                    return
+                for row in _walk(inner, idx):
+                    yield row
+                    idx += 1
+                pos += clen
+            elif code == "J":
+                if pos + 8 > n:
+                    yield (idx, -1, version, None, None, False)
+                    return
+                seq, plen = _struct.unpack_from(">II", data, pos)
+                pos += 8
+                if pos + plen > n:
+                    yield (idx, seq, version, None, None, False)
+                    return
+                yield (idx, seq, version,
+                       data[pos:pos + plen].decode("utf-8", "replace"),
+                       None, True)
+                idx += 1
+                pos += plen
+            elif code == "D":
+                if pos + 8 > n:
+                    yield (idx, -1, version, None, None, False)
+                    return
+                seq, cnt = _struct.unpack_from(">II", data, pos)
+                pos += 8
+                fields = {}
+                ok = True
+                for _ in range(cnt):
+                    if pos + 4 > n:
+                        ok = False
+                        break
+                    (klen,) = _struct.unpack_from(">I", data, pos)
+                    pos += 4
+                    key = data[pos:pos + klen].decode("utf-8", "replace")
+                    pos += klen
+                    if pos + 4 > n:
+                        ok = False
+                        break
+                    (vlen,) = _struct.unpack_from(">I", data, pos)
+                    pos += 4
+                    fields[key] = data[pos:pos + vlen].decode("utf-8", "replace")
+                    pos += vlen
+                if not ok:
+                    yield (idx, seq, version, None, None, False)
+                    return
+                yield (idx, seq, version, None, fields, True)
+                idx += 1
+            else:
+                yield (idx, -1, version, None, None, False)
+                return
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["record_idx", "seq", "version", "content", "fields",
+                "_parse_ok"]
+        for pdf in it:
+            rows = []
+            for blob in pdf[source_col]:
+                rows.extend(_walk(bytes(blob), 0))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(source_col).mapInPandas(batches, _LUMBER_SCHEMA)

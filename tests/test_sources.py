@@ -261,3 +261,67 @@ def test_read_warc_gzip_members_and_truncated_tail(spark, tmp_path):
     f2.write_bytes(bad)
     rows2 = read_warc(spark, str(f2)).orderBy("record_idx").collect()
     assert [r._parse_ok for r in rows2] == [True, False]
+
+
+class TestLumberjack:
+    """lumberjack wire decoder (input_lumberjack.go:139-160; frame layout
+    per the public elastic/go-lumber protocol)."""
+
+    @staticmethod
+    def _blob_df(spark, blobs):
+        import pandas as pd
+        return spark.createDataFrame(
+            pd.DataFrame({"content": blobs}), "content binary")
+
+    def test_v2_json_window_and_compressed(self, spark):
+        import struct, zlib
+        from loongcollector_spark.sources import lumberjack_events
+
+        f1 = b"2J" + struct.pack(">II", 1, 9) + b'{"a":"x"}'
+        f2 = b"2J" + struct.pack(">II", 2, 9) + b'{"b":"y"}'
+        comp = zlib.compress(f1 + f2)
+        blob = (b"2W" + struct.pack(">I", 2)
+                + b"2C" + struct.pack(">I", len(comp)) + comp)
+        rows = lumberjack_events(
+            self._blob_df(spark, [blob])).orderBy("seq").collect()
+        assert [(r["seq"], r["content"], r["_parse_ok"]) for r in rows] == [
+            (1, '{"a":"x"}', True), (2, '{"b":"y"}', True)]
+
+    def test_v1_data_frame_fields_map(self, spark):
+        import struct
+        from loongcollector_spark.sources import lumberjack_events
+
+        def kv(k, v):
+            return (struct.pack(">I", len(k)) + k
+                    + struct.pack(">I", len(v)) + v)
+
+        blob = (b"1W" + struct.pack(">I", 1)
+                + b"1D" + struct.pack(">II", 7, 2)
+                + kv(b"line", b"hello") + kv(b"host", b"h1"))
+        rows = lumberjack_events(self._blob_df(spark, [blob])).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["seq"] == 7 and r["version"] == "1" and r["content"] is None
+        assert dict(r["fields"]) == {"line": "hello", "host": "h1"}
+
+    def test_truncated_and_garbage_emit_marker(self, spark):
+        import struct
+        from loongcollector_spark.sources import lumberjack_events
+
+        good = b"2J" + struct.pack(">II", 1, 4) + b"abcd"
+        truncated = b"2J" + struct.pack(">II", 2, 50) + b"short"
+        rows = lumberjack_events(
+            self._blob_df(spark, [good + truncated, b"XZ junk"])).collect()
+        ok = [r for r in rows if r["_parse_ok"]]
+        bad = [r for r in rows if not r["_parse_ok"]]
+        assert len(ok) == 1 and ok[0]["content"] == "abcd"
+        assert len(bad) == 2  # truncated frame + non-lumberjack blob
+
+    def test_registry_op_v2_contract(self, spark):
+        import struct
+        from loongcollector_spark.operators import build_operator
+
+        blob = b"2J" + struct.pack(">II", 3, 2) + b"{}"
+        op = build_operator({"Type": "service_lumberjack"})
+        rows = op(self._blob_df(spark, [blob])).collect()
+        assert [r["content"] for r in rows] == ["{}"]
