@@ -758,6 +758,44 @@ FROM events
 """
 
 
+def q_nginx_status(spark, sf_dir):
+    """metric_nginx_status decode: synthesized stub_status bodies (one
+    probe target per user, counters closed-form from user_id) through
+    the codegen parse; the oracle recomputes every field + tag directly
+    — probing contract (input_nginx.go:114-191) checked end-to-end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.groupBy("user_id").agg(F.count("*").alias("n")).select(
+        F.concat(F.lit("http://web-"), F.col("user_id").cast("string"),
+                 F.lit(":8080/status")).alias("url"),
+        F.concat(
+            F.lit("Active connections: "), F.col("n").cast("string"),
+            F.lit(" \nserver accepts handled requests\n "),
+            (F.col("n") * 3).cast("string"), F.lit(" "),
+            (F.col("n") * 2).cast("string"), F.lit(" "),
+            (F.col("n") * 5).cast("string"),
+            F.lit(" \nReading: "), (F.col("n") % 7).cast("string"),
+            F.lit(" Writing: "), (F.col("n") % 11).cast("string"),
+            F.lit(" Waiting: "), (F.col("n") % 13).cast("string"),
+            F.lit(" \n"),
+        ).alias("content"),
+    )
+    op = build_operator({"Type": "metric_nginx_status"})
+    return op(probes)
+
+
+O_NGINX_STATUS = """
+SELECT 'web-' || user_id AS _server_, '8080' AS _port_,
+  cast(n AS VARCHAR) AS active,
+  cast(n * 3 AS VARCHAR) AS accepts,
+  cast(n * 2 AS VARCHAR) AS handled,
+  cast(n * 5 AS VARCHAR) AS requests,
+  cast(n % 7 AS VARCHAR) AS reading,
+  cast(n % 11 AS VARCHAR) AS writing,
+  cast(n % 13 AS VARCHAR) AS waiting
+FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+"""
+
+
 def q_conv_transitions(spark, sf_dir):
     """Agent-loop transition matrix: role → next-role counts across all
     conversations, in stable (conv_id, turn_idx) order — the Markov view
@@ -4996,6 +5034,7 @@ QUERIES = {
     "curation_pipeline": (q_curation_pipeline, O_CURATION_PIPELINE),
     "conv_transitions": (q_conv_transitions, O_CONV_TRANSITIONS),
     "lumberjack_decode": (q_lumberjack_decode, O_LUMBERJACK_DECODE),
+    "nginx_status": (q_nginx_status, O_NGINX_STATUS),
     "conv_shape_dedup": (q_conv_shape_dedup, O_CONV_SHAPE_DEDUP),
     "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
 }

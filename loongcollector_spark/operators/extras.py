@@ -649,3 +649,46 @@ def service_lumberjack(cfg: dict):
         return out.select("record_idx", "seq", "fields")
 
     return run
+
+
+@register("metric_nginx_status",
+          keys={"Urls", "ResponseTimeoutMs", "SourceKey", "UrlKey"})
+def metric_nginx_status(cfg: dict):
+    """metric_nginx_status (plugins/input/nginx/input_nginx.go:114-171):
+    parse nginx stub_status bodies into the 7-field contract
+    (active/accepts/handled/requests/reading/writing/waiting) plus the
+    ``_server_``/``_port_`` tags derived from the probed URL (:175-191,
+    scheme-default ports). The HTTP probing loop is deployment-side;
+    this operator parses landed (url, body) rows with pure codegen
+    regexp extraction — same line discipline as the Go reader (value
+    after the first ':' on line 1; whitespace fields of lines 3 and 4)."""
+    src = cfg.get("SourceKey", "content")
+    url_key = cfg.get("UrlKey", "url")
+
+    def run(df):
+        body = F.col(src)
+        line3 = F.regexp_extract(body, r"(?s)^[^\n]*\n[^\n]*\n([^\n]*)", 1)
+        line4 = F.regexp_extract(body, r"(?s)^[^\n]*\n[^\n]*\n[^\n]*\n([^\n]*)", 1)
+        url = F.col(url_key)
+        host_port = F.regexp_extract(url, r"^[a-z+]+://([^/]+)", 1)
+        host = F.regexp_extract(host_port, r"^([^:]+)", 1)
+        explicit_port = F.regexp_extract(host_port, r":(\d+)$", 1)
+        scheme = F.regexp_extract(url, r"^([a-z+]+)://", 1)
+        port = F.when(explicit_port != "", explicit_port).otherwise(
+            F.when(scheme == "http", F.lit("80"))
+            .when(scheme == "https", F.lit("443"))
+            .otherwise(F.lit(""))
+        )
+        return df.select(
+            host.alias("_server_"),
+            port.alias("_port_"),
+            F.trim(F.regexp_extract(body, r"^[^:]*:([^\n]*)", 1)).alias("active"),
+            F.split(F.trim(line3), r"\s+")[0].alias("accepts"),
+            F.split(F.trim(line3), r"\s+")[1].alias("handled"),
+            F.split(F.trim(line3), r"\s+")[2].alias("requests"),
+            F.split(F.trim(line4), r"\s+")[1].alias("reading"),
+            F.split(F.trim(line4), r"\s+")[3].alias("writing"),
+            F.split(F.trim(line4), r"\s+")[5].alias("waiting"),
+        )
+
+    return run

@@ -758,3 +758,24 @@ class TestGroupInfoFilter:
         with pytest.raises(re.error):
             build_operator({"Type": "ext_groupinfo_filter",
                             "Tags": {"service": {"Pattern": "("}}})
+
+
+def test_metric_nginx_status_contract(spark):
+    """The canonical stub_status body → the Go reader's exact field map
+    (input_nginx.go:125-170) and _server_/_port_ tags incl. the https
+    default port (:175-191)."""
+    body = ("Active connections: 291 \n"
+            "server accepts handled requests\n"
+            " 16630948 16630948 31070465 \n"
+            "Reading: 6 Writing: 179 Waiting: 106 \n")
+    df = spark.createDataFrame(
+        [("https://nginx.example.com/status", body),
+         ("http://10.0.0.1:8080/nginx_status", body)],
+        "url string, content string")
+    op = build_operator({"Type": "metric_nginx_status"})
+    rows = {r["_server_"]: r for r in op(df).collect()}
+    r = rows["nginx.example.com"]
+    assert (r["_port_"], r["active"], r["accepts"], r["handled"],
+            r["requests"], r["reading"], r["writing"], r["waiting"]) == (
+        "443", "291", "16630948", "16630948", "31070465", "6", "179", "106")
+    assert rows["10.0.0.1"]["_port_"] == "8080"
