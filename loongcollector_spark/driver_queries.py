@@ -796,6 +796,54 @@ FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
 """
 
 
+def q_pyroscope_profiles(spark, sf_dir):
+    """pyroscope groups-format ingest: one synthesized profile body per
+    user (stack lines closed-form from per-event-type counts) through
+    the service_http_server pyroscope decoder; every contract field
+    except stackID is oracle-recomputed (stackID is XXH64-seed-0, which
+    DuckDB cannot express — it is pinned by unit-test vectors instead)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"))
+    bodies = per_type.groupBy("user_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "event_type",
+                    F.concat(
+                        F.lit("app;user_"), F.col("user_id").cast("string"),
+                        F.lit(";"), F.col("event_type"), F.lit(" "),
+                        F.col("n").cast("string"),
+                    ).alias("_l"),
+                ))),
+                lambda s: s["_l"],
+            ),
+        ).alias("content")
+    )
+    op = build_operator({
+        "Type": "service_http_server", "Format": "pyroscope",
+        "SpyName": "go", "Units": "samples", "SampleRate": 100,
+        "AggregationType": "sum", "StartTimeSec": 1700000000,
+        "EndTimeSec": 1700000060,
+        "Tags": {"profile_id": "bench-profile", "app": "transcripts"},
+    })
+    return op(bodies).drop("stackID")
+
+
+O_PYROSCOPE_PROFILES = """
+SELECT 1700000000 AS time_sec,
+  event_type AS name,
+  'user_' || user_id || chr(10) || 'app' AS stack,
+  'go' AS language, 'profile_cpu' AS type, 'nanoseconds' AS units,
+  'cpu' AS valueTypes, 'sum' AS aggTypes, 'CallStack' AS dataType,
+  '60000000000' AS durationNs, 'bench-profile' AS profileID,
+  '{"app":"transcripts","profile_id":"bench-profile"}' AS labels,
+  printf('%.2f', cast(count(*) * 10000000 AS DOUBLE)) AS val
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_conv_transitions(spark, sf_dir):
     """Agent-loop transition matrix: role → next-role counts across all
     conversations, in stable (conv_id, turn_idx) order — the Markov view
@@ -5035,6 +5083,7 @@ QUERIES = {
     "conv_transitions": (q_conv_transitions, O_CONV_TRANSITIONS),
     "lumberjack_decode": (q_lumberjack_decode, O_LUMBERJACK_DECODE),
     "nginx_status": (q_nginx_status, O_NGINX_STATUS),
+    "pyroscope_profiles": (q_pyroscope_profiles, O_PYROSCOPE_PROFILES),
     "conv_shape_dedup": (q_conv_shape_dedup, O_CONV_SHAPE_DEDUP),
     "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
 }

@@ -435,7 +435,11 @@ def journal_decode(
           keys={"Format", "SourceKey", "FieldsExtend", "DB",
                 "DefaultTimeNano", "UnlinkUnixSock", "Address",
                 "ReadTimeoutSec", "ShutdownTimeoutSec", "MaxBodySize",
-                "EnableSlsMetricsFormat"})
+                "EnableSlsMetricsFormat",
+                # pyroscope meta (the reference reads these from the
+                # ingest URL query string; config-supplied here)
+                "SpyName", "Units", "SampleRate", "AggregationType",
+                "StartTimeSec", "EndTimeSec", "Tags"})
 def service_http_server(cfg: dict):
     """HTTP push input (input_http_server.go): the server/transport
     knobs (Address/timeouts/body size) are engine-owned in Spark and
@@ -475,6 +479,19 @@ def service_http_server(cfg: dict):
                 "through service_otlp instead")
         if fmt == "raw":
             return df.withColumnRenamed(src, "content") if src != "content" else df
+        if fmt == "pyroscope":
+            # the groups text format (decoder.go:70-78 default branch);
+            # binary trie/pprof/JFR payloads are external-library formats
+            return pyroscope_groups_decode(
+                df, src,
+                spy_name=cfg.get("SpyName", "unknown"),
+                units=cfg.get("Units", "samples"),
+                sample_rate=int(cfg.get("SampleRate", 100)),
+                agg_type=cfg.get("AggregationType", "sum"),
+                start_time_s=int(cfg.get("StartTimeSec", 0)),
+                end_time_s=int(cfg.get("EndTimeSec", 0)),
+                tags=cfg.get("Tags"),
+            )
         raise ValueError(f"service_http_server: unsupported Format {fmt!r}")
 
     return run
@@ -535,3 +552,154 @@ def service_journal(cfg: dict):
         return out.filter(cond) if cond is not None else out
 
     return run
+
+
+# spyName -> frame-part ordering (helper/profile/meta.go:141-170
+# sequenceMapping): these four put the source position FIRST; everything
+# else (go, java, node, dotnet, ebpf, unknown) keeps function first.
+_PYRO_POS_FIRST = {"rs", "rb", "py", "php"}
+
+# Units -> valueTypes (meta.go DetectValueType)
+_PYRO_VALUE_TYPES = {
+    "nanoseconds": "cpu", "samples": "cpu",
+    "objects": "mem", "bytes": "mem",
+    "goroutines": "goroutines",
+    "lock_samples": "mutex", "lock_nanoseconds": "mutex",
+}
+# valueTypes -> profile Type.Kind via DetectProfileType(meta.go:104-119).
+# Faithful quirk: DetectProfileType matches RAW sample-value names
+# ("inuse_space", "mutex_count", ...) — the aggregate labels "mem" and
+# "mutex" that DetectValueType produces are NOT in its case lists, so
+# bytes/objects/lock_* profiles land on profile_unknown in the reference
+# too (only cpu and goroutines round-trip to their own kind).
+_PYRO_KIND = {"cpu": "profile_cpu", "goroutines": "profile_goroutines"}
+
+
+def pyroscope_groups_decode(
+    df: DataFrame,
+    source_col: str = "content",
+    spy_name: str = "unknown",
+    units: str = "samples",
+    sample_rate: int = 100,
+    agg_type: str = "sum",
+    start_time_s: int = 0,
+    end_time_s: int = 0,
+    tags: dict | None = None,
+) -> DataFrame:
+    """Pyroscope ingest, ``groups`` text format (one profile body per
+    input row; ``stack;frames... <count>`` lines) → the reference's
+    13-field profile log contract (pkg/helper/profile/pyroscope/raw/
+    profile.go:57-165 + pkg/protocol/decoder/pyroscope/decoder.go:70-78).
+
+    Reference-exact semantics:
+    - split on the LAST space; spaceless lines are skipped, a
+      non-integer count fails the WHOLE profile (doParse returns err) —
+      here the blob's rows are dropped wholesale;
+    - one trailing empty frame (a ``;``-terminated stack) is stripped;
+    - frame text is "name pos" reordered per spyName (meta.go
+      FormatPositionAndName: name = before FIRST space, pos = after
+      LAST space, middle dropped); leaf frame becomes ``name``, the
+      remaining frames are formatted then REVERSED into ``stack``;
+    - ``samples`` units convert to nanoseconds with the integer
+      multiplier 1e9 // SampleRate; ``val`` is Go's %.2f;
+    - ``stackID`` = cespare/xxhash (XXH64 seed 0) of the raw stacktrace
+      bytes, lowercase hex — Spark's builtin xxhash64 is seed-42, so
+      this is the one pandas-UDF column (``functions/xxh.py``);
+    - ``labels`` is the sorted-key JSON of the meta tags (Go
+      json.Marshal map ordering); profileID comes from the
+      ``profile_id`` tag (uuid4 fallback is nondeterministic by design
+      in the reference — supply the tag for reproducible output).
+
+    Everything except stackID is whole-stage codegen; per-frame
+    formatting runs in HOF lambdas over the short frame arrays.
+    """
+    import json as _json
+    from pyspark.sql import Window
+
+    tags = dict(tags or {})
+    out_units = "nanoseconds" if units == "samples" else units
+    mult = (1_000_000_000 // int(sample_rate)) if units == "samples" else 1
+    value_type = _PYRO_VALUE_TYPES.get(units, "unknown")
+    kind = _PYRO_KIND.get(value_type, "profile_unknown")
+    labels_json = _json.dumps(tags, separators=(",", ":"), sort_keys=True)
+    if "profile_id" in tags:
+        profile_id = tags["profile_id"]
+    else:  # GetProfileID's uuid4 branch — nondeterministic, like the Go
+        import uuid
+
+        profile_id = str(uuid.uuid4())
+    pos_first = spy_name in _PYRO_POS_FIRST
+
+    def fmt(s):
+        t = F.trim(s)
+        name = F.substring_index(t, " ", 1)
+        pos = F.regexp_extract(t, r"([^ ]*)$", 1)
+        two = (F.concat(pos, F.lit(" "), name) if pos_first
+               else F.concat(name, F.lit(" "), pos))
+        return F.when(t.contains(" "), two).otherwise(t)
+
+    pid = F.monotonically_increasing_id()
+    lines = (
+        df.select(F.col(source_col).alias("_body"), pid.alias("_pid"))
+        .select("_pid", F.explode(F.split("_body", "\n")).alias("_line"))
+        .filter(F.instr("_line", " ") > 0)
+    )
+    parsed = lines.select(
+        "_pid",
+        F.regexp_extract("_line", r"^(.*) ([^ ]*)$", 1).alias("_stacktrace"),
+        F.regexp_extract("_line", r"^(.*) ([^ ]*)$", 2)
+        .try_cast("long").alias("_v"),
+    )
+    # a single bad count poisons the whole profile (doParse error path)
+    w = Window.partitionBy("_pid")
+    parsed = (
+        parsed.withColumn("_bad", F.max(F.col("_v").isNull()).over(w))
+        .filter(~F.col("_bad"))
+    )
+    arr0 = F.split("_stacktrace", ";")
+    parsed = parsed.withColumn(
+        "_frames",
+        F.when(
+            F.element_at(arr0, -1) == "",
+            F.slice(arr0, 1, F.greatest(F.size(arr0) - 1, F.lit(0))),
+        ).otherwise(arr0),
+    )
+    frames = F.col("_frames")
+
+    from loongcollector_spark.functions.xxh import xxh64
+
+    @F.pandas_udf("string")
+    def stack_id(st):
+        import pandas as pd
+
+        return pd.Series([format(xxh64(s.encode("utf-8"), 0), "x")
+                          for s in st])
+
+    return parsed.select(
+        F.lit(int(start_time_s)).alias("time_sec"),
+        fmt(F.element_at(frames, -1)).alias("name"),
+        F.array_join(
+            F.reverse(
+                F.transform(
+                    F.slice(frames, 1,
+                            F.greatest(F.size(frames) - 1, F.lit(0))),
+                    fmt,
+                )
+            ),
+            "\n",
+        ).alias("stack"),
+        stack_id(F.col("_stacktrace")).alias("stackID"),
+        F.lit(spy_name).alias("language"),
+        F.lit(kind).alias("type"),
+        F.lit(out_units).alias("units"),
+        F.lit(value_type).alias("valueTypes"),
+        F.lit(agg_type).alias("aggTypes"),
+        F.lit("CallStack").alias("dataType"),
+        F.lit(str((int(end_time_s) - int(start_time_s)) * 1_000_000_000))
+        .alias("durationNs"),
+        F.lit(profile_id).alias("profileID"),
+        F.lit(labels_json).alias("labels"),
+        # Go FormatFloat(v,'f',2): plain %.2f, no thousands grouping
+        F.format_string("%.2f", (F.col("_v") * mult).cast("double"))
+        .alias("val"),
+    )

@@ -272,3 +272,65 @@ def test_service_otlp_modes(spark):
     df = spark.createDataFrame([(json.dumps(span),)], "content string")
     out = build_operator({"Type": "service_otlp", "Mode": "traces"})(df)
     assert out.count() == 1
+
+
+class TestPyroscopeGroups:
+    """pyroscope groups-format ingest (raw/profile.go:57-165; decoder.go
+    default branch)."""
+
+    def test_full_field_contract(self, spark):
+        from loongcollector_spark.operators import build_operator
+        from loongcollector_spark.functions.xxh import xxh64
+
+        body = ("main;runtime.doWork cpu.go:12;leafFn cpu.go:40 3\n"
+                "main;other 1\n"
+                "trailing;semi; 2\n")
+        df = spark.createDataFrame([(body,)], "content string")
+        op = build_operator({
+            "Type": "service_http_server", "Format": "pyroscope",
+            "SpyName": "go", "Units": "samples", "SampleRate": 100,
+            "AggregationType": "sum", "StartTimeSec": 1700000000,
+            "EndTimeSec": 1700000010,
+            "Tags": {"profile_id": "p-1", "app": "bench"},
+        })
+        rows = {r["stackID"]: r for r in op(df).collect()}
+        assert len(rows) == 3
+        r = rows[format(xxh64(
+            b"main;runtime.doWork cpu.go:12;leafFn cpu.go:40", 0), "x")]
+        # leaf frame -> name (FunctionFirst keeps "fn pos", middle dropped)
+        assert r["name"] == "leafFn cpu.go:40"
+        # remaining frames formatted then REVERSED
+        assert r["stack"] == "runtime.doWork cpu.go:12\nmain"
+        assert r["language"] == "go" and r["type"] == "profile_cpu"
+        assert r["units"] == "nanoseconds" and r["valueTypes"] == "cpu"
+        assert r["aggTypes"] == "sum" and r["dataType"] == "CallStack"
+        assert r["durationNs"] == "10000000000"
+        assert r["profileID"] == "p-1"
+        assert r["labels"] == '{"app":"bench","profile_id":"p-1"}'
+        # samples -> ns: 3 * (1e9 // 100), Go %.2f
+        assert r["val"] == "30000000.00"
+        # ';'-terminated stack: ONE trailing empty frame stripped
+        r2 = rows[format(xxh64(b"trailing;semi;", 0), "x")]
+        assert r2["name"] == "semi" and r2["stack"] == "trailing"
+
+    def test_bad_count_poisons_whole_profile_and_pos_first(self, spark):
+        from loongcollector_spark.operators.decoders import (
+            pyroscope_groups_decode,
+        )
+
+        df = spark.createDataFrame(
+            [("good;a 1\nbad;line notanint\n",),   # poisoned profile
+             ("utility.py:38 - find_nearest 7\n",)],  # PosFirst spy
+            "content string")
+        out = pyroscope_groups_decode(
+            df, spy_name="py", units="bytes", sample_rate=100,
+            tags={"profile_id": "x"}).collect()
+        assert len(out) == 1  # the poisoned blob emitted nothing
+        r = out[0]
+        # PosFirst: "<pos> <name>", pos = after LAST space, middle dropped
+        assert r["name"] == "find_nearest utility.py:38"
+        assert r["units"] == "bytes" and r["valueTypes"] == "mem"
+        # DetectProfileType has no case for the aggregate "mem" label —
+        # reference lands on profile_unknown for byte/object profiles
+        assert r["type"] == "profile_unknown"
+        assert r["val"] == "7.00"
