@@ -679,16 +679,20 @@ def metric_nginx_status(cfg: dict):
             .when(scheme == "https", F.lit("443"))
             .otherwise(F.lit(""))
         )
+        # F.get (not [i]): a malformed/short body must yield null fields,
+        # never an ANSI ArrayIndexOutOfBounds that kills the whole scan.
+        f3 = F.split(F.trim(line3), r"\s+")
+        f4 = F.split(F.trim(line4), r"\s+")
         return df.select(
             host.alias("_server_"),
             port.alias("_port_"),
             F.trim(F.regexp_extract(body, r"^[^:]*:([^\n]*)", 1)).alias("active"),
-            F.split(F.trim(line3), r"\s+")[0].alias("accepts"),
-            F.split(F.trim(line3), r"\s+")[1].alias("handled"),
-            F.split(F.trim(line3), r"\s+")[2].alias("requests"),
-            F.split(F.trim(line4), r"\s+")[1].alias("reading"),
-            F.split(F.trim(line4), r"\s+")[3].alias("writing"),
-            F.split(F.trim(line4), r"\s+")[5].alias("waiting"),
+            F.get(f3, 0).alias("accepts"),
+            F.get(f3, 1).alias("handled"),
+            F.get(f3, 2).alias("requests"),
+            F.get(f4, 1).alias("reading"),
+            F.get(f4, 3).alias("writing"),
+            F.get(f4, 5).alias("waiting"),
         )
 
     return run

@@ -706,6 +706,8 @@ def lumberjack_events(df: DataFrame, source_col: str = "content") -> DataFrame:
         for pdf in it:
             rows = []
             for blob in pdf[source_col]:
+                if blob is None:  # null blob = no batch, not a wire error
+                    continue
                 rows.extend(_walk(bytes(blob), 0))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -131,6 +131,12 @@ CONFIGS: dict[str, dict] = {
     "service_docker_event": {"IgnoreAttributes": False},
     "service_canal": {"Host": "db1", "EnableDDL": True, "PackValues": True,
                       "EnableEventMeta": True},
+    "ext_groupinfo_filter": {"Tags": {"role": {"Pattern": "user|tool",
+                                               "Reverse": False},
+                                      "absent_key": ".*"},
+                             "Metas": {"conv_id": "c.*"}},
+    "service_lumberjack": {"V2": True, "SourceKey": "content"},
+    "metric_nginx_status": {"SourceKey": "text", "UrlKey": "tool"},
 }
 
 
@@ -175,6 +181,15 @@ def _with_map_shapes(df):
     return df.withColumn("labels", m).withColumn("contents", m)
 
 
+def _as_lumberjack_blobs(df):
+    """service_lumberjack consumes binary batch blobs; the hostile text
+    (never valid framing) must come back as _parse_ok=false markers, not
+    a thrown job."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.col("text").cast("binary").alias("content"))
+
+
 def _as_docker_events(df):
     """service_docker_event consumes a daemon-events frame; hostile text
     rides in as the action, null-able ids/types included."""
@@ -197,6 +212,7 @@ PREP = {
     "aggregator_opentelemetry": _with_map_shapes,
     "aggregator_skywalking": _with_map_shapes,
     "service_docker_event": _as_docker_events,
+    "service_lumberjack": _as_lumberjack_blobs,
 }
 
 
