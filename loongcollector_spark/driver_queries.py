@@ -4959,6 +4959,253 @@ SELECT doc_id, fingerprint,
 FROM batch LEFT JOIN snap ON fingerprint = fp
 """
 
+def _synth_redis_info(spark, sf_dir):
+    """Deterministic redis INFO fixture: one INFO body per user_id with
+    Server/Clients/Memory/Replication/Keyspace sections, the whitelist
+    bait lines (os, mem_allocator), two Keyspace dbs, and — for every
+    10th user — an injected ``-ERR`` line that must stop the scan
+    (input_redis.go:192). Every 5th user is probed over a unix socket
+    url. Only Spark parses the TEXT; the oracle recomputes expected
+    fields closed-form from the same events aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    uid, cnt = F.col("user_id"), F.col("cnt")
+
+    def s(c):
+        return c.cast("string")
+
+    info = F.concat(
+        F.lit("# Server\r\nredis_version:7.0."), s(uid % 10),
+        F.lit("\r\nos:Linux 5.10\r\nuptime_in_seconds:"), s(cnt),
+        F.lit("\r\nlru_clock:"), s(uid),
+        F.when(uid % 10 == 0, F.lit("\r\n-ERR connection reset"))
+        .otherwise(F.lit("")),
+        F.lit("\r\n# Clients\r\nconnected_clients:"), s(uid % 97 + 1),
+        F.lit("\r\n# Memory\r\nused_memory:"), s(cnt * 1000),
+        F.lit("\r\nmem_allocator:jemalloc-5.2.1"),
+        F.lit("\r\n# Replication\r\nrole:"),
+        F.when(uid % 2 == 0, F.lit("master")).otherwise(F.lit("slave")),
+        F.lit("\r\n# Keyspace\r\ndb0:keys="), s(cnt),
+        F.lit(",expires="), s(uid % 7), F.lit(",avg_ttl="), s(uid % 11),
+        F.lit("\r\ndb1:keys="), s(uid % 13),
+        F.lit(",expires=2,avg_ttl="), s(uid % 5), F.lit("\r\n"),
+    )
+    url = F.when(
+        uid % 5 == 0,
+        F.concat(F.lit("unix:///var/run/redis"), s(uid), F.lit(".sock")),
+    ).otherwise(
+        F.concat(F.lit("redis-"), s(uid), F.lit(":"), s(uid % 3 + 6379)))
+    return agg.select(url.alias("url"), info.alias("content"))
+
+
+_PAYLOAD_FIXTURES["redis_info_bodies"] = _synth_redis_info
+
+
+def q_redis_info(spark, sf_dir):
+    """metric_redis (plugins/input/redis/input_redis.go:178-240): INFO
+    bodies → per-server fields map via one codegen fold — Server-section
+    whitelist, Tracking renames, Keyspace db expansion + totals, and the
+    ERR scan stop, exploded to (server, port, socket, metric, value)."""
+    src = _materialized(
+        spark, sf_dir, "redis_info_bodies", _synth_redis_info)
+    out = build_operator({"Type": "metric_redis"})(src)
+    kv = out.select(
+        "server", "port", "socket",
+        F.explode("fields").alias("metric", "value"))
+    return kv
+
+
+O_REDIS_INFO = """
+WITH u AS (
+  SELECT user_id AS uid, count(*) AS cnt FROM events GROUP BY user_id
+), base AS (
+  SELECT uid, cnt,
+    CASE WHEN uid % 5 = 0 THEN NULL
+         ELSE 'redis-' || uid END AS server,
+    CASE WHEN uid % 5 = 0 THEN NULL
+         ELSE cast(uid % 3 + 6379 AS VARCHAR) END AS port,
+    CASE WHEN uid % 5 = 0 THEN '/var/run/redis' || uid || '.sock'
+         ELSE NULL END AS socket,
+    CASE WHEN uid % 10 = 0 THEN
+      ['redis_version', 'uptime', 'lru_clock',
+       'total_db_count', 'total_db_avg_ttl', 'total_db_keys',
+       'total_db_expires']
+    ELSE
+      ['redis_version', 'uptime', 'lru_clock', 'clients', 'used_memory',
+       'replication_role', 'db0_keys', 'db0_expires', 'db0_avg_ttl',
+       'db1_keys', 'db1_expires', 'db1_avg_ttl', 'total_db_count',
+       'total_db_avg_ttl', 'total_db_keys', 'total_db_expires']
+    END AS ks,
+    CASE WHEN uid % 10 = 0 THEN
+      ['7.0.' || (uid % 10), cast(cnt AS VARCHAR), cast(uid AS VARCHAR),
+       '0', '0', '0', '0']
+    ELSE
+      ['7.0.' || (uid % 10), cast(cnt AS VARCHAR), cast(uid AS VARCHAR),
+       cast(uid % 97 + 1 AS VARCHAR), cast(cnt * 1000 AS VARCHAR),
+       CASE WHEN uid % 2 = 0 THEN 'master' ELSE 'slave' END,
+       cast(cnt AS VARCHAR), cast(uid % 7 AS VARCHAR),
+       cast(uid % 11 AS VARCHAR), cast(uid % 13 AS VARCHAR), '2',
+       cast(uid % 5 AS VARCHAR), '2',
+       cast((uid % 11 + uid % 5) // 2 AS VARCHAR),
+       cast(cnt + uid % 13 AS VARCHAR), cast(uid % 7 + 2 AS VARCHAR)]
+    END AS vs
+  FROM u
+)
+SELECT server, port, socket, f.k AS metric, f.v AS value
+FROM base, LATERAL (SELECT unnest(ks) AS k, unnest(vs) AS v) f
+"""
+
+
+def q_netping_metrics(spark, sf_dir):
+    """metric_netping (plugins/input/netping/netping.go:283-345): probe
+    result rows → the reference metric-log fan-out — success-gated rtt
+    gauges, httping response/cert rows, dns resolve pair, err-vs-http
+    label selection, Go-'g' values, sorted #$# labels. One projection +
+    explode, no shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    t = F.pmod(eid, F.lit(4))
+    ok = F.pmod(eid, F.lit(3)) != 0
+    host = F.concat(F.lit("svc"), F.pmod(uid, F.lit(6)).cast("string"),
+                    F.lit(".io"))
+    tot = F.when(t.isin(0, 1), F.lit(3)).otherwise(F.lit(1))
+    rmin = F.pmod(eid, F.lit(7)) + F.lit(0.5)
+    probe = ev.select(
+        F.element_at(
+            F.array(F.lit("ping"), F.lit("tcping"), F.lit("httping"),
+                    F.lit("dns")), (t + 1).cast("int")).alias("type"),
+        F.concat(F.lit("probe"), F.pmod(uid, F.lit(20)).cast("string"))
+        .alias("name"),
+        F.concat(F.lit("10.0.0."), F.pmod(uid, F.lit(9)).cast("string"))
+        .alias("src"),
+        F.when(t == 0, F.concat(
+            F.lit("8.8."), F.pmod(uid, F.lit(4)).cast("string"),
+            F.lit(".8")))
+        .when(t == 1, F.concat(
+            F.lit("svc"), F.pmod(uid, F.lit(6)).cast("string"),
+            F.lit(":443")))
+        .when(t == 2, F.concat(F.lit("https://"), host))
+        .alias("dst"),
+        F.concat(F.lit("h"), F.pmod(uid, F.lit(5)).cast("string"))
+        .alias("src_host"),
+        tot.alias("total"),
+        F.when(ok, tot).otherwise(F.lit(0)).alias("success"),
+        F.when(ok, F.lit(0)).otherwise(tot).alias("failed"),
+        rmin.alias("min_rtt_ms"), (rmin + 3).alias("max_rtt_ms"),
+        (rmin + 1).alias("avg_rtt_ms"),
+        (rmin * 3 + 1).alias("total_rtt_ms"),
+        (F.pmod(eid, F.lit(2)) + F.lit(0.5)).alias("stddev_rtt_ms"),
+        F.when((t == 2) & ok, F.pmod(eid, F.lit(300)) + 1)
+        .alias("http_rt_ms"),
+        F.when((t == 2) & ok, F.pmod(eid, F.lit(1000)))
+        .alias("http_response_bytes"),
+        F.lit("HTTP/1.1").alias("http_proto"),
+        F.lit("https").alias("http_url_schema"),
+        host.alias("http_url_host"),
+        F.when((t == 2) & ok, F.lit("200")).alias("http_code"),
+        ((t == 2) & ok & (F.pmod(uid, F.lit(2)) == 0)).alias("has_cert"),
+        F.pmod(eid, F.lit(90)).alias("cert_ttl_days"),
+        host.alias("cert_subject_cn"), F.lit("R3").alias("cert_issuer_cn"),
+        host.alias("dns_name"), rmin.alias("dns_rt_ms"),
+        F.when(~ok, F.when(t == 3, F.lit("no such host"))
+               .otherwise(F.lit("dial timeout"))).alias("err"),
+        F.col("ts"),
+    )
+    return build_operator({"Type": "metric_netping"})(probe)
+
+
+O_NETPING_METRICS = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    event_id % 4 AS t, (event_id % 3 <> 0) AS ok,
+    cast(epoch_us(ts) AS VARCHAR) || '000' AS tn,
+    'probe' || (user_id % 20) AS nm,
+    '10.0.0.' || (user_id % 9) AS src,
+    'h' || (user_id % 5) AS sh,
+    'svc' || (user_id % 6) || '.io' AS host,
+    (event_id % 7) + 0.5 AS rmin
+  FROM events
+), p AS (
+  SELECT *,
+    CASE t WHEN 0 THEN '8.8.' || (uid % 4) || '.8'
+           WHEN 1 THEN 'svc' || (uid % 6) || ':443'
+           WHEN 2 THEN 'https://' || host END AS dst,
+    CASE WHEN t IN (0, 1) THEN 3 ELSE 1 END AS tot,
+    CASE t WHEN 0 THEN 'ping' WHEN 1 THEN 'tcping'
+           WHEN 2 THEN 'httping' END AS tname
+  FROM e
+), lbl AS (
+  SELECT *,
+    'dst#$#' || dst || '|name#$#' || nm || '|src#$#' || src
+      || '|src_host#$#' || sh AS base_l,
+    'dst#$#' || dst || '|err#$#dial timeout|name#$#' || nm || '|src#$#'
+      || src || '|src_host#$#' || sh AS err_l,
+    'code#$#200|codex#$#2xx|dst#$#' || dst || '|name#$#' || nm
+      || '|proto#$#HTTP/1.1|src#$#' || src || '|src_host#$#' || sh
+      || '|url_host#$#' || host || '|url_schema#$#https' AS http_l,
+    'issuer_commmon_name#$#R3|name#$#' || nm || '|src#$#' || src
+      || '|src_host#$#' || sh || '|subject_commmon_name#$#' || host
+      || '|url#$#' || dst || '|url_host#$#' || host AS cert_l,
+    'dns_name#$#' || host || '|src#$#' || src || '|src_host#$#' || sh
+      AS dns_l,
+    'dns_name#$#' || host || '|err#$#no such host|src#$#' || src
+      || '|src_host#$#' || sh AS dnsf_l
+  FROM p
+)
+SELECT f.n AS "__name__", tn AS "__time_nano__", f.l AS "__labels__",
+       f.v AS "__value__"
+FROM lbl, LATERAL (
+  SELECT
+    unnest(CASE
+      WHEN t = 3 AND ok THEN
+        ['dns_resolve_rt_ms', 'dns_resolve_success', 'dns_resolve_failed']
+      WHEN t = 3 THEN ['dns_resolve_success', 'dns_resolve_failed']
+      WHEN t IN (0, 1) AND ok THEN
+        [tname || '_total', tname || '_success', tname || '_failed',
+         tname || '_rtt_min_ms', tname || '_rtt_max_ms',
+         tname || '_rtt_avg_ms', tname || '_rtt_total_ms',
+         tname || '_rtt_stddev_ms']
+      WHEN t = 2 AND ok AND uid % 2 = 0 THEN
+        ['httping_total', 'httping_success', 'httping_failed',
+         'httping_rt_ms', 'httping_response_bytes',
+         'httping_cert_ttl_days']
+      WHEN t = 2 AND ok THEN
+        ['httping_total', 'httping_success', 'httping_failed',
+         'httping_rt_ms', 'httping_response_bytes']
+      ELSE [tname || '_total', tname || '_success', tname || '_failed']
+    END) AS n,
+    unnest(CASE
+      WHEN t = 3 AND ok THEN [dns_l, dns_l, dns_l]
+      WHEN t = 3 THEN [dnsf_l, dnsf_l]
+      WHEN t IN (0, 1) AND ok THEN
+        [base_l, base_l, base_l, base_l, base_l, base_l, base_l, base_l]
+      WHEN t = 2 AND ok AND uid % 2 = 0 THEN
+        [http_l, http_l, http_l, http_l, http_l, cert_l]
+      WHEN t = 2 AND ok THEN [http_l, http_l, http_l, http_l, http_l]
+      ELSE [err_l, err_l, err_l]
+    END) AS l,
+    unnest(CASE
+      WHEN t = 3 AND ok THEN [cast(rmin AS VARCHAR), '1', '0']
+      WHEN t = 3 THEN ['0', '1']
+      WHEN t IN (0, 1) AND ok THEN
+        ['3', '3', '0', cast(rmin AS VARCHAR),
+         cast(rmin + 3 AS VARCHAR), cast(rmin + 1 AS VARCHAR),
+         cast(rmin * 3 + 1 AS VARCHAR),
+         cast((eid % 2) + 0.5 AS VARCHAR)]
+      WHEN t = 2 AND ok AND uid % 2 = 0 THEN
+        ['1', '1', '0', cast(eid % 300 + 1 AS VARCHAR),
+         cast(eid % 1000 AS VARCHAR), cast(eid % 90 AS VARCHAR)]
+      WHEN t = 2 AND ok THEN
+        ['1', '1', '0', cast(eid % 300 + 1 AS VARCHAR),
+         cast(eid % 1000 AS VARCHAR)]
+      ELSE [cast(tot AS VARCHAR), '0', cast(tot AS VARCHAR)]
+    END) AS v
+) f
+"""
+
+
+
 
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
@@ -5056,6 +5303,8 @@ QUERIES = {
     "otel_metrics": (q_otel_metrics, O_OTEL_METRICS),
     "otel_aggregator_routes": (q_otel_aggregator_routes, O_OTEL_AGGREGATOR_ROUTES),
     "influx_decode": (q_influx_decode, O_INFLUX_DECODE),
+    "redis_info": (q_redis_info, O_REDIS_INFO),
+    "netping_metrics": (q_netping_metrics, O_NETPING_METRICS),
     "statsd_decode": (q_statsd_decode, O_STATSD_DECODE),
     "journal_export": (q_journal_export, O_JOURNAL_EXPORT),
     "command_input": (q_command_input, O_COMMAND_INPUT),

@@ -703,3 +703,421 @@ def pyroscope_groups_decode(
         F.format_string("%.2f", (F.col("_v") * mult).cast("double"))
         .alias("val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# redis INFO (metric_redis)
+# ---------------------------------------------------------------------------
+
+# Tracking renames (plugins/input/redis/input_redis.go:57-61)
+_REDIS_TRACKING = {
+    "uptime_in_seconds": "uptime",
+    "connected_clients": "clients",
+    "role": "replication_role",
+}
+_REDIS_SERVER_KEEP = ("lru_clock", "uptime_in_seconds", "redis_version")
+
+
+def _redis_tags(url: Column) -> Column:
+    """Collect/gatherServer tag derivation (input_redis.go:84-105,
+    163-173): bare addresses get a ``tcp://`` scheme; tcp hosts missing
+    a port get ``:6379``; ``unix://`` urls tag the socket path instead.
+    Returns struct(server, port, socket)."""
+    from loongcollector_spark.operators.common import bind_once
+
+    def body(u):
+        is_unix = u.startswith("unix://")
+        nu = F.when(u.rlike("^(tcp|unix)://"), u).otherwise(
+            F.concat(F.lit("tcp://"), u))
+        # url.Parse: host is everything after the scheme up to '/',
+        # with the [:password]@ userinfo stripped
+        hostport = F.regexp_extract(
+            nu, r"^[a-z]+://(?:[^@/]*@)?([^/]*)", 1)
+        has_port = hostport.rlike(r"^.*:\d+$")
+        host = F.when(has_port,
+                      F.regexp_extract(hostport, r"^(.*):\d+$", 1)
+                      ).otherwise(hostport)
+        port = F.when(has_port,
+                      F.regexp_extract(hostport, r":(\d+)$", 1)
+                      ).otherwise(F.lit("6379"))
+        sock = F.regexp_extract(u, r"^unix://(.*)$", 1)
+        return F.struct(
+            F.when(is_unix, F.lit(None).cast("string"))
+            .otherwise(host).alias("server"),
+            F.when(is_unix, F.lit(None).cast("string"))
+            .otherwise(port).alias("port"),
+            F.when(is_unix, sock).otherwise(F.lit(None).cast("string"))
+            .alias("socket"),
+        )
+
+    return bind_once(F.coalesce(url, F.lit("")), body)
+
+
+def redis_info_decode(df: DataFrame, src: str = "content",
+                      url_key: str = "url") -> DataFrame:
+    """redis ``INFO`` output → one row per server with the reference's
+    fields map (plugins/input/redis/input_redis.go gatherInfoOutput,
+    :178-240):
+
+    * reading stops at the first line containing ``ERR``;
+    * ``# Section`` headers set the running section (len > 2 only);
+    * Server-section lines keep only lru_clock / uptime_in_seconds /
+      redis_version; ``mem_allocator`` is always dropped;
+    * Tracking renames uptime_in_seconds→uptime, connected_clients→
+      clients, role→replication_role;
+    * Keyspace lines (``db0:keys=2,expires=0,avg_ttl=0``) expand to
+      ``db0_keys``/``db0_expires``/``db0_avg_ttl`` and feed the
+      ``total_db_count/keys/expires/avg_ttl`` summary fields
+      (avg_ttl integer-divided by the db count, :235-236).
+
+    The per-document fold is one codegen ``aggregate`` over the split
+    line array — documents stay independent, no shuffle, so a fleet-wide
+    scrape archive parses embarrassingly parallel.
+    """
+    lines = F.split(F.col(src), r"\r?\n")
+    idx = F.transform(
+        lines, lambda x, i: F.struct(i.alias("i"), x.alias("x")))
+    err_i = F.array_min(F.transform(
+        F.filter(idx, lambda s: s["x"].contains("ERR")),
+        lambda s: s["i"]))
+    kept = F.filter(
+        idx, lambda s: F.coalesce(s["i"] < err_i, F.lit(True)))
+
+    entry_t = "array<struct<sec:string,name:string,val:string>>"
+    acc0 = F.struct(
+        F.lit("").alias("sec"),
+        F.array().cast(entry_t).alias("es"),
+    )
+
+    def step(acc, s):
+        line = s["x"]
+        hdr = F.substring(line, 1, 1) == "#"
+        new_sec = F.when(
+            F.length(line) > 2, F.substring(line, 3, 1 << 30)
+        ).otherwise(acc["sec"])
+        name = F.substring_index(line, ":", 1)
+        val = F.substr(line, F.length(name) + F.lit(2))
+        entry = F.struct(
+            acc["sec"].alias("sec"), name.alias("name"), val.alias("val"))
+        keep = F.struct(
+            acc["sec"].alias("sec"),
+            F.array_append(acc["es"], entry).alias("es"))
+        hdr_acc = F.struct(new_sec.alias("sec"), acc["es"].alias("es"))
+        return (
+            F.when(F.length(line) == 0, acc)
+            .when(hdr, hdr_acc)
+            .when(~line.contains(":"), acc)
+            .otherwise(keep)
+        )
+
+    entries = F.aggregate(kept, acc0, step)["es"]
+    entries = F.filter(
+        entries,
+        lambda e: ~(
+            ((e["sec"] == "Server")
+             & ~e["name"].isin(*_REDIS_SERVER_KEEP))
+            | (e["name"] == "mem_allocator")
+        ),
+    )
+
+    def rename(name):
+        out = name
+        for k, v in _REDIS_TRACKING.items():
+            out = F.when(name == k, F.lit(v)).otherwise(out)
+        return out
+
+    is_ks = lambda e: (
+        (e["sec"] == "Keyspace")
+        & ~e["name"].isin(*_REDIS_TRACKING)
+        & F.trim(e["val"]).contains("keys=")
+    )
+    plain = F.transform(
+        F.filter(entries, lambda e: ~is_ks(e)),
+        lambda e: F.struct(
+            rename(e["name"]).alias("k"), F.trim(e["val"]).alias("v")),
+    )
+    ks = F.filter(entries, is_ks)
+
+    # db line → kv pairs; strings.Split(dbp, "=") uses element [1], not
+    # the rest-of-string, when a value embeds '='
+    def ks_pairs(e):
+        return F.transform(
+            F.filter(
+                F.split(F.trim(e["val"]), ","),
+                lambda p: p.contains("="),
+            ),
+            lambda p: F.struct(
+                F.concat(e["name"], F.lit("_"),
+                         F.split_part(p, F.lit("="), F.lit(1))).alias("k"),
+                F.split_part(p, F.lit("="), F.lit(2)).alias("v"),
+            ),
+        )
+
+    ks_fields = F.flatten(F.transform(ks, ks_pairs))
+
+    def ks_sum(which):
+        return F.aggregate(
+            ks,
+            F.lit(0).cast("long"),
+            lambda a, e: a + F.aggregate(
+                F.filter(
+                    F.split(F.trim(e["val"]), ","),
+                    lambda p: F.split_part(p, F.lit("="), F.lit(1))
+                    == which,
+                ),
+                F.lit(0).cast("long"),
+                lambda b, p: b + F.coalesce(
+                    F.split_part(p, F.lit("="), F.lit(2))
+                    .try_cast("long"),
+                    F.lit(0)),
+            ),
+        )
+
+    db_count = F.size(ks).cast("long")
+    avg_sum = ks_sum(F.lit("avg_ttl"))
+    avg_ttl = F.when(
+        db_count > 0,
+        ((avg_sum - F.pmod(avg_sum, db_count)) / db_count).cast("long"),
+    ).otherwise(avg_sum)
+    totals = F.array(
+        F.struct(F.lit("total_db_count").alias("k"),
+                 db_count.cast("string").alias("v")),
+        F.struct(F.lit("total_db_avg_ttl").alias("k"),
+                 avg_ttl.cast("string").alias("v")),
+        F.struct(F.lit("total_db_keys").alias("k"),
+                 ks_sum(F.lit("keys")).cast("string").alias("v")),
+        F.struct(F.lit("total_db_expires").alias("k"),
+                 ks_sum(F.lit("expires")).cast("string").alias("v")),
+    )
+
+    all_entries = F.concat(plain, ks_fields, totals)
+    # Go map semantics: duplicate keys last-wins (map_from_entries would
+    # throw under the default EXCEPTION dedup policy)
+    fields = F.aggregate(
+        all_entries,
+        F.create_map().cast("map<string,string>"),
+        lambda m, e: F.map_concat(
+            F.map_filter(m, lambda k, _: k != e["k"]),
+            F.create_map(e["k"], e["v"])),
+    )
+
+    tags = _redis_tags(F.col(url_key) if url_key in df.columns
+                       else F.lit("tcp://:6379"))
+    return df.select(
+        tags["server"].alias("server"),
+        tags["port"].alias("port"),
+        tags["socket"].alias("socket"),
+        fields.alias("fields"),
+    )
+
+
+@register("metric_redis", keys={"ServerUrls", "SourceKey", "UrlKey"})
+def metric_redis(cfg: dict):
+    """metric_redis (plugins/input/redis/input_redis.go): the TCP
+    INFO round trip is deployment-side; this operator parses landed
+    (url, INFO-body) rows. ``ServerUrls`` is accepted for config
+    parity with the reference's YAML."""
+    src = cfg.get("SourceKey", "content")
+    url_key = cfg.get("UrlKey", "url")
+
+    def run(df: DataFrame) -> DataFrame:
+        return redis_info_decode(df, src, url_key)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# netping probe metrics (metric_netping)
+# ---------------------------------------------------------------------------
+
+
+def netping_metrics(df: DataFrame, time_col: str = "ts") -> DataFrame:
+    """NetPing result rows → the reference's metric-log fan-out
+    (plugins/input/netping/netping.go:283-345):
+
+    * every valid result emits ``{type}_total`` / ``{type}_success`` /
+      ``{type}_failed``;
+    * icmp/tcping results with ``success > 0`` add the five
+      ``{type}_rtt_{min,max,avg,total,stddev}_ms`` gauges;
+    * httping adds ``httping_rt_ms`` + ``httping_response_bytes`` on
+      success, and (when the leaf cert was seen)
+      ``httping_cert_ttl_days`` under the cert label set (:648-663);
+    * dns resolution rows emit ``dns_resolve_rt_ms`` on success and the
+      success/failed pair (:283-293).
+
+    Labels follow helper.MetricLabels: sorted ``k#$#v`` joined with
+    ``|`` (log_helper.go:209-224); values print via Go 'g'
+    (NewMetricLog, :258-265); ``__time_nano__`` is the 19-digit ns
+    string. Expected input columns: type (ping|tcping|httping|dns),
+    name, src, dst, src_host, total, success, failed, the rtt stats,
+    http_rt_ms / http_response_bytes / http_proto / http_url_schema /
+    http_url_host / http_code, has_cert / cert_ttl_days /
+    cert_subject_cn / cert_issuer_cn, dns_name, err. Missing columns
+    default to null and their gated metrics simply don't fire.
+
+    One codegen projection + a Generate (explode) — no shuffle; a
+    fleet's probe archive aggregates map-side."""
+    def col_or_null(c, typ="string"):
+        return (F.col(c) if c in df.columns
+                else F.lit(None)).cast(typ)
+
+    typ = F.col("type")
+    t_ns = F.concat(
+        F.unix_micros(F.col(time_col).cast("timestamp")).cast("string"),
+        F.lit("000"))
+
+    def lbl(*pairs):
+        ents = F.array(*[
+            F.struct(F.lit(k).alias("k"),
+                     F.coalesce(v.cast("string"), F.lit("")).alias("v"))
+            for k, v in pairs
+        ])
+        return _sorted_labels(ents)
+
+    base_lbl = lbl(("name", col_or_null("name")),
+                   ("src", col_or_null("src")),
+                   ("dst", col_or_null("dst")),
+                   ("src_host", col_or_null("src_host")))
+    dns_lbl = lbl(("dns_name", col_or_null("dns_name")),
+                  ("src", col_or_null("src")),
+                  ("src_host", col_or_null("src_host")))
+    dns_fail_lbl = lbl(("dns_name", col_or_null("dns_name")),
+                       ("src", col_or_null("src")),
+                       ("src_host", col_or_null("src_host")),
+                       ("err", col_or_null("err")))
+    http_lbl = lbl(("name", col_or_null("name")),
+                   ("src", col_or_null("src")),
+                   ("dst", col_or_null("dst")),
+                   ("src_host", col_or_null("src_host")),
+                   ("proto", col_or_null("http_proto")),
+                   ("url_schema", col_or_null("http_url_schema")),
+                   ("url_host", col_or_null("http_url_host")),
+                   ("code", col_or_null("http_code")),
+                   ("codex", F.concat(
+                       (F.coalesce(col_or_null("http_code")
+                                   .try_cast("int"), F.lit(0)) / 100)
+                       .cast("int").cast("string"), F.lit("xx"))))
+    cert_lbl = lbl(("name", col_or_null("name")),
+                   ("src", col_or_null("src")),
+                   ("url", col_or_null("dst")),
+                   ("src_host", col_or_null("src_host")),
+                   ("url_host", col_or_null("http_url_host")),
+                   # the reference's field name (sic, :651-652)
+                   ("subject_commmon_name", col_or_null("cert_subject_cn")),
+                   ("issuer_commmon_name", col_or_null("cert_issuer_cn")))
+
+    def m(name, labels, value):
+        return F.struct(
+            name.cast("string").alias("name"),
+            labels.alias("labels"),
+            go_g_str(value.cast("double")).alias("value"))
+
+    success = F.coalesce(col_or_null("success", "long"), F.lit(0))
+    err = col_or_null("err")
+    base_err_lbl = lbl(("name", col_or_null("name")),
+                       ("src", col_or_null("src")),
+                       ("dst", col_or_null("dst")),
+                       ("src_host", col_or_null("src_host")),
+                       ("err", err))
+    # label selection mirrors the Go append order: failed dials append
+    # ``err`` (:410,:429,:598); httping appends proto/code/... only once
+    # a response exists (:637-641) — so a no-response failure reports
+    # under base(+err) labels, a bad-status response under http labels
+    counter_lbl = F.when(
+        (typ == "httping") & col_or_null("http_code").isNotNull(),
+        http_lbl,
+    ).when(err.isNotNull(), base_err_lbl).otherwise(base_lbl)
+    counters = F.array(
+        m(F.concat(typ, F.lit("_total")), counter_lbl,
+          col_or_null("total", "long")),
+        m(F.concat(typ, F.lit("_success")), counter_lbl, success),
+        m(F.concat(typ, F.lit("_failed")), counter_lbl,
+          col_or_null("failed", "long")),
+    )
+    empty = F.array().cast(
+        "array<struct<name:string,labels:string,value:string>>")
+    rtt = F.when(
+        typ.isin("ping", "tcping") & (success > 0),
+        F.array(*[
+            m(F.concat(typ, F.lit(f"_rtt_{s}_ms")), base_lbl,
+              col_or_null(f"{s}_rtt_ms", "double"))
+            for s in ("min", "max", "avg", "total", "stddev")
+        ]),
+    ).otherwise(empty)
+    http = F.when(
+        (typ == "httping") & (success > 0),
+        F.array(
+            m(F.lit("httping_rt_ms"), http_lbl,
+              col_or_null("http_rt_ms", "long")),
+            m(F.lit("httping_response_bytes"), http_lbl,
+              col_or_null("http_response_bytes", "long")),
+        ),
+    ).otherwise(empty)
+    cert = F.when(
+        (typ == "httping")
+        & F.coalesce(col_or_null("has_cert", "boolean"), F.lit(False)),
+        F.array(m(F.lit("httping_cert_ttl_days"), cert_lbl,
+                  col_or_null("cert_ttl_days", "long"))),
+    ).otherwise(empty)
+    dns = F.when(
+        success > 0,
+        F.array(
+            m(F.lit("dns_resolve_rt_ms"), dns_lbl,
+              col_or_null("dns_rt_ms", "double")),
+            m(F.lit("dns_resolve_success"), dns_lbl, F.lit(1)),
+            m(F.lit("dns_resolve_failed"), dns_lbl, F.lit(0)),
+        ),
+    ).otherwise(F.array(
+        m(F.lit("dns_resolve_success"), dns_fail_lbl, F.lit(0)),
+        m(F.lit("dns_resolve_failed"), dns_fail_lbl, F.lit(1)),
+    ))
+
+    metrics = F.when(typ == "dns", dns).otherwise(
+        F.concat(counters, rtt, http, cert))
+    out = df.select(t_ns.alias("__time_nano__"),
+                    F.explode(metrics).alias("_m"))
+    return out.select(
+        F.col("_m")["name"].alias("__name__"),
+        "__time_nano__",
+        F.col("_m")["labels"].alias("__labels__"),
+        F.col("_m")["value"].alias("__value__"),
+    )
+
+
+@register("metric_netping",
+          keys={"ICMPConfigs", "TCPConfigs", "HTTPConfigs", "DNSConfigs",
+                "IntervalSeconds", "TimeoutSeconds", "DisableDNS",
+                "TimeCol"})
+def metric_netping(cfg: dict):
+    """metric_netping (plugins/input/netping/netping.go): the probing
+    goroutines are deployment-side; this operator converts landed probe
+    result rows into the reference's metric-log fan-out. Probe target
+    configs are accepted for YAML parity."""
+    time_col = cfg.get("TimeCol", "ts")
+
+    def run(df: DataFrame) -> DataFrame:
+        return netping_metrics(df, time_col)
+
+    return run
+
+
+@register("service_udp_server",
+          keys={"Decoder", "Format", "SourceKey", "Address",
+                "MaxBufferSize", "DefaultTimeNano",
+                "EnableSlsMetricsFormat", "FieldsExtend", "DB"})
+def service_udp_server(cfg: dict):
+    """service_udp_server (plugins/input/udpserver/input_udp.go:146-152):
+    the UDP listener is engine-owned; each datagram decodes through the
+    same ext_default_decoder Format registry the HTTP push input uses —
+    so the operator delegates to the shared Format switch. Default
+    decoder is ext_default_decoder (init, :149)."""
+    decoder = cfg.get("Decoder", "ext_default_decoder")
+    if decoder != "ext_default_decoder":
+        raise ValueError(
+            f"service_udp_server: unknown Decoder extension {decoder!r}")
+    passthrough = {k: v for k, v in cfg.items()
+                   if k not in ("Decoder", "Address", "MaxBufferSize")}
+    from loongcollector_spark.operators import build_operator
+
+    return build_operator(
+        {"Type": "service_http_server", **passthrough})

@@ -334,3 +334,169 @@ class TestPyroscopeGroups:
         # reference lands on profile_unknown for byte/object profiles
         assert r["type"] == "profile_unknown"
         assert r["val"] == "7.00"
+
+
+REDIS_INFO = (
+    "# Server\r\n"
+    "redis_version:7.0.3\r\n"
+    "os:Linux 5.10\r\n"
+    "uptime_in_seconds:12345\r\n"
+    "lru_clock:99\r\n"
+    "# Clients\r\n"
+    "connected_clients:17\r\n"
+    "# Memory\r\n"
+    "used_memory:1048576\r\n"
+    "mem_allocator:jemalloc-5.2.1\r\n"
+    "# Replication\r\n"
+    "role:master\r\n"
+    "# Keyspace\r\n"
+    "db0:keys=2,expires=0,avg_ttl=7\r\n"
+    "db1:keys=10,expires=3,avg_ttl=4\r\n"
+)
+
+
+class TestRedisInfo:
+    """metric_redis vs a hand-trace of input_redis.go gatherInfoOutput
+    (:178-240) + gatherServer tag derivation (:84-105, 122-173)."""
+
+    def test_fields_sections_tracking_and_keyspace(self, spark):
+        from loongcollector_spark.operators.decoders import (
+            redis_info_decode,
+        )
+
+        rows = [("tcp://:pw@10.0.0.5:6380", REDIS_INFO),
+                ("192.168.1.9", REDIS_INFO),
+                ("unix:///var/run/redis.sock", REDIS_INFO)]
+        out = redis_info_decode(
+            spark.createDataFrame(rows, "url string, content string")
+        ).collect()
+        expected = {
+            # Server section: whitelist only (os dropped)
+            "redis_version": "7.0.3", "uptime": "12345", "lru_clock": "99",
+            # Tracking renames
+            "clients": "17", "replication_role": "master",
+            # mem_allocator always dropped, plain keys kept
+            "used_memory": "1048576",
+            # Keyspace expansion
+            "db0_keys": "2", "db0_expires": "0", "db0_avg_ttl": "7",
+            "db1_keys": "10", "db1_expires": "3", "db1_avg_ttl": "4",
+            # totals; avg_ttl = (7+4) int-div 2 (:235-236)
+            "total_db_count": "2", "total_db_avg_ttl": "5",
+            "total_db_keys": "12", "total_db_expires": "3",
+        }
+        assert dict(out[0].fields) == expected
+        # userinfo stripped from the host (url.Parse semantics)
+        assert (out[0].server, out[0].port) == ("10.0.0.5", "6380")
+        # bare address: tcp:// + default port 6379
+        assert (out[1].server, out[1].port) == ("192.168.1.9", "6379")
+        # unix scheme tags the socket path instead
+        assert out[2].socket == "/var/run/redis.sock"
+        assert out[2].server is None and out[2].port is None
+
+    def test_err_line_stops_the_scan(self, spark):
+        from loongcollector_spark.operators.decoders import (
+            redis_info_decode,
+        )
+
+        body = ("# Server\r\nredis_version:6.0\r\n"
+                "-ERR unknown command\r\nuptime_in_seconds:1\r\n")
+        out = redis_info_decode(
+            spark.createDataFrame([("h", body)],
+                                  "url string, content string")
+        ).collect()
+        assert dict(out[0].fields) == {
+            "redis_version": "6.0", "total_db_count": "0",
+            "total_db_avg_ttl": "0", "total_db_keys": "0",
+            "total_db_expires": "0"}
+
+
+class TestNetpingMetrics:
+    """metric_netping vs netping.go:283-345 fan-out + label append
+    order (:398-448, 598-678)."""
+
+    def _run(self, spark, rows):
+        import datetime
+
+        from loongcollector_spark.operators import build_operator
+
+        ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+        schema = (
+            "type string,name string,src string,dst string,"
+            "src_host string,total int,success int,failed int,"
+            "min_rtt_ms double,max_rtt_ms double,avg_rtt_ms double,"
+            "total_rtt_ms double,stddev_rtt_ms double,http_rt_ms int,"
+            "http_response_bytes int,http_proto string,"
+            "http_url_schema string,http_url_host string,"
+            "http_code string,has_cert boolean,cert_ttl_days int,"
+            "cert_subject_cn string,cert_issuer_cn string,"
+            "dns_name string,dns_rt_ms double,err string,ts timestamp")
+        df = spark.createDataFrame([r + (ts,) for r in rows], schema)
+        out = build_operator({"Type": "metric_netping"})(df).collect()
+        return {(r["__name__"], r["__labels__"]): r["__value__"]
+                for r in out}, out
+
+    def test_success_gated_fanout(self, spark):
+        got, out = self._run(spark, [
+            ("ping", "p1", "1.1.1.1", "8.8.8.8", "h1", 3, 3, 0,
+             1.0, 9.0, 4.5, 13.5, 2.1, None, None, None, None, None,
+             None, None, None, None, None, None, None, None),
+            ("tcping", "t1", "1.1.1.1", "web:443", "h1", 3, 0, 3,
+             None, None, None, None, None, None, None, None, None,
+             None, None, None, None, None, None, None, None,
+             "dial timeout"),
+        ])
+        base = "dst#$#8.8.8.8|name#$#p1|src#$#1.1.1.1|src_host#$#h1"
+        assert got[("ping_total", base)] == "3"
+        assert got[("ping_rtt_avg_ms", base)] == "4.5"
+        # Go 'g': 9.0 prints as 9
+        assert got[("ping_rtt_max_ms", base)] == "9"
+        # failed dial: counters under the err-appended label set (:429),
+        # rtt gauges gated off by success == 0 (:327-333)
+        terr = ("dst#$#web:443|err#$#dial timeout|name#$#t1"
+                "|src#$#1.1.1.1|src_host#$#h1")
+        assert got[("tcping_failed", terr)] == "3"
+        names = [r["__name__"] for r in out]
+        assert "tcping_rtt_min_ms" not in names
+        # 19-digit ns time string (NewMetricLogStringVal, :277-279)
+        assert all(len(r["__time_nano__"]) == 19 for r in out)
+
+    def test_httping_response_cert_and_dns(self, spark):
+        got, out = self._run(spark, [
+            ("httping", "w1", "1.1.1.1", "https://x.io", "h1", 1, 1, 0,
+             None, None, None, None, None, 120, 512, "HTTP/1.1",
+             "https", "x.io", "200", True, 30, "x.io", "R3",
+             None, None, None),
+            ("dns", "", "1.1.1.1", None, "h1", 1, 1, 0,
+             None, None, None, None, None, None, None, None, None,
+             None, None, None, None, None, None, "x.io", 3.5, None),
+        ])
+        http = ("code#$#200|codex#$#2xx|dst#$#https://x.io|name#$#w1"
+                "|proto#$#HTTP/1.1|src#$#1.1.1.1|src_host#$#h1"
+                "|url_host#$#x.io|url_schema#$#https")
+        assert got[("httping_rt_ms", http)] == "120"
+        assert got[("httping_response_bytes", http)] == "512"
+        # cert row under the cert label set incl. the reference's
+        # misspelled commmon keys (:651-652)
+        cert = ("issuer_commmon_name#$#R3|name#$#w1|src#$#1.1.1.1"
+                "|src_host#$#h1|subject_commmon_name#$#x.io"
+                "|url#$#https://x.io|url_host#$#x.io")
+        assert got[("httping_cert_ttl_days", cert)] == "30"
+        dns = "dns_name#$#x.io|src#$#1.1.1.1|src_host#$#h1"
+        assert got[("dns_resolve_rt_ms", dns)] == "3.5"
+        assert got[("dns_resolve_success", dns)] == "1"
+        assert got[("dns_resolve_failed", dns)] == "0"
+
+
+def test_udp_server_delegates_to_decoder_registry(spark):
+    from loongcollector_spark.operators import build_operator
+
+    op = build_operator({
+        "Type": "service_udp_server", "Format": "statsd",
+        "Address": "0.0.0.0:8125", "MaxBufferSize": 65535,
+        "DefaultTimeNano": 42,
+    })
+    out = op(spark.createDataFrame(
+        [("deploys.test.myservice:1|c",)], "content string")).collect()
+    assert len(out) == 1
+    assert out[0]["__name__"] == "deploys.test.myservice"
+    assert out[0]["__value__"] == 1.0

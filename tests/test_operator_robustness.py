@@ -137,6 +137,9 @@ CONFIGS: dict[str, dict] = {
                              "Metas": {"conv_id": "c.*"}},
     "service_lumberjack": {"V2": True, "SourceKey": "content"},
     "metric_nginx_status": {"SourceKey": "text", "UrlKey": "tool"},
+    "metric_redis": {"SourceKey": "text", "UrlKey": "tool"},
+    "metric_netping": {"TimeCol": "ts"},
+    "service_udp_server": {"SourceKey": "text", "Format": "statsd"},
 }
 
 
@@ -190,6 +193,21 @@ def _as_lumberjack_blobs(df):
     return df.select(F.col("text").cast("binary").alias("content"))
 
 
+def _as_netping_results(df):
+    """metric_netping consumes probe-result rows; hostile text rides in
+    as the probe type/name/err, counters from turn_idx (may be null)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("role").alias("type"), F.col("text").alias("name"),
+        F.col("conv_id").alias("src"), F.col("tool").alias("dst"),
+        F.col("text").alias("err"),
+        F.col("turn_idx").cast("int").alias("total"),
+        F.col("turn_idx").cast("int").alias("success"),
+        F.lit(0).alias("failed"), F.col("ts"),
+    )
+
+
 def _as_docker_events(df):
     """service_docker_event consumes a daemon-events frame; hostile text
     rides in as the action, null-able ids/types included."""
@@ -213,6 +231,7 @@ PREP = {
     "aggregator_skywalking": _with_map_shapes,
     "service_docker_event": _as_docker_events,
     "service_lumberjack": _as_lumberjack_blobs,
+    "metric_netping": _as_netping_results,
 }
 
 
