@@ -5008,6 +5008,9 @@ def q_redis_info(spark, sf_dir):
     ERR scan stop, exploded to (server, port, socket, metric, value)."""
     src = _materialized(
         spark, sf_dir, "redis_info_bodies", _synth_redis_info)
+    # the fixture is one small file = one task; spread the fold-heavy
+    # parse across cores (a fleet scrape archive arrives pre-split)
+    src = src.repartition(spark.sparkContext.defaultParallelism)
     out = build_operator({"Type": "metric_redis"})(src)
     kv = out.select(
         "server", "port", "socket",

@@ -770,146 +770,122 @@ def redis_info_decode(df: DataFrame, src: str = "content",
       ``total_db_count/keys/expires/avg_ttl`` summary fields
       (avg_ttl integer-divided by the db count, :235-236).
 
-    The per-document fold is one codegen ``aggregate`` over the split
-    line array — documents stay independent, no shuffle, so a fleet-wide
-    scrape archive parses embarrassingly parallel.
-    """
-    lines = F.split(F.col(src), r"\r?\n")
-    idx = F.transform(
-        lines, lambda x, i: F.struct(i.alias("i"), x.alias("x")))
-    err_i = F.array_min(F.transform(
-        F.filter(idx, lambda s: s["x"].contains("ERR")),
-        lambda s: s["i"]))
-    kept = F.filter(
-        idx, lambda s: F.coalesce(s["i"] < err_i, F.lit(True)))
-
-    entry_t = "array<struct<sec:string,name:string,val:string>>"
-    acc0 = F.struct(
-        F.lit("").alias("sec"),
-        F.array().cast(entry_t).alias("es"),
+    Documents stay independent — no shuffle, embarrassingly parallel
+    over a fleet-wide scrape archive. The per-document passes are SQL
+    higher-order expressions (each a single parsed expression tree, not
+    a py4j-built lambda pyramid — the string form builds the plan ~10x
+    faster and keeps every pass O(lines))."""
+    ks_guard = ("e.sec = 'Keyspace' and e.name not in "
+                "('uptime_in_seconds', 'connected_clients', 'role') "
+                "and contains(trim(e.val), 'keys=')")
+    d = (
+        df
+        .withColumn("_lx", F.expr(
+            f"transform(split(`{src}`, '\\r?\\n'),"
+            " (x, i) -> struct(i as i, x as x))"))
+        # strings.Contains(line, "ERR") breaks the scan (:192)
+        .withColumn("_errpos", F.expr(
+            "array_min(transform("
+            "filter(_lx, s -> contains(s.x, 'ERR')), s -> s.i))"))
+        # running-section fold: '#' headers (len > 2) set the section,
+        # ':'-less lines drop, the rest append (sec, name, value)
+        .withColumn("_entries", F.expr("""
+            aggregate(
+              filter(_lx, s -> _errpos is null or s.i < _errpos),
+              named_struct(
+                'sec', '',
+                'es', cast(array() as
+                  array<struct<sec:string,name:string,val:string>>)),
+              (acc, s) -> case
+                when length(s.x) = 0 then acc
+                when substring(s.x, 1, 1) = '#' then named_struct(
+                  'sec', if(length(s.x) > 2, substring(s.x, 3), acc.sec),
+                  'es', acc.es)
+                when instr(s.x, ':') = 0 then acc
+                else named_struct('sec', acc.sec, 'es', array_append(
+                  acc.es, named_struct(
+                    'sec', acc.sec,
+                    'name', substring_index(s.x, ':', 1),
+                    'val', substr(
+                      s.x,
+                      length(substring_index(s.x, ':', 1)) + 2)))) end
+            ).es"""))
+        # Server-section whitelist + the unconditional mem_allocator drop
+        .withColumn("_entries", F.expr("""
+            filter(_entries, e -> not (
+              (e.sec = 'Server' and e.name not in
+                ('lru_clock', 'uptime_in_seconds', 'redis_version'))
+              or e.name = 'mem_allocator'))"""))
+        .withColumn("_ks", F.expr(f"filter(_entries, e -> {ks_guard})"))
+        # plain fields: Tracking renames, trimmed values
+        .withColumn("_plain", F.expr(f"""
+            transform(
+              filter(_entries, e -> not ({ks_guard})),
+              e -> named_struct(
+                'k', case e.name
+                       when 'uptime_in_seconds' then 'uptime'
+                       when 'connected_clients' then 'clients'
+                       when 'role' then 'replication_role'
+                       else e.name end,
+                'v', trim(e.val)))"""))
+        # db line pairs: strings.Split(dbp, '=') uses element [1], not
+        # the rest-of-string, when a value embeds '='
+        .withColumn("_ksf", F.expr("""
+            flatten(transform(_ks, e ->
+              transform(
+                filter(split(trim(e.val), ','), p -> contains(p, '=')),
+                p -> named_struct(
+                  'k', concat(e.name, '_', split_part(p, '=', 1)),
+                  'v', split_part(p, '=', 2)))))"""))
+        # totals in one pass (ParseInt failure counts 0, :247-259)
+        .withColumn("_tot", F.expr("""
+            aggregate(_ks,
+              named_struct('keys', 0L, 'expires', 0L, 'ttl', 0L),
+              (a, e) -> aggregate(
+                filter(split(trim(e.val), ','), p -> contains(p, '=')),
+                a,
+                (b, p) -> named_struct(
+                  'keys', b.keys + if(split_part(p, '=', 1) = 'keys',
+                    coalesce(try_cast(split_part(p, '=', 2) as long), 0L),
+                    0L),
+                  'expires', b.expires +
+                    if(split_part(p, '=', 1) = 'expires',
+                    coalesce(try_cast(split_part(p, '=', 2) as long), 0L),
+                    0L),
+                  'ttl', b.ttl + if(split_part(p, '=', 1) = 'avg_ttl',
+                    coalesce(try_cast(split_part(p, '=', 2) as long), 0L),
+                    0L))))"""))
+        # Go int64 division truncates; TTL sums are non-negative
+        .withColumn("_all", F.expr("""
+            concat(_plain, _ksf, array(
+              named_struct('k', 'total_db_count',
+                           'v', cast(size(_ks) as string)),
+              named_struct('k', 'total_db_avg_ttl', 'v', cast(
+                if(size(_ks) > 0,
+                   cast((_tot.ttl - pmod(_tot.ttl, size(_ks)))
+                        / size(_ks) as long),
+                   _tot.ttl) as string)),
+              named_struct('k', 'total_db_keys',
+                           'v', cast(_tot.keys as string)),
+              named_struct('k', 'total_db_expires',
+                           'v', cast(_tot.expires as string))))"""))
     )
-
-    def step(acc, s):
-        line = s["x"]
-        hdr = F.substring(line, 1, 1) == "#"
-        new_sec = F.when(
-            F.length(line) > 2, F.substring(line, 3, 1 << 30)
-        ).otherwise(acc["sec"])
-        name = F.substring_index(line, ":", 1)
-        val = F.substr(line, F.length(name) + F.lit(2))
-        entry = F.struct(
-            acc["sec"].alias("sec"), name.alias("name"), val.alias("val"))
-        keep = F.struct(
-            acc["sec"].alias("sec"),
-            F.array_append(acc["es"], entry).alias("es"))
-        hdr_acc = F.struct(new_sec.alias("sec"), acc["es"].alias("es"))
-        return (
-            F.when(F.length(line) == 0, acc)
-            .when(hdr, hdr_acc)
-            .when(~line.contains(":"), acc)
-            .otherwise(keep)
-        )
-
-    entries = F.aggregate(kept, acc0, step)["es"]
-    entries = F.filter(
-        entries,
-        lambda e: ~(
-            ((e["sec"] == "Server")
-             & ~e["name"].isin(*_REDIS_SERVER_KEEP))
-            | (e["name"] == "mem_allocator")
-        ),
-    )
-
-    def rename(name):
-        out = name
-        for k, v in _REDIS_TRACKING.items():
-            out = F.when(name == k, F.lit(v)).otherwise(out)
-        return out
-
-    is_ks = lambda e: (
-        (e["sec"] == "Keyspace")
-        & ~e["name"].isin(*_REDIS_TRACKING)
-        & F.trim(e["val"]).contains("keys=")
-    )
-    plain = F.transform(
-        F.filter(entries, lambda e: ~is_ks(e)),
-        lambda e: F.struct(
-            rename(e["name"]).alias("k"), F.trim(e["val"]).alias("v")),
-    )
-    ks = F.filter(entries, is_ks)
-
-    # db line → kv pairs; strings.Split(dbp, "=") uses element [1], not
-    # the rest-of-string, when a value embeds '='
-    def ks_pairs(e):
-        return F.transform(
-            F.filter(
-                F.split(F.trim(e["val"]), ","),
-                lambda p: p.contains("="),
-            ),
-            lambda p: F.struct(
-                F.concat(e["name"], F.lit("_"),
-                         F.split_part(p, F.lit("="), F.lit(1))).alias("k"),
-                F.split_part(p, F.lit("="), F.lit(2)).alias("v"),
-            ),
-        )
-
-    ks_fields = F.flatten(F.transform(ks, ks_pairs))
-
-    def ks_sum(which):
-        return F.aggregate(
-            ks,
-            F.lit(0).cast("long"),
-            lambda a, e: a + F.aggregate(
-                F.filter(
-                    F.split(F.trim(e["val"]), ","),
-                    lambda p: F.split_part(p, F.lit("="), F.lit(1))
-                    == which,
-                ),
-                F.lit(0).cast("long"),
-                lambda b, p: b + F.coalesce(
-                    F.split_part(p, F.lit("="), F.lit(2))
-                    .try_cast("long"),
-                    F.lit(0)),
-            ),
-        )
-
-    db_count = F.size(ks).cast("long")
-    avg_sum = ks_sum(F.lit("avg_ttl"))
-    avg_ttl = F.when(
-        db_count > 0,
-        ((avg_sum - F.pmod(avg_sum, db_count)) / db_count).cast("long"),
-    ).otherwise(avg_sum)
-    totals = F.array(
-        F.struct(F.lit("total_db_count").alias("k"),
-                 db_count.cast("string").alias("v")),
-        F.struct(F.lit("total_db_avg_ttl").alias("k"),
-                 avg_ttl.cast("string").alias("v")),
-        F.struct(F.lit("total_db_keys").alias("k"),
-                 ks_sum(F.lit("keys")).cast("string").alias("v")),
-        F.struct(F.lit("total_db_expires").alias("k"),
-                 ks_sum(F.lit("expires")).cast("string").alias("v")),
-    )
-
-    all_entries = F.concat(plain, ks_fields, totals)
-    # Go map semantics: duplicate keys last-wins (map_from_entries would
-    # throw under the default EXCEPTION dedup policy)
-    fields = F.aggregate(
-        all_entries,
-        F.create_map().cast("map<string,string>"),
-        lambda m, e: F.map_concat(
-            F.map_filter(m, lambda k, _: k != e["k"]),
-            F.create_map(e["k"], e["v"])),
-    )
-
+    # Go map semantics: duplicate keys last-wins. map_from_entries would
+    # throw under the default EXCEPTION dedup policy; the fold pays the
+    # rebuild only on an actual duplicate (values are never null here)
+    fields = F.expr("""
+        aggregate(_all, cast(map() as map<string,string>),
+          (m, e) -> if(isnotnull(element_at(m, e.k)),
+            map_concat(map_filter(m, (k, v) -> k != e.k), map(e.k, e.v)),
+            map_concat(m, map(e.k, e.v))))""")
     tags = _redis_tags(F.col(url_key) if url_key in df.columns
                        else F.lit("tcp://:6379"))
-    return df.select(
+    return d.select(
         tags["server"].alias("server"),
         tags["port"].alias("port"),
         tags["socket"].alias("socket"),
         fields.alias("fields"),
     )
-
 
 @register("metric_redis", keys={"ServerUrls", "SourceKey", "UrlKey"})
 def metric_redis(cfg: dict):
@@ -1007,10 +983,13 @@ def netping_metrics(df: DataFrame, time_col: str = "ts") -> DataFrame:
                    ("issuer_commmon_name", col_or_null("cert_issuer_cn")))
 
     def m(name, labels, value):
+        # value stays double here; the Go-'g' formatting tree is built
+        # ONCE on the exploded column (25 copies of it made plan
+        # construction the dominant cost)
         return F.struct(
             name.cast("string").alias("name"),
             labels.alias("labels"),
-            go_g_str(value.cast("double")).alias("value"))
+            value.cast("double").alias("value"))
 
     success = F.coalesce(col_or_null("success", "long"), F.lit(0))
     err = col_or_null("err")
@@ -1080,7 +1059,7 @@ def netping_metrics(df: DataFrame, time_col: str = "ts") -> DataFrame:
         F.col("_m")["name"].alias("__name__"),
         "__time_nano__",
         F.col("_m")["labels"].alias("__labels__"),
-        F.col("_m")["value"].alias("__value__"),
+        go_g_str(F.col("_m")["value"]).alias("__value__"),
     )
 
 
@@ -1121,3 +1100,80 @@ def service_udp_server(cfg: dict):
 
     return build_operator(
         {"Type": "service_http_server", **passthrough})
+
+
+# ---------------------------------------------------------------------------
+# mqtt subscription (service_mqtt)
+# ---------------------------------------------------------------------------
+
+
+def mqtt_filter_regex(topic_filter: str) -> str:
+    """MQTT v3.1.1 topic filter → anchored Java regex (the subscription
+    match the broker performs for input_mqtt's Topics list; spec §4.7):
+    ``+`` matches exactly one level, a trailing ``/#`` matches the
+    parent and any subtree, ``#`` alone matches everything — except
+    that wildcard-leading filters never match ``$``-system topics
+    (§4.7.2)."""
+    import re as _re
+
+    if "#" in topic_filter[:-1]:
+        raise ValueError(
+            f"mqtt: '#' must terminate the filter: {topic_filter!r}")
+    guard = r"(?!\$)" if topic_filter[:1] in ("#", "+") else ""
+    if topic_filter == "#":
+        return f"^{guard}.*$"
+    if topic_filter.endswith("/#"):
+        body, tail = topic_filter[:-2], r"(/.*)?"
+    else:
+        body, tail = topic_filter, ""
+    parts = [
+        "[^/]+" if p == "+" else _re.escape(p) for p in body.split("/")
+    ]
+    return "^" + guard + "/".join(parts) + tail + "$"
+
+
+@register("service_mqtt",
+          keys={"Server", "Topics", "QoS", "ClientID", "Username",
+                "Password", "SSLCA", "SSLCert", "SSLKey", "RetryMin",
+                "RetryRatio", "RetryMax", "CleanSession", "OrderMatters",
+                "ClientIDAutoInc", "KeepAlive", "Version",
+                "TopicKey", "SourceKey"})
+def service_mqtt(cfg: dict):
+    """service_mqtt (plugins/input/mqtt/input_mqtt.go): the broker
+    session is deployment-side; this operator replays landed messages —
+    subscription filtering via the Topics wildcard list (default ``#``,
+    Init :71-73) and the 6-field log contract of onMessageReceived
+    (:99-119: server/topic/duplicated/retained/message_id/content).
+    Connection/TLS/retry knobs are accepted for YAML parity."""
+    server = cfg.get("Server") or "tcp://127.0.0.1:1883"
+    topics = cfg.get("Topics") or ["#"]
+    regexes = [mqtt_filter_regex(t) for t in topics]
+    topic_key = cfg.get("TopicKey", "topic")
+    src = cfg.get("SourceKey", "content")
+
+    def run(df: DataFrame) -> DataFrame:
+        topic = F.coalesce(F.col(topic_key).cast("string"), F.lit(""))
+        match = F.lit(False)
+        for rx in regexes:
+            match = match | topic.rlike(rx)
+
+        def flag(name):
+            if name in df.columns:
+                return F.when(
+                    F.coalesce(F.col(name).cast("boolean"), F.lit(False)),
+                    F.lit("true")).otherwise(F.lit("false"))
+            return F.lit("false")
+
+        return df.filter(match).select(
+            F.lit(server).alias("server"),
+            topic.alias("topic"),
+            flag("duplicated").alias("duplicated"),
+            flag("retained").alias("retained"),
+            (F.coalesce(F.col("message_id").cast("long"), F.lit(0))
+             if "message_id" in df.columns else F.lit(0))
+            .cast("string").alias("message_id"),
+            F.coalesce(F.col(src).cast("string"), F.lit(""))
+            .alias("content"),
+        )
+
+    return run

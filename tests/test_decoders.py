@@ -500,3 +500,37 @@ def test_udp_server_delegates_to_decoder_registry(spark):
     assert len(out) == 1
     assert out[0]["__name__"] == "deploys.test.myservice"
     assert out[0]["__value__"] == 1.0
+
+
+class TestMqtt:
+    """service_mqtt: Topics wildcard subscription (MQTT v3.1.1 §4.7) +
+    the onMessageReceived 6-field contract (input_mqtt.go:99-119)."""
+
+    def test_topic_filters_and_contract(self, spark):
+        from loongcollector_spark.operators import build_operator
+
+        df = spark.createDataFrame(
+            [("sensors/t1/temp", "21.5", True, False, 7),
+             ("sensors/t1/a/temp", "x", False, False, 8),   # + is 1 level
+             ("actuators/v2", "open", False, True, 9),
+             ("$SYS/broker/load", "z", False, False, 10)],  # $-topics
+            "topic string, content string, duplicated boolean, "
+            "retained boolean, message_id int")
+        op = build_operator({
+            "Type": "service_mqtt", "Server": "tcp://mq:1883",
+            "Topics": ["sensors/+/temp", "actuators/#"], "QoS": 1,
+        })
+        out = {r["topic"]: r for r in op(df).collect()}
+        assert set(out) == {"sensors/t1/temp", "actuators/v2"}
+        r = out["sensors/t1/temp"]
+        assert (r["server"], r["duplicated"], r["retained"],
+                r["message_id"], r["content"]) == (
+            "tcp://mq:1883", "true", "false", "7", "21.5")
+
+    def test_default_hash_excludes_system_topics(self, spark):
+        from loongcollector_spark.operators import build_operator
+
+        df = spark.createDataFrame(
+            [("a/b", "1"), ("$SYS/x", "2")], "topic string, content string")
+        out = build_operator({"Type": "service_mqtt"})(df).collect()
+        assert [r["topic"] for r in out] == ["a/b"]

@@ -140,6 +140,8 @@ CONFIGS: dict[str, dict] = {
     "metric_redis": {"SourceKey": "text", "UrlKey": "tool"},
     "metric_netping": {"TimeCol": "ts"},
     "service_udp_server": {"SourceKey": "text", "Format": "statsd"},
+    "service_mqtt": {"Topics": ["#"], "TopicKey": "tool",
+                     "SourceKey": "text"},
 }
 
 
