@@ -5208,6 +5208,62 @@ FROM lbl, LATERAL (
 """
 
 
+def q_request_breaker(spark, sf_dir):
+    """ext_request_breaker decision replay (operators/httpext.py) over a
+    per-backend request log derived from events: endpoint = path@shard
+    (64 partitions — the per-host granularity a client breaker actually
+    keys on), success = status < 500 (handy DefaultResponseValidator).
+    One RANGE-window shuffle carrying (endpoint, ts, ok); decisions and
+    trailing-window ratios are emitted per request."""
+    from loongcollector_spark.operators import build_operator
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = (
+        F.when(F.pmod("user_id", F.lit(4)) == 0, F.lit("/index.html"))
+        .when(F.pmod("user_id", F.lit(4)) == 1, F.lit("/api/v1/items"))
+        .when(F.pmod("user_id", F.lit(4)) == 2, F.lit("/login"))
+        .otherwise(F.lit("/healthz"))
+    )
+    reqs = ev.select(
+        F.col("event_id"),
+        F.concat(path, F.lit("@h"), F.pmod("user_id", F.lit(16))).alias("endpoint"),
+        F.col("ts"),
+        (F.pmod("event_id", F.lit(6)) != 0).alias("ok"),  # %6=0 → 500
+    )
+    op = build_operator({"Type": "ext_request_breaker",
+                         "FailureRatio": 0.10, "WindowInSeconds": 10})
+    return op(reqs).select(
+        "event_id", "endpoint", "win_total", "win_failed",
+        "fail_ratio_milli", "would_break",
+    )
+
+
+O_REQUEST_BREAKER = """
+WITH r AS (
+  SELECT event_id,
+    (CASE cast(user_id % 4 AS INT) WHEN 0 THEN '/index.html'
+          WHEN 1 THEN '/api/v1/items' WHEN 2 THEN '/login'
+          ELSE '/healthz' END) || '@h' || cast(user_id % 16 AS VARCHAR)
+      AS endpoint,
+    epoch_us(ts) AS us,
+    event_id % 6 <> 0 AS ok
+  FROM events
+), w AS (
+  SELECT event_id, endpoint,
+    count(*) FILTER (WHERE true) OVER tw AS win_total,
+    coalesce(sum(CASE WHEN ok THEN 0 ELSE 1 END) OVER tw, 0) AS win_failed
+  FROM r
+  WINDOW tw AS (PARTITION BY endpoint ORDER BY us
+                RANGE BETWEEN 10000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, endpoint, win_total, win_failed,
+  CASE WHEN win_total > 0
+       THEN cast(floor(win_failed * 1000.0 / win_total) AS BIGINT)
+       ELSE 0 END AS fail_ratio_milli,
+  CASE WHEN win_total > 0 THEN win_failed * 1.0 / win_total > 0.10
+       ELSE false END AS would_break
+FROM w
+"""
 
 
 QUERIES = {
@@ -5316,6 +5372,7 @@ QUERIES = {
     "dup_line_stats": (q_dup_line_stats, O_DUP_LINE_STATS),
     "warc_records": (q_warc_records, O_WARC_RECORDS),
     "heavy_hitters": (q_heavy_hitters, O_HEAVY_HITTERS),
+    "request_breaker": (q_request_breaker, O_REQUEST_BREAKER),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),

@@ -348,7 +348,17 @@ def flusher_http(cfg: dict):
     as pkg/protocol/converter. No HTTP client in this container, so the
     request bodies land as line files under ``Path`` (one value per
     line, exactly the bytes a POST body would carry); RemoteURL is
-    recorded in the directory's _SUCCESS-adjacent metadata only."""
+    recorded in the directory's _SUCCESS-adjacent metadata only.
+
+    ``Authenticator`` / ``RequestInterceptors`` (flusher_http.go:86-89,
+    :298-335) resolve through the extension registry at build time, Init
+    parity: a bad extension type/config fails the pipeline build. The
+    authenticator's constant request headers land next to the bodies in
+    ``<Path>/_request_headers.json`` (per-request transport state the
+    reference attaches client-side)."""
+    import json as _json
+    import os as _os
+
     from loongcollector_spark.serializer import convert_events
 
     path = cfg["Path"]
@@ -362,12 +372,33 @@ def flusher_http(cfg: dict):
         # supportedCompressionType, flusher_http.go:57-60
         raise ValueError(f"flusher_http: unsupported compression {compression!r}")
 
+    from loongcollector_spark.operators import build_operator
+
+    headers: dict[str, str] = {}
+    auth = cfg.get("Authenticator")
+    if auth is not None:
+        if auth.get("Type") != "ext_basicauth":
+            raise ValueError(
+                f"flusher_http: authenticator({auth.get('Type')}) does not "
+                "implement ClientAuthenticator")
+        from loongcollector_spark.operators.httpext import basic_auth_header
+
+        opts = auth.get("Options", {})
+        headers["Authorization"] = basic_auth_header(
+            str(opts.get("Username", "")), str(opts.get("Password", "")))
+    for setting in cfg.get("RequestInterceptors", []) or []:
+        # initRequestInterceptors: each must resolve + build (Init parity)
+        build_operator({"Type": setting["Type"], **setting.get("Options", {})})
+
     def write(df: DataFrame) -> None:
         kwargs = {"tags": tags} if protocol != "influxdb" else {}
         w = convert_events(df, protocol, **kwargs).write.mode("overwrite")
         if compression:
             w = w.option("compression", compression)
         w.text(path)
+        if headers:
+            with open(_os.path.join(path, "_request_headers.json"), "w") as f:
+                _json.dump(headers, f, sort_keys=True)
 
     return write
 

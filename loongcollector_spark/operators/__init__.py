@@ -89,6 +89,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     fieldops,
     filterops,
     grok,
+    httpext,
     metricops,
     multiline,
     otelops,
