@@ -5266,6 +5266,162 @@ FROM w
 """
 
 
+def q_chat_render(spark, sf_dir):
+    """Chat-template rendering (functions/chatprep.py): one training
+    sample per conversation with assistant-span loss statistics. The
+    per-turn render is a scan-stage concat; the only shuffle is the
+    per-conversation groupBy a shard writer needs anyway."""
+    from loongcollector_spark.functions.chatprep import render_chat_samples
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = render_chat_samples(t)
+    return out.select(
+        "conv_id", F.md5("sample_text").alias("sample_md5"),
+        "n_turns", "sample_chars", "assistant_chars", "loss_frac_milli",
+    )
+
+
+O_CHAT_RENDER = f"""{_ORACLE_T},
+r AS (
+  SELECT conv_id, turn_idx,
+    '<|' || role || '|>' || text AS rt,
+    CASE WHEN role = 'assistant'
+         THEN len('<|' || role || '|>' || text) ELSE 0 END AS alen
+  FROM t
+), s AS (
+  SELECT conv_id,
+    string_agg(rt, chr(10) ORDER BY turn_idx) AS sample_text,
+    count(*) AS n_turns,
+    sum(alen) AS assistant_chars
+  FROM r GROUP BY conv_id
+)
+SELECT conv_id, md5(sample_text) AS sample_md5,
+  cast(n_turns AS BIGINT) AS n_turns,
+  cast(len(sample_text) AS BIGINT) AS sample_chars,
+  cast(assistant_chars AS BIGINT) AS assistant_chars,
+  cast(floor(assistant_chars * 1000.0 / len(sample_text)) AS BIGINT)
+    AS loss_frac_milli
+FROM s
+"""
+
+
+def q_sft_pairs(spark, sf_dir):
+    """SFT example extraction (functions/chatprep.py): one (prompt,
+    completion) row per assistant turn; prompts travel as fingerprints
+    + length stats, the completion text rides along for tokenization.
+    The running-prefix window is conversation-bounded."""
+    from loongcollector_spark.functions.chatprep import sft_pairs
+
+    t = transcripts_from_events(spark, sf_dir)
+    return sft_pairs(t).select(
+        "conv_id", "turn_idx", "prompt_md5", "prompt_turns",
+        "prompt_chars", F.md5("completion").alias("completion_md5"),
+        "completion_tokens",
+    )
+
+
+O_SFT_PAIRS = f"""{_ORACLE_T},
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+    '<|' || role || '|>' || text AS rt
+  FROM t
+), w AS (
+  SELECT conv_id, turn_idx, role, text,
+    array_to_string(list(rt) OVER win, chr(10)) AS prompt,
+    count(*) OVER win AS prompt_turns
+  FROM r
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, md5(prompt) AS prompt_md5,
+  cast(prompt_turns AS BIGINT) AS prompt_turns,
+  cast(len(prompt) AS BIGINT) AS prompt_chars,
+  md5(text) AS completion_md5,
+  cast(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS completion_tokens
+FROM w WHERE role = 'assistant' AND prompt_turns > 0
+"""
+
+
+_BADWORDS = ("slow", "garbage", "spam")
+
+
+def q_badwords_filter(spark, sf_dir):
+    """C4 blocklist gate (functions/curation.badwords_filter): flagged
+    token occurrences per document + kept flag; only actual hits are
+    ever shuffled."""
+    from loongcollector_spark.functions.curation import badwords_filter
+
+    return badwords_filter(_docs(spark, sf_dir), list(_BADWORDS))
+
+
+O_BADWORDS_FILTER = f"""
+WITH w AS (
+  SELECT doc_id,
+    regexp_replace(
+      unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')),
+      '^\\W+|\\W+$', '', 'g') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id, count(*) AS flagged FROM w
+  WHERE w IN {_BADWORDS!r} GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.flagged, 0) AS flagged_tokens,
+  coalesce(h.flagged, 0) = 0 AS kept
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+
+def _mojibake_oracle_sql() -> str:
+    """Inject + repair chains generated from the SAME fix table the
+    operator compiles, so the two stay in lockstep."""
+    from loongcollector_spark.functions.text import MOJIBAKE_FIXES
+
+    corrupt = "coalesce(text, '')"
+    for src, bad in (("the", "â€œthe"),
+                     ("e", "Ã©"), ("o", "Ã¶")):
+        corrupt = f"replace({corrupt}, '{src}', '{bad}')"
+    fixed = "c"
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+WITH c0 AS (SELECT doc_id, {corrupt} AS c FROM documents),
+f AS (SELECT doc_id, c, {fixed} AS fx FROM c0)
+SELECT doc_id, md5(fx) AS fixed_md5,
+  cast(len(c) - len(fx) AS BIGINT) AS mojibake_chars,
+  len(c) <> len(fx) AS changed
+FROM f
+"""
+
+
+def q_mojibake_fix(spark, sf_dir):
+    """ftfy-lite mojibake repair (functions/text.fix_mojibake) over a
+    deterministically corrupted copy of the documents corpus (the
+    fixtures are clean; real crawls are not). Inject and repair are both
+    single codegen projections — no shuffle anywhere."""
+    from loongcollector_spark.functions.text import fix_mojibake
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    corrupted = d.withColumn(
+        "text",
+        F.replace(F.replace(F.replace(
+            F.col("text"),
+            F.lit("the"), F.lit("â€œthe")),
+            F.lit("e"), F.lit("Ã©")),
+            F.lit("o"), F.lit("Ã¶")),
+    )
+    out = fix_mojibake(corrupted)
+    return out.select(
+        "doc_id", F.md5("fixed_text").alias("fixed_md5"),
+        "mojibake_chars", (F.col("mojibake_chars") > 0).alias("changed"),
+    )
+
+
+O_MOJIBAKE_FIX = _mojibake_oracle_sql()
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5373,6 +5529,10 @@ QUERIES = {
     "warc_records": (q_warc_records, O_WARC_RECORDS),
     "heavy_hitters": (q_heavy_hitters, O_HEAVY_HITTERS),
     "request_breaker": (q_request_breaker, O_REQUEST_BREAKER),
+    "chat_render": (q_chat_render, O_CHAT_RENDER),
+    "sft_pairs": (q_sft_pairs, O_SFT_PAIRS),
+    "badwords_filter": (q_badwords_filter, O_BADWORDS_FILTER),
+    "mojibake_fix": (q_mojibake_fix, O_MOJIBAKE_FIX),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),

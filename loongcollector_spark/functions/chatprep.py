@@ -1,0 +1,112 @@
+"""Transcript → training-sample preparation: chat-template rendering and
+SFT (prompt, completion) pair extraction.
+
+These are the ops that turn the pipeline's cleaned agent transcripts
+(conv_id, turn_idx, role, text, tool, ts — the input_hint shape) into
+model-ready artifacts:
+
+* ``render_chat_samples`` — one training sample per conversation: turns
+  rendered with role markers in stable turn order, concatenated, with
+  the assistant-span statistics a loss mask needs (which fraction of the
+  sample's characters the loss applies to).
+* ``sft_pairs`` — one (prompt, completion) example per assistant turn:
+  the prompt is every turn strictly before it, the completion is the
+  assistant text. Prompts are emitted as fingerprints + length stats,
+  not materialized strings: per-example prompt text is O(turns²)
+  characters per conversation, and at 10^12 turns you shard-render
+  prompts at tokenization time from the packed sample — the fingerprint
+  is what dedup/decontamination joins on.
+
+Scale shape: per-turn rendering is a codegen projection in the scan
+stage; the ONLY shuffle is the per-conversation hash partition (groupBy
+conv_id / window over conv_id), which carries rendered turn strings —
+the same rows a shard-writer must co-locate anyway. Window frames are
+bounded by conversation length (tens of turns), never by corpus size.
+
+The role-marker template is a neutral ``<|role|>`` ChatML-like scheme;
+``turn_sep`` and the marker shape are parameters, not policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rendered_turn(role_col: str = "role", text_col: str = "text") -> "F.Column":
+    """``<|role|>text`` — the per-turn rendered string (codegen concat)."""
+    return F.concat(F.lit("<|"), F.col(role_col), F.lit("|>"), F.col(text_col))
+
+
+def render_chat_samples(df: DataFrame, conv_col: str = "conv_id",
+                        idx_col: str = "turn_idx", role_col: str = "role",
+                        text_col: str = "text",
+                        turn_sep: str = "\n") -> DataFrame:
+    """One sample per conversation: ``sample_text`` (turns joined in
+    turn order), ``n_turns``, ``sample_chars``, ``assistant_chars`` and
+    ``loss_frac_milli`` = ⌊assistant_chars·1000 / sample_chars⌋ — the
+    character share a completion-only loss mask trains on (separators
+    count as context, like a real mask)."""
+    turn = df.select(
+        conv_col,
+        F.col(idx_col).alias("_idx"),
+        rendered_turn(role_col, text_col).alias("_r"),
+        F.when(F.col(role_col) == "assistant",
+               F.length(rendered_turn(role_col, text_col)))
+         .otherwise(F.lit(0)).alias("_alen"),
+    )
+    agg = turn.groupBy(conv_col).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("_idx").alias("i"), F.col("_r").alias("r")))).alias("_turns"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_alen").alias("assistant_chars"),
+    )
+    sample = F.array_join(F.transform("_turns", lambda s: s["r"]), turn_sep)
+    return agg.select(
+        conv_col,
+        sample.alias("sample_text"),
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.length(sample).cast("bigint").alias("sample_chars"),
+        F.col("assistant_chars").cast("bigint").alias("assistant_chars"),
+        F.floor(F.col("assistant_chars") * 1000 / F.length(sample))
+         .cast("bigint").alias("loss_frac_milli"),
+    )
+
+
+def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
+              idx_col: str = "turn_idx", role_col: str = "role",
+              text_col: str = "text",
+              turn_sep: str = "\n") -> DataFrame:
+    """One SFT example per assistant turn with at least one prior turn:
+    ``prompt_md5`` fingerprints the rendered prior-turns string (the
+    key decontamination and example-dedup join on), ``prompt_turns`` /
+    ``prompt_chars`` size it, ``completion`` carries the assistant text
+    with its whitespace token count. The running-prefix window is
+    per-conversation and frame-bounded; nothing global."""
+    turn = df.select(
+        conv_col, F.col(idx_col).alias("turn_idx"), role_col, text_col,
+        rendered_turn(role_col, text_col).alias("_r"),
+    )
+    w = (Window.partitionBy(conv_col).orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prompt = F.array_join(F.collect_list("_r").over(w), turn_sep)
+    with_prompt = turn.select(
+        conv_col, "turn_idx", role_col, text_col,
+        prompt.alias("_prompt"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("prompt_turns"),
+    )
+    return (
+        with_prompt
+        .filter((F.col(role_col) == "assistant") & (F.col("prompt_turns") > 0))
+        .select(
+            conv_col, "turn_idx",
+            F.md5(F.col("_prompt")).alias("prompt_md5"),
+            "prompt_turns",
+            F.length("_prompt").cast("bigint").alias("prompt_chars"),
+            F.col(text_col).alias("completion"),
+            # empty/whitespace completions count 0 (with_token_count parity)
+            F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+                   F.lit(0))
+             .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+             .cast("bigint").alias("completion_tokens"),
+        )
+    )

@@ -460,3 +460,41 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
         .otherwise(F.lit("new"))
     )
     return flagged.select(id_col, "fingerprint", status.alias("status"))
+
+
+def badwords_filter(df: DataFrame, blocklist: list[str],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 drop documents
+    containing any listed word): per document the number of flagged
+    token OCCURRENCES (lowercased, punctuation-stripped word match, not
+    substring) and ``kept``.
+
+    Scale shape: tokens flagged BEFORE the shuffle — the explode is
+    filtered by ``isin(blocklist)`` in the scan stage, so the count
+    aggregation only ever shuffles (doc_id, hits) for actual hits, a
+    vanishing fraction of the corpus; clean documents never leave their
+    scan partition (the count joins back LEFT). The blocklist lives in
+    the plan as a literal IN-set (it is a config, like the reference's
+    processor_filter patterns), not a table.
+    """
+    lowered = [w.lower() for w in blocklist]
+    words = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_w")
+    hits = (
+        df.select(id_col, words)
+        .withColumn("_w", F.regexp_replace("_w", r"^\W+|\W+$", ""))
+        .filter(F.col("_w").isin(lowered))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("flagged_tokens"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("flagged_tokens", F.lit(0)).cast("bigint")
+             .alias("flagged_tokens"),
+            (F.coalesce("flagged_tokens", F.lit(0)) == 0).alias("kept"),
+        )
+    )

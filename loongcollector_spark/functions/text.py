@@ -304,3 +304,46 @@ def dup_line_stats(df: DataFrame, text_col: str = "text",
                F.floor((F.col("_dup_chars") * 1000) / F.col("_chars")))
         .otherwise(F.lit(0)).cast("long").alias("dup_char_frac_1e3"),
     )
+
+
+# UTF-8 read as Latin-1/Windows-1252 and re-saved -- the classic mojibake
+# digraphs (ftfy's most common fixes; Speer, ftfy docs "mojibake").
+# ORDER MATTERS: longer sequences first, so 3-char punctuation forms
+# repair before their 2-char prefixes could mis-match. Sequences are
+# spelled as escapes because several contain C1 control characters.
+MOJIBAKE_FIXES: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u02dc", "\u2018"),  # left single quote
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # e acute
+    ("\u00c3\u00a8", "\u00e8"),  # e grave
+    ("\u00c3\u00a4", "\u00e4"),  # a umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # u umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # n tilde
+    ("\u00c3\u00a7", "\u00e7"),  # c cedilla
+    ("\u00c2\u00a0", " "),        # doubled NBSP -> space
+)
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 out_col: str = "fixed_text") -> DataFrame:
+    """Repair the most common double-encoded UTF-8 sequences (an
+    ftfy-lite pass -- the full ftfy heuristic engine is a library; this
+    table covers the digraphs that dominate real crawl corpora). A
+    fixed-order chain of LITERAL replaces (one codegen projection, no
+    regex, no shuffle); ``mojibake_chars`` counts how many characters
+    the repair removed -- a corpus-health signal worth aggregating per
+    source."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = col
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.withColumns({
+        out_col: fixed,
+        "mojibake_chars": (F.length(col) - F.length(fixed)).cast("bigint"),
+    })
