@@ -5422,6 +5422,103 @@ def q_mojibake_fix(spark, sf_dir):
 O_MOJIBAKE_FIX = _mojibake_oracle_sql()
 
 
+_MIX_TARGET = {f"src{i}": (0.08 if i % 2 == 0 else 0.02) for i in range(20)}
+
+
+def q_source_mix(spark, sf_dir):
+    """DoReMi-style source reweighting (curation.source_mix_weights):
+    per-source token mass vs a target mixture → integer sampling
+    weights. One (source, tokens) partial-agg shuffle; the total is a
+    broadcast 1-row cross join."""
+    from loongcollector_spark.functions.curation import source_mix_weights
+
+    return source_mix_weights(_docs(spark, sf_dir), _MIX_TARGET)
+
+
+O_SOURCE_MIX = """
+WITH tk AS (
+  SELECT source,
+    sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        ELSE len(string_split_regex(trim(text), '\\s+')) END) AS tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(tokens) AS total FROM tk)
+SELECT source, cast(tokens AS BIGINT) AS tokens,
+  cast(floor(tokens * 1000000.0 / total) AS BIGINT) AS share_ppm,
+  cast(CASE WHEN cast(substr(source, 4) AS INT) % 2 = 0
+       THEN 80000 ELSE 20000 END AS BIGINT) AS target_ppm,
+  cast(CASE WHEN floor(tokens * 1000000.0 / total) > 0
+       THEN floor((CASE WHEN cast(substr(source, 4) AS INT) % 2 = 0
+                   THEN 80000 ELSE 20000 END) * 1000.0
+                  / floor(tokens * 1000000.0 / total))
+       ELSE 0 END AS BIGINT) AS weight_milli
+FROM tk CROSS JOIN tot
+"""
+
+
+def q_quality_bins(spark, sf_dir):
+    """Exact curriculum quantile bins via the histogram-CDF trick
+    (curation.quality_bins): the global sort an ntile would need runs on
+    the ~100-row distinct-score histogram; documents map-side join the
+    broadcast CDF."""
+    from loongcollector_spark.functions.curation import quality_bins
+    from loongcollector_spark.functions.text import with_quality
+
+    scored = with_quality(_docs(spark, sf_dir))
+    return quality_bins(scored, n_bins=10, score_col="pct_alpha")
+
+
+O_QUALITY_BINS = """
+WITH s AS (
+  SELECT doc_id,
+    cast(floor(100.0 * len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / len(text)) AS INT) AS pct_alpha
+  FROM documents
+), h AS (
+  SELECT pct_alpha AS v, count(*) AS n FROM s GROUP BY 1
+), c AS (
+  SELECT v, coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING), 0) AS below FROM h
+), t AS (SELECT sum(n) AS total FROM h)
+SELECT doc_id, s.pct_alpha,
+  cast(least(floor(below * 10.0 / total), 9) AS INT) AS bin
+FROM s JOIN c ON s.pct_alpha = c.v CROSS JOIN t
+"""
+
+
+def q_agent_loops(spark, sf_dir):
+    """Stuck-agent loop detection (chatprep.agent_loop_stats) over the
+    transcripts, with the action coarsened to (role, tool, first text
+    char) so repeated-action runs actually occur in the fixture. All
+    windows are conversation-partitioned gaps-and-islands."""
+    from loongcollector_spark.functions.chatprep import agent_loop_stats
+
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "text", F.substring("text", 1, 1))
+    return agent_loop_stats(t)
+
+
+O_AGENT_LOOPS = f"""{_ORACLE_T},
+a AS (
+  SELECT conv_id, turn_idx, role, tool, substr(text, 1, 1) AS act
+  FROM t
+), f AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN lag(role) OVER w = role AND lag(tool) OVER w = tool
+              AND lag(act) OVER w = act THEN 0 ELSE 1 END AS is_new
+  FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), i AS (
+  SELECT conv_id, sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+), r AS (
+  SELECT conv_id, island, count(*) AS run FROM i GROUP BY 1, 2
+)
+SELECT conv_id, cast(max(run) AS BIGINT) AS max_run,
+  cast(sum(run) AS BIGINT) AS n_turns, max(run) >= 3 AS looping
+FROM r GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5533,6 +5630,9 @@ QUERIES = {
     "sft_pairs": (q_sft_pairs, O_SFT_PAIRS),
     "badwords_filter": (q_badwords_filter, O_BADWORDS_FILTER),
     "mojibake_fix": (q_mojibake_fix, O_MOJIBAKE_FIX),
+    "source_mix_weights": (q_source_mix, O_SOURCE_MIX),
+    "quality_bins": (q_quality_bins, O_QUALITY_BINS),
+    "agent_loops": (q_agent_loops, O_AGENT_LOOPS),
     "asof_enrich": (q_asof_enrich, O_ASOF_ENRICH),
     "sessionize_events": (q_sessionize_events, O_SESSIONIZE_EVENTS),
     "range_join_windows": (q_range_join_windows, O_RANGE_JOIN_WINDOWS),

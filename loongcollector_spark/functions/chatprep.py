@@ -110,3 +110,43 @@ def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
              .cast("bigint").alias("completion_tokens"),
         )
     )
+
+
+def agent_loop_stats(df: DataFrame, conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx", role_col: str = "role",
+                     tool_col: str = "tool",
+                     text_col: str = "text") -> DataFrame:
+    """Stuck-agent detection: the longest run of CONSECUTIVE turns that
+    repeat the same (role, tool, text) action inside each conversation —
+    the signature of an agent loop (retrying the identical tool call,
+    re-emitting the same reply). Classic gaps-and-islands: lag-compare →
+    change flag → running island id → island sizes → per-conversation
+    max. Every window is conversation-partitioned; the shuffle carries
+    (conv, idx, action fingerprint), never full histories.
+
+    Emits ``max_run`` (1 = no repetition), ``n_turns`` and ``looping``
+    (max_run ≥ 3 — two repeats of the same action after the first)."""
+    # coalesce before concat_ws: a NULL field would be SKIPPED by
+    # concat_ws, colliding ('a', NULL, 'b') with ('a', 'b', '')
+    action = F.md5(F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c), F.lit(""))
+                  for c in (role_col, tool_col, text_col)]))
+    turns = df.select(
+        conv_col, F.col(idx_col).alias("_i"), action.alias("_a"))
+    flagged = turns.withColumn(
+        "_new", F.when(
+            F.lag("_a").over(
+                Window.partitionBy(conv_col).orderBy("_i")) == F.col("_a"),
+            0).otherwise(1))
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(
+            Window.partitionBy(conv_col).orderBy("_i")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    runs = islands.groupBy(conv_col, "_island").agg(
+        F.count(F.lit(1)).alias("_run"))
+    return runs.groupBy(conv_col).agg(
+        F.max("_run").cast("bigint").alias("max_run"),
+        F.sum("_run").cast("bigint").alias("n_turns"),
+        (F.max("_run") >= 3).alias("looping"),
+    )

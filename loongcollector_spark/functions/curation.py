@@ -498,3 +498,81 @@ def badwords_filter(df: DataFrame, blocklist: list[str],
             (F.coalesce("flagged_tokens", F.lit(0)) == 0).alias("kept"),
         )
     )
+
+
+def source_mix_weights(df: DataFrame, target_shares: dict[str, float],
+                       text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """DoReMi-flavored source reweighting (Xie et al. 2023 reduced to
+    its deployment step): per-source token mass vs a target mixture →
+    the sampling weight a shard-sampler applies per source. All-integer
+    outputs (ppm shares, milli weights — floor semantics) so the result
+    hashes identically across engines.
+
+    Scale shape: ONE map-side-combinable (source, tokens) aggregation —
+    the shuffle carries one row per source; the corpus-total join is a
+    literal cross join against a 1-row frame. Sources missing from
+    ``target_shares`` weight 0 (they are excluded from the mixture);
+    a target source absent from the corpus simply yields no row (its
+    mass cannot be sampled from nothing).
+    """
+    from loongcollector_spark.functions.text import with_token_count
+
+    toks = with_token_count(df, text_col).groupBy(source_col).agg(
+        F.sum("n_tokens").alias("tokens"))
+    total = toks.agg(F.sum("tokens").alias("_total"))
+    target = F.create_map(*[
+        x for k, v in sorted(target_shares.items())
+        for x in (F.lit(k), F.lit(int(round(v * 1_000_000))))
+    ])
+    share_ppm = F.floor(F.col("tokens") * 1_000_000 / F.col("_total"))
+    target_ppm = F.coalesce(
+        F.element_at(target, F.col(source_col)), F.lit(0))
+    return (
+        toks.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.col("tokens").cast("bigint").alias("tokens"),
+            share_ppm.cast("bigint").alias("share_ppm"),
+            target_ppm.cast("bigint").alias("target_ppm"),
+            F.when(share_ppm > 0,
+                   F.floor(target_ppm * 1000 / share_ppm))
+             .otherwise(F.lit(0)).cast("bigint").alias("weight_milli"),
+        )
+    )
+
+
+def quality_bins(df: DataFrame, n_bins: int = 10,
+                 score_col: str = "pct_alpha",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact quantile (curriculum) binning WITHOUT a global sort: the
+    histogram-CDF trick. Scores quantize to bounded-cardinality integers
+    already (quality signals here are integer percents/permille), so the
+    exact CDF lives on the tiny (score, count) frame; docs pick their
+    bin by broadcast-joining it. ``bin`` = ⌊docs-strictly-below · n /
+    total⌋ clamped to n-1 — ties share a bin deterministically.
+
+    A Window ``ntile`` computes the same thing with a single-partition
+    global sort — the one-straggler plan this function exists to avoid;
+    the only all-rows shuffle here is none at all (the doc side joins
+    map-side against the broadcast CDF)."""
+    scored = df.select(id_col, F.col(score_col).alias("_s"))
+    hist = scored.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    # the window runs on the HISTOGRAM (distinct scores — bounded), not
+    # on the corpus; single-partition is fine at ~100 distinct values
+    cdf = hist.select(
+        "_s", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_below"))
+    total = hist.agg(F.sum("_n").alias("_total"))
+    bins = (
+        cdf.crossJoin(F.broadcast(total))
+        .select(
+            "_s",
+            F.least(
+                F.floor(F.col("_below") * n_bins / F.col("_total")),
+                F.lit(n_bins - 1),
+            ).cast("int").alias("bin"),
+        )
+    )
+    return scored.join(F.broadcast(bins), "_s").select(
+        id_col, F.col("_s").alias(score_col), "bin")

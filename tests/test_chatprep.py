@@ -102,3 +102,74 @@ def test_badwords_hits_only_shuffle_plan(spark):
     partial = plan.index("partial_count")
     exchange = plan.index("Exchange", plan.index("HashAggregate"))
     assert f > partial > exchange  # toString prints top-down: filter deepest
+
+
+def test_agent_loop_stats_gaps_and_islands(spark):
+    from loongcollector_spark.functions.chatprep import agent_loop_stats
+
+    rows = [
+        # c1: same tool call retried 3x consecutively → looping
+        ("c1", 0, "user", "", "ask"),
+        ("c1", 1, "tool", "python", "run()"),
+        ("c1", 2, "tool", "python", "run()"),
+        ("c1", 3, "tool", "python", "run()"),
+        ("c1", 4, "assistant", "", "done"),
+        # c2: repeats but never consecutively
+        ("c2", 0, "tool", "sql", "q"),
+        ("c2", 1, "assistant", "", "a"),
+        ("c2", 2, "tool", "sql", "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, text string")
+    got = {r.conv_id: (r.max_run, r.n_turns, r.looping)
+           for r in agent_loop_stats(df).collect()}
+    assert got["c1"] == (3, 5, True)
+    assert got["c2"] == (1, 3, False)
+
+
+def test_source_mix_weights_golden(spark):
+    from loongcollector_spark.functions.curation import source_mix_weights
+
+    rows = [
+        (1, "a b c d", "web"),      # 4 tokens
+        (2, "e f", "web"),          # 2 tokens → web 6
+        (3, "x y", "code"),         # code 2 → total 8
+        (4, None, "code"),          # null text → 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.source: r.asDict() for r in
+           source_mix_weights(df, {"web": 0.5, "code": 0.5}).collect()}
+    assert got["web"]["tokens"] == 6
+    assert got["web"]["share_ppm"] == 750000
+    assert got["web"]["target_ppm"] == 500000
+    assert got["web"]["weight_milli"] == 500000 * 1000 // 750000  # 666
+    assert got["code"]["share_ppm"] == 250000
+    assert got["code"]["weight_milli"] == 2000
+    # a source missing from the target mixture weights 0
+    got2 = {r.source: r.weight_milli for r in
+            source_mix_weights(df, {"web": 1.0}).collect()}
+    assert got2["code"] == 0
+
+
+def test_quality_bins_exact_cdf(spark):
+    from loongcollector_spark.functions.curation import quality_bins
+
+    # scores: 10 x4, 20 x4, 30 x2 → total 10, n_bins=5 (2 per bin)
+    rows = [(i, 10) for i in range(4)] + \
+           [(i + 4, 20) for i in range(4)] + [(8, 30), (9, 30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score int")
+    got = {r.doc_id: r.bin for r in
+           quality_bins(df, n_bins=5, score_col="score").collect()}
+    # below(10)=0 → bin 0; below(20)=4 → bin 2; below(30)=8 → bin 4
+    assert all(got[i] == 0 for i in range(4))
+    assert all(got[i + 4] == 2 for i in range(4))
+    assert got[8] == got[9] == 4
+
+
+def test_quality_bins_doc_side_join_is_broadcast(spark):
+    from loongcollector_spark.functions.curation import quality_bins
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id bigint, score int")
+    plan = quality_bins(df, score_col="score")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
