@@ -142,6 +142,11 @@ CONFIGS: dict[str, dict] = {
     "service_udp_server": {"SourceKey": "text", "Format": "statsd"},
     "service_mqtt": {"Topics": ["#"], "TopicKey": "tool",
                      "SourceKey": "text"},
+    "ext_basicauth": {"Username": "u\x01ser", "Password": "p:ss"},
+    "ext_request_breaker": {"FailureRatio": 0.5, "WindowInSeconds": 5,
+                            "EndpointKey": "tool", "TimeKey": "ts",
+                            "SuccessKey": "ok"},
+    "ext_default_encoder": {"Format": "prometheus", "SeriesLimit": 2},
 }
 
 
@@ -225,8 +230,33 @@ def _as_docker_events(df):
     )
 
 
+def _as_request_outcomes(df):
+    """ext_request_breaker consumes a request-outcome log; hostile text
+    rides in as the endpoint, the success flag and timestamp are
+    null-able."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "ok", F.when(F.col("role").isNotNull(), F.col("turn_idx") % 2 == 0))
+
+
+def _as_metric_rows(df):
+    """ext_default_encoder(prometheus) consumes log_to_metric-shaped
+    rows; hostile text rides in as the raw ``__labels__`` encoding."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.coalesce(F.col("role"), F.lit("m")).alias("__name__"),
+        F.col("text").alias("__labels__"),
+        F.col("turn_idx").cast("double").alias("__value__"),
+        (F.col("turn_idx").cast("long") * 1000).alias("__time_nano__"),
+    )
+
+
 # ops that require a non-raw input shape: prep fn applied before the op
 PREP = {
+    "ext_request_breaker": _as_request_outcomes,
+    "ext_default_encoder": _as_metric_rows,
     "service_canal": _as_binlog_events,
     "processor_prom_relabel_metric": _with_map_shapes,
     "aggregator_opentelemetry": _with_map_shapes,
