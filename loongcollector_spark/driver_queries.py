@@ -5519,6 +5519,81 @@ FROM r GROUP BY conv_id
 """
 
 
+def q_snmp_fields(spark, sf_dir):
+    """service_snmp (plugins/input/snmp/input_snmp.go:505-563): polled
+    varbind rows → the reference's 7-field log shape — hwaddr/ipaddr
+    conversions, OctetString-vs-ToBigInt content switch, BER type-name
+    table. One codegen projection, no shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    t = F.pmod(eid, F.lit(4))
+
+    def h2(c):
+        return F.lpad(F.hex(c.cast("bigint")), 2, "0")
+
+    ip4 = F.unhex(F.concat(
+        F.lit("0A"), h2(F.pmod(uid, F.lit(256))),
+        h2(F.pmod(eid, F.lit(256))), h2(F.pmod(uid + eid, F.lit(256)))))
+    mac = F.unhex(F.lpad(
+        F.hex(F.pmod(eid * F.lit(2654435761), F.lit(1 << 48))), 12, "0"))
+    varbinds = ev.select(
+        F.pmod(uid, F.lit(3)).cast("int").alias("target_index"),
+        F.concat(F.lit("10.0.0."), F.pmod(uid, F.lit(3)).cast("string"),
+                 F.lit(":161")).alias("target"),
+        F.element_at(
+            F.array(F.lit("ifIndex"), F.lit("sysDescr"),
+                    F.lit("ipAdEntAddr"), F.lit("ifPhysAddress")),
+            (t + 1).cast("int")).alias("field"),
+        F.element_at(
+            F.array(F.lit(".1.3.6.1.2.1.2.2.1.1"), F.lit(".1.3.6.1.2.1.1.1"),
+                    F.lit(".1.3.6.1.2.1.4.20.1.1"),
+                    F.lit(".1.3.6.1.2.1.2.2.1.6")),
+            (t + 1).cast("int")).alias("oid"),
+        F.when(t == 2, F.lit("ipaddr")).when(t == 3, F.lit("hwaddr"))
+        .otherwise(F.lit("")).alias("conversion"),
+        F.when(t == 0, F.lit(0x02)).when(t == 2, F.lit(0x40))
+        .otherwise(F.lit(0x04)).cast("int").alias("type_code"),
+        F.when(t == 1, F.col("event_type").cast("binary"))
+        .when(t == 2, ip4).when(t == 3, mac).alias("value_bytes"),
+        F.when(t == 0, uid - 500).cast("long").alias("value_num"),
+    )
+    return build_operator({"Type": "service_snmp"})(varbinds)
+
+
+O_SNMP_FIELDS = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, event_type,
+         event_id % 4 AS t
+  FROM events
+)
+SELECT
+  cast(uid % 3 AS VARCHAR) AS _targetindex_,
+  '10.0.0.' || (uid % 3) || ':161' AS _target_,
+  CASE t WHEN 0 THEN 'ifIndex' WHEN 1 THEN 'sysDescr'
+         WHEN 2 THEN 'ipAdEntAddr' ELSE 'ifPhysAddress' END AS _field_,
+  CASE t WHEN 0 THEN '.1.3.6.1.2.1.2.2.1.1'
+         WHEN 1 THEN '.1.3.6.1.2.1.1.1'
+         WHEN 2 THEN '.1.3.6.1.2.1.4.20.1.1'
+         ELSE '.1.3.6.1.2.1.2.2.1.6' END AS _oid_,
+  CASE t WHEN 2 THEN 'ipaddr' WHEN 3 THEN 'hwaddr' ELSE '' END
+    AS _conversion_,
+  CASE t WHEN 0 THEN 'Integer' WHEN 2 THEN 'IPAddress'
+         ELSE 'OctetString' END AS _type_,
+  CASE t
+    WHEN 0 THEN cast(uid - 500 AS VARCHAR)
+    WHEN 1 THEN event_type
+    WHEN 2 THEN '10.' || (uid % 256) || '.' || (eid % 256) || '.'
+             || ((uid + eid) % 256)
+    ELSE rtrim(regexp_replace(
+           printf('%012x', (eid * 2654435761) % 281474976710656),
+           '(..)', '\\1:', 'g'), ':')
+  END AS _content_,
+  true AS _decode_ok
+FROM base
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5655,4 +5730,5 @@ QUERIES = {
     "pyroscope_profiles": (q_pyroscope_profiles, O_PYROSCOPE_PROFILES),
     "conv_shape_dedup": (q_conv_shape_dedup, O_CONV_SHAPE_DEDUP),
     "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
+    "snmp_fields": (q_snmp_fields, O_SNMP_FIELDS),
 }

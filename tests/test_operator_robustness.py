@@ -142,6 +142,7 @@ CONFIGS: dict[str, dict] = {
     "service_udp_server": {"SourceKey": "text", "Format": "statsd"},
     "service_mqtt": {"Topics": ["#"], "TopicKey": "tool",
                      "SourceKey": "text"},
+    "service_snmp": {"FieldKey": "field"},
     "ext_basicauth": {"Username": "u\x01ser", "Password": "p:ss"},
     "ext_request_breaker": {"FailureRatio": 0.5, "WindowInSeconds": 5,
                             "EndpointKey": "tool", "TimeKey": "ts",
@@ -230,6 +231,27 @@ def _as_docker_events(df):
     )
 
 
+def _as_varbinds(df):
+    """service_snmp consumes polled varbind rows; hostile text rides in
+    as the OctetString value bytes AND the field/oid names, type codes
+    and conversions cycle through the real + invalid space."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("turn_idx").alias("target_index"),
+        F.col("conv_id").alias("target"),
+        F.col("text").alias("field"), F.col("tool").alias("oid"),
+        F.element_at(
+            F.array(F.lit(""), F.lit("hwaddr"), F.lit("ipaddr"),
+                    F.lit(None)),
+            (F.pmod("turn_idx", F.lit(4)) + 1).cast("int"))
+        .alias("conversion"),
+        F.pmod("turn_idx", F.lit(256)).cast("int").alias("type_code"),
+        F.col("text").cast("binary").alias("value_bytes"),
+        F.col("turn_idx").cast("long").alias("value_num"),
+    )
+
+
 def _as_request_outcomes(df):
     """ext_request_breaker consumes a request-outcome log; hostile text
     rides in as the endpoint, the success flag and timestamp are
@@ -255,6 +277,7 @@ def _as_metric_rows(df):
 
 # ops that require a non-raw input shape: prep fn applied before the op
 PREP = {
+    "service_snmp": _as_varbinds,
     "ext_request_breaker": _as_request_outcomes,
     "ext_default_encoder": _as_metric_rows,
     "service_canal": _as_binlog_events,
