@@ -5594,6 +5594,77 @@ FROM base
 """
 
 
+def q_wineventlog_events(spark, sf_dir):
+    """service_wineventlog (plugins/input/input_wineventlog/eventlog/
+    eventlog.go:67-132 ToEvent + the winlogbeat query grammar): forwarded
+    event XML → field map, with EventID range/exclusion, Level-name and
+    Provider filters applied. Decode + filter ride the scan; no shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    xml = F.concat(
+        F.lit("<Event><System><Provider Name='Prov"),
+        F.pmod(uid, F.lit(4)).cast("string"),
+        F.lit("'/><EventID>"), (F.pmod(eid, F.lit(300)) + 4600).cast("string"),
+        F.lit("</EventID><Version>1</Version><Level>"),
+        F.pmod(eid, F.lit(6)).cast("string"),
+        F.lit("</Level><TimeCreated SystemTime='"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit("'/><EventRecordID>"), eid.cast("string"),
+        F.lit("</EventRecordID><Execution ProcessID='"),
+        F.pmod(uid, F.lit(5000)).cast("string"),
+        F.lit("' ThreadID='9'/><Channel>"),
+        F.when(F.pmod(uid, F.lit(2)) == 0, F.lit("System"))
+        .otherwise(F.lit("Application")),
+        F.lit("</Channel><Computer>WIN-"), F.pmod(uid, F.lit(7)).cast("string"),
+        F.lit("</Computer></System><EventData><Data Name='param1'>"),
+        F.col("event_type"),
+        F.lit("</Data><Data Name='svc'>"), uid.cast("string"),
+        F.lit("</Data><Data>"), F.pmod(eid, F.lit(10)).cast("string"),
+        F.lit("</Data></EventData></Event>"))
+    out = build_operator({
+        "Type": "service_wineventlog", "SourceKey": "xml",
+        "EventID": "4600-4850,-4700", "Level": "info,err,critical",
+        "Provider": ["Prov0", "Prov1", "Prov2"],
+    })(ev.select(xml.alias("xml")))
+    f = F.col("fields")
+    return out.select(
+        f["event_id"].alias("event_id"),
+        f["level"].alias("level"),
+        f["source_name"].alias("source_name"),
+        f["log_name"].alias("log_name"),
+        f["record_number"].alias("record_number"),
+        f["event_data"].alias("event_data"),
+        f["process_id"].alias("process_id"),
+        F.col("event_time"),
+    )
+
+
+O_WINEVENTLOG_EVENTS = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, event_type, ts,
+         event_id % 6 AS lvl
+  FROM events
+)
+SELECT
+  cast(4600 + eid % 300 AS VARCHAR) AS event_id,
+  CASE lvl WHEN 1 THEN 'Critical' WHEN 2 THEN 'Error'
+           WHEN 3 THEN 'Warning' WHEN 5 THEN 'Verbose'
+           ELSE 'Information' END AS level,
+  'Prov' || (uid % 4) AS source_name,
+  CASE WHEN uid % 2 = 0 THEN 'System' ELSE 'Application' END AS log_name,
+  cast(eid AS VARCHAR) AS record_number,
+  '{"Data1":"' || (eid % 10) || '","param1":"' || event_type
+    || '","svc":"' || uid || '"}' AS event_data,
+  cast(uid % 5000 AS VARCHAR) AS process_id,
+  ts AS event_time
+FROM base
+WHERE eid % 300 <= 250 AND eid % 300 != 100   -- 4600-4850, -4700
+  AND lvl IN (0, 1, 2, 4)                     -- info(0,4), err, critical
+  AND uid % 4 IN (0, 1, 2)                    -- provider list
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5731,4 +5802,5 @@ QUERIES = {
     "conv_shape_dedup": (q_conv_shape_dedup, O_CONV_SHAPE_DEDUP),
     "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
     "snmp_fields": (q_snmp_fields, O_SNMP_FIELDS),
+    "wineventlog_events": (q_wineventlog_events, O_WINEVENTLOG_EVENTS),
 }

@@ -101,6 +101,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     splitops,
     syslogops,
     timeops,
+    wineventops,
 )
 
 for _name, (_base, _extra) in DEFERRED_KEYS.items():

@@ -143,6 +143,8 @@ CONFIGS: dict[str, dict] = {
     "service_mqtt": {"Topics": ["#"], "TopicKey": "tool",
                      "SourceKey": "text"},
     "service_snmp": {"FieldKey": "field"},
+    "service_wineventlog": {"SourceKey": "text", "EventID": "1-100,-7",
+                            "Level": "info,err", "IgnoreZeroValue": True},
     "ext_basicauth": {"Username": "u\x01ser", "Password": "p:ss"},
     "ext_request_breaker": {"FailureRatio": 0.5, "WindowInSeconds": 5,
                             "EndpointKey": "tool", "TimeKey": "ts",
