@@ -87,16 +87,24 @@ def _rendering(src: Column, elem: str) -> Column:
         block, rf"(?s)<{elem}(?:\s[^>]*)?>(.*?)</{elem}>", 1))
 
 
-def _data_pairs(section: Column) -> Column:
-    """``<Data>`` tags of one section → array<struct<key,value>> with
-    the addPairs renaming: empty/``Data`` names become Data1..DataN in
-    encounter order (eventlog.go:117-126)."""
-    tags = F.regexp_extract_all(
+def _data_tags(section: Column) -> Column:
+    """``<Data>`` tags of one section, in document order."""
+    return F.regexp_extract_all(
         section, F.lit(r"(?s)(<Data\b[^>]*?(?:/>|>.*?</Data>))"), 1)
-    names = F.transform(
+
+
+def _data_names(tags: Column) -> Column:
+    return F.transform(
         tags, lambda t: F.regexp_extract(t, r"\sName=['\"]([^'\"]*)['\"]", 1))
-    unnamed = F.transform(
-        names, lambda nm: (nm == "") | (nm == "Data"))
+
+
+def _data_pairs(tags: Column, names: Column) -> Column:
+    """Materialized tag + name arrays (MUST be column references — a
+    captured regexp_extract_all expression re-evaluates per element, the
+    dup_ngram_stats lesson) → array<struct<key,value>> with the addPairs
+    renaming: empty/``Data`` names become Data1..DataN in encounter
+    order (eventlog.go:117-126)."""
+    unnamed = F.transform(names, lambda nm: (nm == "") | (nm == "Data"))
     return F.transform(
         tags,
         lambda t, i: F.struct(
@@ -166,126 +174,22 @@ def wineventlog_decode(
 ) -> DataFrame:
     """Forwarded event XML → the ToEvent field map + the record's
     SystemTime (``collector.AddData(values, nil, r.TimeCreated.
-    SystemTime)``, wineventlog.go:200).  One codegen projection + the
-    query filters; no shuffle, no Python on the rows."""
+    SystemTime)``, wineventlog.go:200).
+
+    Plan shape: the query filters evaluate FIRST over the four cheap
+    header extractions (the XPath query runs before any record is
+    rendered in the reference too), so rejected events never pay the
+    full decode; the ``<Data>`` tag / name arrays and the RenderingInfo
+    block are materialized as columns in their own projections before
+    any lambda references them (a captured regexp expression inside
+    ``transform`` re-evaluates per element — the dup_ngram_stats
+    lesson).  All codegen + array HOFs; no shuffle, no Python."""
     src = F.col(source_key)
     level_raw = F.regexp_extract(src, r"<Level>(\d+)</Level>", 1)
-    rendered_level = _rendering(src, "Level")
-    level_str = F.when(rendered_level != "", rendered_level).otherwise(
-        F.coalesce(
-            F.element_at(
-                F.create_map(*[F.lit(x) for kv in LEVEL_NAMES.items()
-                               for x in kv]),
-            F.when(level_raw != "", level_raw).otherwise(F.lit("4"))
-            .cast("int")),
-            F.lit("")))
 
-    message = _rendering(src, "Message")
-    # sys.RemoveWindowsLineEndings
-    message = F.regexp_replace(
-        F.regexp_replace(message, "\r\n", "\n"), "\n+$", "")
-    rendering_block = F.regexp_extract(
-        src, r"(?s)<RenderingInfo\b[^>]*>(.*?)</RenderingInfo>", 1)
-    keywords = F.regexp_extract_all(
-        F.regexp_extract(rendering_block,
-                         r"(?s)<Keywords>(.*?)</Keywords>", 1),
-        F.lit(r"<Keyword>([^<]*)</Keyword>"), 1)
-    kw_str = F.concat(F.lit("["), F.array_join(
-        F.transform(keywords, _xml_unescape), " "), F.lit("]"))
-
-    event_data = F.regexp_extract(
-        src, r"(?s)<EventData\b[^>]*>(.*?)</EventData>", 1)
-    user_block = F.regexp_extract(
-        src, r"(?s)<UserData\b[^>]*>(.*?)</UserData>", 1)
-    xml_name = F.regexp_extract(
-        user_block, r"<\s*(?:[A-Za-z0-9_.-]+:)?([A-Za-z0-9_.-]+)", 1)
-    user_pairs = F.concat(
-        _data_pairs(user_block),
-        F.array(F.struct(F.lit("xml_name").alias("key"),
-                         xml_name.alias("value"))))
-
-    user_sid = _attr(src, "Security", "UserID")
-    sys_time = _attr(src, "TimeCreated", "SystemTime")
-
-    # (key, value, zero-literal-or-None). None = unconditional
-    # (eventlog.go:69-76); otherwise addValue drops the zero value when
-    # IgnoreZeroValue is set.
-    fields: list[tuple[str, Column, str | None]] = [
-        ("type", F.lit("wineventlog"), None),
-        ("log_name", _elem(src, "Channel"), None),
-        ("source_name", _attr(src, "Provider", "Name"), None),
-        ("computer_name", _elem(src, "Computer"), None),
-        ("record_number", _elem(src, "EventRecordID"), None),
-        ("event_id",
-         F.regexp_extract(src, r"<EventID[^>]*>(\d+)</EventID>", 1), None),
-        ("xml", src, ""),
-        ("provider_guid", _attr(src, "Provider", "Guid"), ""),
-        ("version", F.coalesce(
-            F.nullif(_elem(src, "Version"), F.lit("")), F.lit("0")), "0"),
-        ("level", level_str, ""),
-        ("task", _rendering(src, "Task"), ""),
-        ("opcode", _rendering(src, "Opcode"), ""),
-        ("keywords", kw_str, "[]"),
-        ("message", message, ""),
-        ("activity_id", _attr(src, "Correlation", "ActivityID"), ""),
-        ("related_activity_id",
-         _attr(src, "Correlation", "RelatedActivityID"), ""),
-        ("process_id", F.coalesce(
-            F.nullif(_attr(src, "Execution", "ProcessID"), F.lit("")),
-            F.lit("0")), "0"),
-        ("thread_id", F.coalesce(
-            F.nullif(_attr(src, "Execution", "ThreadID"), F.lit("")),
-            F.lit("0")), "0"),
-        ("processor_id", F.coalesce(
-            F.nullif(_attr(src, "Execution", "ProcessorID"), F.lit("")),
-            F.lit("0")), "0"),
-        ("session_id", F.coalesce(
-            F.nullif(_attr(src, "Execution", "SessionID"), F.lit("")),
-            F.lit("0")), "0"),
-        ("kernel_time", F.coalesce(
-            F.nullif(_attr(src, "Execution", "KernelTime"), F.lit("")),
-            F.lit("0")), "0"),
-        ("user_time", F.coalesce(
-            F.nullif(_attr(src, "Execution", "UserTime"), F.lit("")),
-            F.lit("0")), "0"),
-        ("processor_time", F.coalesce(
-            F.nullif(_attr(src, "Execution", "ProcessorTime"), F.lit("")),
-            F.lit("0")), "0"),
-    ]
-    entries = []
-    for key, val, zero in fields:
-        val = F.coalesce(val, F.lit(""))
-        e = F.struct(F.lit(key).alias("key"), val.alias("value"))
-        if zero is None:
-            entries.append(e)
-        elif ignore_zero:
-            entries.append(F.when(val != zero, e))
-        else:
-            entries.append(e)
-    # user fields gated on a present SID (eventlog.go:100-105); account
-    # lookup is a Windows API — ship the failed-lookup "" like the
-    # reference does on unresolvable SIDs.
-    for key in ("user_identifier", "user_name", "user_domain",
-                "user_type"):
-        val = user_sid if key == "user_identifier" else F.lit("")
-        e = F.struct(F.lit(key).alias("key"), val.alias("value"))
-        keep = (user_sid != "") & (
-            F.lit(True) if (key == "user_identifier" or not ignore_zero)
-            else F.lit(False))
-        entries.append(F.when(keep, e))
-    entries.append(F.struct(
-        F.lit("event_data").alias("key"),
-        _go_json_pairs(_data_pairs(event_data)).alias("value")))
-    entries.append(F.struct(
-        F.lit("user_data").alias("key"),
-        _go_json_pairs(user_pairs).alias("value")))
-
-    out = df.select(
-        F.map_from_entries(
-            F.filter(F.array(*entries), lambda e: e.isNotNull()))
-        .alias("fields"),
-        F.to_timestamp(F.regexp_replace(
-            sys_time, r"(\.\d{6})\d*(Z?)$", "$1$2")).alias("event_time"),
+    # ---- stage 0: cheap filter columns, then the query filters -------
+    pre = df.select(
+        src.alias("_src"),
         F.coalesce(
             F.regexp_extract(src, r"<EventID[^>]*>(\d+)</EventID>", 1)
             .try_cast("int"), F.lit(-1)).alias("_eid"),
@@ -293,8 +197,10 @@ def wineventlog_decode(
                    F.lit(4)).alias("_lvl"),
         _attr(src, "Provider", "Name").alias("_prov"),
         _elem(src, "Channel").alias("_chan"),
+        F.to_timestamp(F.regexp_replace(
+            _attr(src, "TimeCreated", "SystemTime"),
+            r"(\.\d{6})\d*(Z?)$", "$1$2")).alias("event_time"),
     )
-
     cond = F.lit(True)
     if name:
         cond &= F.col("_chan") == name
@@ -319,7 +225,130 @@ def wineventlog_decode(
         cond &= F.col("event_time") >= F.timestamp_add(
             "SECOND", F.lit(-int(ignore_older)),
             F.lit(reference_now).cast("timestamp"))
-    return out.filter(cond).drop("_eid", "_lvl", "_prov", "_chan")
+    pre = pre.filter(cond)
+
+    # ---- stage 1: materialize the heavy blocks/arrays as columns -----
+    src = F.col("_src")
+    user_block = F.regexp_extract(
+        src, r"(?s)<UserData\b[^>]*>(.*?)</UserData>", 1)
+    mid = pre.select(
+        "_src", "_eid", "_lvl", "_prov", "_chan", "event_time",
+        F.regexp_extract(
+            src, r"(?s)<RenderingInfo\b[^>]*>(.*?)</RenderingInfo>", 1)
+        .alias("_rblock"),
+        _data_tags(F.regexp_extract(
+            src, r"(?s)<EventData\b[^>]*>(.*?)</EventData>", 1))
+        .alias("_ed_tags"),
+        _data_tags(user_block).alias("_ed_ud_tags"),
+        F.regexp_extract(
+            user_block, r"<\s*(?:[A-Za-z0-9_.-]+:)?([A-Za-z0-9_.-]+)", 1)
+        .alias("_xml_name"),
+    ).select(
+        "*",
+        _data_names(F.col("_ed_tags")).alias("_ed_names"),
+        _data_names(F.col("_ed_ud_tags")).alias("_ud_names"),
+    )
+
+    # ---- stage 2: ToEvent over the materialized columns --------------
+    rblock = F.col("_rblock")
+
+    def rendered(elem):
+        return _xml_unescape(F.regexp_extract(
+            rblock, rf"(?s)<{elem}(?:\s[^>]*)?>(.*?)</{elem}>", 1))
+
+    rendered_level = rendered("Level")
+    level_str = F.when(rendered_level != "", rendered_level).otherwise(
+        F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in LEVEL_NAMES.items()
+                               for x in kv]),
+                F.col("_lvl")),
+            F.lit("")))
+    # sys.RemoveWindowsLineEndings
+    message = F.regexp_replace(
+        F.regexp_replace(rendered("Message"), "\r\n", "\n"), "\n+$", "")
+    keywords = F.regexp_extract_all(
+        F.regexp_extract(rblock, r"(?s)<Keywords>(.*?)</Keywords>", 1),
+        F.lit(r"<Keyword>([^<]*)</Keyword>"), 1)
+    kw_str = F.concat(F.lit("["), F.array_join(
+        F.transform(keywords, _xml_unescape), " "), F.lit("]"))
+
+    user_pairs = F.concat(
+        _data_pairs(F.col("_ed_ud_tags"), F.col("_ud_names")),
+        F.array(F.struct(F.lit("xml_name").alias("key"),
+                         F.col("_xml_name").alias("value"))))
+    user_sid = _attr(src, "Security", "UserID")
+
+    # (key, value, zero-literal-or-None). None = unconditional
+    # (eventlog.go:69-76); otherwise addValue drops the zero value when
+    # IgnoreZeroValue is set.
+    fields: list[tuple[str, Column, str | None]] = [
+        ("type", F.lit("wineventlog"), None),
+        ("log_name", F.col("_chan"), None),
+        ("source_name", F.col("_prov"), None),
+        ("computer_name", _elem(src, "Computer"), None),
+        ("record_number", _elem(src, "EventRecordID"), None),
+        ("event_id",
+         F.when(F.col("_eid") >= 0, F.col("_eid").cast("string"))
+         .otherwise(F.lit("")), None),
+        ("xml", src, ""),
+        ("provider_guid", _attr(src, "Provider", "Guid"), ""),
+        ("version", F.coalesce(
+            F.nullif(_elem(src, "Version"), F.lit("")), F.lit("0")), "0"),
+        ("level", level_str, ""),
+        ("task", rendered("Task"), ""),
+        ("opcode", rendered("Opcode"), ""),
+        ("keywords", kw_str, "[]"),
+        ("message", message, ""),
+        ("activity_id", _attr(src, "Correlation", "ActivityID"), ""),
+        ("related_activity_id",
+         _attr(src, "Correlation", "RelatedActivityID"), ""),
+    ]
+    for key, attr in (("process_id", "ProcessID"),
+                      ("thread_id", "ThreadID"),
+                      ("processor_id", "ProcessorID"),
+                      ("session_id", "SessionID"),
+                      ("kernel_time", "KernelTime"),
+                      ("user_time", "UserTime"),
+                      ("processor_time", "ProcessorTime")):
+        fields.append((key, F.coalesce(
+            F.nullif(_attr(src, "Execution", attr), F.lit("")),
+            F.lit("0")), "0"))
+    entries = []
+    for key, val, zero in fields:
+        val = F.coalesce(val, F.lit(""))
+        e = F.struct(F.lit(key).alias("key"), val.alias("value"))
+        if zero is None:
+            entries.append(e)
+        elif ignore_zero:
+            entries.append(F.when(val != zero, e))
+        else:
+            entries.append(e)
+    # user fields gated on a present SID (eventlog.go:100-105); account
+    # lookup is a Windows API — ship the failed-lookup "" like the
+    # reference does on unresolvable SIDs.
+    for key in ("user_identifier", "user_name", "user_domain",
+                "user_type"):
+        val = user_sid if key == "user_identifier" else F.lit("")
+        e = F.struct(F.lit(key).alias("key"), val.alias("value"))
+        keep = (user_sid != "") & (
+            F.lit(True) if (key == "user_identifier" or not ignore_zero)
+            else F.lit(False))
+        entries.append(F.when(keep, e))
+    entries.append(F.struct(
+        F.lit("event_data").alias("key"),
+        _go_json_pairs(_data_pairs(F.col("_ed_tags"), F.col("_ed_names")))
+        .alias("value")))
+    entries.append(F.struct(
+        F.lit("user_data").alias("key"),
+        _go_json_pairs(user_pairs).alias("value")))
+
+    return mid.select(
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda e: e.isNotNull()))
+        .alias("fields"),
+        F.col("event_time"),
+    )
 
 
 @register("service_wineventlog",
