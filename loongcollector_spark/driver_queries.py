@@ -5665,6 +5665,79 @@ WHERE eid % 300 <= 250 AND eid % 300 != 100   -- 4600-4850, -4700
 """
 
 
+def q_skywalking_logs(spark, sf_dir):
+    """service_skywalking logging conversion (plugins/input/
+    skywalkingv3/logging_handle.go:96-117): LogData rows → the fixed
+    content keys, second/ns time split, endpoint-vs-tag attribute
+    precedence, trace gating. One projection, no shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    has_trace = F.pmod(eid, F.lit(3)) != 0
+    override = F.pmod(eid, F.lit(5)) == 0
+    logdata = ev.select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+        .cast("long").alias("timestamp"),
+        F.concat(F.lit("svc"), F.pmod(uid, F.lit(5)).cast("string"))
+        .alias("service"),
+        F.concat(F.lit("inst"), F.pmod(uid, F.lit(3)).cast("string"))
+        .alias("service_instance"),
+        F.concat(F.lit("/api/"), F.col("event_type")).alias("endpoint"),
+        F.element_at(
+            F.array(F.lit("TEXT"), F.lit("JSON"), F.lit("YAML")),
+            (F.pmod(eid, F.lit(3)) + 1).cast("int")).alias("body_type"),
+        F.col("props").alias("body_text"),
+        F.when(has_trace, F.concat(F.lit("t"), eid.cast("string")))
+        .alias("trace_id"),
+        F.when(has_trace, F.concat(F.lit("seg"), uid.cast("string")))
+        .alias("trace_segment_id"),
+        F.when(has_trace, F.pmod(eid, F.lit(7))).cast("long")
+        .alias("span_id"),
+        F.when(override,
+               F.create_map(F.lit("endpoint"), F.lit("/override")))
+        .otherwise(F.create_map(
+            F.lit("level"), F.col("event_type"),
+            F.lit("uid"), uid.cast("string"))).alias("tags"),
+    )
+    out = build_operator({"Type": "service_skywalking"})(logdata)
+    c = F.col("contents")
+    return out.select(
+        "time", "time_ns",
+        c["service"].alias("service"),
+        c["content"].alias("content"),
+        c["attribute"].alias("attribute"),
+        c["resource"].alias("resource"),
+        c["traceID"].alias("trace_id"),
+        c["spanID"].alias("span_id"),
+        c["timeUnixNano"].alias("time_unix_nano"),
+    )
+
+
+O_SKYWALKING_LOGS = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, event_type, props,
+         epoch_ms(ts::TIMESTAMP) AS ms,
+         event_id % 3 != 0 AS has_trace,
+         event_id % 5 = 0 AS override
+  FROM events
+)
+SELECT
+  cast(ms // 1000 AS BIGINT) AS time,
+  cast((ms % 1000) * 1000000 AS BIGINT) AS time_ns,
+  'svc' || (uid % 5) AS service,
+  props AS content,
+  CASE WHEN override THEN '{"endpoint":"/override"}'
+       ELSE '{"endpoint":"/api/' || event_type || '","level":"'
+            || event_type || '","uid":"' || uid || '"}' END AS attribute,
+  '{"serviceInstance":"inst' || (uid % 3) || '"}' AS resource,
+  CASE WHEN has_trace THEN 't' || eid END AS trace_id,
+  CASE WHEN has_trace THEN 'seg' || uid || '.' || (eid % 7) END
+    AS span_id,
+  cast(ms AS VARCHAR) AS time_unix_nano
+FROM base
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5803,4 +5876,5 @@ QUERIES = {
     "tool_retry_funnel": (q_tool_retry_funnel, O_TOOL_RETRY_FUNNEL),
     "snmp_fields": (q_snmp_fields, O_SNMP_FIELDS),
     "wineventlog_events": (q_wineventlog_events, O_WINEVENTLOG_EVENTS),
+    "skywalking_logs": (q_skywalking_logs, O_SKYWALKING_LOGS),
 }

@@ -97,6 +97,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     pbops,
     prom,
     ratelimit,
+    skywalkingops,
     snmpops,
     splitops,
     syslogops,

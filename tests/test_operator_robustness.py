@@ -143,6 +143,7 @@ CONFIGS: dict[str, dict] = {
     "service_mqtt": {"Topics": ["#"], "TopicKey": "tool",
                      "SourceKey": "text"},
     "service_snmp": {"FieldKey": "field"},
+    "service_skywalking": {"Mode": "logging"},
     "service_wineventlog": {"SourceKey": "text", "EventID": "1-100,-7",
                             "Level": "info,err", "IgnoreZeroValue": True},
     "ext_basicauth": {"Username": "u\x01ser", "Password": "p:ss"},
@@ -254,6 +255,27 @@ def _as_varbinds(df):
     )
 
 
+def _as_skywalking_logdata(df):
+    """service_skywalking consumes LogData rows; hostile text rides in
+    as the body, tag value, and endpoint, with null trace/tags/time."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("turn_idx").cast("long").alias("timestamp"),
+        F.col("role").alias("service"),
+        F.col("conv_id").alias("service_instance"),
+        F.col("text").alias("endpoint"),
+        F.col("tool").alias("body_type"),
+        F.col("text").alias("body_text"),
+        F.when(F.col("turn_idx") % 2 == 0, F.col("conv_id"))
+        .alias("trace_id"),
+        F.col("tool").alias("trace_segment_id"),
+        F.col("turn_idx").cast("long").alias("span_id"),
+        F.when(F.col("text").isNotNull(),
+               F.create_map(F.lit("k"), F.col("text"))).alias("tags"),
+    )
+
+
 def _as_request_outcomes(df):
     """ext_request_breaker consumes a request-outcome log; hostile text
     rides in as the endpoint, the success flag and timestamp are
@@ -280,6 +302,7 @@ def _as_metric_rows(df):
 # ops that require a non-raw input shape: prep fn applied before the op
 PREP = {
     "service_snmp": _as_varbinds,
+    "service_skywalking": _as_skywalking_logdata,
     "ext_request_breaker": _as_request_outcomes,
     "ext_default_encoder": _as_metric_rows,
     "service_canal": _as_binlog_events,
