@@ -5738,6 +5738,38 @@ FROM base
 """
 
 
+def q_chunk_windows(spark, sf_dir):
+    """Sliding-window context chunking (curation.chunk_windows): docs →
+    fixed 64-token windows at stride 48, partial tails >= 8 tokens kept.
+    Word array materialized once; sequence+posexplode rides the scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    from loongcollector_spark.functions.curation import chunk_windows
+
+    return chunk_windows(docs, window=64, stride=48, min_tokens=8)
+
+
+O_CHUNK_WINDOWS = """
+WITH w AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+      AS words
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start_tok
+  FROM w
+)
+SELECT doc_id,
+  cast(start_tok / 48 AS INT) AS chunk_idx,
+  cast(start_tok AS INT) AS start_tok,
+  cast(least(64, len(words) - start_tok) AS INT) AS n_tokens,
+  array_to_string(list_slice(words, start_tok + 1, start_tok + 64), ' ')
+    AS chunk_text
+FROM s
+WHERE least(64, len(words) - start_tok) >= 8
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5877,4 +5909,5 @@ QUERIES = {
     "snmp_fields": (q_snmp_fields, O_SNMP_FIELDS),
     "wineventlog_events": (q_wineventlog_events, O_WINEVENTLOG_EVENTS),
     "skywalking_logs": (q_skywalking_logs, O_SKYWALKING_LOGS),
+    "chunk_windows": (q_chunk_windows, O_CHUNK_WINDOWS),
 }

@@ -576,3 +576,50 @@ def quality_bins(df: DataFrame, n_bins: int = 10,
     )
     return scored.join(F.broadcast(bins), "_s").select(
         id_col, F.col("_s").alias(score_col), "bin")
+
+
+def chunk_windows(df: DataFrame, window: int = 64, stride: int = 48,
+                  min_tokens: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    that turns variable-length curated documents into fixed-size
+    training windows (the HF ``return_overflowing_tokens`` layout:
+    window W, stride S, chunks start at 0, S, 2S, … while the start is
+    inside the document; the final partial chunk is kept when it has at
+    least ``min_tokens`` tokens).
+
+    Emits (doc_id, chunk_idx, start_tok, n_tokens, chunk_text) with
+    ``chunk_text`` rebuilt from the whitespace-normalized word stream.
+
+    Scale shape: the word array is materialized in its own projection
+    (transform-capture rule), chunk starts come from one codegen
+    ``sequence`` + ``posexplode`` — everything rides the scan, no
+    shuffle, and output size is bounded by W/S times the input (with
+    the default 64/48 overlap, 1.33x)."""
+    nw = F.size(F.col("_words"))
+    starts = F.when(
+        F.col(text_col).isNotNull() & (nw > 0),
+        F.sequence(F.lit(0),
+                   F.greatest(nw - 1, F.lit(0)),
+                   F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), F.col(text_col),
+        _norm_words(F.coalesce(F.col(text_col), F.lit(""))).alias("_words"),
+    ).select(
+        id_col, "_words",
+        F.posexplode_outer(starts).alias("chunk_idx", "start_tok"),
+    )
+    n_tok = F.least(F.lit(int(window)),
+                    F.size(F.col("_words")) - F.col("start_tok"))
+    return base.where(
+        F.col("start_tok").isNotNull() & (n_tok >= int(min_tokens))
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_words"), F.col("start_tok") + 1,
+                    F.lit(int(window))), " ").alias("chunk_text"),
+    )

@@ -325,3 +325,25 @@ def test_hashed_classifier_plan_broadcast_no_text_shuffle(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_chunk_windows_layout(spark):
+    from loongcollector_spark.functions.curation import chunk_windows
+
+    words120 = " ".join(f"w{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, words120), (2, "a b c"), (3, None), (4, "")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in chunk_windows(docs, window=64, stride=48,
+                                   min_tokens=8).collect()}
+    # doc 1: 120 words -> starts 0, 48, 96; tail 120-96=24 >= 8 kept
+    assert {(1, 0), (1, 1), (1, 2)} <= set(rows)
+    assert rows[(1, 0)]["n_tokens"] == 64
+    assert rows[(1, 0)]["chunk_text"].split(" ")[0] == "w0"
+    assert rows[(1, 1)]["start_tok"] == 48
+    assert rows[(1, 1)]["chunk_text"].split(" ")[0] == "w48"
+    assert rows[(1, 2)]["n_tokens"] == 24
+    assert rows[(1, 2)]["chunk_text"].split(" ")[-1] == "w119"
+    # short / null / empty docs: below min_tokens, no chunks
+    assert not any(d in (2, 3, 4) for d, _ in rows)
