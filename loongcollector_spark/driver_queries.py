@@ -5770,6 +5770,70 @@ WHERE least(64, len(words) - start_tok) >= 8
 """
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk): 8 one-byte codes
+    per vector from seed sub-codebooks, query scored by ADC table
+    lookups over integer micro-units — encode and query are broadcasts
+    of one collected-array row, zero corpus shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id")
+    from loongcollector_spark.functions.similarity import pq_topk
+
+    return pq_topk(emb, query_vec_id=0, k=10, m=8, n_codes=16,
+                   shortlist=50)
+
+
+O_ANN_PQ_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM e
+  WHERE vec_id BETWEEN 1 AND 16
+), q AS (
+  SELECT embedding AS qe FROM e WHERE vec_id = 0
+), js AS (
+  SELECT unnest(range(0, 8)) AS j
+), dist AS (
+  SELECT v.vec_id, js.j, c.cid,
+    list_sum(list_transform(range(1, 9), t ->
+      cast(floor((v.embedding[js.j * 8 + t]::DOUBLE
+                  - c.cvec[js.j * 8 + t]::DOUBLE)
+                 * (v.embedding[js.j * 8 + t]::DOUBLE
+                    - c.cvec[js.j * 8 + t]::DOUBLE) * 1e6 + 0.5)
+           AS BIGINT))) AS du
+  FROM e v, cent c, js WHERE v.vec_id != 0
+), codes AS (
+  SELECT vec_id, j, cid, row_number() OVER (
+    PARTITION BY vec_id, j ORDER BY du, cid) AS rn
+  FROM dist
+), qdist AS (
+  SELECT js.j, c.cid,
+    list_sum(list_transform(range(1, 9), t ->
+      cast(floor((q.qe[js.j * 8 + t]::DOUBLE
+                  - c.cvec[js.j * 8 + t]::DOUBLE)
+                 * (q.qe[js.j * 8 + t]::DOUBLE
+                    - c.cvec[js.j * 8 + t]::DOUBLE) * 1e6 + 0.5)
+           AS BIGINT))) AS du
+  FROM q, cent c, js
+), adc AS (
+  SELECT codes.vec_id, cast(sum(qdist.du) AS BIGINT) AS adc_dist_u
+  FROM codes JOIN qdist ON codes.j = qdist.j AND codes.cid = qdist.cid
+  WHERE codes.rn = 1
+  GROUP BY codes.vec_id
+), cand AS (
+  SELECT vec_id, adc_dist_u FROM adc
+  ORDER BY adc_dist_u ASC, vec_id ASC LIMIT 50
+)
+SELECT cand.vec_id, cand.adc_dist_u,
+  cast(list_sum(list_transform(range(1, 65), t ->
+    cast(floor((v.embedding[t]::DOUBLE - q.qe[t]::DOUBLE)
+               * (v.embedding[t]::DOUBLE - q.qe[t]::DOUBLE) * 1e6 + 0.5)
+         AS BIGINT))) AS BIGINT) AS l2_dist_u
+FROM cand JOIN e v ON v.vec_id = cand.vec_id, q
+ORDER BY l2_dist_u ASC, cand.vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5910,4 +5974,5 @@ QUERIES = {
     "wineventlog_events": (q_wineventlog_events, O_WINEVENTLOG_EVENTS),
     "skywalking_logs": (q_skywalking_logs, O_SKYWALKING_LOGS),
     "chunk_windows": (q_chunk_windows, O_CHUNK_WINDOWS),
+    "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
 }

