@@ -5834,6 +5834,60 @@ ORDER BY l2_dist_u ASC, cand.vec_id ASC LIMIT 10
 """
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair mining (chatprep.response_contrast_pairs):
+    assistant responses to the same user prompt (by fingerprint) ranked
+    deterministically; one (chosen, rejected) pair per prompt with >=2
+    distinct responses. One shuffle (fp window + agg share the
+    exchange); text never shuffles — md5s and ids only."""
+    from loongcollector_spark.functions.chatprep import (
+        response_contrast_pairs,
+    )
+
+    t = transcripts_from_events(spark, sf_dir)
+    return response_contrast_pairs(t)
+
+
+O_PREFERENCE_PAIRS = f"""{_ORACLE_T},
+resp AS (
+  SELECT conv_id, turn_idx, role,
+    md5(lag(text) OVER w) AS prompt_fp,
+    lag(role) OVER w AS prev_role,
+    lag(text) OVER w AS prompt,
+    md5(coalesce(text, '')) AS rmd5,
+    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), cand AS (
+  SELECT conv_id, turn_idx, prompt_fp, rmd5, cast(tokens AS BIGINT)
+      AS tokens
+  FROM resp
+  WHERE role = 'assistant' AND prev_role = 'user' AND prompt IS NOT NULL
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY prompt_fp
+      ORDER BY tokens DESC, conv_id ASC, turn_idx ASC) AS rn_hi,
+    row_number() OVER (PARTITION BY prompt_fp
+      ORDER BY tokens ASC, conv_id DESC, turn_idx DESC) AS rn_lo,
+    count(*) OVER (PARTITION BY prompt_fp) AS n_candidates
+  FROM cand
+), agg AS (
+  SELECT prompt_fp, cast(max(n_candidates) AS BIGINT) AS n_candidates,
+    max(CASE WHEN rn_hi = 1 THEN conv_id END) AS chosen_conv,
+    max(CASE WHEN rn_hi = 1 THEN turn_idx END) AS chosen_turn,
+    max(CASE WHEN rn_hi = 1 THEN rmd5 END) AS chosen_md5,
+    max(CASE WHEN rn_hi = 1 THEN tokens END) AS chosen_tokens,
+    max(CASE WHEN rn_lo = 1 THEN conv_id END) AS rejected_conv,
+    max(CASE WHEN rn_lo = 1 THEN turn_idx END) AS rejected_turn,
+    max(CASE WHEN rn_lo = 1 THEN rmd5 END) AS rejected_md5,
+    max(CASE WHEN rn_lo = 1 THEN tokens END) AS rejected_tokens
+  FROM ranked WHERE n_candidates >= 2
+  GROUP BY prompt_fp
+)
+SELECT * FROM agg WHERE chosen_md5 != rejected_md5
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -5975,4 +6029,5 @@ QUERIES = {
     "skywalking_logs": (q_skywalking_logs, O_SKYWALKING_LOGS),
     "chunk_windows": (q_chunk_windows, O_CHUNK_WINDOWS),
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
+    "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
 }

@@ -150,3 +150,82 @@ def agent_loop_stats(df: DataFrame, conv_col: str = "conv_id",
         F.sum("_run").cast("bigint").alias("n_turns"),
         (F.max("_run") >= 3).alias("looping"),
     )
+
+
+def response_contrast_pairs(df: DataFrame, conv_col: str = "conv_id",
+                            idx_col: str = "turn_idx",
+                            role_col: str = "role",
+                            text_col: str = "text") -> DataFrame:
+    """DPO-style preference-pair mining: assistant responses are grouped
+    by the fingerprint of the user prompt they directly answer, and each
+    prompt with >= 2 distinct responses yields ONE (chosen, rejected)
+    pair under a deterministic ranker — response token count, ties by
+    (conv_id, turn_idx).  The rejected side uses the exact reverse
+    ordering, so with >= 2 candidates it is always a different row; pairs
+    whose texts hash equal are dropped (no contrast, nothing to learn).
+
+    The ranker is a stand-in with the ranker's exact interface: a reward
+    model's score column drops in for ``_tokens`` unchanged.
+
+    Scale shape: prompts travel as 16-byte md5 fingerprints; the only
+    wide shuffle is the per-fingerprint window carrying (fp, tokens,
+    ids, text-md5) — response TEXT never shuffles, chosen/rejected
+    bodies are fetched downstream by (conv_id, turn_idx) equi-join
+    exactly like the ANN candidate fetch."""
+    w_prev = Window.partitionBy(conv_col).orderBy(idx_col)
+    resp = (
+        df.select(
+            conv_col, F.col(idx_col).alias("turn_idx"), role_col, text_col,
+            F.lag(text_col).over(w_prev).alias("_prompt"),
+            F.lag(role_col).over(w_prev).alias("_prev_role"),
+        )
+        .filter((F.col(role_col) == "assistant")
+                & (F.col("_prev_role") == "user")
+                & F.col("_prompt").isNotNull())
+        .select(
+            conv_col, "turn_idx",
+            F.md5(F.col("_prompt")).alias("prompt_fp"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_rmd5"),
+            F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+                   F.lit(0))
+            .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+            .cast("bigint").alias("_tokens"),
+        )
+    )
+    fwd = Window.partitionBy("prompt_fp").orderBy(
+        F.col("_tokens").desc(), F.col(conv_col).asc(),
+        F.col("turn_idx").asc())
+    rev = Window.partitionBy("prompt_fp").orderBy(
+        F.col("_tokens").asc(), F.col(conv_col).desc(),
+        F.col("turn_idx").desc())
+    ranked = resp.select(
+        "prompt_fp", conv_col, "turn_idx", "_rmd5", "_tokens",
+        F.row_number().over(fwd).alias("_rn_hi"),
+        F.row_number().over(rev).alias("_rn_lo"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("prompt_fp")).alias("n_candidates"),
+    ).filter(F.col("n_candidates") >= 2)
+
+    def side(rn_col):
+        return F.min(F.when(F.col(rn_col) == 1, F.struct(
+            F.col(conv_col).alias("conv"),
+            F.col("turn_idx").alias("turn"),
+            F.col("_rmd5").alias("md5"),
+            F.col("_tokens").alias("tokens"))))
+
+    # the groupBy key equals the window partition key, so this agg
+    # reuses the window exchange — one shuffle total, no self-join
+    agg = ranked.groupBy("prompt_fp").agg(
+        F.max("n_candidates").alias("n_candidates"),
+        side("_rn_hi").alias("_c"), side("_rn_lo").alias("_r"))
+    return agg.select(
+        "prompt_fp", "n_candidates",
+        F.col("_c.conv").alias("chosen_conv"),
+        F.col("_c.turn").alias("chosen_turn"),
+        F.col("_c.md5").alias("chosen_md5"),
+        F.col("_c.tokens").alias("chosen_tokens"),
+        F.col("_r.conv").alias("rejected_conv"),
+        F.col("_r.turn").alias("rejected_turn"),
+        F.col("_r.md5").alias("rejected_md5"),
+        F.col("_r.tokens").alias("rejected_tokens"),
+    ).filter(F.col("chosen_md5") != F.col("rejected_md5"))

@@ -173,3 +173,59 @@ def test_quality_bins_doc_side_join_is_broadcast(spark):
     plan = quality_bins(df, score_col="score")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_response_contrast_pairs(spark):
+    from loongcollector_spark.functions.chatprep import (
+        response_contrast_pairs,
+    )
+
+    rows = [
+        # prompt P1: three responses, lengths 3/1/2 -> chosen c1(3),
+        # rejected c2(1)
+        ("c1", 0, "user", "P1", None, None),
+        ("c1", 1, "assistant", "long answer here", None, None),
+        ("c2", 0, "user", "P1", None, None),
+        ("c2", 1, "assistant", "short", None, None),
+        ("c3", 0, "user", "P1", None, None),
+        ("c3", 1, "assistant", "medium answer", None, None),
+        # prompt P2: two IDENTICAL responses -> dropped (no contrast)
+        ("c4", 0, "user", "P2", None, None),
+        ("c4", 1, "assistant", "same", None, None),
+        ("c5", 0, "user", "P2", None, None),
+        ("c5", 1, "assistant", "same", None, None),
+        # prompt P3: single response -> below min candidates
+        ("c6", 0, "user", "P3", None, None),
+        ("c6", 1, "assistant", "only one", None, None),
+        # assistant not directly after user -> not a candidate
+        ("c7", 0, "tool", "P1", None, None),
+        ("c7", 1, "assistant", "ignored", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = response_contrast_pairs(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_candidates"] == 3
+    assert r["chosen_conv"] == "c1" and r["chosen_tokens"] == 3
+    assert r["rejected_conv"] == "c2" and r["rejected_tokens"] == 1
+
+
+def test_response_contrast_tie_never_self_pairs(spark):
+    from loongcollector_spark.functions.chatprep import (
+        response_contrast_pairs,
+    )
+
+    rows = [
+        ("a", 0, "user", "P", None, None),
+        ("a", 1, "assistant", "x y", None, None),
+        ("b", 0, "user", "P", None, None),
+        ("b", 1, "assistant", "y z", None, None),   # tied token count
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    [r] = response_contrast_pairs(t).collect()
+    # reverse tiebreak: chosen is conv a, rejected is conv b
+    assert (r["chosen_conv"], r["rejected_conv"]) == ("a", "b")
