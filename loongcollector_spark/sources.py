@@ -174,6 +174,32 @@ def input_static_file(spark: SparkSession, path_glob: str, fmt: str = "parquet")
     return spark.read.format(fmt).load(path_glob)
 
 
+def input_debug_file(
+    spark: SparkSession, path_glob: str,
+    field_name: str = "content", line_limit: int = 1000,
+) -> DataFrame:
+    """input_debug_file (plugins/input/debugfile/input_debug_file.go:
+    31-91): read each matched file once, keep the first ``LineLimit``
+    lines (default 1000), and emit ONE log per file with the joined
+    lines under ``FieldName`` (default the body key ``content``).
+    Per-file line selection rides the provenance index from
+    ``input_file``; the join-up is one per-file aggregation."""
+    lines = input_file(spark, path_glob, with_provenance=True)
+    kept = lines.filter(F.col("_line_idx") < int(line_limit))
+    joined = (
+        kept.groupBy("_ingest_file")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("_line_idx").alias("i"),
+                    F.col("text").alias("t")))),
+                lambda s: s["t"]),
+            "\n").alias(field_name))
+    )
+    return joined.select(
+        F.col("_ingest_file").alias("_source_file"), field_name)
+
+
 def service_kafka(
     spark: SparkSession,
     brokers: str,

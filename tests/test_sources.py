@@ -325,3 +325,22 @@ class TestLumberjack:
         op = build_operator({"Type": "service_lumberjack"})
         rows = op(self._blob_df(spark, [blob])).collect()
         assert [r["content"] for r in rows] == ["{}"]
+
+
+def test_input_debug_file(spark, tmp_path):
+    """input_debug_file (input_debug_file.go:31-91): first LineLimit
+    lines per file joined under FieldName, one log per file."""
+    from loongcollector_spark.sources import input_debug_file
+
+    p1 = tmp_path / "a.log"
+    p1.write_text("\n".join(f"l{i}" for i in range(10)) + "\n")
+    p2 = tmp_path / "b.log"
+    p2.write_text("x\ny\n")
+    out = {r["_source_file"].rsplit("/", 1)[-1]: r["content"]
+           for r in input_debug_file(
+               spark, str(tmp_path / "*.log"), line_limit=3).collect()}
+    assert out["a.log"] == "l0\nl1\nl2"
+    assert out["b.log"] == "x\ny"
+    # default field name and limit contract (models.ContentKey, 1000)
+    [r] = input_debug_file(spark, str(p2)).collect()
+    assert r["content"] == "x\ny"
