@@ -5888,6 +5888,121 @@ SELECT * FROM agg WHERE chosen_md5 != rejected_md5
 """
 
 
+def q_k8s_pod_entities(spark, sf_dir):
+    """service_kubernetesmeta pod path (meta_collector_core.go:14-120):
+    observed pods → pod + container entity events — genKey md5 ids,
+    Go-JSON labels/containers packing, container fan-out. Projections +
+    one explode, no shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    two = F.pmod(eid, F.lit(2)) == 0
+
+    def cont(i):
+        return F.struct(
+            F.lit(f"c{i}").alias("name"),
+            F.concat(F.lit(f"img{i}:"), F.pmod(uid, F.lit(9))
+                     .cast("string")).alias("image"),
+            (F.when(F.pmod(eid + i, F.lit(3)) == 0, F.lit("500m")))
+            .alias("cpu_request"),
+            F.lit(None).cast("string").alias("cpu_limit"),
+            F.lit("64Mi").alias("memory_request"),
+            F.lit(None).cast("string").alias("memory_limit"),
+            F.when(two, F.array(F.lit(80), F.lit(443)))
+            .alias("ports"),
+            F.when(~two, F.array(F.struct(
+                F.lit("data").alias("name"),
+                F.lit("/var/data").alias("path"))))
+            .alias("volume_mounts"),
+        )
+
+    pods = ev.select(
+        F.concat(F.lit("ns"), F.pmod(uid, F.lit(5)).cast("string"))
+        .alias("namespace"),
+        F.concat(F.lit("pod-"), eid.cast("string")).alias("name"),
+        F.lit("v1").alias("api_version"),
+        F.element_at(F.array(F.lit("Running"), F.lit("Pending"),
+                             F.lit("Succeeded")),
+                     (F.pmod(eid, F.lit(3)) + 1).cast("int"))
+        .alias("phase"),
+        F.concat(F.lit("10.0."), F.pmod(uid, F.lit(30)).cast("string"),
+                 F.lit("."), F.pmod(eid, F.lit(250)).cast("string"))
+        .alias("pod_ip"),
+        F.create_map(F.lit("app"), F.col("event_type")).alias("labels"),
+        F.when(F.pmod(eid, F.lit(3)) != 0,
+               F.create_map(F.lit("note"), uid.cast("string")))
+        .alias("annotations"),
+        F.when(two, F.array(cont(0), cont(1)))
+        .otherwise(F.array(cont(0))).alias("containers"),
+        F.col("ts").cast("timestamp").alias("creation_ts"),
+        (eid + 1000).cast("long").alias("first_observed"),
+        (eid + 2000).cast("long").alias("last_observed"),
+        F.when(two, F.lit("Update")).otherwise(F.lit("Create"))
+        .alias("method"),
+    )
+    out = build_operator({
+        "Type": "service_kubernetesmeta", "Domain": "k8s",
+        "ClusterID": "cid1", "Interval": 15})(pods)
+    c = F.col("contents")
+    return out.select(
+        c["__entity_type__"].alias("entity_type"),
+        c["__entity_id__"].alias("entity_id"),
+        c["__method__"].alias("method"),
+        c["name"].alias("name"),
+        c["pod_name"].alias("pod_name"),
+        c["labels"].alias("labels"),
+        c["containers"].alias("containers"),
+        c["container_ports"].alias("container_ports"),
+        c["volumes"].alias("volumes"),
+        c["__first_observed_time__"].alias("first_observed"),
+        c["__keep_alive_seconds__"].alias("keep_alive"),
+        c["status"].alias("status"),
+    )
+
+
+O_K8S_POD_ENTITIES = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, event_type,
+         event_id % 2 = 0 AS two,
+         'ns' || (uid % 5) AS ns, 'pod-' || event_id AS pod,
+         CASE event_id % 3 WHEN 0 THEN 'Running' WHEN 1 THEN 'Pending'
+              ELSE 'Succeeded' END AS phase,
+         CASE WHEN event_id % 2 = 0 THEN 'Update' ELSE 'Create' END
+           AS method
+  FROM events
+), conts AS (
+  SELECT *, unnest(CASE WHEN two THEN [0, 1] ELSE [0] END) AS ci
+  FROM base
+)
+SELECT 'k8s.pod' AS entity_type,
+  md5('cid1' || 'Pod' || ns || pod) AS entity_id,
+  method, pod AS name,
+  NULL AS pod_name,
+  '{"app":"' || event_type || '"}' AS labels,
+  CASE WHEN two THEN
+    '[{"image":"img0:' || (uid % 9) || '","name":"c0"},'
+      || '{"image":"img1:' || (uid % 9) || '","name":"c1"}]'
+  ELSE '[{"image":"img0:' || (uid % 9) || '","name":"c0"}]' END
+    AS containers,
+  NULL AS container_ports, NULL AS volumes,
+  cast(eid + 1000 AS VARCHAR) AS first_observed,
+  '30' AS keep_alive, phase AS status
+FROM base
+UNION ALL
+SELECT 'k8s.container',
+  md5('cid1' || 'container' || ns || pod || 'c' || ci),
+  method, 'c' || ci, pod,
+  NULL,
+  NULL,
+  CASE WHEN two THEN '[80,443]' ELSE '[]' END,
+  CASE WHEN two THEN '[]'
+       ELSE '[{"volumeMountName":"data","volumeMountPath":"/var/data"}]'
+  END,
+  cast(eid + 1000 AS VARCHAR), '30', NULL
+FROM conts
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -6030,4 +6145,5 @@ QUERIES = {
     "chunk_windows": (q_chunk_windows, O_CHUNK_WINDOWS),
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
     "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
+    "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
 }

@@ -90,6 +90,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     filterops,
     grok,
     httpext,
+    k8smetaops,
     metricops,
     multiline,
     otelops,

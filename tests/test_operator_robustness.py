@@ -144,6 +144,7 @@ CONFIGS: dict[str, dict] = {
                      "SourceKey": "text"},
     "service_snmp": {"FieldKey": "field"},
     "service_skywalking": {"Mode": "logging"},
+    "service_kubernetesmeta": {"ClusterID": "c", "Interval": 5},
     "service_wineventlog": {"SourceKey": "text", "EventID": "1-100,-7",
                             "Level": "info,err", "IgnoreZeroValue": True},
     "ext_basicauth": {"Username": "u\x01ser", "Password": "p:ss"},
@@ -255,6 +256,35 @@ def _as_varbinds(df):
     )
 
 
+def _as_pod_objects(df):
+    """service_kubernetesmeta consumes observed-pod rows; hostile text
+    rides in as label values, container names/images, the pod name —
+    with null maps/arrays/timestamps."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("conv_id").alias("namespace"), F.col("text").alias("name"),
+        F.lit("v1").alias("api_version"), F.col("role").alias("phase"),
+        F.col("tool").alias("pod_ip"),
+        F.when(F.col("text").isNotNull(),
+               F.create_map(F.lit("k"), F.col("text"))).alias("labels"),
+        F.lit(None).cast("map<string,string>").alias("annotations"),
+        F.when(F.col("turn_idx") % 2 == 0, F.array(F.struct(
+            F.col("text").alias("name"), F.col("tool").alias("image"),
+            F.lit(None).cast("string").alias("cpu_request"),
+            F.lit(None).cast("string").alias("cpu_limit"),
+            F.lit(None).cast("string").alias("memory_request"),
+            F.lit(None).cast("string").alias("memory_limit"),
+            F.lit(None).cast("array<int>").alias("ports"),
+            F.lit(None).cast("array<struct<name:string,path:string>>")
+            .alias("volume_mounts")))).alias("containers"),
+        F.col("ts").alias("creation_ts"),
+        F.col("turn_idx").cast("long").alias("first_observed"),
+        F.col("turn_idx").cast("long").alias("last_observed"),
+        F.col("role").alias("method"),
+    )
+
+
 def _as_skywalking_logdata(df):
     """service_skywalking consumes LogData rows; hostile text rides in
     as the body, tag value, and endpoint, with null trace/tags/time."""
@@ -302,6 +332,7 @@ def _as_metric_rows(df):
 # ops that require a non-raw input shape: prep fn applied before the op
 PREP = {
     "service_snmp": _as_varbinds,
+    "service_kubernetesmeta": _as_pod_objects,
     "service_skywalking": _as_skywalking_logdata,
     "ext_request_breaker": _as_request_outcomes,
     "ext_default_encoder": _as_metric_rows,
