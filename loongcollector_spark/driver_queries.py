@@ -6003,6 +6003,34 @@ FROM conts
 """
 
 
+def q_training_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment
+    (curation.training_shuffle): seeded-hash re-key, shard from the key
+    prefix, per-shard rank. One narrow (key, id) shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from loongcollector_spark.functions.curation import training_shuffle
+
+    return training_shuffle(docs, n_shards=16, seed="epoch1")
+
+
+O_TRAINING_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id, md5('epoch1' || doc_id) AS sort_key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, sort_key,
+    cast(cast(('0x' || substr(sort_key, 1, 4))::VARCHAR AS UBIGINT)
+         % 16 AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+  cast(row_number() OVER (PARTITION BY shard
+       ORDER BY sort_key, doc_id) - 1 AS BIGINT) AS pos,
+  sort_key
+FROM sharded
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -6146,4 +6174,5 @@ QUERIES = {
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
     "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
     "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
+    "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
 }

@@ -623,3 +623,38 @@ def chunk_windows(df: DataFrame, window: int = 64, stride: int = 48,
             F.slice(F.col("_words"), F.col("start_tok") + 1,
                     F.lit(int(window))), " ").alias("chunk_text"),
     )
+
+
+def training_shuffle(df: DataFrame, n_shards: int = 64,
+                     seed: str = "epoch0", id_col: str = "doc_id"
+                     ) -> DataFrame:
+    """Deterministic global example shuffle + shard assignment — the
+    write-order step between curation and training (an epoch's order
+    must be reproducible across retries and independent of input
+    partitioning, so ``rand()`` is out; re-keying by a seeded hash is
+    the standard trick).
+
+    ``sort_key`` = md5(seed || id); ``shard`` = first byte-pair of the
+    key mod ``n_shards`` (so shard membership AND intra-shard order both
+    reshuffle with the seed); ``pos`` = rank within the shard.
+
+    Scale shape: one hash-partitioned window per shard computes ranks —
+    the shuffle carries (16-byte key, id) only; each shard's rows land
+    in one partition, which is exactly the training-shard file layout
+    the writer needs (``partitionBy(shard)`` + sortWithinPartitions)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(str(seed)),
+                       F.col(id_col).cast("string"))).alias("sort_key"),
+    ).select(
+        id_col, "sort_key",
+        F.pmod(F.conv(F.substring("sort_key", 1, 4), 16, 10)
+               .cast("bigint"), F.lit(int(n_shards))).cast("int")
+        .alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("sort_key", id_col)) - 1
+    return keyed.select(
+        id_col, "shard", pos.cast("bigint").alias("pos"), "sort_key")

@@ -347,3 +347,26 @@ def test_chunk_windows_layout(spark):
     assert rows[(1, 2)]["chunk_text"].split(" ")[-1] == "w119"
     # short / null / empty docs: below min_tokens, no chunks
     assert not any(d in (2, 3, 4) for d, _ in rows)
+
+
+def test_training_shuffle_deterministic_and_seed_sensitive(spark):
+    from loongcollector_spark.functions.curation import training_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], "doc_id long, text string")
+    a1 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in training_shuffle(docs, n_shards=4, seed="e0").collect()}
+    a2 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in training_shuffle(
+              docs.repartition(7), n_shards=4, seed="e0").collect()}
+    assert a1 == a2                      # partitioning-independent
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in training_shuffle(docs, n_shards=4, seed="e1").collect()}
+    assert a1 != b                       # a new seed reshuffles
+    # positions are a dense 0..n-1 sequence within each shard
+    from collections import defaultdict
+    per = defaultdict(list)
+    for shard, pos in a1.values():
+        per[shard].append(pos)
+    for shard, poss in per.items():
+        assert sorted(poss) == list(range(len(poss)))
