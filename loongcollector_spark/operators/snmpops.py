@@ -31,6 +31,15 @@ The Go code aborts a target's whole poll on an invalid conversion length
 a job for one bad row: rows whose conversion input is the wrong length
 come back with ``_decode_ok = false`` and a NULL ``_content_`` instead
 (the lumberjack/pb marker-row convention used across this repo).
+
+Documented divergence: after a hwaddr/ipaddr conversion the reference's
+literal type switch (input_snmp.go:540-546) re-dispatches on the BER
+tag — an OctetString-typed converted value would hit a ``[]byte`` type
+assertion on a string, and an IPAddress-typed one would fall through to
+``ToBigInt`` on a dotted string (→ 0).  Neither can be the intended
+output of a Conversion; this model emits the converted string as
+``_content_``, which is what the MIB-driven ``Conversion`` field exists
+to produce.
 """
 
 from __future__ import annotations
