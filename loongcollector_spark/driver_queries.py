@@ -5858,11 +5858,17 @@ resp AS (
     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
          ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens
   FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-), cand AS (
+), cand0 AS (
   SELECT conv_id, turn_idx, prompt_fp, rmd5, cast(tokens AS BIGINT)
       AS tokens
   FROM resp
   WHERE role = 'assistant' AND prev_role = 'user' AND prompt IS NOT NULL
+), cand AS (
+  SELECT prompt_fp, rmd5, conv_id, turn_idx, tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY prompt_fp, rmd5
+      ORDER BY conv_id, turn_idx) AS drn
+    FROM cand0
+  ) WHERE drn = 1
 ), ranked AS (
   SELECT *,
     row_number() OVER (PARTITION BY prompt_fp

@@ -160,9 +160,11 @@ def response_contrast_pairs(df: DataFrame, conv_col: str = "conv_id",
     by the fingerprint of the user prompt they directly answer, and each
     prompt with >= 2 distinct responses yields ONE (chosen, rejected)
     pair under a deterministic ranker — response token count, ties by
-    (conv_id, turn_idx).  The rejected side uses the exact reverse
-    ordering, so with >= 2 candidates it is always a different row; pairs
-    whose texts hash equal are dropped (no contrast, nothing to learn).
+    (conv_id, turn_idx).  Identical response texts are deduplicated
+    BEFORE ranking (keeping the id-least occurrence), so a ranker tie
+    can never place the same text at both extremes; ``n_candidates``
+    counts DISTINCT responses.  The rejected side uses the exact
+    reverse ordering, so it is always a different row.
 
     The ranker is a stand-in with the ranker's exact interface: a reward
     model's score column drops in for ``_tokens`` unchanged.
@@ -191,6 +193,20 @@ def response_contrast_pairs(df: DataFrame, conv_col: str = "conv_id",
             .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
             .cast("bigint").alias("_tokens"),
         )
+    )
+    # dedupe identical response TEXTS first (keep the deterministic
+    # (conv, turn)-least representative per md5): otherwise a ranker tie
+    # can put the same text at both extremes and the contrast filter
+    # drops a prompt that DOES have two distinct responses
+    resp = (
+        resp.groupBy("prompt_fp", "_rmd5")
+        .agg(F.min(F.struct(F.col(conv_col).alias("c"),
+                            F.col("turn_idx").alias("t"),
+                            F.col("_tokens").alias("k"))).alias("_r"))
+        .select("prompt_fp", "_rmd5",
+                F.col("_r.c").alias(conv_col),
+                F.col("_r.t").alias("turn_idx"),
+                F.col("_r.k").alias("_tokens"))
     )
     fwd = Window.partitionBy("prompt_fp").orderBy(
         F.col("_tokens").desc(), F.col(conv_col).asc(),

@@ -417,8 +417,6 @@ def pq_topk(
     per-row argmin/ADC run as array HOFs over 16-element arrays; an
     Arrow-vectorized encode kernel is a drop-in for the encode pass if
     profile ever shows the interpreted lambdas dominating."""
-    sub_dim_df = df.select(
-        F.size(_as_double(F.col(vec_col))).alias("d")).limit(1)
     e = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
     cent = (
@@ -427,7 +425,20 @@ def pq_topk(
                          F.col("emb").alias("cvec")).alias("c"))
         .agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
-    dim = sub_dim_df.collect()[0]["d"]
+    # one tiny probe action: the ADC lookup indexes the cid-sorted
+    # centroid array BY code, which is only valid when the seed ids
+    # 1..n_codes are ALL present — a gap would silently misalign codes
+    probe = e.agg(
+        F.max(F.size("emb")).alias("d"),
+        F.count(F.when(F.col(id_col).between(1, n_codes), 1))
+        .alias("nc")).collect()[0]
+    if probe["d"] is None:
+        raise ValueError("pq_topk: empty input frame")
+    if probe["nc"] != n_codes:
+        raise ValueError(
+            f"pq_topk: need seed vectors with ids 1..{n_codes} as "
+            f"sub-codebooks; found {probe['nc']} of {n_codes}")
+    dim = probe["d"]
     sub_dim = dim // m
 
     corpus = e.filter(F.col(id_col) != query_vec_id)

@@ -93,10 +93,15 @@ def k8s_pod_entities(
     df: DataFrame, domain: str = "k8s", cluster_id: str = "",
     interval: int = 30, enable_labels: bool = True,
     enable_annotations: bool = True, container: bool = True,
+    pod: bool = True,
 ) -> DataFrame:
-    """Pod frame → entity contents maps (pod rows, then container rows
-    when ``Container`` is on).  Pure codegen projections + one explode;
-    no shuffle."""
+    """Pod frame → entity contents maps (pod rows when ``Pod`` is on,
+    then container rows when ``Container`` is on).  Pure codegen
+    projections + one explode; no shuffle."""
+    if not pod and not container:
+        raise ValueError(
+            "service_kubernetesmeta: Pod and Container both disabled — "
+            "nothing to emit")
     keep_alive = F.lit(str(int(interval) * 2))
     common_tail = [
         (F.lit("__first_observed_time__"),
@@ -186,6 +191,8 @@ def k8s_pod_entities(
         df.select("*", F.explode(F.col("containers")).alias("_c"))
         .select(mk_map(cont_pairs).alias("contents"))
     )
+    if not pod:
+        return conts
     return pods.unionByName(conts)
 
 
@@ -196,6 +203,11 @@ def service_kubernetesmeta(cfg: dict):
     """Registry twin of ServiceK8sMeta's pod path (Pod/Container switches,
     EnableLabels/EnableAnnotations, Interval — wineventlog-style column
     contract for the observed-object frame)."""
+    if not bool(cfg.get("Pod", True)) and not bool(cfg.get("Container", True)):
+        raise ValueError(
+            "service_kubernetesmeta: Pod and Container both disabled — "
+            "nothing to emit")
+
     def run(df: DataFrame) -> DataFrame:
         return k8s_pod_entities(
             df, domain=str(cfg.get("Domain", "k8s")),
@@ -204,6 +216,7 @@ def service_kubernetesmeta(cfg: dict):
             enable_labels=bool(cfg.get("EnableLabels", True)),
             enable_annotations=bool(cfg.get("EnableAnnotations", True)),
             container=bool(cfg.get("Container", True)),
+            pod=bool(cfg.get("Pod", True)),
         )
 
     return run

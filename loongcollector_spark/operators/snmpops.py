@@ -145,7 +145,9 @@ def snmp_varbind_logs(
         F.when(conv == "hwaddr", mac_string(vb))
         .when(conv == "ipaddr", ip)
         .when(F.col(type_code).cast("int") == 0x04,
-              vb.cast("string"))
+              # Go string(nil []byte) == "" — a null octet value must
+              # not break the NULL-content ⇒ _decode_ok=false pairing
+              F.coalesce(vb.cast("string"), F.lit("")))
         .otherwise(F.coalesce(F.col(value_num), F.lit(0)).cast("string"))
     )
     # the Go code errors the poll on these; we mark the row instead

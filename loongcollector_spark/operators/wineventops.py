@@ -79,14 +79,6 @@ def _elem(src: Column, elem: str) -> Column:
         src, rf"<{elem}(?:\s[^>]*)?>([^<]*)</{elem}>", 1))
 
 
-def _rendering(src: Column, elem: str) -> Column:
-    """Element text inside the RenderingInfo block."""
-    block = F.regexp_extract(
-        src, r"(?s)<RenderingInfo\b[^>]*>(.*?)</RenderingInfo>", 1)
-    return _xml_unescape(F.regexp_extract(
-        block, rf"(?s)<{elem}(?:\s[^>]*)?>(.*?)</{elem}>", 1))
-
-
 def _data_tags(section: Column) -> Column:
     """``<Data>`` tags of one section, in document order."""
     return F.regexp_extract_all(
@@ -126,10 +118,19 @@ def _data_pairs(tags: Column, names: Column) -> Column:
 
 def _go_json_pairs(entries: Column) -> Column:
     """array<struct<key,value>> → Go ``json.Marshal`` object: keys
-    sorted, HTML-escaped strings; empty array → ``{}``."""
+    sorted, HTML-escaped strings, LAST occurrence of a duplicate key
+    wins (addPairs inserts into a map in slice order — a renamed DataN
+    can collide with a literal ``DataN`` name and Go emits it once);
+    empty array → ``{}``.  MUST be called with a materialized column
+    (the dedupe filter captures ``entries`` in a nested lambda)."""
+    deduped = F.filter(
+        entries,
+        lambda e, i: F.size(F.filter(
+            entries,
+            lambda e2, j: (e2["key"] == e["key"]) & (j > i))) == 0)
     body = F.array_join(
         F.transform(
-            F.array_sort(entries),
+            F.array_sort(deduped),
             lambda e: F.concat(_go_jstr(e["key"]), F.lit(":"),
                                _go_jstr(e["value"]))),
         ",")
@@ -221,6 +222,11 @@ def wineventlog_decode(
             cond &= F.col("_lvl").isin(*vals)
     if provider:
         cond &= F.col("_prov").isin(*list(provider))
+    if ignore_older and not reference_now:
+        raise ValueError(
+            "service_wineventlog: IgnoreOlder needs ReferenceNow as its "
+            "deterministic anchor — refusing to silently skip the "
+            "configured age filter")
     if ignore_older and reference_now:
         cond &= F.col("event_time") >= F.timestamp_add(
             "SECOND", F.lit(-int(ignore_older)),
@@ -247,6 +253,18 @@ def wineventlog_decode(
         "*",
         _data_names(F.col("_ed_tags")).alias("_ed_names"),
         _data_names(F.col("_ed_ud_tags")).alias("_ud_names"),
+    ).select(
+        # pairs materialized as columns: _go_json_pairs' last-wins
+        # dedupe captures its argument in a nested lambda, so the
+        # argument must be an attribute, not a regexp expression
+        "*",
+        _data_pairs(F.col("_ed_tags"), F.col("_ed_names"))
+        .alias("_ed_pairs"),
+        F.concat(
+            _data_pairs(F.col("_ed_ud_tags"), F.col("_ud_names")),
+            F.array(F.struct(F.lit("xml_name").alias("key"),
+                             F.col("_xml_name").alias("value"))))
+        .alias("_ud_pairs"),
     )
 
     # ---- stage 2: ToEvent over the materialized columns --------------
@@ -273,10 +291,6 @@ def wineventlog_decode(
     kw_str = F.concat(F.lit("["), F.array_join(
         F.transform(keywords, _xml_unescape), " "), F.lit("]"))
 
-    user_pairs = F.concat(
-        _data_pairs(F.col("_ed_ud_tags"), F.col("_ud_names")),
-        F.array(F.struct(F.lit("xml_name").alias("key"),
-                         F.col("_xml_name").alias("value"))))
     user_sid = _attr(src, "Security", "UserID")
 
     # (key, value, zero-literal-or-None). None = unconditional
@@ -337,11 +351,10 @@ def wineventlog_decode(
         entries.append(F.when(keep, e))
     entries.append(F.struct(
         F.lit("event_data").alias("key"),
-        _go_json_pairs(_data_pairs(F.col("_ed_tags"), F.col("_ed_names")))
-        .alias("value")))
+        _go_json_pairs(F.col("_ed_pairs")).alias("value")))
     entries.append(F.struct(
         F.lit("user_data").alias("key"),
-        _go_json_pairs(user_pairs).alias("value")))
+        _go_json_pairs(F.col("_ud_pairs")).alias("value")))
 
     return mid.select(
         F.map_from_entries(

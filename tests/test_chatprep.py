@@ -229,3 +229,28 @@ def test_response_contrast_tie_never_self_pairs(spark):
     [r] = response_contrast_pairs(t).collect()
     # reverse tiebreak: chosen is conv a, rejected is conv b
     assert (r["chosen_conv"], r["rejected_conv"]) == ("a", "b")
+
+
+def test_response_contrast_tied_duplicate_texts_still_pair(spark):
+    """A ranker tie between duplicate texts must not eat the pair: P has
+    'x y' twice and 'z w' once, all 2 tokens — dedupe-before-rank keeps
+    one 'x y', so the (chosen, rejected) contrast survives."""
+    from loongcollector_spark.functions.chatprep import (
+        response_contrast_pairs,
+    )
+
+    rows = [
+        ("c1", 0, "user", "P", None, None),
+        ("c1", 1, "assistant", "x y", None, None),
+        ("c2", 0, "user", "P", None, None),
+        ("c2", 1, "assistant", "z w", None, None),
+        ("c3", 0, "user", "P", None, None),
+        ("c3", 1, "assistant", "x y", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    [r] = response_contrast_pairs(t).collect()
+    assert r["n_candidates"] == 2           # DISTINCT responses
+    assert {r["chosen_conv"], r["rejected_conv"]} == {"c1", "c2"}
+    assert r["chosen_md5"] != r["rejected_md5"]

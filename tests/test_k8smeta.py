@@ -86,3 +86,12 @@ def test_switches(spark):
     assert len(rows) == 1
     assert "labels" not in rows[0]
     assert "annotations" in rows[0]
+
+
+def test_pod_switch(spark):
+    rows = _run(spark, {"Pod": False})
+    assert all(c["__entity_type__"] == "k8s.container" for c in rows)
+    import pytest
+    with pytest.raises(ValueError, match="nothing to emit"):
+        build_operator({"Type": "service_kubernetesmeta",
+                        "Pod": False, "Container": False})

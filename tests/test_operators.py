@@ -664,3 +664,16 @@ def test_pq_topk_plan_no_corpus_shuffle(spark):
     plan = pq_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_topk_rejects_gapped_seed_ids(spark):
+    from loongcollector_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").filter("vec_id != 7")
+    try:
+        pq_topk(emb, query_vec_id=0, k=3)
+    except ValueError as e:
+        assert "sub-codebooks" in str(e)
+    else:
+        raise AssertionError("expected ValueError for missing seed id")

@@ -155,3 +155,21 @@ def test_channel_name_filter(spark):
                                 "<Channel>Security</Channel>")]
     got = _decode(spark, xmls, Name="Security")
     assert len(got) == 1 and got[0]["fields"]["log_name"] == "Security"
+
+
+def test_event_data_duplicate_keys_last_wins(spark):
+    """addPairs builds a Go map in slice order: a renamed DataN that
+    collides with a literal DataN name overwrites it, and json.Marshal
+    emits each key once."""
+    xml = MINIMAL_XML.replace(
+        "</System>",
+        "</System><EventData>"
+        "<Data Name='Data1'>named</Data>"
+        "<Data>unnamed</Data>"
+        "<Data Name='dup'>first</Data>"
+        "<Data Name='dup'>second</Data>"
+        "</EventData>")
+    [r] = _decode(spark, [xml])
+    ed = json.loads(r["fields"]["event_data"])
+    assert ed == {"Data1": "unnamed", "dup": "second"}
+    assert r["fields"]["event_data"].count('"Data1"') == 1
