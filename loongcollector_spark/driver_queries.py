@@ -6037,6 +6037,45 @@ FROM sharded
 """
 
 
+def q_script_ratios(spark, sf_dir):
+    """Writing-script distribution signal (text.script_ratios): integer
+    permille per codepoint-range class, one codegen projection per
+    class — no explode, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    from loongcollector_spark.functions.text import script_ratios
+
+    return script_ratios(docs)
+
+
+O_SCRIPT_RATIOS = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+)
+SELECT doc_id, cast(len(t) AS BIGINT) AS n_chars,
+  cast(CASE WHEN len(t) > 0 THEN floor(
+    (len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g'))) * 1000
+    / len(t)) ELSE 0 END AS INT) AS latin_permille,
+  cast(CASE WHEN len(t) > 0 THEN floor(
+    (len(t) - len(regexp_replace(t, '[0-9]', '', 'g'))) * 1000
+    / len(t)) ELSE 0 END AS INT) AS digit_permille,
+  cast(CASE WHEN len(t) > 0 THEN floor(
+    (len(t) - len(regexp_replace(t,
+      '[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]', '', 'g'))) * 1000
+    / len(t)) ELSE 0 END AS INT) AS cjk_permille,
+  cast(CASE WHEN len(t) > 0 THEN floor(
+    (len(t) - len(regexp_replace(t, '[\\u0400-\\u04ff]', '', 'g'))) * 1000
+    / len(t)) ELSE 0 END AS INT) AS cyrillic_permille,
+  cast(CASE WHEN len(t) > 0 THEN floor(
+    (len(t) - len(regexp_replace(t, '[\\u0600-\\u06ff]', '', 'g'))) * 1000
+    / len(t)) ELSE 0 END AS INT) AS arabic_permille,
+  cast(CASE WHEN len(t) > 0 THEN floor(
+    (len(t) - len(regexp_replace(t, '[\\u0370-\\u03ff]', '', 'g'))) * 1000
+    / len(t)) ELSE 0 END AS INT) AS greek_permille
+FROM d
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -6181,4 +6220,5 @@ QUERIES = {
     "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
     "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
+    "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
 }

@@ -347,3 +347,41 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
         out_col: fixed,
         "mojibake_chars": (F.length(col) - F.length(fixed)).cast("bigint"),
     })
+
+
+SCRIPT_RANGES = {
+    # explicit codepoint ranges (identical literals in Java regex and
+    # DuckDB's RE2, unlike \p{script} names which differ per engine)
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cjk": "\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af",
+    "cyrillic": "\\u0400-\\u04ff",
+    "arabic": "\\u0600-\\u06ff",
+    "greek": "\\u0370-\\u03ff",
+}
+
+
+def script_ratios(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document writing-script distribution — the language-ID
+    companion signal (a 'lang=en' doc that is 40% CJK is mislabeled or
+    polluted; mixed-script spam and mojibake stand out immediately).
+
+    Emits total character count and one ``<script>_permille`` integer
+    column per range in ``SCRIPT_RANGES`` (0 for empty docs).  Counting
+    is ``length(text) - length(regexp_replace(text, '[class]', ''))`` —
+    one codegen projection per class, no explode, no shuffle; integer
+    permille keeps the hash oracle exact."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+
+    def permille(ranges: str):
+        cnt = n - F.length(F.regexp_replace(txt, f"[{ranges}]", ""))
+        return F.when(n > 0, F.floor(cnt * 1000 / n)).otherwise(
+            F.lit(0)).cast("int")
+
+    return df.select(
+        F.col(id_col), n.cast("bigint").alias("n_chars"),
+        *[permille(r).alias(f"{name}_permille")
+          for name, r in SCRIPT_RANGES.items()],
+    )

@@ -677,3 +677,20 @@ def test_pq_topk_rejects_gapped_seed_ids(spark):
         assert "sub-codebooks" in str(e)
     else:
         raise AssertionError("expected ValueError for missing seed id")
+
+
+def test_script_ratios_known_values(spark):
+    from loongcollector_spark.functions.text import script_ratios
+
+    docs = spark.createDataFrame(
+        [(1, "abc123"), (2, "白日依山尽 abc"), (3, ""), (4, None),
+         (5, "Привет мир")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_ratios(docs).collect()}
+    assert out[1]["latin_permille"] == 500      # 3/6
+    assert out[1]["digit_permille"] == 500
+    assert out[2]["cjk_permille"] == 555        # 5 CJK of 9 chars
+    assert out[2]["latin_permille"] == 333
+    assert out[3]["n_chars"] == 0 and out[3]["cjk_permille"] == 0
+    assert out[4]["n_chars"] == 0               # null text -> empty
+    assert out[5]["cyrillic_permille"] == 900   # 9 of 10

@@ -274,3 +274,51 @@ def test_gapfill_grid_never_shuffles_wide_rows(spark, tmp_path):
     for seg in plan.split("Exchange")[1:]:
         first_line = seg.split("\n")[0]
         assert "text" not in first_line
+
+
+def test_decode_operators_are_shuffle_free(spark, parquet_transcripts):
+    """The session's decode family (snmp varbinds, wineventlog XML,
+    skywalking LogData, k8s pod entities) must stay pure projections
+    (+ explode for fan-outs): zero exchanges, zero Python evals."""
+    from loongcollector_spark.operators import build_operator
+
+    t = parquet_transcripts
+    varbinds = t.select(
+        F.col("turn_idx").alias("target_index"),
+        F.col("conv_id").alias("target"), F.col("role").alias("field"),
+        F.col("tool").alias("oid"), F.lit("").alias("conversion"),
+        F.lit(4).alias("type_code"),
+        F.col("text").cast("binary").alias("value_bytes"),
+        F.col("turn_idx").cast("long").alias("value_num"))
+    xmls = t.select(F.col("text").alias("xml"))
+    logdata = t.select(
+        F.col("turn_idx").cast("long").alias("timestamp"),
+        F.col("role").alias("service"),
+        F.col("conv_id").alias("service_instance"),
+        F.col("text").alias("endpoint"), F.lit("TEXT").alias("body_type"),
+        F.col("text").alias("body_text"),
+        F.col("conv_id").alias("trace_id"),
+        F.col("tool").alias("trace_segment_id"),
+        F.col("turn_idx").cast("long").alias("span_id"),
+        F.create_map(F.lit("k"), F.coalesce(F.col("text"), F.lit("")))
+        .alias("tags"))
+    for op_type, frame in (
+        ("service_snmp", varbinds),
+        ("service_wineventlog", xmls),
+        ("service_skywalking", logdata),
+    ):
+        plan = _plan(build_operator({"Type": op_type})(frame))
+        assert "Exchange" not in plan, op_type
+        assert "BatchEvalPython" not in plan, op_type
+        assert "ArrowEvalPython" not in plan, op_type
+
+
+def test_pq_encode_is_broadcast_only(spark):
+    """pq_topk's encode/ADC joins are broadcasts of one collected-array
+    row; the corpus never sort-merge-joins or aggregates over text."""
+    from loongcollector_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(pq_topk(emb, shortlist=20))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # encode + dtab
