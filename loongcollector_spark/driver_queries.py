@@ -6076,6 +6076,75 @@ FROM d
 """
 
 
+def q_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup admission (dedup.incremental_minhash_dedup):
+    the batch (doc_id % 4 != 0) probes the persisted band index of the
+    snapshot (doc_id % 4 == 0) — equi-join on 16-byte bands, min-id
+    window within the batch, text never shuffles."""
+    from loongcollector_spark.functions.dedup import (
+        incremental_minhash_dedup, minhash_band_frame,
+    )
+
+    docs = _docs(spark, sf_dir)
+    snapshot = docs.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(4)) != 0)
+    return incremental_minhash_dedup(
+        batch, minhash_band_frame(snapshot))
+
+
+O_INCREMENTAL_MINHASH = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_transform(range(1, len(words) - 3 + 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))) AS band0,
+    md5(list_min(list_transform(shingles, s -> substr(md5(s), 17, 8)))
+     || list_min(list_transform(shingles, s -> substr(md5(s), 25, 8)))) AS band1
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band0 AS band, 0 AS band_idx FROM sig
+  UNION ALL SELECT doc_id, band1, 1 FROM sig
+),
+snap AS (
+  SELECT DISTINCT band_idx, band FROM bands WHERE doc_id % 4 = 0
+),
+nb AS (
+  SELECT * FROM bands WHERE doc_id % 4 != 0
+),
+probed AS (
+  SELECT nb.doc_id,
+    s.band IS NOT NULL AS hit,
+    min(nb.doc_id) OVER (PARTITION BY nb.band_idx, nb.band) AS first_id
+  FROM nb LEFT JOIN snap s
+    ON nb.band_idx = s.band_idx AND nb.band = s.band
+),
+per_doc AS (
+  SELECT doc_id,
+    cast(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS hit_bands,
+    min(first_id) AS mate
+  FROM probed GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE WHEN hit_bands > 0 THEN 'dup_snapshot'
+       WHEN mate < doc_id THEN 'dup_batch'
+       ELSE 'new' END AS status,
+  hit_bands
+FROM per_doc
+"""
+
+
 QUERIES = {
     "pipeline_sink_counts": (q_pipeline_sink_counts, O_PIPELINE_SINK_COUNTS),
     "parse_regex_nginx": (q_parse_regex_nginx, O_PARSE_REGEX_NGINX),
@@ -6221,4 +6290,5 @@ QUERIES = {
     "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
+    "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),
 }

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from loongcollector_spark.functions.text import with_fingerprint
 
@@ -82,6 +82,77 @@ def minhash_signatures(
     return out.drop("_digests")
 
 
+def minhash_band_frame(
+    df: DataFrame, n_hashes: int = 4, shingle: int = 3, bands: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The persisted LSH index shape: one (id, band_idx, band) row per
+    signature band — what a production pipeline stores between
+    increments (16-byte hashes, never text)."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, shingle, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*parts).cast("binary")).alias("band")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band_idx", "b.band")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame, seen_bands: DataFrame,
+    n_hashes: int = 4, shingle: int = 3, bands: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-snapshot) NEAR-dup admission — the banded
+    companion to ``curation.incremental_dedup``'s exact path: a new
+    batch is admitted against the accumulated ``minhash_band_frame``
+    index, so yesterday's corpus is never re-read or re-hashed.
+
+    One row per new doc: ``(id, status, hit_bands)`` with status ∈
+    {new, dup_snapshot, dup_batch} under the same precedence as the
+    exact variant — a snapshot band hit wins over a within-batch hit;
+    within the batch the band-least id is the survivor (greedy banded
+    admission: a doc whose only matches are themselves dups still
+    defers to the earliest id it shares a band with, which keeps
+    admission retry-stable without a transitive closure).  The rows to
+    append to the index are ``minhash_band_frame(admitted docs)``.
+
+    Scale shape: band computation rides the batch scan; the snapshot
+    probe is one equi-join on (band_idx, 16-byte band) against the
+    stored index — at 100 TB that index is bucketed on the band hash,
+    making the daily probe a bucket-local join; the within-batch pass
+    is one min-id window over the batch's own band rows.  Text never
+    shuffles anywhere."""
+    nb = minhash_band_frame(
+        new_docs, n_hashes, shingle, bands, text_col, id_col)
+    idx = seen_bands.select("band_idx", "band").distinct()
+    probed = nb.join(
+        idx.withColumn("_seen", F.lit(True)),
+        ["band_idx", "band"], "left")
+    w = Window.partitionBy("band_idx", "band")
+    per_doc = probed.select(
+        id_col,
+        F.coalesce(F.col("_seen"), F.lit(False)).alias("_hit"),
+        F.min(F.col(id_col)).over(w).alias("_first"),
+    ).groupBy(id_col).agg(
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("int")
+        .alias("hit_bands"),
+        F.min("_first").alias("_mate"),
+    )
+    status = (
+        F.when(F.col("hit_bands") > 0, F.lit("dup_snapshot"))
+        .when(F.col("_mate") < F.col(id_col), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return per_doc.select(id_col, status.alias("status"), "hit_bands")
+
+
 def minhash_lsh_pairs(
     df: DataFrame, n_hashes: int = 4, shingle: int = 3, bands: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
@@ -92,18 +163,8 @@ def minhash_lsh_pairs(
     Scale shape: explode to (doc_id, band_idx, band_hash), self-join on
     the 16-byte hash — the shuffle carries ids + hashes only.
     """
-    assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, n_hashes, shingle, text_col, id_col)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts).cast("binary")).alias("band"))
-        )
-    exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "b.band_idx", "b.band")
+    exploded = minhash_band_frame(
+        df, n_hashes, shingle, bands, text_col, id_col)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -370,3 +370,29 @@ def test_training_shuffle_deterministic_and_seed_sensitive(spark):
         per[shard].append(pos)
     for shard, poss in per.items():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_incremental_minhash_statuses(spark):
+    """Near-dup admission: a batch doc whose text near-matches a
+    snapshot doc is dup_snapshot; near-dups only within the batch keep
+    the min id as new; unrelated docs admit."""
+    from loongcollector_spark.functions.dedup import (
+        incremental_minhash_dedup, minhash_band_frame,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    snap = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, base),                          # identical -> snapshot hit
+         (11, "completely different words with no overlap at all ok"),
+         (12, "completely different words with no overlap at all ok"),
+         (13, "yet another unrelated document body entirely here now")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in incremental_minhash_dedup(
+        batch, minhash_band_frame(snap)).collect()}
+    assert out[10]["status"] == "dup_snapshot"
+    assert out[10]["hit_bands"] > 0
+    assert out[11]["status"] == "new"
+    assert out[12]["status"] == "dup_batch"   # min-id 11 survives
+    assert out[13]["status"] == "new"
