@@ -161,23 +161,53 @@ def minhash_lsh_pairs(
     buckets; docs sharing any band bucket are candidates.
 
     Scale shape: explode to (doc_id, band_idx, band_hash), self-join on
-    the 16-byte hash — the shuffle carries ids + hashes only.
+    the 16-byte hash — the shuffle carries ids + hashes only. A pair
+    sharing several bands is emitted exactly ONCE without any pair-level
+    distinct: the join residual keeps only the FIRST matching band_idx
+    (all earlier bands must differ), so the plan has no post-join
+    exchange — at scale that deletes a full shuffle of the candidate
+    set, which is the widest intermediate of the whole LSH pipeline.
+    Each side carries all ``bands`` hashes (16 bytes each) to make the
+    earlier-band comparison a local residual; for the small band counts
+    LSH uses (2-32) that widening is far cheaper than re-shuffling the
+    quadratic candidate output.
     """
-    exploded = minhash_band_frame(
-        df, n_hashes, shingle, bands, text_col, id_col)
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, shingle, text_col, id_col)
+    band_cols = [
+        F.md5(F.concat(*[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]).cast("binary")).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    wide = sig.select(F.col(id_col), *band_cols)
+    exploded = wide.select(
+        id_col, *[f"band{b}" for b in range(bands)],
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band"))
+            for b in range(bands)
+        ])).alias("bx"),
+    ).select(id_col, *[f"band{b}" for b in range(bands)],
+             "bx.band_idx", "bx.band")
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    b = exploded.hint("shuffle_merge").alias("b")
+    first_match = F.lit(True)
+    for i in range(bands - 1):
+        first_match = first_match & (
+            (F.col("a.band_idx") <= i)
+            | (F.col(f"a.band{i}") != F.col(f"b.band{i}"))
+        )
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_match,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
     )
 
 
@@ -284,23 +314,34 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         F.bit_count(F.col(f"a.sh{i}").bitwiseXOR(F.col(f"b.sh{i}")))
         for i in range(4)
     )
+    # first-match residual: a pair sharing several chunks would be
+    # emitted once per shared chunk; keeping only the FIRST matching
+    # chunk_idx (all earlier chunks must differ) makes the join output
+    # exactly the pair set — no pair-level dropDuplicates exchange at
+    # all. Both sides already carry sh0..sh3 for the hamming residual,
+    # so the earlier-chunk comparison is free.
+    first_match = F.lit(True)
+    for i in range(3):
+        first_match = first_match & (
+            (F.col("a.chunk_idx") <= i)
+            | (F.col(f"a.sh{i}") != F.col(f"b.sh{i}"))
+        )
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            # hamming as a join residual: pairs sharing several chunks are
-            # dropped BEFORE the dedup shuffle, which then carries only
-            # (doc_a, doc_b, hamming) instead of ids + eight chunk columns
-            & (hamming <= max_hamming),
+            # hamming as a join residual: pairs beyond the radius are
+            # dropped inside the join — nothing pair-shaped ever shuffles
+            & (hamming <= max_hamming)
+            & first_match,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
