@@ -3929,6 +3929,88 @@ FROM e
 """
 
 
+def _synth_otlp_log_lines(spark, sf_dir):
+    """One OTLP-JSON logs payload per events row: resource attributes
+    (string + int), two LogRecords — a full one (severity, string body,
+    two attributes) and a bare one (no severity, int body, no
+    attributes) so the conditional attributes/resources content keys
+    and every body type branch are exercised at scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    sev_txt = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("TRACE", "DEBUG", "INFO", "WARN", "ERROR")]),
+        (F.pmod("event_id", F.lit(5)) + 1).cast("int"),
+    )
+    content = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":['
+              '{"key":"service.name","value":{"stringValue":"svc'),
+        F.pmod("user_id", F.lit(5)).cast("string"),
+        F.lit('"}},{"key":"idx","value":{"intValue":"'), uid,
+        F.lit('"}}]},"scopeLogs":[{"scope":{"name":"lib"},"logRecords":['
+              '{"timeUnixNano":"'), ns,
+        F.lit('","severityNumber":'),
+        (F.pmod("event_id", F.lit(24)) + 1).cast("string"),
+        F.lit(',"severityText":"'), sev_txt,
+        F.lit('","body":{"stringValue":"'), F.col("event_type"),
+        F.lit('"},"attributes":[{"key":"k1","value":{"stringValue":"v'),
+        uid,
+        F.lit('"}},{"key":"n","value":{"intValue":"'), eid,
+        F.lit('"}}]},{"timeUnixNano":"'), ns,
+        F.lit('","body":{"intValue":"'), eid, F.lit('"}}]}]}]}'),
+    )
+    return ev.select(
+        F.col("event_id").alias("line_id"), content.alias("content")
+    )
+
+
+def q_otel_logs(spark, sf_dir):
+    """service_otlp Mode=logs / Format=otlp_logv1: OTLP log records →
+    the ConvertOtlpLogV1 content contract (time_unix_nano / severity /
+    content / conditional attributes+resources JSON, sorted keys)."""
+    from loongcollector_spark.operators.otelops import otel_logs_to_logs
+
+    out = otel_logs_to_logs(_otlp_log_lines(spark, sf_dir), "content")
+    c = F.col("contents")
+    return out.select(
+        "line_id",
+        c["time_unix_nano"].alias("time_unix_nano"),
+        c["severity_number"].alias("severity_number"),
+        c["severity_text"].alias("severity_text"),
+        c["content"].alias("body"),
+        c["attributes"].alias("attributes"),
+        c["resources"].alias("resources"),
+        "log_time",
+    )
+
+
+O_OTEL_LOGS = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+    cast(epoch_us(ts) * 1000 AS VARCHAR) AS tn,
+    cast(floor(epoch_us(ts) / 1000000) AS BIGINT) AS lt,
+    '{"idx":' || user_id || ',"service.name":"svc' || user_id % 5 || '"}'
+      AS res
+  FROM events
+)
+SELECT event_id AS line_id,
+  tn AS time_unix_nano,
+  unnest([cast(1 + event_id % 24 AS VARCHAR), '0']) AS severity_number,
+  unnest([(['TRACE','DEBUG','INFO','WARN','ERROR'])[cast(1 + event_id % 5 AS INT)],
+          '']) AS severity_text,
+  unnest([event_type, cast(event_id AS VARCHAR)]) AS body,
+  unnest(['{"k1":"v' || user_id || '","n":' || event_id || '}',
+          NULL]) AS attributes,
+  res AS resources,
+  lt AS log_time
+FROM e
+"""
+
+
 def _synth_otel_route_rows(spark, sf_dir):
     """The otel processors' OUTPUT rows the aggregators consume —
     19-content trace rows, 4-content metric rows, and a 7-content
@@ -4047,6 +4129,7 @@ _PAYLOAD_FIXTURES = {
     "prom_lines": _synth_prom_lines,
     "otlp_trace_lines": _synth_otlp_trace_lines,
     "otlp_metric_lines": _synth_otlp_metric_lines,
+    "otlp_log_lines": _synth_otlp_log_lines,
     "influx_lines": _synth_influx_lines,
     "otel_route_rows": _synth_otel_route_rows,
     "lumberjack_blobs": _synth_lumberjack_blobs,
@@ -4065,6 +4148,11 @@ def _otlp_trace_lines(spark, sf_dir):
 def _otlp_metric_lines(spark, sf_dir):
     return _materialized(
         spark, sf_dir, "otlp_metric_lines", _synth_otlp_metric_lines)
+
+
+def _otlp_log_lines(spark, sf_dir):
+    return _materialized(
+        spark, sf_dir, "otlp_log_lines", _synth_otlp_log_lines)
 
 
 def _influx_lines(spark, sf_dir):
@@ -6239,6 +6327,7 @@ QUERIES = {
     "pb_group_roundtrip": (q_pb_group_roundtrip, O_PB_GROUP_ROUNDTRIP),
     "otel_trace_spans": (q_otel_trace_spans, O_OTEL_TRACE_SPANS),
     "otel_metrics": (q_otel_metrics, O_OTEL_METRICS),
+    "otel_logs": (q_otel_logs, O_OTEL_LOGS),
     "otel_aggregator_routes": (q_otel_aggregator_routes, O_OTEL_AGGREGATOR_ROUTES),
     "influx_decode": (q_influx_decode, O_INFLUX_DECODE),
     "redis_info": (q_redis_info, O_REDIS_INFO),

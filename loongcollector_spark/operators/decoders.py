@@ -473,10 +473,21 @@ def service_http_server(cfg: dict):
 
             return parse_from_pb(df, src, protocol="SLS_LogGroup")
         if fmt == "otlp_logv1":
-            raise ValueError(
-                "service_http_server: Format otlp_logv1 (OTLP logs "
-                "protobuf) has no wire walker here; push OTLP-JSON "
-                "through service_otlp instead")
+            # the reference switches on the HTTP Content-Type header
+            # (decoder.go: json vs pb export request); here a body
+            # starting with '{' is the JSON encoding, anything else the
+            # binary ExportLogsServiceRequest — transcoded through the
+            # wire walker into the SAME codegen conversion plan
+            from loongcollector_spark.operators.otelops import (
+                otel_logs_to_logs, otlp_pb_to_json,
+            )
+
+            json_rows = df.filter(F.ltrim(F.col(src)).startswith("{"))
+            pb_rows = df.filter(~F.ltrim(F.col(src)).startswith("{"))
+            converted = otel_logs_to_logs(json_rows, src).unionByName(
+                otel_logs_to_logs(otlp_pb_to_json(pb_rows, src, "log"), src)
+            )
+            return converted
         if fmt == "raw":
             return df.withColumnRenamed(src, "content") if src != "content" else df
         if fmt == "pyroscope":
@@ -507,13 +518,15 @@ def service_otlp(cfg: dict):
 
     def run(df: DataFrame) -> DataFrame:
         from loongcollector_spark.operators.otelops import (
-            otel_metrics_to_logs, otel_trace_to_logs,
+            otel_logs_to_logs, otel_metrics_to_logs, otel_trace_to_logs,
         )
 
         if mode == "traces":
             return otel_trace_to_logs(df, src)
         if mode == "metrics":
             return otel_metrics_to_logs(df, src)
+        if mode == "logs":
+            return otel_logs_to_logs(df, src)
         raise ValueError(f"service_otlp: unsupported Mode {mode!r}")
 
     return run

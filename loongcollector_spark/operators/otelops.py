@@ -92,6 +92,16 @@ OTLP_METRIC_DDL = (
 )
 
 
+OTLP_LOG_DDL = (
+    "resourceLogs array<struct<resource:struct<attributes:" + _ATTR + ">,"
+    "scopeLogs:array<struct<scope:struct<name:string,version:string>,"
+    "logRecords:array<struct<timeUnixNano:string,severityNumber:int,"
+    "severityText:string,body:struct<stringValue:string,intValue:string,"
+    "doubleValue:double,boolValue:boolean>,attributes:" + _ATTR + ","
+    "traceId:string,spanId:string>>>>>>"
+)
+
+
 def _div_long(n: Column, divisor: int) -> Column:
     """Exact truncating integer division of a long expression — plain
     ``/`` routes through double and loses precision above 2^53."""
@@ -322,6 +332,82 @@ def otel_trace_to_logs(
         *passthrough,
         contents.alias("contents"),
         _div_long(end, 1_000_000_000).alias("log_time"),
+    )
+
+
+# ------------------------------ logs ------------------------------------
+
+
+def _body_str(body: Column) -> Column:
+    """``logRecord.Body().AsString()`` (pcommon.Value.AsString): a string
+    body is passed through raw (NOT JSON-quoted), ints decimal, bools
+    true/false. Doubles render from Java's shortest repr with a whole
+    -number ``.0`` tail stripped — identical to Go's encoding/json
+    number form for the everyday decimal range; an extreme-magnitude
+    double body (|v| ≥ 1e7 or < 1e-3, where Java picks scientific
+    notation at different cutoffs than Go's json 'f'/1e21 rule) keeps
+    the Java spelling. Bodies are strings in every reference fixture;
+    the divergence is documented rather than silently wrong."""
+    return F.coalesce(
+        body["stringValue"],
+        body["intValue"],
+        F.when(body["doubleValue"].isNotNull(),
+               F.regexp_replace(body["doubleValue"].cast("string"),
+                                r"\.0$", "")),
+        F.when(body["boolValue"].isNotNull(),
+               F.when(body["boolValue"], F.lit("true"))
+               .otherwise(F.lit("false"))),
+        F.lit(""),
+    )
+
+
+def otel_logs_to_logs(df: DataFrame, source_col: str = "content") -> DataFrame:
+    """``ConvertOtlpLogV1`` (pkg/protocol/decoder/opentelemetry/
+    otlpDataToSLSProto.go:276-338): one output row per LogRecord with
+    the reference's exact content keys — ``time_unix_nano`` /
+    ``severity_number`` / ``severity_text`` / ``content`` always,
+    ``attributes`` / ``resources`` only when the respective attribute
+    set is non-empty (json.Marshal of the raw map: sorted keys, typed
+    values). ``log_time`` = Unix seconds of the record timestamp
+    (SetLogTimeWithNano).
+
+    Spark shape: from_json against an explicit schema, three nested
+    explodes (resourceLogs → scopeLogs → logRecords), one codegen map
+    projection — no Python anywhere."""
+    passthrough = [c for c in df.columns if c != source_col]
+    parsed = df.select(
+        *passthrough, F.from_json(F.col(source_col), OTLP_LOG_DDL).alias("_o")
+    )
+    rl = parsed.select(*passthrough, F.explode("_o.resourceLogs").alias("_rl"))
+    sl = rl.select(
+        *passthrough,
+        F.col("_rl.resource.attributes").alias("_res"),
+        F.explode("_rl.scopeLogs").alias("_sl"),
+    )
+    lr = sl.select(*passthrough, "_res", F.explode("_sl.logRecords").alias("_lr"))
+    r = F.col("_lr")
+    res = F.col("_res")
+    t_ns = F.coalesce(r["timeUnixNano"].cast("long"), F.lit(0))
+    contents = F.map_filter(
+        F.create_map(
+            F.lit("time_unix_nano"), t_ns.cast("string"),
+            F.lit("severity_number"),
+            F.coalesce(r["severityNumber"], F.lit(0)).cast("string"),
+            F.lit("severity_text"), F.coalesce(r["severityText"], F.lit("")),
+            F.lit("content"), _body_str(r["body"]),
+            # size(NULL) is NULL → when() yields NULL → map_filter drops
+            # the key, exactly the reference's len()!=0 gate
+            F.lit("attributes"),
+            F.when(F.size(r["attributes"]) > 0, _attrs_json(r["attributes"])),
+            F.lit("resources"),
+            F.when(F.size(res) > 0, _attrs_json(res)),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    return lr.select(
+        *passthrough,
+        contents.alias("contents"),
+        _div_long(t_ns, 1_000_000_000).alias("log_time"),
     )
 
 
@@ -700,12 +786,14 @@ def otlp_pb_to_json(df: DataFrame, source_col: str, mode: str) -> DataFrame:
     import pandas as pd
 
     from loongcollector_spark.pbwire import (
-        decode_otlp_metrics, decode_otlp_traces,
+        decode_otlp_logs, decode_otlp_metrics, decode_otlp_traces,
     )
 
-    decode = decode_otlp_traces if mode == "trace" else decode_otlp_metrics
-    empty = '{"resourceSpans":[]}' if mode == "trace" else \
-        '{"resourceMetrics":[]}'
+    decode = {"trace": decode_otlp_traces, "metric": decode_otlp_metrics,
+              "log": decode_otlp_logs}[mode]
+    empty = {"trace": '{"resourceSpans":[]}',
+             "metric": '{"resourceMetrics":[]}',
+             "log": '{"resourceLogs":[]}'}[mode]
     from pyspark.sql.types import StringType, StructField, StructType
 
     out_schema = StructType([

@@ -584,6 +584,42 @@ def decode_otlp_traces(buf: bytes) -> dict:
     ]}
 
 
+def _otlp_logrecord(buf: bytes) -> dict:
+    """logs/v1 LogRecord: time=1 (fixed64), severity_number=2,
+    severity_text=3, body=5 (AnyValue), attributes=6, trace_id=9,
+    span_id=10, observed_time=11 (fixed64)."""
+    r = {"timeUnixNano": "0", "severityNumber": 0, "severityText": "",
+         "body": {}, "attributes": [], "traceId": "", "spanId": ""}
+    for f, _wt, v in parse_fields(buf):
+        if f == 1:
+            r["timeUnixNano"] = str(v)
+        elif f == 2:
+            r["severityNumber"] = v
+        elif f == 3:
+            r["severityText"] = v.decode("utf-8", "replace")
+        elif f == 5:
+            r["body"] = _otlp_any(v)
+        elif f == 6:
+            r["attributes"].append(_otlp_attrs(v))
+        elif f == 9:
+            r["traceId"] = v.hex()
+        elif f == 10:
+            r["spanId"] = v.hex()
+        elif f == 11:
+            r["observedTimeUnixNano"] = str(v)
+    return r
+
+
+def decode_otlp_logs(buf: bytes) -> dict:
+    """LogsData / ExportLogsServiceRequest bytes → {"resourceLogs": [...]}
+    (both wrap repeated ResourceLogs as field 1, so one walker serves the
+    push-request and file shapes alike)."""
+    return {"resourceLogs": [
+        _otlp_resource_grp(v, "scopeLogs", "logRecords", _otlp_logrecord)
+        for f, _wt, v in parse_fields(buf) if f == 1
+    ]}
+
+
 def _otlp_exemplar(buf: bytes) -> dict:
     """metrics/v1 Exemplar: filtered_attributes=7, time=2, as_double=3,
     span_id=4, trace_id=5, as_int=6 (sfixed64)."""

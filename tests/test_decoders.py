@@ -253,11 +253,20 @@ def test_service_http_server_sls_format_decodes_loggroup(spark):
     assert got == ["hello", "world"]
 
 
-def test_service_http_server_otlp_logv1_refused(spark):
-    df = spark.createDataFrame([(b"\x0a\x00",)], "content binary")
-    with pytest.raises(ValueError, match="otlp_logv1"):
-        build_operator({"Type": "service_http_server",
-                        "Format": "otlp_logv1"})(df)
+def test_service_http_server_otlp_logv1(spark):
+    # round 3: otlp_logv1 decodes (ConvertOtlpLogV1) instead of refusing;
+    # a JSON body (Content-Type switch analog: leading '{') parses fully
+    body = ('{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":'
+            '[{"scope":{"name":"s"},"logRecords":[{"timeUnixNano":'
+            '"5000000000","severityNumber":9,"severityText":"INFO",'
+            '"body":{"stringValue":"hello"}}]}]}]}')
+    df = spark.createDataFrame([(body,)], "content string")
+    out = build_operator({"Type": "service_http_server",
+                          "Format": "otlp_logv1"})(df).collect()
+    assert len(out) == 1
+    c = dict(out[0]["contents"])
+    assert c["content"] == "hello" and c["severity_text"] == "INFO"
+    assert out[0]["log_time"] == 5
 
 
 def test_service_otlp_modes(spark):

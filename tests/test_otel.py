@@ -600,3 +600,145 @@ def test_otel_metric_protojson_bare_resource_metrics(spark):
                                 "i long, content string")
     cols = ["__name__", "__time_nano__", "__labels__", "__value__"]
     assert _rows(op(df), cols) == _rows(jop(jdf), cols)
+
+
+# ------------------------------- logs -----------------------------------
+
+# the reference decoder test's own JSON payload (decoder_test.go:39)
+_LOGS_TEXT = (
+    '{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",'
+    '"value":{"stringValue":"OtlpExporterExample"}},{"key":'
+    '"telemetry.sdk.language","value":{"stringValue":"java"}},{"key":'
+    '"telemetry.sdk.name","value":{"stringValue":"opentelemetry"}},'
+    '{"key":"telemetry.sdk.version","value":{"stringValue":"1.18.0"}}]},'
+    '"scopeLogs":[{"scope":{"name":"io.opentelemetry.example"},'
+    '"logRecords":[{"timeUnixNano":"1663904182348000000",'
+    '"severityNumber":9,"severityText":"INFO","body":{"stringValue":'
+    '"log body1"},"attributes":[{"key":"k1","value":{"stringValue":"v1"}},'
+    '{"key":"k2","value":{"stringValue":"v2"}}],"traceId":"","spanId":""},'
+    '{"timeUnixNano":"1663904182348000000","severityNumber":9,'
+    '"severityText":"INFO","body":{"stringValue":"log body2"},'
+    '"attributes":[{"key":"k1","value":{"stringValue":"v1"}},'
+    '{"key":"k2","value":{"stringValue":"v2"}}],"traceId":"","spanId":""}'
+    ']}]}]}'
+)
+
+
+def test_otel_log_reference_textformat(spark):
+    """decoder_test.go TestNormal: 2 logs, Time = ns/1e9, non-empty
+    attributes + resources contents."""
+    from loongcollector_spark.operators.otelops import otel_logs_to_logs
+
+    df = spark.createDataFrame([(1, _LOGS_TEXT)], "i long, content string")
+    rows = otel_logs_to_logs(df).collect()
+    assert len(rows) == 2
+    assert all(r["log_time"] == 1663904182 for r in rows)
+    c = dict(rows[1]["contents"])
+    assert c["time_unix_nano"] == "1663904182348000000"
+    assert c["severity_number"] == "9"
+    assert c["severity_text"] == "INFO"
+    assert c["content"] == "log body2"
+    assert c["attributes"] == '{"k1":"v1","k2":"v2"}'
+    assert c["resources"] == (
+        '{"service.name":"OtlpExporterExample",'
+        '"telemetry.sdk.language":"java",'
+        '"telemetry.sdk.name":"opentelemetry",'
+        '"telemetry.sdk.version":"1.18.0"}'
+    )
+
+
+def test_otel_log_convert_golden(spark):
+    """otlpDataToSLSProto.go TestConvertOtlpLogV1: unset severity → "0"/"",
+    int/bool attributes marshal unquoted, sorted keys; missing attrs drop
+    the attributes/resources contents entirely."""
+    from loongcollector_spark.operators.otelops import otel_logs_to_logs
+
+    doc = {"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "serviceName", "value": {"stringValue": "test-service"}},
+        ]},
+        "scopeLogs": [{"scope": {"name": "s"}, "logRecords": [
+            {"timeUnixNano": "1700000000123456789",
+             "body": {"stringValue": "test-message"},
+             "attributes": [
+                 {"key": "attr1", "value": {"intValue": "123"}},
+                 {"key": "attr2", "value": {"boolValue": True}},
+             ]},
+            # a bare record: no attributes at all
+            {"timeUnixNano": "0", "body": {"intValue": "42"}},
+        ]}],
+    }]}
+    # second group with NO resource attributes → no "resources" key
+    bare = {"resourceLogs": [{
+        "resource": {"attributes": []},
+        "scopeLogs": [{"scope": {}, "logRecords": [
+            {"timeUnixNano": "5000000000",
+             "body": {"boolValue": False}},
+        ]}],
+    }]}
+    df = spark.createDataFrame(
+        [(1, json.dumps(doc)), (2, json.dumps(bare))],
+        "i long, content string")
+    rows = sorted(otel_logs_to_logs(df).collect(),
+                  key=lambda r: (r["i"], r["contents"]["time_unix_nano"]))
+    c0 = dict(rows[1]["contents"])   # i=1, ns=17e17 sorts after "0"
+    assert c0["time_unix_nano"] == "1700000000123456789"
+    assert c0["severity_number"] == "0" and c0["severity_text"] == ""
+    assert c0["content"] == "test-message"
+    assert c0["attributes"] == '{"attr1":123,"attr2":true}'
+    assert c0["resources"] == '{"serviceName":"test-service"}'
+    assert rows[1]["log_time"] == 1700000000
+    c1 = dict(rows[0]["contents"])   # int body, no record attributes
+    assert c1["content"] == "42" and "attributes" not in c1
+    assert c1["resources"] == '{"serviceName":"test-service"}'
+    c2 = dict(rows[2]["contents"])   # bool body, empty resource
+    assert c2["content"] == "false"
+    assert "resources" not in c2 and "attributes" not in c2
+    assert rows[2]["log_time"] == 5
+
+
+def _enc_logrecord(r: dict) -> bytes:
+    b = _fixed64(1, int(r.get("timeUnixNano", "0")))
+    if r.get("severityNumber"):
+        b += py_varint((2 << 3) | 0) + py_varint(r["severityNumber"])
+    if "severityText" in r:
+        b += py_field(3, r["severityText"].encode())
+    if "body" in r and r["body"]:
+        b += py_field(5, _enc_any(r["body"]))
+    b += _enc_attrs(6, r.get("attributes", []))
+    return b
+
+
+def _enc_logs(doc: dict) -> bytes:
+    out = b""
+    for rl in doc["resourceLogs"]:
+        rb = py_field(1, _enc_attrs(1, rl["resource"]["attributes"]))
+        for sl in rl["scopeLogs"]:
+            sc = {"name": "", "version": "", **sl.get("scope", {})}
+            sb = py_field(1, _enc_scope(sc))
+            sb += b"".join(py_field(2, _enc_logrecord(r))
+                           for r in sl["logRecords"])
+            rb += py_field(2, sb)
+        out += py_field(1, rb)
+    return out
+
+
+def test_otel_log_protobuf_equals_json(spark):
+    """service_http_server Format=otlp_logv1 binary wire decode feeds the
+    same plan as the JSON body (decoder.go Content-Type switch)."""
+    doc = json.loads(_LOGS_TEXT)
+    pb = _enc_logs(doc)
+    jdf = spark.createDataFrame([(1, _LOGS_TEXT)], "i long, content string")
+    bdf = spark.createDataFrame(
+        [(1, pb.decode("latin-1"))], "i long, content string")
+    op = build_operator({"Type": "service_http_server",
+                         "Format": "otlp_logv1"})
+    jrows = sorted(dict(r["contents"]).items() for r in op(jdf).collect())
+    brows = sorted(dict(r["contents"]).items() for r in op(bdf).collect())
+    assert jrows == brows and len(brows) == 2
+
+
+def test_service_otlp_logs_mode(spark):
+    df = spark.createDataFrame([(1, _LOGS_TEXT)], "i long, content string")
+    op = build_operator({"Type": "service_otlp", "Mode": "logs"})
+    assert op(df).count() == 2
