@@ -2678,6 +2678,54 @@ FROM bands a JOIN bands b
 """
 
 
+def q_minhash_wide_pairs(spark, sf_dir):
+    """Production-geometry MinHash LSH (16 permutations / 4 bands of 4 —
+    the Gopher/RefinedWeb-style banding, scaled to the fixture): salted
+    digest groups give arbitrary permutation counts at ⌈k/4⌉ md5 calls
+    per shingle; the oracle replays the salted digests byte-for-byte."""
+    from loongcollector_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=16, shingle=3, bands=4)
+
+
+def _wide_band_sql(g: int) -> str:
+    salt = "" if g == 0 else f"'g{g}|' || "
+    return ("md5(" + " || ".join(
+        f"list_min(list_transform(shingles, s -> substr(md5({salt}s), "
+        f"{8 * w + 1}, 8)))" for w in range(4)) + ")")
+
+
+O_MINHASH_WIDE_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_transform(range(1, len(words) - 3 + 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+    {b0} AS band0, {b1} AS band1, {b2} AS band2, {b3} AS band3
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band0 AS band, 0 AS band_idx FROM sig
+  UNION ALL SELECT doc_id, band1, 1 FROM sig
+  UNION ALL SELECT doc_id, band2, 2 FROM sig
+  UNION ALL SELECT doc_id, band3, 3 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+""".format(b0=_wide_band_sql(0), b1=_wide_band_sql(1),
+           b2=_wide_band_sql(2), b3=_wide_band_sql(3))
+
+
 def q_minhash_verified_pairs(spark, sf_dir):
     """Two-stage near-dup: LSH candidates -> EXACT Jaccard verify >= 0.5
     on the shingle sets. The oracle recomputes true Jaccard per candidate
@@ -6296,6 +6344,7 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, O_MINHASH_LSH_PAIRS),
+    "minhash_wide_pairs": (q_minhash_wide_pairs, O_MINHASH_WIDE_PAIRS),
     "minhash_verified_pairs": (q_minhash_verified_pairs, O_MINHASH_VERIFIED_PAIRS),
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),

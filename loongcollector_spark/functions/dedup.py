@@ -60,26 +60,44 @@ def minhash_signatures(
     df: DataFrame, n_hashes: int = 4, shingle: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """One-permutation-style MinHash: each shingle is md5-hashed ONCE and
-    the k signature rows take the min over k disjoint 8-hex-char windows
-    of that digest (k ≤ 4). Portable (DuckDB reproduces it byte-equal) and
-    4x fewer hash calls than per-salt hashing — higher-order-function
-    lambdas are interpreted, not codegen, so the md5 count is the cost."""
-    assert n_hashes <= 4, "one md5 digest yields 4 independent 8-char windows"
+    """One-permutation-style MinHash: each shingle is md5-hashed once per
+    GROUP of four signature rows and the rows take the min over the four
+    disjoint 8-hex-char windows of that group's digest. Group 0 hashes
+    the bare shingle (byte-compatible with the original ≤4-hash form);
+    group g > 0 salts with a ``g<g>|`` prefix, so any ``n_hashes`` is
+    ⌈k/4⌉ md5 calls per shingle — the production 16-128-permutation
+    configs (Gopher / RefinedWeb band geometry) cost 4-32 hashes per
+    shingle, not k. Portable: DuckDB reproduces ``md5('g1|' || s)``
+    byte-equal. Higher-order-function lambdas are interpreted, not
+    codegen, so the md5 count is the cost."""
     shingled = _with_shingles(df, text_col, shingle, id_col)
-    digests = F.transform(F.col("_shingles"), lambda s: F.md5(s.cast("binary")))
-    out = shingled.select(id_col, digests.alias("_digests"))
+    out = shingled
+    n_groups = (n_hashes + 3) // 4
+
+    def digest_fn(g):
+        # the transform lambda must take exactly ONE parameter — a second
+        # (even defaulted) one makes Spark pass the array index into it
+        if g == 0:
+            return lambda s: F.md5(s.cast("binary"))
+        return lambda s: F.md5(F.concat(F.lit(f"g{g}|"), s).cast("binary"))
+
+    for g in range(n_groups):
+        out = out.withColumn(
+            f"_dg{g}", F.transform(F.col("_shingles"), digest_fn(g)))
+
     def window(i):
         # NOTE: the transform lambda must take exactly ONE parameter — a
         # second parameter (even a defaulted one) makes Spark pass the
         # array index into it
-        return lambda d: F.substring(d, 8 * i + 1, 8)
+        return lambda d: F.substring(d, 8 * (i % 4) + 1, 8)
 
     for i in range(n_hashes):
         out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(F.col("_digests"), window(i)))
+            f"mh{i}",
+            F.array_min(F.transform(F.col(f"_dg{i // 4}"), window(i))),
         )
-    return out.drop("_digests")
+    return out.drop("_shingles",
+                    *[f"_dg{g}" for g in range(n_groups)])
 
 
 def minhash_band_frame(

@@ -396,3 +396,37 @@ def test_incremental_minhash_statuses(spark):
     assert out[11]["status"] == "new"
     assert out[12]["status"] == "dup_batch"   # min-id 11 survives
     assert out[13]["status"] == "new"
+
+
+def test_minhash_wide_signature_model(spark):
+    """n_hashes > 4 via salted digest groups: group g hashes md5('g<g>|'+s)
+    and windows cycle the 4 disjoint 8-hex slices — cross-checked against
+    a direct hashlib model, and group 0 stays byte-compatible with the
+    original one-digest form."""
+    import hashlib
+
+    from loongcollector_spark.functions.dedup import minhash_signatures
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_hashes, shingle = 12, 3
+    rows = {r["doc_id"]: r for r in
+            minhash_signatures(df, n_hashes=n_hashes, shingle=shingle).collect()}
+
+    def model(text):
+        words = text.split()
+        shingles = [" ".join(words[i:i + shingle])
+                    for i in range(len(words) - shingle + 1)] or [" ".join(words)]
+        sig = []
+        for i in range(n_hashes):
+            g, w = i // 4, i % 4
+            salt = f"g{g}|" if g else ""
+            sig.append(min(
+                hashlib.md5((salt + s).encode()).hexdigest()[8 * w:8 * w + 8]
+                for s in shingles))
+        return sig
+
+    for doc_id, text in docs:
+        got = [rows[doc_id][f"mh{i}"] for i in range(n_hashes)]
+        assert got == model(text), doc_id
