@@ -297,6 +297,30 @@ def otel_trace_to_logs(
         F.col("_ss.scope").alias("_scope"),
         F.explode("_ss.spans").alias("_sp"),
     )
+    contents, log_time = _trace_span_exprs(
+        trace_id_decode, span_id_decode, parent_span_id_decode)
+    return sp.select(
+        *passthrough,
+        contents.alias("contents"),
+        log_time.alias("log_time"),
+    )
+
+
+_TRACE_EXPR_CACHE: dict = {}
+
+
+def _trace_span_exprs(trace_id_decode: bool, span_id_decode: bool,
+                      parent_span_id_decode: bool) -> tuple:
+    """(contents map, log_time) expressions over the fixed aliases
+    ``_sp``/``_res``/``_scope`` — cached per (gateway, decode flags)
+    like ``_metric_row_exprs`` (same py4j-construction-cost rationale)."""
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._gateway) if SparkContext._gateway else None,
+           trace_id_decode, span_id_decode, parent_span_id_decode)
+    hit = _TRACE_EXPR_CACHE.get(key[1:])
+    if hit is not None and hit[0] == key[0]:
+        return hit[1]
     span = F.col("_sp")
     start = span["startTimeUnixNano"].cast("long")
     end = F.when(
@@ -328,11 +352,9 @@ def otel_trace_to_logs(
         F.lit("statusMessage"),
         F.coalesce(span["status"]["message"], F.lit("")),
     )
-    return sp.select(
-        *passthrough,
-        contents.alias("contents"),
-        _div_long(end, 1_000_000_000).alias("log_time"),
-    )
+    exprs = (contents, _div_long(end, 1_000_000_000))
+    _TRACE_EXPR_CACHE[key[1:]] = (key[0], exprs)
+    return exprs
 
 
 # ------------------------------ logs ------------------------------------
@@ -454,20 +476,23 @@ def _with_label(entries: Column, key: str, value: Column) -> Column:
     )
 
 
-def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFrame:
-    """Gauge/sum/summary/histogram datapoints → __name__/__time_nano__/
-    __labels__/__value__ rows (plus numeric __value_num__ for oracles)."""
-    passthrough = [c for c in df.columns if c != source_col]
-    parsed = df.select(
-        *passthrough, F.from_json(F.col(source_col), OTLP_METRIC_DDL).alias("_o")
-    )
-    rm = parsed.select(*passthrough, F.explode("_o.resourceMetrics").alias("_rm"))
-    sm = rm.select(
-        *passthrough,
-        _entries(F.col("_rm.resource.attributes")).alias("_res"),
-        F.explode("_rm.scopeMetrics").alias("_sm"),
-    )
-    m = sm.select(*passthrough, "_res", F.explode("_sm.metrics").alias("_m"))
+_METRIC_EXPR_CACHE: dict = {}
+
+
+def _metric_row_exprs() -> tuple:
+    """Build (all_rows, output projection columns) for the metric
+    conversion — pure unresolved expression trees over the fixed
+    internal aliases ``_m``/``_res``/``_mn``/``_r``, identical on every
+    call. Construction costs ~2 s of py4j round-trips (thousands of
+    Column calls), so the trees are built ONCE per py4j gateway and
+    reused — the classic prepared-plan-template pattern; a new JVM
+    (different gateway identity) rebuilds them."""
+    from pyspark import SparkContext
+
+    key = id(SparkContext._gateway) if SparkContext._gateway else None
+    hit = _METRIC_EXPR_CACHE.get("exprs")
+    if hit is not None and hit[0] == key:
+        return hit[1]
 
     met = F.col("_m")
     res = F.col("_res")
@@ -659,11 +684,7 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         F.coalesce(met["summary"]["dataPoints"], F.array()), summary_rows
     ))
     all_rows = F.concat(gauge_rows, sum_rows, sum_hist, sum_ehist, sum_summ)
-    out = m.select(
-        *passthrough, met["name"].alias("_mn"), F.explode(all_rows).alias("_r")
-    )
-    return out.select(
-        *passthrough,
+    out_cols = (
         _metric_name(
             F.concat(F.coalesce(F.col("_mn"), F.lit("")), F.col("_r.sfx"))
         ).alias("__name__"),
@@ -672,6 +693,30 @@ def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFram
         _go_float_str(F.col("_r.val")).alias("__value__"),
         F.col("_r.val").alias("__value_num__"),
     )
+    exprs = (met["name"].alias("_mn"), all_rows, out_cols)
+    _METRIC_EXPR_CACHE["exprs"] = (key, exprs)
+    return exprs
+
+
+def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFrame:
+    """Gauge/sum/summary/histogram datapoints → __name__/__time_nano__/
+    __labels__/__value__ rows (plus numeric __value_num__ for oracles)."""
+    passthrough = [c for c in df.columns if c != source_col]
+    parsed = df.select(
+        *passthrough, F.from_json(F.col(source_col), OTLP_METRIC_DDL).alias("_o")
+    )
+    rm = parsed.select(*passthrough, F.explode("_o.resourceMetrics").alias("_rm"))
+    sm = rm.select(
+        *passthrough,
+        _entries(F.col("_rm.resource.attributes")).alias("_res"),
+        F.explode("_rm.scopeMetrics").alias("_sm"),
+    )
+    m = sm.select(*passthrough, "_res", F.explode("_sm.metrics").alias("_m"))
+    name_col, all_rows, out_cols = _metric_row_exprs()
+    out = m.select(
+        *passthrough, name_col, F.explode(all_rows).alias("_r")
+    )
+    return out.select(*passthrough, *out_cols)
 
 
 # --------------------- otel / skywalking aggregators --------------------
