@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from loongcollector_spark.functions.text import with_fingerprint
+from loongcollector_spark.operators.common import expr_template
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -269,12 +270,22 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     df = df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
     words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
     w = df.select(id_col, words)
+    digit_cols, packed, chunk_cols = _simhash_exprs()
+    w = w.select(id_col, *digit_cols)
+    agg = w.groupBy(id_col).agg(*packed, F.count("*").alias("_n"))
+    return agg.select(id_col, *chunk_cols)
+
+
+@expr_template
+def _simhash_exprs():
+    """The SimHash bit-pack Column trees over the fixed aliases
+    ``_w``/``_d*``/``_p*``/``_n`` — ~1 s of py4j construction, built
+    once per process (operators.common.expr_template)."""
     h = F.md5(F.col("_w").cast("binary"))
-    w = w.select(
-        id_col,
-        *[F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long").alias(f"_d{d}")
-          for d in range(16)],
-    )
+    digit_cols = [
+        F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long").alias(f"_d{d}")
+        for d in range(16)
+    ]
     # packed[j] lanes: bit(32q + j) = (digit[8q + j//4] >> (j%4)) & 1
     packed = [
         F.sum(sum(
@@ -287,7 +298,6 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         )).alias(f"_p{j}")
         for j in range(32)
     ]
-    agg = w.groupBy(id_col).agg(*packed, F.count("*").alias("_n"))
     n = F.col("_n")
     chunk_cols = []
     for c in range(4):
@@ -299,7 +309,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             bit = F.when(cnt * 2 > n, 1 << j).otherwise(0)
             chunk = bit if chunk is None else chunk + bit
         chunk_cols.append(chunk.cast("int").alias(f"sh{c}"))
-    return agg.select(id_col, *chunk_cols)
+    return digit_cols, packed, chunk_cols
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,

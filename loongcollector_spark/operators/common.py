@@ -122,6 +122,38 @@ def anchored(pattern: str) -> str:
     return p
 
 
+_EXPR_TEMPLATE_CACHE: dict = {}
+
+
+def expr_template(fn):
+    """Memoize a pure Column-tree builder per (py4j gateway, call args).
+
+    Large codegen expression trees (pb wire framing, SimHash bit packs,
+    otel conversions) cost 0.5-3 s of py4j round-trips to CONSTRUCT and
+    are identical for identical arguments — unresolved Column trees are
+    immutable and reusable across DataFrames of the same JVM, so build
+    once per gateway (a restarted JVM gets a fresh build). Arguments
+    must be hashable plan parameters (strings/ints/bools), never
+    DataFrames/Columns."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from pyspark import SparkContext
+
+        gw = id(SparkContext._gateway) if SparkContext._gateway else None
+        key = (fn.__module__, fn.__qualname__, args,
+               tuple(sorted(kwargs.items())))
+        hit = _EXPR_TEMPLATE_CACHE.get(key)
+        if hit is not None and hit[0] == gw:
+            return hit[1]
+        val = fn(*args, **kwargs)
+        _EXPR_TEMPLATE_CACHE[key] = (gw, val)
+        return val
+
+    return wrapper
+
+
 def bind_once(col: Column, fn) -> Column:
     """Evaluate ``fn`` with ``col`` bound ONCE to a lambda variable.
 

@@ -314,7 +314,16 @@ def prom_timeseries_column(
 ):
     """One serialized ``prompb.TimeSeries`` per metric-shaped row (the
     processor_log_to_metric output contract: ``k=v|k=v`` or ``k#$#v``
-    label encoding)."""
+    label encoding). The wire tree (IEEE-754 bit closed forms + varint
+    framing) costs ~1 s of py4j construction — cached per process via
+    ``expr_template``."""
+    from loongcollector_spark.operators.common import expr_template
+
+    return expr_template(_prom_timeseries_column)(
+        name_col, labels_col, value_col, time_nano_col)
+
+
+def _prom_timeseries_column(name_col, labels_col, value_col, time_nano_col):
     pairs = F.transform(
         F.split(F.coalesce(F.col(labels_col), F.lit("")), r"\|"),
         lambda kv: F.struct(

@@ -509,6 +509,15 @@ def sls_pb_log_column(df: DataFrame, time_col: str = "ts",
     cols = content_cols or [
         c for c in serializable_columns(df) if c != time_col
     ]
+    from loongcollector_spark.operators.common import expr_template
+
+    return expr_template(_sls_pb_log_expr)(
+        time_col if time_col in df.columns else None, tuple(cols))
+
+
+def _sls_pb_log_expr(time_col: str | None, cols: tuple):
+    """The per-row Log wire tree — cached per (time presence, column
+    tuple) via ``expr_template`` (~0.8 s of py4j construction)."""
     # NULL/pre-1970 times stamp 0 like the converters' missing-__time__
     # default: a NULL here would null the whole concat and silently DROP
     # the log from the group blob while n_logs still counts it, and a
@@ -516,7 +525,7 @@ def sls_pb_log_column(df: DataFrame, time_col: str = "ts",
     t = (
         F.greatest(F.coalesce(F.unix_timestamp(F.col(time_col)), F.lit(0)),
                    F.lit(0))
-        if time_col in df.columns else F.lit(0)
+        if time_col is not None else F.lit(0)
     )
     parts = [F.lit(b"\x08"), _pb_varint(t)]
     for c in cols:
