@@ -3005,6 +3005,58 @@ GROUP BY doc_id
 """
 
 
+def q_exact_substr_trim(spark, sf_dir):
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1): duplicated
+    5-gram spans deleted everywhere but the min-doc copy; the oracle
+    replays the whole trim (gram index → min/max doc → hit positions →
+    range anti-join → reassembled-text md5) independently."""
+    from loongcollector_spark.functions.curation import exact_substr_trim
+
+    return exact_substr_trim(_docs(spark, sf_dir), k=5)
+
+
+O_EXACT_SUBSTR_TRIM = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+),
+tok AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) - 1 AS pos
+  FROM w
+),
+g AS (
+  SELECT doc_id, cast(u.i - 1 AS BIGINT) AS p,
+         md5(array_to_string(words[u.i:u.i+4], ' ')) AS gh
+  FROM w, unnest(range(1, len(words) - 5 + 2)) AS u(i)
+  WHERE len(words) >= 5
+),
+stats AS (
+  SELECT gh, min(doc_id) AS mdoc, max(doc_id) AS xdoc FROM g GROUP BY gh
+),
+hits AS (
+  SELECT g.doc_id, g.p FROM g JOIN stats USING (gh)
+  WHERE stats.mdoc <> stats.xdoc AND g.doc_id <> stats.mdoc
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word FROM tok t
+  LEFT JOIN hits h
+    ON h.doc_id = t.doc_id AND t.pos BETWEEN h.p AND h.p + 4
+  WHERE h.p IS NULL
+),
+kagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS trimmed_md5
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(words) AS n_total FROM w)
+SELECT t.doc_id, cast(t.n_total AS INT) AS n_total,
+  cast(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(k.trimmed_md5, md5('')) AS trimmed_md5
+FROM totals t LEFT JOIN kagg k USING (doc_id)
+"""
+
+
 def q_lm_perplexity_filter(spark, sf_dir):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): word-bigram
     add-one model trained on the corpus, every document scored by its
@@ -6354,6 +6406,7 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
     "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
+    "exact_substr_trim": (q_exact_substr_trim, O_EXACT_SUBSTR_TRIM),
     "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
     "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

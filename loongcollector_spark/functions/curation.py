@@ -420,6 +420,84 @@ def cross_doc_gram_share(df: DataFrame, n: int = 5,
     )
 
 
+def exact_substr_trim(df: DataFrame, k: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-substring REMOVAL — the span-trim step of
+    ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499 §4.1: delete
+    duplicated substrings, keep one copy), word-granular with ``k``-token
+    windows standing in for the paper's 50-token threshold.
+
+    Rule: a ``k``-gram occurring in more than one document is duplicated;
+    the single kept copy lives in the gram's MINIMUM doc id (the same
+    deterministic survivor rule as ``exact_dedup``), every other
+    document deletes the tokens its duplicated grams cover. Within-doc
+    repeats are left alone (they are ``dup_ngram_stats``' domain).
+    Output: ``(doc_id, n_total, n_removed, trimmed_md5)`` — the md5 of
+    the space-joined surviving tokens, hash-comparable across engines.
+
+    Scale shape (all codegen, no Python):
+    * gram hashes ride the scan (positions via one posexplode);
+    * duplication = ``min(doc) != max(doc)`` per gram — a map-side-
+      combined aggregate of 16-byte hashes, NOT a countDistinct (which
+      would shuffle (gram, doc) pairs twice);
+    * probe joins back on the gram hash (exchange reused — both sides
+      shuffle the identical gram subtree on the same key);
+    * span removal is a per-document range ANTI join (token pos ∈
+      [p, p+k)) — both sides co-partition on the doc id, so the merge
+      work is per-doc tokens × per-doc hits, never cross-doc;
+    * reassembly is one sort-free collect_list + array_sort per doc.
+    At 100 TB the gram-stats table is the corpus substring index you
+    materialize once and reuse across increments."""
+    base = df.filter(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))) != ""
+    ).select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_words"))
+    toks = base.select(
+        id_col, F.posexplode("_words").alias("pos", "word"))
+    words = F.col("_words")
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(words) - k + 1),
+        lambda i: F.md5(F.array_join(F.slice(words, i, k), " ")
+                        .cast("binary")),
+    )
+    grams = base.filter(F.size(words) >= k).select(
+        id_col, F.posexplode(gram_hashes).alias("p", "gh"))
+    stats = grams.groupBy("gh").agg(
+        F.min(id_col).alias("_mdoc"), F.max(id_col).alias("_xdoc"))
+    hits = (
+        grams.join(stats.filter(F.col("_mdoc") != F.col("_xdoc")), "gh")
+        .filter(F.col(id_col) != F.col("_mdoc"))
+        .select(id_col, "p")
+    )
+    h = hits.select(F.col(id_col).alias("_hid"), "p")
+    kept = toks.join(
+        h,
+        (toks[id_col] == h["_hid"])
+        & (toks["pos"] >= h["p"]) & (toks["pos"] < h["p"] + k),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("trimmed_md5"),
+    )
+    totals = base.select(id_col, F.size(words).alias("n_total"))
+    out = totals.join(kept_agg, id_col, "left")
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
+    return out.select(
+        id_col, "n_total",
+        (F.col("n_total") - n_kept).cast("long").alias("n_removed"),
+        F.coalesce(F.col("trimmed_md5"),
+                   F.md5(F.lit("").cast("binary"))).alias("trimmed_md5"),
+    )
+
+
 def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

@@ -430,3 +430,45 @@ def test_minhash_wide_signature_model(spark):
     for doc_id, text in docs:
         got = [rows[doc_id][f"mh{i}"] for i in range(n_hashes)]
         assert got == model(text), doc_id
+
+
+def test_exact_substr_trim_removes_cross_doc_spans(spark):
+    """Lee et al. span-trim: the min-doc keeps its copy, every other doc
+    deletes the covered tokens; unique docs pass through untouched."""
+    import hashlib
+
+    from loongcollector_spark.functions.curation import exact_substr_trim
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h i j z"),
+        (3, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in exact_substr_trim(df, k=4).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert rows[1]["n_removed"] == 0 and rows[1]["trimmed_md5"] == md5(docs[0][1])
+    assert rows[2]["n_total"] == 13 and rows[2]["n_removed"] == 10
+    assert rows[2]["trimmed_md5"] == md5("x y z")
+    assert rows[3]["n_removed"] == 0 and rows[3]["trimmed_md5"] == md5(docs[2][1])
+
+
+def test_exact_substr_trim_full_removal_and_short_docs(spark):
+    import hashlib
+
+    from loongcollector_spark.functions.curation import exact_substr_trim
+
+    docs = [
+        (1, "a b c d"),   # min doc keeps
+        (2, "a b c d"),   # fully removed
+        (3, "xy"),        # shorter than k: no grams, untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in exact_substr_trim(df, k=4).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["n_removed"] == 4 and rows[2]["trimmed_md5"] == \
+        hashlib.md5(b"").hexdigest()
+    assert rows[3]["n_removed"] == 0 and rows[3]["n_total"] == 1
