@@ -4599,6 +4599,71 @@ SELECT hour, cast(rank AS INT) AS rank, event_type, n FROM (
 """
 
 
+def q_train_perceptron(spark, sf_dir):
+    """IN-ENGINE classifier training (batch perceptron over hashed
+    uni+bigram features, integer-exact): labels derive from text parity,
+    3 rounds from w=0; the oracle unrolls the identical training loop as
+    CTE rounds and matches the final weight vector bucket-for-bucket."""
+    from loongcollector_spark.functions.classifier import train_perceptron
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id", "text",
+        (F.length("text") % 2 == 0).cast("int").alias("label"),
+    )
+    return train_perceptron(docs, n_buckets=512, iters=3, lr=1)
+
+
+def _perceptron_oracle(n_buckets: int, iters: int) -> str:
+    head = f"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws,
+    CASE WHEN length(text) % 2 = 0 THEN 1 ELSE -1 END AS y
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, y, unnest(list_concat(ws,
+    CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE [] END)) AS gram
+  FROM ws
+),
+f AS (
+  SELECT doc_id, any_value(y) AS y,
+         ('0x' || substr(md5(gram), 1, 8))::UBIGINT % {n_buckets} AS bucket,
+         count(*) AS n
+  FROM g GROUP BY doc_id, bucket
+),
+w1 AS (SELECT cast(bucket AS BIGINT) AS bucket,
+              cast(sum(y * n) AS BIGINT) AS w FROM f GROUP BY bucket)"""
+    parts = [head]
+    for t in range(2, iters + 1):
+        p = t - 1
+        parts.append(f""",
+m{t} AS (
+  SELECT f.doc_id, any_value(f.y) AS y,
+         sum(f.n * coalesce(w{p}.w, 0)) AS margin
+  FROM f LEFT JOIN w{p} ON cast(f.bucket AS BIGINT) = w{p}.bucket
+  GROUP BY f.doc_id
+),
+mis{t} AS (SELECT doc_id FROM m{t} WHERE y * margin <= 0),
+g{t} AS (
+  SELECT cast(f.bucket AS BIGINT) AS bucket,
+         cast(sum(f.y * f.n) AS BIGINT) AS gs
+  FROM f JOIN mis{t} USING (doc_id) GROUP BY 1
+),
+w{t} AS (
+  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         coalesce(a.w, 0) + coalesce(b.gs, 0) AS w
+  FROM w{p} a FULL OUTER JOIN g{t} b ON a.bucket = b.bucket
+)""")
+    parts.append(f"""
+SELECT bucket, w AS weight FROM w{iters} WHERE w != 0""")
+    return "".join(parts)
+
+
+O_TRAIN_PERCEPTRON = _perceptron_oracle(512, 3)
+
+
 def q_hashed_classifier(spark, sf_dir):
     """fastText-style hashed uni+bigram linear classifier over the
     documents corpus (functions/classifier.py): codegen feature hashing,
@@ -6407,6 +6472,7 @@ QUERIES = {
     "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
     "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
     "exact_substr_trim": (q_exact_substr_trim, O_EXACT_SUBSTR_TRIM),
+    "train_perceptron": (q_train_perceptron, O_TRAIN_PERCEPTRON),
     "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
     "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

@@ -50,24 +50,10 @@ def weight_frame(spark, n_buckets: int = 4096) -> DataFrame:
     )
 
 
-def hashed_ngram_scores(
-    df: DataFrame,
-    weights: DataFrame | None = None,
-    n_buckets: int = 4096,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-document linear score over hashed uni+bigram features:
-    (doc_id, n_grams, score_milli, prob). ``prob`` is the logistic
-    squash of the milli-score normalized per gram (a length-invariant
-    quality probability)."""
-    spark = df.sparkSession
-    if weights is None:
-        weights = weight_frame(spark, n_buckets)
-
-    # materialize the word array ONCE in its own projection — referencing
-    # a raw split() inside the bigram transform would re-evaluate it per
-    # element (the documented O(words^2) trap)
+def featurize(df: DataFrame, n_buckets: int = 4096,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bucket, n) hashed uni+bigram counts — the shared feature
+    stream for scoring AND training."""
     words = df.where(F.col(text_col).isNotNull()).select(
         id_col,
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_w"),
@@ -89,11 +75,97 @@ def hashed_ngram_scores(
             )
         ).alias("gram"),
     )
-    counts = (
+    return (
         grams.select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def train_perceptron(df: DataFrame, label_col: str = "label",
+                     n_buckets: int = 4096, iters: int = 3, lr: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """IN-ENGINE training for the hashed-feature linear classifier: a
+    batch perceptron (Rosenblatt rule, batch form) over the same
+    uni+bigram hashed counts ``hashed_ngram_scores`` consumes — so the
+    quality gate can be fit on in-corpus labels (e.g. wiki-vs-crawl, the
+    CCNet/fastText recipe) without leaving Spark.
+
+    Update rule, ``iters`` rounds from w=0: margin_d = Σ_b n_db·w_b;
+    doc d is misclassified iff y_d·margin_d ≤ 0 (y ∈ {-1,+1});
+    w_b += lr · Σ_{misclassified d} y_d·n_db. Every quantity is an
+    INTEGER, so the result is exactly reproducible regardless of
+    aggregation order — the property that lets a DuckDB oracle replay
+    training to hash equality (floating-point SGD cannot cross engines).
+
+    Scale shape: the feature stream is computed once and persisted;
+    each round is one broadcast join of the CURRENT weights against it
+    (model rows ≤ n_buckets — parameters broadcast, data stays put,
+    exactly the distributed-training layout), one per-doc margin
+    aggregate, one gradient aggregate collected to the driver (bounded
+    by n_buckets, it is the MODEL, not data). Returns (bucket, weight)
+    for the non-zero weights."""
+    spark = df.sparkSession
+    feats = (
+        featurize(df, n_buckets, text_col, id_col)
+        .join(
+            df.select(
+                id_col,
+                (F.col(label_col).cast("long") * 2 - 1).alias("_y")),
+            id_col,
+        )
+        .localCheckpoint()
+    )
+    weights: dict[int, int] = {}
+    for _ in range(iters):
+        if weights:
+            wdf = spark.createDataFrame(
+                list(weights.items()), "bucket long, _wt long")
+            margins = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col, "_y")
+                .agg(F.sum(F.col("n") * F.coalesce("_wt", F.lit(0)))
+                     .alias("_margin"))
+            )
+        else:  # w = 0 → every margin is 0
+            margins = feats.select(id_col, "_y").distinct().withColumn(
+                "_margin", F.lit(0))
+        mis = margins.filter(
+            F.col("_y") * F.col("_margin") <= 0).select(id_col)
+        grad = (
+            feats.join(mis, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_y") * F.col("n")).alias("_g"))
+            .collect()
+        )
+        if not grad:
+            break
+        for r in grad:
+            weights[r["bucket"]] = weights.get(r["bucket"], 0) + lr * r["_g"]
+    rows = [(b, w) for b, w in sorted(weights.items()) if w != 0]
+    return spark.createDataFrame(rows, "bucket long, weight long")
+
+
+def hashed_ngram_scores(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document linear score over hashed uni+bigram features:
+    (doc_id, n_grams, score_milli, prob). ``prob`` is the logistic
+    squash of the milli-score normalized per gram (a length-invariant
+    quality probability)."""
+    spark = df.sparkSession
+    if weights is None:
+        weights = weight_frame(spark, n_buckets)
+
+    # featurize materializes the word array ONCE in its own projection —
+    # referencing a raw split() inside the bigram transform would
+    # re-evaluate it per element (the documented O(words^2) trap)
+    counts = featurize(df, n_buckets, text_col, id_col)
     scored = (
         counts.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)

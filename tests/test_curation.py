@@ -472,3 +472,56 @@ def test_exact_substr_trim_full_removal_and_short_docs(spark):
     assert rows[2]["n_removed"] == 4 and rows[2]["trimmed_md5"] == \
         hashlib.md5(b"").hexdigest()
     assert rows[3]["n_removed"] == 0 and rows[3]["n_total"] == 1
+
+
+def test_train_perceptron_matches_python_model(spark):
+    """Batch perceptron over hashed uni+bigram counts — integer-exact
+    against a direct hashlib/dict reimplementation."""
+    import hashlib
+
+    from loongcollector_spark.functions.classifier import train_perceptron
+
+    docs = [
+        (1, "good great excellent work", 1),
+        (2, "bad awful terrible mess", 0),
+        (3, "good fine solid work", 1),
+        (4, "bad poor broken mess", 0),
+        (5, "great solid excellent fine", 1),
+    ]
+    n_buckets, iters, lr = 64, 3, 1
+    df = spark.createDataFrame(docs, "doc_id long, text string, label int")
+    got = {r["bucket"]: r["weight"]
+           for r in train_perceptron(df, n_buckets=n_buckets,
+                                     iters=iters, lr=lr).collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    feats = {}
+    ys = {}
+    for doc_id, text, label in docs:
+        ws = text.lower().split()
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        c = {}
+        for g in grams:
+            c[bucket(g)] = c.get(bucket(g), 0) + 1
+        feats[doc_id] = c
+        ys[doc_id] = 2 * label - 1
+    w = {}
+    for _ in range(iters):
+        grad = {}
+        for d, c in feats.items():
+            margin = sum(n * w.get(b, 0) for b, n in c.items())
+            if ys[d] * margin <= 0:
+                for b, n in c.items():
+                    grad[b] = grad.get(b, 0) + ys[d] * n
+        if not grad:
+            break
+        for b, g in grad.items():
+            w[b] = w.get(b, 0) + lr * g
+    want = {b: v for b, v in w.items() if v != 0}
+    assert got == want
+    # and the learned weights separate the training set
+    for d, c in feats.items():
+        margin = sum(n * want.get(b, 0) for b, n in c.items())
+        assert ys[d] * margin > 0, d
