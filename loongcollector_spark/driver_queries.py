@@ -1962,6 +1962,41 @@ WHERE f.f % 5 = 0 AND f.f < d.doc_id % 12 + 1
 """
 
 
+def q_media_decode_avi(spark, sf_dir):
+    """REAL compressed-video decode: MJPEG AVI containers (RIFF →
+    LIST movi → one baseline JPEG per '00dc' chunk) built per doc_id
+    with the q50 lossless-DC block construction shifted per frame
+    (block b of frame f = 128 + 2*((id*5 + f*7 + b) % 113 - 56)),
+    walked + entropy-decoded in mapInPandas; the oracle recomputes the
+    whole-video pixel mean closed-form over (frame, block)."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "avi")
+    return extract_features(media).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MEDIA_DECODE_AVI = """
+SELECT d.doc_id,
+  cast(floor(100.0 * avg(128 + 2 * ((d.doc_id * 5 + f.f * 7 + g.b) % 113
+                                    - 56))) AS BIGINT) AS feat_mean_1e2,
+  cast((d.doc_id % 5 + 2) * 64 * (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2)
+       AS INT) AS feat_dim,
+  true AS ok
+FROM documents d,
+     generate_series(0, 6) AS f(f),
+     generate_series(0, 7 * 5 - 1) AS g(b)
+WHERE f.f < d.doc_id % 5 + 2
+  AND g.b < (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2)
+GROUP BY d.doc_id
+"""
+
+
 def q_media_decode_audio(spark, sf_dir):
     """REAL audio decode: RIFF/WAVE PCM16 payloads built per doc_id
     (sample_i = ((doc_id*7+i) % 512 - 256) * 64, 1600 samples @16 kHz),
@@ -6448,6 +6483,7 @@ QUERIES = {
     "media_y4m_frames": (q_media_y4m_frames, O_MEDIA_Y4M_FRAMES),
     "media_decode_audio": (q_media_decode_audio, O_MEDIA_DECODE_AUDIO),
     "media_decode_jpeg": (q_media_decode_jpeg, O_MEDIA_DECODE_JPEG),
+    "media_decode_avi": (q_media_decode_avi, O_MEDIA_DECODE_AVI),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "serialized_events": (q_serialized_events, O_SERIALIZED_EVENTS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),

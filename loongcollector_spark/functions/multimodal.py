@@ -199,6 +199,22 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
                         for f in range(nf)
                     ]
                     payload = encode_y4m(w, h, frames)
+                elif media_type == "avi":
+                    # MJPEG AVI: per-frame block-uniform JPEGs (the q50
+                    # lossless-DC construction, frame-shifted) — an
+                    # entropy-coded VIDEO a SQL oracle still checks exactly
+                    bw_, bh_ = d % 6 + 2, d % 4 + 2
+                    w, h = 8 * bw_, 8 * bh_
+                    nf, sr = d % 5 + 2, 0
+                    jf = []
+                    for f in range(nf):
+                        vals = 128 + 2 * (
+                            (d * 5 + f * 7 + np.arange(bh_ * bw_)) % 113 - 56)
+                        img = np.kron(vals.reshape(bh_, bw_),
+                                      np.ones((8, 8), np.int64)).astype(np.uint8)
+                        jf.append(encode_jpeg(img, quality=50))
+                    payload = encode_avi_mjpeg(w, h, jf)
+                    out_type = "video"  # rides the video decode path
                 else:
                     sr, n = 16000, 1600
                     samples = ((d * 7 + np.arange(n)) % 512 - 256) * 64
@@ -291,6 +307,18 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                 w, h, n, _offs = parsed
                 means = [decode_y4m_frame(payload, f).mean() for f in range(n)]
                 return float(np.mean(means)), int(n * w * h), True
+            parsed = try_parse_avi(payload)
+            if parsed is not None:
+                w, h, n, _frames = parsed
+                # integral global mean (one exact sum/count division, not
+                # a float mean-of-frame-means) so the closed-form SQL
+                # oracle's avg() lands on the same double
+                tot = px = 0
+                for f in range(n):
+                    a = decode_avi_frame(payload, f)
+                    tot += int(a.sum(dtype=np.int64))
+                    px += a.size
+                return tot / px, int(px), True
         elif media_type == "audio":
             wav = try_decode_wav(payload)
             if wav is not None:
@@ -517,11 +545,95 @@ def decode_y4m_frame(payload, frame_idx: int):
     ).reshape(h, w)
 
 
+# --- AVI / MJPEG: entropy-coded video in a RIFF container -------------
+# Motion-JPEG AVI (OpenDML / VfW spec: RIFF 'AVI ' → LIST hdrl(avih) →
+# LIST movi with one '00dc' chunk per frame, fourcc MJPG) — each frame
+# is a self-contained baseline JPEG, so the T.81 decoder in jpegcodec.py
+# makes this a REAL compressed-video path with no external codec. This
+# closes the "video stays stubbed" gap for the one mainstream format
+# stdlib+numpy can honestly decode; inter-frame codecs (H.264/MP4)
+# remain out of scope (a motion-compensated decoder is a library).
+
+
+def encode_avi_mjpeg(width: int, height: int, jpeg_frames,
+                     fps: int = 25) -> bytes:
+    """Minimal spec-shaped MJPEG AVI: RIFF('AVI ', LIST hdrl(avih,
+    LIST strl(strh,strf)), LIST movi('00dc' per frame))."""
+    def chunk(cc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cc + _struct.pack("<I", len(data)) + data + pad
+
+    def lst(cc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", cc + data)
+
+    n = len(jpeg_frames)
+    avih = _struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0,
+        width, height, 0, 0, 0, 0)
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, n, 0, 0xFFFFFFFF, 0, 0, 0, width, height)
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def try_parse_avi(payload):
+    """AVI container → (width, height, n_frames, [(offset, size)]) of the
+    video ('..dc'/'..db') chunks, walking the RIFF tree with no pixel
+    work; None if not an AVI. Truncated tails stop the walk cleanly."""
+    if not payload:
+        return None
+    buf = bytes(payload)
+    if buf[0:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    w = h = None
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal w, h
+        while pos + 8 <= end:
+            cc = buf[pos:pos + 4]
+            (size,) = _struct.unpack("<I", buf[pos + 4:pos + 8])
+            body, nxt = pos + 8, pos + 8 + size + (size & 1)
+            if nxt > end:
+                break  # truncated chunk: ignore the tail
+            if cc == b"LIST":
+                walk(body + 4, body + size)
+            elif cc == b"avih" and size >= 40:
+                w, h = _struct.unpack("<II", buf[body + 32:body + 40])
+            elif cc[2:4] in (b"dc", b"db"):
+                frames.append((body, size))
+            pos = nxt
+
+    walk(12, len(buf))
+    if w is None or not frames:
+        return None
+    return int(w), int(h), len(frames), frames
+
+
+def decode_avi_frame(payload, frame_idx: int):
+    """Grayscale pixels of frame ``frame_idx`` (JPEG-decoded) or None."""
+    parsed = try_parse_avi(payload)
+    if parsed is None:
+        return None
+    _w, _h, n, frames = parsed
+    if not (0 <= frame_idx < n):
+        return None
+    off, size = frames[frame_idx]
+    return try_decode_jpeg(bytes(payload)[off:off + size])
+
+
 def video_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
     """REAL frame sampling: every ``every_n``-th frame of each video row
-    is decoded (Y4M Y plane) and summarized — the decode half the
-    codegen ``frame_sample`` plumbing was stubbed for. Arrow-batched;
-    non-Y4M payloads emit ok=False rows instead of failing the worker."""
+    is decoded (Y4M Y plane, or MJPEG-AVI frame JPEG) and summarized —
+    the decode half the codegen ``frame_sample`` plumbing was stubbed
+    for. Arrow-batched; unknown containers emit ok=False rows instead of
+    failing the worker."""
     schema = ("doc_id long, frame_idx int, y_mean double, "
               "width int, height int, ok boolean")
 
@@ -530,12 +642,16 @@ def video_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 parsed = try_parse_y4m(payload)
+                decode = decode_y4m_frame
+                if parsed is None:
+                    parsed = try_parse_avi(payload)
+                    decode = decode_avi_frame
                 if parsed is None:
                     rows.append((int(doc_id), -1, 0.0, 0, 0, False))
                     continue
                 w, h, n, _offsets = parsed
                 for f in range(0, n, every_n):
-                    y = decode_y4m_frame(payload, f)
+                    y = decode(payload, f)
                     rows.append((int(doc_id), f, float(y.mean()), w, h, True))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "y_mean",

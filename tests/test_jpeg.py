@@ -158,3 +158,51 @@ def test_spark_image_path_decodes_jpeg(spark):
     small = image_resize(media, 8, 8).collect()
     assert all(r["ok"] for r in small)
     assert all(bytes(r["payload"])[:2] == b"\xff\xd8" for r in small)
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
+    """MJPEG AVI: RIFF walk finds every 00dc chunk, each frame JPEG
+    reconstructs bit-exact (q50 uniform blocks), video_frame_features
+    samples through the AVI path."""
+    import numpy as np
+
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+    from loongcollector_spark.functions.multimodal import (
+        decode_avi_frame, encode_avi_mjpeg, synthetic_media, try_parse_avi,
+        video_frame_features,
+    )
+
+    d = 11
+    bw_, bh_ = d % 6 + 2, d % 4 + 2
+    w, h = 8 * bw_, 8 * bh_
+    frames, imgs = [], []
+    for f in range(4):
+        vals = 128 + 2 * ((d * 5 + f * 7 + np.arange(bh_ * bw_)) % 113 - 56)
+        img = np.kron(vals.reshape(bh_, bw_),
+                      np.ones((8, 8), np.int64)).astype(np.uint8)
+        imgs.append(img)
+        frames.append(encode_jpeg(img, quality=50))
+    avi = encode_avi_mjpeg(w, h, frames)
+    assert try_parse_avi(avi)[:3] == (w, h, 4)
+    for f in range(4):
+        assert (decode_avi_frame(avi, f) == imgs[f]).all()
+    assert try_parse_avi(b"RIFFxxxxWAVE") is None
+    assert try_parse_avi(avi[:30]) is None  # truncated header
+
+    docs = spark.createDataFrame([(3, "x"), (9, "y")], "doc_id long, text string")
+    media = synthetic_media(docs, "avi")
+    rows = video_frame_features(media, every_n=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    for doc_id in (3, 9):
+        nf = doc_id % 5 + 2
+        got = sorted(r["frame_idx"] for r in by[doc_id])
+        assert got == list(range(0, nf, 2))
+        for r in by[doc_id]:
+            blocks = (doc_id % 6 + 2) * (doc_id % 4 + 2)
+            want = np.mean(
+                128 + 2 * ((doc_id * 5 + r["frame_idx"] * 7
+                            + np.arange(blocks)) % 113 - 56))
+            assert abs(r["y_mean"] - want) < 1e-9
+            assert r["ok"]
