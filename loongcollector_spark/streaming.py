@@ -291,6 +291,77 @@ def streaming_exact_dedup(
     return writer.start()
 
 
+def streaming_minhash_admission(
+    stream_df: DataFrame,
+    out_dir: str,
+    n_hashes: int = 4,
+    shingle: int = 3,
+    bands: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup admission — the continuous-ingest face of
+    ``dedup.incremental_minhash_dedup``: every micro-batch is admitted
+    against the PERSISTED band index (yesterday's corpus is never
+    re-read or re-hashed), decisions land per batch, and the admitted
+    docs' bands append to the index for the next batch.
+
+    Exactly-once without a transactional store: each batch OVERWRITES
+    its own ``batch_id=N`` subdirectory for both the decisions and the
+    index increment, so a replayed batch (post-crash re-fire of
+    foreachBatch) rewrites identical bytes instead of duplicating them
+    — the checkpoint + idempotent-subdir pattern ``run_pipeline`` uses.
+    The key=value directory naming makes the accumulated index one
+    partitioned parquet table; the probe join reads it as a plain
+    (band_idx, band) frame.
+
+    At 10^12-doc scale the index is the corpus near-dup state: bucketed
+    on the 16-byte band hash it makes each day's admission a
+    bucket-local join, and this streaming wrapper is the same job at
+    micro-batch cadence."""
+    from loongcollector_spark.functions.dedup import (
+        incremental_minhash_dedup, minhash_band_frame,
+    )
+
+    index_dir = f"{out_dir}/band_index"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            try:
+                seen = spark.read.parquet(index_dir).select(
+                    "band_idx", "band")
+            except Exception:  # first batch: no index yet
+                seen = spark.createDataFrame(
+                    [], "band_idx int, band string")
+            decisions = incremental_minhash_dedup(
+                batch_df, seen, n_hashes, shingle, bands, text_col, id_col
+            ).persist()
+            decisions.write.mode("overwrite").parquet(
+                f"{out_dir}/decisions/batch_id={batch_id}")
+            admitted = batch_df.join(
+                decisions.filter(F.col("status") == "new").select(id_col),
+                id_col,
+            )
+            minhash_band_frame(
+                admitted, n_hashes, shingle, bands, text_col, id_col
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}")
+            decisions.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out_dir}/_admission_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def multiline_merge_stream(
     stream_df: DataFrame,
     start_pattern: str | None = None,

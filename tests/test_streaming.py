@@ -325,3 +325,55 @@ def test_session_counter_stream_matches_batch(spark, stream_dirs):
                s.groupBy("conv_id")
                .agg(F.countDistinct("session_idx").alias("n")).collect()}
     assert per_key == {"a": 2, "b": 1, "zz_sentinel": 1}
+
+
+def test_streaming_minhash_admission_across_batches(spark, stream_dirs):
+    """Near-dup admission at micro-batch cadence: batch 2's near-dups of
+    batch-1 docs come back dup_snapshot (probed against the PERSISTED
+    band index, batch 1 never re-read), genuinely new docs are admitted
+    and their bands extend the index."""
+    import os
+    import time
+
+    from loongcollector_spark.streaming import streaming_minhash_admission
+
+    src, out = stream_dirs
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "sphinx of black quartz judge my vow completely ok"),
+    ]
+    spark.createDataFrame(base, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{src}/b1")
+    # batch 2: a near-dup of doc 1 (one word changed -> most shingles
+    # shared), plus a genuinely new doc
+    b2 = [
+        (11, "the quick brown fox jumps over the lazy cat today"),
+        (12, "completely unrelated sentence about distributed engines"),
+    ]
+    spark.createDataFrame(b2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{src}/b2")
+    # force file-source ordering: b1 strictly older than b2
+    now = time.time()
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (now - 100, now - 100) if "/b1" in root else (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = streaming_minhash_admission(stream, out)
+    q.awaitTermination(120)
+
+    dec = {r["doc_id"]: r["status"]
+           for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[1] == "new" and dec[2] == "new" and dec[3] == "new"
+    assert dec[11] == "dup_snapshot"
+    assert dec[12] == "new"
+    # index holds bands for admitted docs only
+    idx_docs = {r["doc_id"] for r in
+                spark.read.parquet(f"{out}/band_index").collect()}
+    assert idx_docs == {1, 2, 3, 12}
