@@ -4634,6 +4634,58 @@ SELECT hour, cast(rank AS INT) AS rank, event_type, n FROM (
 """
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): raw = all docs,
+    target = every 7th doc; per-doc hashed-n-gram importance score with
+    integer-quantized per-bucket log ratios (order-free sum, replayed
+    exactly by the oracle)."""
+    from loongcollector_spark.functions.classifier import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    return dsir_scores(docs, docs.filter(F.col("doc_id") % 7 == 0),
+                       n_buckets=1024)
+
+
+O_DSIR_SCORES = """
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, unnest(list_concat(ws,
+    CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE [] END)) AS gram
+  FROM ws
+),
+f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1024 AS bucket,
+         count(*) AS n
+  FROM g GROUP BY 1, 2
+),
+rb AS (SELECT bucket, cast(sum(n) AS BIGINT) AS r_n FROM f GROUP BY bucket),
+tb AS (SELECT bucket, cast(sum(n) AS BIGINT) AS t_n FROM f
+       WHERE doc_id % 7 = 0 GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(n) FROM f) AS r_tot,
+         (SELECT sum(n) FROM f WHERE doc_id % 7 = 0) AS t_tot
+),
+ratio AS (
+  SELECT coalesce(rb.bucket, tb.bucket) AS bucket,
+    cast(floor(1000.0 * log10(
+      ((coalesce(t_n, 0) + 1) * cast(tot.r_tot + 1024 AS DOUBLE))
+      / ((coalesce(r_n, 0) + 1) * cast(tot.t_tot + 1024 AS DOUBLE))
+    )) AS BIGINT) AS lr_1e3
+  FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket, tot
+)
+SELECT f.doc_id, cast(sum(f.n) AS BIGINT) AS n_grams,
+  cast(sum(f.n * ratio.lr_1e3) AS BIGINT) AS dsir_score_1e3
+FROM f JOIN ratio ON f.bucket = ratio.bucket
+GROUP BY f.doc_id
+"""
+
+
 def q_train_perceptron(spark, sf_dir):
     """IN-ENGINE classifier training (batch perceptron over hashed
     uni+bigram features, integer-exact): labels derive from text parity,
@@ -6509,6 +6561,7 @@ QUERIES = {
     "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
     "exact_substr_trim": (q_exact_substr_trim, O_EXACT_SUBSTR_TRIM),
     "train_perceptron": (q_train_perceptron, O_TRAIN_PERCEPTRON),
+    "dsir_scores": (q_dsir_scores, O_DSIR_SCORES),
     "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
     "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

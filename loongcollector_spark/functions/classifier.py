@@ -147,6 +147,58 @@ def train_perceptron(df: DataFrame, label_col: str = "label",
     return spark.createDataFrame(rows, "bucket long, weight long")
 
 
+def dsir_scores(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by its hashed-n-gram
+    importance weight toward a small target corpus,
+    log w(doc) = Σ_b c_b · log( p̂_target(b) / p̂_raw(b) ), with add-one
+    smoothed bucket distributions — the method behind "sample the crawl
+    to look like Wikipedia" selection.
+
+    Returns (doc_id, n_grams, dsir_score_1e3): the per-bucket log10
+    ratio is quantized to an integer (floor(1000·log10((t_b+1)(R+B) /
+    (r_b+1)(T+B)))) BEFORE the per-doc sum — the lm.py trick: every
+    ratio is the correctly-rounded double of the same rational in both
+    engines, and integer sums are aggregation-order-free, so the score
+    hash-matches a DuckDB replay. Higher = more target-like.
+
+    Scale shape: both corpora stream through the shared ``featurize``
+    (uni+bigram md5 hashing, no vocabulary state); the bucket ratio
+    table is ≤ n_buckets rows — the MODEL — and broadcasts to the raw
+    feature stream; one (doc, bucket) aggregate + one broadcast join +
+    one per-doc integer sum. The target corpus is read once."""
+    rf = featurize(raw, n_buckets, text_col, id_col)
+    tf = featurize(target, n_buckets, text_col, id_col)
+    rb = rf.groupBy("bucket").agg(F.sum("n").alias("r_n"))
+    tb = tf.groupBy("bucket").agg(F.sum("n").alias("t_n"))
+    totals_r = rf.agg(F.sum("n")).first()[0] or 0
+    totals_t = tf.agg(F.sum("n")).first()[0] or 0
+    ratio = (
+        rb.join(tb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1000.0)
+                * F.log10(
+                    ((F.coalesce(F.col("t_n"), F.lit(0)) + 1)
+                     * F.lit(float(totals_r + n_buckets)))
+                    / ((F.coalesce(F.col("r_n"), F.lit(0)) + 1)
+                       * F.lit(float(totals_t + n_buckets)))
+                )
+            ).alias("lr_1e3"),
+        )
+    )
+    return (
+        rf.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lr_1e3")).alias("dsir_score_1e3"),
+        )
+    )
+
+
 def hashed_ngram_scores(
     df: DataFrame,
     weights: DataFrame | None = None,

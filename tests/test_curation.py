@@ -525,3 +525,49 @@ def test_train_perceptron_matches_python_model(spark):
     for d, c in feats.items():
         margin = sum(n * want.get(b, 0) for b, n in c.items())
         assert ys[d] * margin > 0, d
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """A raw doc sharing the target's vocabulary must out-score one that
+    doesn't; per-bucket quantized log ratios match a direct model."""
+    import hashlib
+    import math
+
+    from loongcollector_spark.functions.classifier import dsir_scores
+
+    n_buckets = 128
+    raw = [
+        (1, "alpha beta gamma delta"),
+        (2, "zeta eta theta iota"),
+    ]
+    target = [(10, "alpha beta gamma delta alpha beta")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dsir_scores(rdf, tdf, n_buckets=n_buckets).collect()}
+    assert got[1]["dsir_score_1e3"] > got[2]["dsir_score_1e3"]
+
+    def feats(text):
+        ws = text.lower().split()
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        c = {}
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            c[b] = c.get(b, 0) + 1
+        return c
+    rb, tb = {}, {}
+    for _i, t in raw:
+        for b, n in feats(t).items():
+            rb[b] = rb.get(b, 0) + n
+    for _i, t in target:
+        for b, n in feats(t).items():
+            tb[b] = tb.get(b, 0) + n
+    R, T = sum(rb.values()), sum(tb.values())
+    for doc_id, text in raw:
+        score = 0
+        for b, n in feats(text).items():
+            lr = math.floor(1000.0 * math.log10(
+                ((tb.get(b, 0) + 1) * float(R + n_buckets))
+                / ((rb.get(b, 0) + 1) * float(T + n_buckets))))
+            score += n * lr
+        assert got[doc_id]["dsir_score_1e3"] == score, doc_id
