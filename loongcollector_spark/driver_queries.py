@@ -4634,6 +4634,51 @@ SELECT hour, cast(rank AS INT) AS rank, event_type, n FROM (
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV / bottom-k distinct sketch (Beyer et al. SIGMOD'07): distinct
+    users per event_type, estimated from the 64 minimum md5 prefixes —
+    deterministic (unlike HLL blobs), so the oracle replays the sketch
+    itself, and the exact distinct rides along for the error story."""
+    from loongcollector_spark.functions.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return out.join(exact, "event_type")
+
+
+O_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         substr(md5(cast(user_id AS VARCHAR)), 1, 12) AS hh
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type,
+    cast(count(*) AS BIGINT) AS n_hashes,
+    CASE WHEN count(*) < 64 THEN cast(count(*) AS BIGINT)
+         ELSE cast(floor(63 * 281474976710656
+                         / ('0x' || max(CASE WHEN rn = 64 THEN hh END))
+                           ::UBIGINT) AS BIGINT)
+    END AS kmv_estimate
+  FROM r WHERE rn <= 64 GROUP BY event_type
+),
+c AS (
+  SELECT event_type, cast(count(*) AS BIGINT) AS n_rows,
+         cast(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT c.event_type, c.n_rows, sk.n_hashes, sk.kmv_estimate, c.n_exact
+FROM c JOIN sk USING (event_type)
+"""
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): raw = all docs,
     target = every 7th doc; per-doc hashed-n-gram importance score with
@@ -6562,6 +6607,7 @@ QUERIES = {
     "exact_substr_trim": (q_exact_substr_trim, O_EXACT_SUBSTR_TRIM),
     "train_perceptron": (q_train_perceptron, O_TRAIN_PERCEPTRON),
     "dsir_scores": (q_dsir_scores, O_DSIR_SCORES),
+    "kmv_distinct": (q_kmv_distinct, O_KMV_DISTINCT),
     "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
     "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

@@ -571,3 +571,21 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
                 / ((rb.get(b, 0) + 1) * float(T + n_buckets))))
             score += n * lr
         assert got[doc_id]["dsir_score_1e3"] == score, doc_id
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    """Small groups (< k) are exact; a larger group's KMV estimate lands
+    within the standard ~1/sqrt(k) band of the truth."""
+    from loongcollector_spark.functions.sketches import kmv_distinct
+
+    rows = [("small", f"v{i % 7}") for i in range(50)]
+    rows += [("big", f"u{i}") for i in range(2000)]
+    rows += [("big", f"u{i}") for i in range(500)]  # repeats
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert got["small"]["kmv_estimate"] == 7
+    assert got["small"]["n_hashes"] == 7
+    assert got["small"]["n_rows"] == 50
+    est, truth = got["big"]["kmv_estimate"], 2000
+    assert abs(est - truth) / truth < 0.5  # 3.9 sigma at k=64
+    assert got["big"]["n_hashes"] == 64
