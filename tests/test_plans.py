@@ -322,3 +322,27 @@ def test_pq_encode_is_broadcast_only(spark):
     plan = _plan(pq_topk(emb, shortlist=20))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # encode + dtab
+
+
+def test_exact_substr_trim_span_join_stays_copartitioned(spark):
+    """The span-removal anti-join must plan as an equi-join on the doc id
+    with the position range as residual — a BroadcastNestedLoopJoin here
+    would be O(tokens x hits) across documents at scale."""
+    from loongcollector_spark.functions.curation import exact_substr_trim
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string")
+    plan = _plan(exact_substr_trim(docs, k=4))
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """The bucket log-ratio table is the MODEL (<= n_buckets rows) and
+    must broadcast to the raw feature stream, never shuffle it."""
+    from loongcollector_spark.functions.classifier import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "a b c")], "doc_id long, text string")
+    plan = _plan(dsir_scores(docs, docs.filter("doc_id = 1"), n_buckets=64))
+    assert "BroadcastExchange" in plan
