@@ -168,12 +168,19 @@ def dsir_scores(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
     table is ≤ n_buckets rows — the MODEL — and broadcasts to the raw
     feature stream; one (doc, bucket) aggregate + one broadcast join +
     one per-doc integer sum. The target corpus is read once."""
-    rf = featurize(raw, n_buckets, text_col, id_col)
-    tf = featurize(target, n_buckets, text_col, id_col)
+    # materialize the raw feature stream ONCE (train_perceptron's
+    # pattern): the bucket totals, the ratio build, and the probe side
+    # of the scoring join have differently-keyed aggregates, so without
+    # this the md5 featurize scan — the dominant cost — runs three times
+    rf = featurize(raw, n_buckets, text_col, id_col).localCheckpoint()
     rb = rf.groupBy("bucket").agg(F.sum("n").alias("r_n"))
-    tb = tf.groupBy("bucket").agg(F.sum("n").alias("t_n"))
-    totals_r = rf.agg(F.sum("n")).first()[0] or 0
-    totals_t = tf.agg(F.sum("n")).first()[0] or 0
+    tb = (
+        featurize(target, n_buckets, text_col, id_col)
+        .groupBy("bucket").agg(F.sum("n").alias("t_n"))
+        .localCheckpoint()  # ≤ n_buckets rows; read twice (totals + join)
+    )
+    totals_r = rb.agg(F.sum("r_n")).first()[0] or 0
+    totals_t = tb.agg(F.sum("t_n")).first()[0] or 0
     ratio = (
         rb.join(tb, "bucket", "full_outer")
         .select(

@@ -108,19 +108,32 @@ def minhash_band_frame(
     """The persisted LSH index shape: one (id, band_idx, band) row per
     signature band — what a production pipeline stores between
     increments (16-byte hashes, never text)."""
-    assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, shingle, text_col, id_col)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}")
-                 for r in range(rows_per_band)]
-        band_cols.append(F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat(*parts).cast("binary")).alias("band")))
+    band_cols = _band_hash_cols(n_hashes, bands)
+    structs = [
+        F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band"))
+        for b in range(bands)
+    ]
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+        F.col(id_col), F.explode(F.array(*structs)).alias("b")
     ).select(id_col, "b.band_idx", "b.band")
+
+
+def _band_hash_cols(n_hashes: int, bands: int) -> list:
+    """The ONE definition of the band digest — md5 over the band's
+    signature rows — shared by the pair query, the persisted index, and
+    the incremental/streaming admission paths so candidate generation
+    can never desynchronize from a stored index."""
+    assert n_hashes % bands == 0, (
+        "bands must divide n_hashes — a remainder would silently drop "
+        "trailing signature rows and change recall")
+    rows_per_band = n_hashes // bands
+    return [
+        F.md5(F.concat(*[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]).cast("binary"))
+        for b in range(bands)
+    ]
 
 
 def incremental_minhash_dedup(
@@ -191,14 +204,9 @@ def minhash_lsh_pairs(
     LSH uses (2-32) that widening is far cheaper than re-shuffling the
     quadratic candidate output.
     """
-    rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, shingle, text_col, id_col)
-    band_cols = [
-        F.md5(F.concat(*[
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]).cast("binary")).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    band_cols = [c.alias(f"band{b}")
+                 for b, c in enumerate(_band_hash_cols(n_hashes, bands))]
     wide = sig.select(F.col(id_col), *band_cols)
     exploded = wide.select(
         id_col, *[f"band{b}" for b in range(bands)],

@@ -315,10 +315,14 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                 # oracle's avg() lands on the same double
                 tot = px = 0
                 for f in range(n):
-                    a = decode_avi_frame(payload, f)
+                    a = decode_avi_frame(payload, f, parsed)
+                    if a is None:  # a frame the JPEG decoder rejects
+                        tot = px = 0  # fall through to the raw-byte stub
+                        break
                     tot += int(a.sum(dtype=np.int64))
                     px += a.size
-                return tot / px, int(px), True
+                if px:
+                    return tot / px, int(px), True
         elif media_type == "audio":
             wav = try_decode_wav(payload)
             if wav is not None:
@@ -616,9 +620,14 @@ def try_parse_avi(payload):
     return int(w), int(h), len(frames), frames
 
 
-def decode_avi_frame(payload, frame_idx: int):
-    """Grayscale pixels of frame ``frame_idx`` (JPEG-decoded) or None."""
-    parsed = try_parse_avi(payload)
+def decode_avi_frame(payload, frame_idx: int, parsed=None):
+    """Grayscale pixels of frame ``frame_idx`` (JPEG-decoded) or None
+    (unparsable container, out-of-range index, or a frame codec the
+    baseline JPEG decoder rejects — e.g. an uncompressed '00db' DIB).
+    Pass ``parsed`` (a ``try_parse_avi`` result) when iterating frames —
+    re-walking the RIFF tree per frame would be O(frames × container)."""
+    if parsed is None:
+        parsed = try_parse_avi(payload)
     if parsed is None:
         return None
     _w, _h, n, frames = parsed
@@ -651,7 +660,11 @@ def video_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 w, h, n, _offsets = parsed
                 for f in range(0, n, every_n):
-                    y = decode(payload, f)
+                    y = (decode(payload, f, parsed)
+                         if decode is decode_avi_frame else decode(payload, f))
+                    if y is None:  # per-frame codec failure: mark, don't kill
+                        rows.append((int(doc_id), f, 0.0, w, h, False))
+                        continue
                     rows.append((int(doc_id), f, float(y.mean()), w, h, True))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "y_mean",

@@ -139,11 +139,9 @@ def expr_template(fn):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        from pyspark import SparkContext
-
-        gw = id(SparkContext._gateway) if SparkContext._gateway else None
         key = (fn.__module__, fn.__qualname__, args,
                tuple(sorted(kwargs.items())))
+        gw = _gateway_token()
         hit = _EXPR_TEMPLATE_CACHE.get(key)
         if hit is not None and hit[0] == gw:
             return hit[1]
@@ -152,6 +150,25 @@ def expr_template(fn):
         return val
 
     return wrapper
+
+
+def _gateway_token():
+    """A token that changes with every NEW py4j gateway. ``id()`` of the
+    gateway is unsound — CPython can reuse a freed object's address, so
+    a restarted JVM could serve stale Columns wrapping dead references.
+    A uuid stamped ON the gateway object dies with it instead."""
+    import uuid
+
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is None:
+        return None
+    tok = getattr(gw, "_lcs_expr_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        gw._lcs_expr_token = tok
+    return tok
 
 
 def bind_once(col: Column, fn) -> Column:

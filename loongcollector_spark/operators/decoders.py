@@ -482,10 +482,15 @@ def service_http_server(cfg: dict):
                 otel_logs_to_logs, otlp_pb_to_json,
             )
 
-            json_rows = df.filter(F.ltrim(F.col(src)).startswith("{"))
-            pb_rows = df.filter(~F.ltrim(F.col(src)).startswith("{"))
-            converted = otel_logs_to_logs(json_rows, src).unionByName(
-                otel_logs_to_logs(otlp_pb_to_json(pb_rows, src, "log"), src)
+            # NULL-safe split: a NULL body must not vanish from BOTH
+            # branches (ltrim(NULL).startswith → NULL filters false on
+            # either side); it routes to the pb walker, which maps any
+            # undecodable payload to an empty document (logs-and-skips)
+            is_json = F.coalesce(
+                F.ltrim(F.col(src)).startswith("{"), F.lit(False))
+            converted = otel_logs_to_logs(df.filter(is_json), src).unionByName(
+                otel_logs_to_logs(
+                    otlp_pb_to_json(df.filter(~is_json), src, "log"), src)
             )
             return converted
         if fmt == "raw":

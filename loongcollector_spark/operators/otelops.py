@@ -108,6 +108,12 @@ def _div_long(n: Column, divisor: int) -> Column:
     return F.floor(n.cast("decimal(38,0)") / divisor).cast("long")
 
 
+def _expr_template(fn):
+    from loongcollector_spark.operators.common import expr_template
+
+    return expr_template(fn)
+
+
 def _go_float_str(d: Column) -> Column:
     """Go strconv 'g' formatting of a double: integral values print with
     no fraction; exponent form is e±NN (two digits)."""
@@ -306,21 +312,12 @@ def otel_trace_to_logs(
     )
 
 
-_TRACE_EXPR_CACHE: dict = {}
-
-
+@_expr_template
 def _trace_span_exprs(trace_id_decode: bool, span_id_decode: bool,
                       parent_span_id_decode: bool) -> tuple:
     """(contents map, log_time) expressions over the fixed aliases
     ``_sp``/``_res``/``_scope`` — cached per (gateway, decode flags)
     like ``_metric_row_exprs`` (same py4j-construction-cost rationale)."""
-    from pyspark import SparkContext
-
-    key = (id(SparkContext._gateway) if SparkContext._gateway else None,
-           trace_id_decode, span_id_decode, parent_span_id_decode)
-    hit = _TRACE_EXPR_CACHE.get(key[1:])
-    if hit is not None and hit[0] == key[0]:
-        return hit[1]
     span = F.col("_sp")
     start = span["startTimeUnixNano"].cast("long")
     end = F.when(
@@ -352,9 +349,7 @@ def _trace_span_exprs(trace_id_decode: bool, span_id_decode: bool,
         F.lit("statusMessage"),
         F.coalesce(span["status"]["message"], F.lit("")),
     )
-    exprs = (contents, _div_long(end, 1_000_000_000))
-    _TRACE_EXPR_CACHE[key[1:]] = (key[0], exprs)
-    return exprs
+    return contents, _div_long(end, 1_000_000_000)
 
 
 # ------------------------------ logs ------------------------------------
@@ -476,24 +471,15 @@ def _with_label(entries: Column, key: str, value: Column) -> Column:
     )
 
 
-_METRIC_EXPR_CACHE: dict = {}
-
-
+@_expr_template
 def _metric_row_exprs() -> tuple:
     """Build (all_rows, output projection columns) for the metric
     conversion — pure unresolved expression trees over the fixed
     internal aliases ``_m``/``_res``/``_mn``/``_r``, identical on every
     call. Construction costs ~2 s of py4j round-trips (thousands of
     Column calls), so the trees are built ONCE per py4j gateway and
-    reused — the classic prepared-plan-template pattern; a new JVM
-    (different gateway identity) rebuilds them."""
-    from pyspark import SparkContext
-
-    key = id(SparkContext._gateway) if SparkContext._gateway else None
-    hit = _METRIC_EXPR_CACHE.get("exprs")
-    if hit is not None and hit[0] == key:
-        return hit[1]
-
+    reused — the prepared-plan-template pattern (operators.common.
+    expr_template); a new JVM rebuilds them."""
     met = F.col("_m")
     res = F.col("_res")
 
@@ -693,9 +679,7 @@ def _metric_row_exprs() -> tuple:
         _go_float_str(F.col("_r.val")).alias("__value__"),
         F.col("_r.val").alias("__value_num__"),
     )
-    exprs = (met["name"].alias("_mn"), all_rows, out_cols)
-    _METRIC_EXPR_CACHE["exprs"] = (key, exprs)
-    return exprs
+    return met["name"].alias("_mn"), all_rows, out_cols
 
 
 def otel_metrics_to_logs(df: DataFrame, source_col: str = "content") -> DataFrame:

@@ -327,13 +327,26 @@ def streaming_minhash_admission(
     index_dir = f"{out_dir}/band_index"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
             try:
-                seen = spark.read.parquet(index_dir).select(
-                    "band_idx", "band")
-            except Exception:  # first batch: no index yet
+                # EXCLUDE this batch's own partition: a replayed batch
+                # (post-crash re-fire before the checkpoint commit) must
+                # probe the index as it stood BEFORE its first attempt,
+                # or it would see its own bands, flip its docs to
+                # dup_snapshot, and overwrite its index increment with
+                # an empty set
+                seen = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("band_idx", "band")
+                )
+            except AnalysisException:  # first batch: no index yet —
+                # any OTHER read failure (corrupt footer, fs error) must
+                # surface, not silently admit the whole batch as new
                 seen = spark.createDataFrame(
                     [], "band_idx int, band string")
             decisions = incremental_minhash_dedup(
