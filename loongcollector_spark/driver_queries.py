@@ -1997,6 +1997,39 @@ GROUP BY d.doc_id
 """
 
 
+def q_media_decode_mp4(spark, sf_dir):
+    """REAL MP4 container walk (ISO BMFF stsd/stsz/stsc/stco sample
+    tables) + per-sample JPEG decode for a 'jpeg'-codec track — frame f
+    block b = 128 + 2*((id*5 + f*11 + b) % 113 - 56); the oracle
+    recomputes the whole-video mean closed-form."""
+    from loongcollector_spark.functions.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir), "mp4")
+    return extract_features(media).select(
+        "doc_id",
+        F.floor(F.col("feat_mean") * 100).cast("long").alias("feat_mean_1e2"),
+        "feat_dim", "ok",
+    )
+
+
+O_MEDIA_DECODE_MP4 = """
+SELECT d.doc_id,
+  cast(floor(100.0 * avg(128 + 2 * ((d.doc_id * 5 + f.f * 11 + g.b) % 113
+                                    - 56))) AS BIGINT) AS feat_mean_1e2,
+  cast((d.doc_id % 5 + 2) * 64 * (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2)
+       AS INT) AS feat_dim,
+  true AS ok
+FROM documents d,
+     generate_series(0, 6) AS f(f),
+     generate_series(0, 7 * 5 - 1) AS g(b)
+WHERE f.f < d.doc_id % 5 + 2
+  AND g.b < (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2)
+GROUP BY d.doc_id
+"""
+
+
 def q_media_decode_audio(spark, sf_dir):
     """REAL audio decode: RIFF/WAVE PCM16 payloads built per doc_id
     (sample_i = ((doc_id*7+i) % 512 - 256) * 64, 1600 samples @16 kHz),
@@ -6581,6 +6614,7 @@ QUERIES = {
     "media_decode_audio": (q_media_decode_audio, O_MEDIA_DECODE_AUDIO),
     "media_decode_jpeg": (q_media_decode_jpeg, O_MEDIA_DECODE_JPEG),
     "media_decode_avi": (q_media_decode_avi, O_MEDIA_DECODE_AVI),
+    "media_decode_mp4": (q_media_decode_mp4, O_MEDIA_DECODE_MP4),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "serialized_events": (q_serialized_events, O_SERIALIZED_EVENTS),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),

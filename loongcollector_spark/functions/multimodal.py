@@ -199,6 +199,22 @@ def synthetic_media(df: DataFrame, media_type: str = "image") -> DataFrame:
                         for f in range(nf)
                     ]
                     payload = encode_y4m(w, h, frames)
+                elif media_type == "mp4":
+                    # JPEG-codec MP4 (QuickTime Motion-JPEG shape): the
+                    # same lossless-DC blocks, frame shift ×11 so mp4
+                    # and avi fixtures can't be confused
+                    bw_, bh_ = d % 6 + 2, d % 4 + 2
+                    w, h = 8 * bw_, 8 * bh_
+                    nf, sr = d % 5 + 2, 0
+                    jf = []
+                    for f in range(nf):
+                        vals = 128 + 2 * (
+                            (d * 5 + f * 11 + np.arange(bh_ * bw_)) % 113 - 56)
+                        img = np.kron(vals.reshape(bh_, bw_),
+                                      np.ones((8, 8), np.int64)).astype(np.uint8)
+                        jf.append(encode_jpeg(img, quality=50))
+                    payload = encode_mp4_mjpeg(w, h, jf)
+                    out_type = "video"
                 elif media_type == "avi":
                     # MJPEG AVI: per-frame block-uniform JPEGs (the q50
                     # lossless-DC construction, frame-shifted) — an
@@ -307,22 +323,26 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                 w, h, n, _offs = parsed
                 means = [decode_y4m_frame(payload, f).mean() for f in range(n)]
                 return float(np.mean(means)), int(n * w * h), True
-            parsed = try_parse_avi(payload)
-            if parsed is not None:
-                w, h, n, _frames = parsed
+            for parse, decode in ((try_parse_avi, decode_avi_frame),
+                                  (try_parse_mp4, decode_mp4_frame)):
+                parsed = parse(payload)
+                if parsed is None:
+                    continue
+                n = parsed[2]
                 # integral global mean (one exact sum/count division, not
                 # a float mean-of-frame-means) so the closed-form SQL
                 # oracle's avg() lands on the same double
                 tot = px = 0
                 for f in range(n):
-                    a = decode_avi_frame(payload, f, parsed)
-                    if a is None:  # a frame the JPEG decoder rejects
+                    a = decode(payload, f, parsed)
+                    if a is None:  # a frame the codec can't decode
                         tot = px = 0  # fall through to the raw-byte stub
                         break
                     tot += int(a.sum(dtype=np.int64))
                     px += a.size
                 if px:
                     return tot / px, int(px), True
+                break
         elif media_type == "audio":
             wav = try_decode_wav(payload)
             if wav is not None:
@@ -637,6 +657,161 @@ def decode_avi_frame(payload, frame_idx: int, parsed=None):
     return try_decode_jpeg(bytes(payload)[off:off + size])
 
 
+# --- MP4 / ISO BMFF: the container walk is stdlib-real ----------------
+# ISO/IEC 14496-12 box structure: ftyp + mdat + moov(trak(mdia(hdlr
+# 'vide', minf(stbl(stsd codec, stts, stsc, stsz, stco))))). Parsing the
+# sample tables — codec fourcc, per-sample sizes, chunk offsets — needs
+# nothing beyond struct, so frame indexing/sampling is REAL for any MP4;
+# per-frame DECODE is real when the track codec is JPEG ('jpeg'/'mjpa',
+# QuickTime Motion-JPEG in MP4) via jpegcodec.py, and None for
+# inter-frame codecs (avc1/hvc1 — a motion-compensated decoder is a
+# library, not a module; that single step stays stubbed).
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return _struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+    return _box(btype, _struct.pack(">I", version << 24) + payload)
+
+
+def encode_mp4_mjpeg(width: int, height: int, jpeg_frames,
+                     fps: int = 25) -> bytes:
+    """Minimal spec-shaped MP4 with one 'jpeg'-codec video track; all
+    samples in one chunk (stsc 1 entry, stco 1 absolute offset)."""
+    n = len(jpeg_frames)
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isommp41")
+    mdat_payload = b"".join(jpeg_frames)
+    mdat = _box(b"mdat", mdat_payload)
+    chunk_off = len(ftyp) + 8  # mdat header is 8 bytes
+    dur = n * fps
+    mvhd = _full(b"mvhd", _struct.pack(">IIII", 0, 0, fps * fps, dur)
+                 + b"\x00" * 80)
+    tkhd = _full(b"tkhd", _struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                 + b"\x00" * 52
+                 + _struct.pack(">II", width << 16, height << 16),
+                 version=0)
+    mdhd = _full(b"mdhd", _struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0))
+    hdlr = _full(b"hdlr", _struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"video\x00")
+    # VisualSampleEntry 'jpeg': 6 reserved + data_ref_index, 16 bytes
+    # pre_defined/reserved, width/height, resolution, frame_count,
+    # compressorname(32), depth, pre_defined
+    entry = (b"\x00" * 6 + _struct.pack(">H", 1) + b"\x00" * 16
+             + _struct.pack(">HH", width, height)
+             + _struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+             + b"\x00" * 32 + _struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", _struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _full(b"stts", _struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", _struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", _struct.pack(">II", 0, n) + b"".join(
+        _struct.pack(">I", len(f)) for f in jpeg_frames))
+    stco = _full(b"stco", _struct.pack(">II", 1, chunk_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full(b"vmhd", b"\x00" * 8, version=0)
+    # dref with one self-contained 'url ' entry (flags=1)
+    dref = _full(b"dref", _struct.pack(">I", 1)
+                 + _struct.pack(">I", 12) + b"url " + _struct.pack(">I", 1))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_children(buf: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        (size,) = _struct.unpack(">I", buf[pos:pos + 4])
+        btype = buf[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            break  # size-0/64-bit/truncated: stop cleanly
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, pos: int, end: int, path: list[bytes]):
+    for btype, body, bend in _mp4_children(buf, pos, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                yield body, bend
+            else:
+                yield from _mp4_find(buf, body, bend, path[1:])
+
+
+def try_parse_mp4(payload):
+    """MP4 → (width, height, n_samples, [(offset, size)], codec_fourcc)
+    for the first video track, from the stsd/stsz/stsc/stco sample
+    tables; None if not an ISO BMFF file with a video track."""
+    if not payload:
+        return None
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return None
+    for trak_body, trak_end in _mp4_find(buf, 0, len(buf),
+                                         [b"moov", b"trak"]):
+        hdlrs = list(_mp4_find(buf, trak_body, trak_end, [b"mdia", b"hdlr"]))
+        if not hdlrs or buf[hdlrs[0][0] + 8:hdlrs[0][0] + 12] != b"vide":
+            continue
+        stbls = list(_mp4_find(buf, trak_body, trak_end,
+                               [b"mdia", b"minf", b"stbl"]))
+        if not stbls:
+            continue
+        sb, se = stbls[0]
+        tables = {t: (b, e) for t, b, e in _mp4_children(buf, sb, se)}
+        if not {b"stsd", b"stsz", b"stsc", b"stco"} <= set(tables):
+            continue
+        # stsd: entry_count(4 after version/flags) then first sample entry
+        db = tables[b"stsd"][0]
+        codec = buf[db + 12:db + 16].decode("latin-1")
+        w, h = _struct.unpack(">HH", buf[db + 40:db + 44])
+        zb = tables[b"stsz"][0]
+        uniform, count = _struct.unpack(">II", buf[zb + 4:zb + 12])
+        sizes = ([uniform] * count if uniform else list(
+            _struct.unpack(f">{count}I", buf[zb + 12:zb + 12 + 4 * count])))
+        cb, ce = tables[b"stco"]
+        (n_chunks,) = _struct.unpack(">I", buf[cb + 4:cb + 8])
+        chunk_offs = _struct.unpack(
+            f">{n_chunks}I", buf[cb + 8:cb + 8 + 4 * n_chunks])
+        scb = tables[b"stsc"][0]
+        (n_sc,) = _struct.unpack(">I", buf[scb + 4:scb + 8])
+        sc = [_struct.unpack(">III", buf[scb + 8 + 12 * i:scb + 20 + 12 * i])
+              for i in range(n_sc)]
+        frames, s = [], 0
+        for ci in range(n_chunks):
+            per = next((spc for first, spc, _d in reversed(sc)
+                        if first <= ci + 1), 0)
+            off = chunk_offs[ci]
+            for _ in range(per):
+                if s >= count:
+                    break
+                frames.append((off, sizes[s]))
+                off += sizes[s]
+                s += 1
+        if not frames:
+            continue
+        return int(w), int(h), len(frames), frames, codec
+    return None
+
+
+_MP4_JPEG_CODECS = {"jpeg", "mjpa", "mjpb"}
+
+
+def decode_mp4_frame(payload, frame_idx: int, parsed=None):
+    """Pixels of sample ``frame_idx`` when the track codec is JPEG;
+    None for inter-frame codecs (avc1/...) or bad indexes."""
+    if parsed is None:
+        parsed = try_parse_mp4(payload)
+    if parsed is None:
+        return None
+    _w, _h, n, frames, codec = parsed
+    if codec not in _MP4_JPEG_CODECS or not (0 <= frame_idx < n):
+        return None
+    off, size = frames[frame_idx]
+    return try_decode_jpeg(bytes(payload)[off:off + size])
+
+
 def video_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
     """REAL frame sampling: every ``every_n``-th frame of each video row
     is decoded (Y4M Y plane, or MJPEG-AVI frame JPEG) and summarized —
@@ -656,12 +831,16 @@ def video_frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
                     parsed = try_parse_avi(payload)
                     decode = decode_avi_frame
                 if parsed is None:
+                    parsed = try_parse_mp4(payload)
+                    decode = decode_mp4_frame
+                if parsed is None:
                     rows.append((int(doc_id), -1, 0.0, 0, 0, False))
                     continue
-                w, h, n, _offsets = parsed
+                w, h, n = parsed[0], parsed[1], parsed[2]
                 for f in range(0, n, every_n):
-                    y = (decode(payload, f, parsed)
-                         if decode is decode_avi_frame else decode(payload, f))
+                    y = (decode(payload, f)
+                         if decode is decode_y4m_frame
+                         else decode(payload, f, parsed))
                     if y is None:  # per-frame codec failure: mark, don't kill
                         rows.append((int(doc_id), f, 0.0, w, h, False))
                         continue

@@ -206,3 +206,46 @@ def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
                             + np.arange(blocks)) % 113 - 56))
             assert abs(r["y_mean"] - want) < 1e-9
             assert r["ok"]
+
+
+def test_mp4_container_walk_and_codec_gate(spark):
+    """ISO BMFF sample-table walk: JPEG-codec samples decode bit-exact;
+    an avc1 track parses (REAL frame indexing) but decode returns None
+    and the frame sampler marks rows not-ok instead of crashing."""
+    import numpy as np
+
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+    from loongcollector_spark.functions.multimodal import (
+        decode_mp4_frame, encode_mp4_mjpeg, synthetic_media, try_parse_mp4,
+        video_frame_features,
+    )
+
+    d = 5
+    bw_, bh_ = d % 6 + 2, d % 4 + 2
+    w, h = 8 * bw_, 8 * bh_
+    frames, imgs = [], []
+    for f in range(3):
+        vals = 128 + 2 * ((d * 5 + f * 11 + np.arange(bh_ * bw_)) % 113 - 56)
+        img = np.kron(vals.reshape(bh_, bw_),
+                      np.ones((8, 8), np.int64)).astype(np.uint8)
+        imgs.append(img)
+        frames.append(encode_jpeg(img, quality=50))
+    mp4 = encode_mp4_mjpeg(w, h, frames)
+    parsed = try_parse_mp4(mp4)
+    assert parsed[:3] == (w, h, 3) and parsed[4] == "jpeg"
+    for f in range(3):
+        assert (decode_mp4_frame(mp4, f, parsed) == imgs[f]).all()
+
+    # same container, codec fourcc swapped to avc1: the walk still
+    # indexes every sample; only the decode is (honestly) stubbed
+    avc = mp4.replace(b"jpeg", b"avc1", 1)
+    p2 = try_parse_mp4(avc)
+    assert p2 is not None and p2[2] == 3 and p2[4] == "avc1"
+    assert decode_mp4_frame(avc, 0, p2) is None
+
+    docs = spark.createDataFrame([(4, "x")], "doc_id long, text string")
+    media = synthetic_media(docs, "mp4")
+    rows = video_frame_features(media, every_n=2).collect()
+    nf = 4 % 5 + 2
+    assert sorted(r["frame_idx"] for r in rows) == list(range(0, nf, 2))
+    assert all(r["ok"] for r in rows)
