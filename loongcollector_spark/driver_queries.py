@@ -871,6 +871,71 @@ GROUP BY role, next_role
 """
 
 
+def q_tool_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the tool-handoff graph (node = tool
+    if set else role, edges = consecutive turns per conversation): 3
+    quantized rounds — per-edge (rank·w) DIV out, per-node base +
+    (850·Σ) DIV 1000 — replayed to equality by the unrolled oracle."""
+    from pyspark.sql import Window
+
+    from loongcollector_spark.functions.graph import pagerank_int
+
+    df = transcripts_from_events(spark, sf_dir)
+    node = F.when(
+        F.col("tool").isNotNull() & (F.col("tool") != ""), F.col("tool")
+    ).otherwise(F.col("role"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    steps = df.select(node.alias("src"),
+                      F.lead(node).over(w).alias("dst"))
+    edges = (
+        steps.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst").agg(F.count("*").alias("c"))
+    )
+    return pagerank_int(edges, iters=3)
+
+
+def _pagerank_oracle(iters: int, damping_milli: int = 850) -> str:
+    base = (1000 - damping_milli) * 1_000_000 // 1000
+    head = _ORACLE_T + """
+, steps AS (
+  SELECT CASE WHEN tool IS NOT NULL AND tool <> '' THEN tool ELSE role END
+           AS src,
+    lead(CASE WHEN tool IS NOT NULL AND tool <> '' THEN tool ELSE role END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM t
+),
+edges AS (
+  SELECT src, dst, count(*) AS c FROM steps WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+o AS (SELECT src, sum(c) AS outn FROM edges GROUP BY src),
+e AS (SELECT edges.*, o.outn FROM edges JOIN o USING (src)),
+p0 AS (SELECT node, cast(1000000 AS BIGINT) AS p FROM nodes)"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+s{t} AS (
+  SELECT e.dst AS node, sum((p.p * e.c) // e.outn) AS sm
+  FROM e JOIN p{t - 1} p ON p.node = e.src GROUP BY e.dst
+),
+p{t} AS (
+  SELECT n.node,
+    cast({base} + ({damping_milli} * coalesce(s.sm, 0)) // 1000 AS BIGINT)
+      AS p
+  FROM nodes n LEFT JOIN s{t} s USING (node)
+)""")
+    parts.append(f"""
+SELECT node, p AS rank_micro FROM p{iters}""")
+    return "".join(parts)
+
+
+O_TOOL_PAGERANK = _pagerank_oracle(3)
+
+
 def q_conv_shape_dedup(spark, sf_dir):
     """Structural conversation dedup: fingerprint each conversation by the
     ordered (role/tool) SHAPE of its opening turns (text ignored,
@@ -6702,6 +6767,7 @@ QUERIES = {
     "dup_ngram_ratio": (q_dup_ngram_ratio, O_DUP_NGRAM_RATIO),
     "curation_pipeline": (q_curation_pipeline, O_CURATION_PIPELINE),
     "conv_transitions": (q_conv_transitions, O_CONV_TRANSITIONS),
+    "tool_pagerank": (q_tool_pagerank, O_TOOL_PAGERANK),
     "lumberjack_decode": (q_lumberjack_decode, O_LUMBERJACK_DECODE),
     "nginx_status": (q_nginx_status, O_NGINX_STATUS),
     "pyroscope_profiles": (q_pyroscope_profiles, O_PYROSCOPE_PROFILES),

@@ -589,3 +589,31 @@ def test_kmv_distinct_exact_and_estimate(spark):
     est, truth = got["big"]["kmv_estimate"], 2000
     assert abs(est - truth) / truth < 0.5  # 3.9 sigma at k=64
     assert got["big"]["n_hashes"] == 64
+
+
+def test_pagerank_int_matches_python_model(spark):
+    """3 quantized rounds on a small weighted digraph — exact against a
+    dict-based reimplementation of the same integer arithmetic."""
+    from loongcollector_spark.functions.graph import pagerank_int
+
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "a", 1),
+             ("d", "a", 5)]  # d has no in-edges -> stays at base
+    df = spark.createDataFrame(edges, "src string, dst string, c long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_int(df, iters=3).collect()}
+
+    nodes = {n for e in edges for n in e[:2]}
+    out = {}
+    for s, _d, c in edges:
+        out[s] = out.get(s, 0) + c
+    p = {n: 1_000_000 for n in nodes}
+    base = 150 * 1_000_000 // 1000
+    for _ in range(3):
+        s = {}
+        for a, b, c in edges:
+            s[b] = s.get(b, 0) + (p[a] * c) // out[a]
+        p = {n: base + (850 * s.get(n, 0)) // 1000 for n in nodes}
+    assert got == p
+    assert got["d"] == base
+    # ranks order: c receives from everyone upstream of it
+    assert got["c"] > got["b"]
