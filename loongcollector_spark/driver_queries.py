@@ -4777,6 +4777,30 @@ FROM c JOIN sk USING (event_type)
 """
 
 
+def q_pool_embeddings(spark, sf_dir):
+    """Chunk→document embedding pooling: consecutive groups of 4 vectors
+    mean-pooled per dimension with per-element integer quantization
+    BEFORE the sum (order-free, hash-exact) — one per-(group, dim) row
+    so every pooled dimension is verified, not a summary."""
+    from loongcollector_spark.functions.similarity import pool_embeddings
+
+    return pool_embeddings(_emb(spark, sf_dir), group_size=4)
+
+
+O_POOL_EMBEDDINGS = """
+WITH ex AS (
+  SELECT vec_id // 4 AS group_id,
+         cast(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         cast(floor(cast(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings
+)
+SELECT group_id, dim, cast(count(*) AS BIGINT) AS n_vecs,
+  cast(floor(sum(q) / count(*)) AS BIGINT) AS mean_q
+FROM ex GROUP BY group_id, dim
+"""
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): raw = all docs,
     target = every 7th doc; per-doc hashed-n-gram importance score with
@@ -6707,6 +6731,7 @@ QUERIES = {
     "train_perceptron": (q_train_perceptron, O_TRAIN_PERCEPTRON),
     "dsir_scores": (q_dsir_scores, O_DSIR_SCORES),
     "kmv_distinct": (q_kmv_distinct, O_KMV_DISTINCT),
+    "pool_embeddings": (q_pool_embeddings, O_POOL_EMBEDDINGS),
     "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
     "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

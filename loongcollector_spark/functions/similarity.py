@@ -500,3 +500,39 @@ def pq_topk(
         .orderBy(F.col("l2_dist_u").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pool_embeddings(df: DataFrame, group_size: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Mean-pool consecutive groups of embeddings — the chunk→document
+    (or turn→conversation) pooling step of an embedding pipeline.
+    Returns one row per (group, dimension): ``(group_id, dim, n_vecs,
+    mean_q)`` with mean_q = floor(Σ floor(v·scale) / n).
+
+    Order-free by construction: each float quantizes to an integer
+    BEFORE the sum (float addition order would otherwise differ between
+    engines/partitionings — the lm.py trick applied to vectors), so the
+    pooled values hash-match a DuckDB replay exactly. Per-dim rows make
+    every dimension verifiable rather than summarizing the vector.
+
+    Scale shape: posexplode rides the scan; the only shuffle is the
+    (group, dim) partial-aggregated sum — integer rows, map-side
+    combinable; reassembling `array` vectors is one optional
+    collect_list away when a consumer needs them packed."""
+    gid = F.expr(f"{id_col} DIV {group_size}").alias("group_id")
+    ex = df.select(
+        gid, F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    ).select(
+        "group_id", "dim",
+        F.floor(F.col("_v").cast("double") * scale).cast("long").alias("_q"),
+    )
+    return (
+        ex.groupBy("group_id", "dim")
+        .agg(F.count("*").alias("n_vecs"), F.sum("_q").alias("_s"))
+        .select(
+            "group_id", "dim", "n_vecs",
+            F.floor(F.col("_s") / F.col("n_vecs")).cast("long")
+            .alias("mean_q"),
+        )
+    )
