@@ -4732,6 +4732,50 @@ SELECT hour, cast(rank AS INT) AS rank, event_type, n FROM (
 """
 
 
+def q_decayed_counts(spark, sf_dir):
+    """Time-decayed per-user activity (the freshness-weighted engagement
+    metric of telemetry rollups): each event weighs 2^-age_days (one
+    halflife per day) — implemented as an integer SHIFT
+    (1e6 DIV (1 << age_days)), so the decay is exact in both engines
+    (libm pow differs in ulps; shifts cannot). Reference time = max(ts)
+    over the table, making the query deterministic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = ev.agg(F.max("ts")).first()[0]
+    age_days = F.floor(
+        (F.unix_micros(F.lit(ref).cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp")))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    k = F.least(age_days, F.lit(40))
+    # 1e6 / 2^k is EXACT in double (1e6 < 2^20; power-of-two scaling),
+    # so the long cast equals DuckDB's integer // division. SQL-function
+    # shiftleft (column bit count — the DataFrame API wants a literal)
+    w = F.expr("cast(1000000 / shiftleft(cast(1 AS BIGINT), "
+               "cast(_k AS INT)) AS BIGINT)")
+    return (
+        ev.select("user_id", k.alias("_k"))
+        .select("user_id", w.alias("_w"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("_w").alias("decayed_1e6"))
+    )
+
+
+O_DECAYED_COUNTS = """
+WITH r AS (SELECT max(ts) AS ref FROM events),
+w AS (
+  SELECT user_id,
+    1000000 // (1 << least(cast(floor(
+      (epoch_us(r.ref) - epoch_us(ts)) / 86400000000) AS BIGINT), 40))
+      AS wt
+  FROM events, r
+)
+SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+  cast(sum(wt) AS BIGINT) AS decayed_1e6
+FROM w GROUP BY user_id
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV / bottom-k distinct sketch (Beyer et al. SIGMOD'07): distinct
     users per event_type, estimated from the 64 minimum md5 prefixes —
@@ -6732,6 +6776,7 @@ QUERIES = {
     "dsir_scores": (q_dsir_scores, O_DSIR_SCORES),
     "kmv_distinct": (q_kmv_distinct, O_KMV_DISTINCT),
     "pool_embeddings": (q_pool_embeddings, O_POOL_EMBEDDINGS),
+    "decayed_counts": (q_decayed_counts, O_DECAYED_COUNTS),
     "char_entropy": (q_char_entropy, O_CHAR_ENTROPY),
     "incremental_dedup": (q_incremental_dedup, O_INCREMENTAL_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
