@@ -762,20 +762,41 @@ def try_parse_mp4(payload):
         tables = {t: (b, e) for t, b, e in _mp4_children(buf, sb, se)}
         if not {b"stsd", b"stsz", b"stsc", b"stco"} <= set(tables):
             continue
-        # stsd: entry_count(4 after version/flags) then first sample entry
-        db = tables[b"stsd"][0]
+        # stsd: entry_count(4 after version/flags) then first sample
+        # entry. Every count is bounds-checked against its box before
+        # unpacking — a corrupted table must parse to None, never raise
+        db, de = tables[b"stsd"]
+        if de - db < 44:
+            continue
         codec = buf[db + 12:db + 16].decode("latin-1")
         w, h = _struct.unpack(">HH", buf[db + 40:db + 44])
-        zb = tables[b"stsz"][0]
+        zb, ze = tables[b"stsz"]
+        if ze - zb < 12:
+            continue
         uniform, count = _struct.unpack(">II", buf[zb + 4:zb + 12])
-        sizes = ([uniform] * count if uniform else list(
-            _struct.unpack(f">{count}I", buf[zb + 12:zb + 12 + 4 * count])))
+        if count > len(buf):  # corrupted count: would allocate GBs
+            continue
+        if uniform:
+            sizes = [uniform] * count
+        elif zb + 12 + 4 * count <= ze:
+            sizes = list(_struct.unpack(
+                f">{count}I", buf[zb + 12:zb + 12 + 4 * count]))
+        else:
+            continue
         cb, ce = tables[b"stco"]
+        if ce - cb < 8:
+            continue
         (n_chunks,) = _struct.unpack(">I", buf[cb + 4:cb + 8])
+        if cb + 8 + 4 * n_chunks > ce:
+            continue
         chunk_offs = _struct.unpack(
             f">{n_chunks}I", buf[cb + 8:cb + 8 + 4 * n_chunks])
-        scb = tables[b"stsc"][0]
+        scb, sce = tables[b"stsc"]
+        if sce - scb < 8:
+            continue
         (n_sc,) = _struct.unpack(">I", buf[scb + 4:scb + 8])
+        if scb + 8 + 12 * n_sc > sce:
+            continue
         sc = [_struct.unpack(">III", buf[scb + 8 + 12 * i:scb + 20 + 12 * i])
               for i in range(n_sc)]
         frames, s = [], 0

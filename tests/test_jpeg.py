@@ -249,3 +249,35 @@ def test_mp4_container_walk_and_codec_gate(spark):
     nf = 4 % 5 + 2
     assert sorted(r["frame_idx"] for r in rows) == list(range(0, nf, 2))
     assert all(r["ok"] for r in rows)
+
+
+def test_container_walkers_never_raise_on_truncations():
+    """Every prefix truncation and byte corruption of valid AVI/MP4
+    containers must parse to None or a smaller frame set — never raise
+    (a poisoned asset row must never kill a worker)."""
+    import numpy as np
+
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+    from loongcollector_spark.functions.multimodal import (
+        decode_avi_frame, decode_mp4_frame, encode_avi_mjpeg,
+        encode_mp4_mjpeg, try_parse_avi, try_parse_mp4,
+    )
+
+    img = np.full((16, 16), 128, np.uint8)
+    jf = [encode_jpeg(img, quality=50)] * 2
+    for blob, parse, decode in (
+        (encode_avi_mjpeg(16, 16, jf), try_parse_avi, decode_avi_frame),
+        (encode_mp4_mjpeg(16, 16, jf), try_parse_mp4, decode_mp4_frame),
+    ):
+        for cut in range(0, len(blob), 7):
+            p = parse(blob[:cut])
+            if p is not None:
+                decode(blob[:cut], 0, p)  # may be None, must not raise
+        # single-byte corruptions across the WHOLE container (the sample
+        # tables live in moov, after mdat — counts/offsets there must
+        # fail soft too)
+        for i in range(0, len(blob), 3):
+            mut = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1:]
+            p = parse(mut)
+            if p is not None:
+                decode(mut, 0, p)
