@@ -320,6 +320,25 @@ def streaming_minhash_admission(
     on the 16-byte band hash it makes each day's admission a
     bucket-local join, and this streaming wrapper is the same job at
     micro-batch cadence."""
+    process = minhash_admission_batch(
+        out_dir, n_hashes, shingle, bands, text_col, id_col)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out_dir}/_admission_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def minhash_admission_batch(out_dir: str, n_hashes: int = 4,
+                            shingle: int = 3, bands: int = 2,
+                            text_col: str = "text", id_col: str = "doc_id"):
+    """The per-micro-batch admission step, exposed as a plain
+    (batch_df, batch_id) callable so the replay-idempotence contract is
+    directly testable (call it twice with the same batch_id — decisions
+    and index increment must come out identical)."""
     from loongcollector_spark.functions.dedup import (
         incremental_minhash_dedup, minhash_band_frame,
     )
@@ -366,13 +385,7 @@ def streaming_minhash_admission(
         finally:
             batch_df.unpersist()
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{out_dir}/_admission_checkpoint")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return process
 
 
 def multiline_merge_stream(

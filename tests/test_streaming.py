@@ -377,3 +377,39 @@ def test_streaming_minhash_admission_across_batches(spark, stream_dirs):
     idx_docs = {r["doc_id"] for r in
                 spark.read.parquet(f"{out}/band_index").collect()}
     assert idx_docs == {1, 2, 3, 12}
+
+
+def test_minhash_admission_replay_is_idempotent(spark, stream_dirs):
+    """The exactly-once contract, exercised directly: re-firing a batch
+    with the same batch_id (post-crash foreachBatch replay) must produce
+    byte-identical decisions and index increment — in particular the
+    replay must NOT see its own first-attempt bands and flip its docs to
+    dup_snapshot."""
+    from loongcollector_spark.streaming import minhash_admission_batch
+
+    _src, out = stream_dirs
+    process = minhash_admission_batch(out)
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    process(b0, 0)
+    first = sorted((r["doc_id"], r["status"]) for r in
+                   spark.read.parquet(f"{out}/decisions").collect())
+    assert first == [(1, "new"), (2, "new")]
+
+    process(b0, 0)  # replay of the SAME batch id
+    again = sorted((r["doc_id"], r["status"]) for r in
+                   spark.read.parquet(f"{out}/decisions").collect())
+    assert again == first
+    idx = spark.read.parquet(f"{out}/band_index")
+    assert {r["doc_id"] for r in idx.collect()} == {1, 2}
+
+    # and a LATER batch still sees batch 0's bands
+    b1 = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy cat today")],
+        "doc_id long, text string")
+    process(b1, 1)
+    dec = {r["doc_id"]: r["status"] for r in
+           spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[11] == "dup_snapshot"
