@@ -689,7 +689,7 @@ O_AGGREGATOR_BASE_PACKS = _ORACLE_T + """
 ), p AS (
   SELECT conv_id, pack_id, count(*) AS fill FROM r GROUP BY 1, 2
 )
-SELECT conv_id, count(*) AS n_packs, sum(fill) AS n_logs,
+SELECT conv_id, count(*) AS n_packs, cast(sum(fill) AS BIGINT) AS n_logs,
   max(fill) AS max_fill, min(fill) AS min_fill,
   min(pack_id) AS first_pack_id, 'transcripts' AS topic
 FROM p GROUP BY conv_id
@@ -5146,7 +5146,7 @@ WITH o AS (
                   ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM o
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, cast(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
   min(ts) AS t_start, max(ts) AS t_end,
   cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, session_idx
@@ -5807,7 +5807,7 @@ WITH r AS (
   WINDOW tw AS (PARTITION BY endpoint ORDER BY us
                 RANGE BETWEEN 10000000 PRECEDING AND 1 PRECEDING)
 )
-SELECT event_id, endpoint, win_total, win_failed,
+SELECT event_id, endpoint, win_total, cast(win_failed AS BIGINT) AS win_failed,
   CASE WHEN win_total > 0
        THEN cast(floor(win_failed * 1000.0 / win_total) AS BIGINT)
        ELSE 0 END AS fail_ratio_milli,

@@ -21,6 +21,23 @@ TABLES = [
 ]
 
 
+def kind(s: pd.Series) -> str:
+    """Dtype KIND — the driver's value hash is dtype-sensitive (int 1200
+    vs float 1200.0 hash differently), so a DuckDB HUGEINT (sum over
+    BIGINT -> pandas float64) against a Spark int64 is a real failure
+    even though values compare equal. Caught live: aggregator_base_packs
+    r03 red row."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
@@ -52,15 +69,24 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = canon(fn(spark, sf_dir).toPandas())
+            raw_got = fn(spark, sf_dir).toPandas()
+            got = canon(raw_got)
             if oracle is None:
                 # rows-only check (driver's weaker gate for non-SQL ops)
                 print(f"PASS {name} (rows-only: {len(got)} rows)")
                 n_pass += 1
                 continue
-            want = canon(con.sql(oracle).df())
+            raw_want = con.sql(oracle).df()
+            want = canon(raw_want)
             assert list(got.columns) == list(want.columns), (
                 f"columns {list(got.columns)} vs {list(want.columns)}")
+            if len(raw_got):
+                for c in raw_got.columns:
+                    ks, kd = kind(raw_got[c]), kind(raw_want[c])
+                    assert ks == kd, (
+                        f"dtype kind mismatch on {c}: spark "
+                        f"{raw_got[c].dtype}({ks}) vs duckdb "
+                        f"{raw_want[c].dtype}({kd})")
             assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
             print(f"PASS {name} ({len(got)} rows)")
