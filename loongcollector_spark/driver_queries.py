@@ -3222,7 +3222,7 @@ c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
 v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(words) AS w FROM d)),
 s AS (
   SELECT b.doc_id,
-    floor(1000.0 * log10((n2 + 1.0) / (n1 + cast(v.v AS DOUBLE)))) AS li
+    floor(1000.0 * log10((n2 + 1.0) / (n1 + cast(v.v AS DOUBLE))) + 1e-9) AS li
   FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
 )
 SELECT doc_id, count(*) AS n_bigrams,
@@ -4805,9 +4805,10 @@ sk AS (
   SELECT event_type,
     cast(count(*) AS BIGINT) AS n_hashes,
     CASE WHEN count(*) < 64 THEN cast(count(*) AS BIGINT)
-         ELSE cast(floor(63 * 281474976710656
-                         / ('0x' || max(CASE WHEN rn = 64 THEN hh END))
-                           ::UBIGINT) AS BIGINT)
+         ELSE cast(63 * 281474976710656
+                   // greatest(cast(('0x' || max(CASE WHEN rn = 64 THEN hh
+                                                 END))::UBIGINT AS BIGINT),
+                               1) AS BIGINT)
     END AS kmv_estimate
   FROM r WHERE rn <= 64 GROUP BY event_type
 ),
@@ -4887,7 +4888,7 @@ ratio AS (
     cast(floor(1000.0 * log10(
       ((coalesce(t_n, 0) + 1) * cast(tot.r_tot + 1024 AS DOUBLE))
       / ((coalesce(r_n, 0) + 1) * cast(tot.t_tot + 1024 AS DOUBLE))
-    )) AS BIGINT) AS lr_1e3
+    ) + 1e-9) AS BIGINT) AS lr_1e3
   FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket, tot
 )
 SELECT f.doc_id, cast(sum(f.n) AS BIGINT) AS n_grams,

@@ -158,10 +158,15 @@ def dsir_scores(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
 
     Returns (doc_id, n_grams, dsir_score_1e3): the per-bucket log10
     ratio is quantized to an integer (floor(1000·log10((t_b+1)(R+B) /
-    (r_b+1)(T+B)))) BEFORE the per-doc sum — the lm.py trick: every
-    ratio is the correctly-rounded double of the same rational in both
-    engines, and integer sums are aggregation-order-free, so the score
-    hash-matches a DuckDB replay. Higher = more target-like.
+    (r_b+1)(T+B)) + 1e-9)) BEFORE the per-doc sum — the lm.py trick:
+    the ratio argument is the correctly-rounded double of the same
+    rational in both engines, and integer sums are aggregation-order-
+    free. log10 itself is only ~1-ulp accurate (not correctly rounded)
+    in either engine, so a bare floor could flip at an integer boundary
+    — the structured case being ratios that are exact powers of ten;
+    the +1e-9 guard (far above the ~1e-12 cross-engine log error, far
+    below the quantization step) pins those, so the score hash-matches
+    a DuckDB replay. Higher = more target-like.
 
     Scale shape: both corpora stream through the shared ``featurize``
     (uni+bigram md5 hashing, no vocabulary state); the bucket ratio
@@ -193,6 +198,7 @@ def dsir_scores(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
                     / ((F.coalesce(F.col("r_n"), F.lit(0)) + 1)
                        * F.lit(float(totals_t + n_buckets)))
                 )
+                + F.lit(1e-9)
             ).alias("lr_1e3"),
         )
     )

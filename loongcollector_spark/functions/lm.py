@@ -51,9 +51,13 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quantized bigram log10-probability average.
 
     Returns (doc_id, n_bigrams, lm_score_1e3) where lm_score_1e3 =
-    floor(avg over bigrams of floor(1000 * log10((c2+1)/(c1+V)))) —
-    closer to 0 reads more like the corpus; a quality gate keeps
-    documents above a threshold (CCNet's head/middle/tail split).
+    floor(avg over bigrams of floor(1000 * log10((c2+1)/(c1+V)) + 1e-9))
+    — closer to 0 reads more like the corpus; a quality gate keeps
+    documents above a threshold (CCNet's head/middle/tail split). The
+    +1e-9 inside the inner floor guards the quantization against the
+    ~1-ulp cross-engine log10 difference (JVM vs libm): without it an
+    exact-power-of-ten probability ratio could floor differently in the
+    DuckDB oracle and flip the hash.
     """
     # materialize the exploded (doc, w1, w2) frame ONCE: c2, c1 and the
     # probe side of the score join all consume it, and their exchanges
@@ -73,6 +77,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(1000.0)
         * F.log10((F.col("n2") + F.lit(1.0))
                   / (F.col("n1") + F.col("v").cast("double")))
+        + F.lit(1e-9)
     )
     scored = (
         bg.join(c2, ["w1", "w2"])      # keyed on the bigram: bucket-able

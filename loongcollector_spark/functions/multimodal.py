@@ -617,9 +617,12 @@ def try_parse_avi(payload):
         return None
     w = h = None
     frames = []
-
-    def walk(pos: int, end: int):
-        nonlocal w, h
+    # Iterative walk with an explicit stack — a crafted AVI of ~1000
+    # nested 12-byte LIST headers must not RecursionError a worker
+    # (poisoned-asset contract; the fuzz test has a deep-nesting case).
+    stack = [(12, len(buf))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cc = buf[pos:pos + 4]
             (size,) = _struct.unpack("<I", buf[pos + 4:pos + 8])
@@ -627,14 +630,14 @@ def try_parse_avi(payload):
             if nxt > end:
                 break  # truncated chunk: ignore the tail
             if cc == b"LIST":
-                walk(body + 4, body + size)
+                stack.append((nxt, end))  # resume siblings after the LIST
+                pos, end = body + 4, body + size
+                continue
             elif cc == b"avih" and size >= 40:
                 w, h = _struct.unpack("<II", buf[body + 32:body + 40])
             elif cc[2:4] in (b"dc", b"db"):
                 frames.append((body, size))
             pos = nxt
-
-    walk(12, len(buf))
     if w is None or not frames:
         return None
     return int(w), int(h), len(frames), frames

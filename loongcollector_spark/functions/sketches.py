@@ -18,8 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 # 12 hex digits: fractions live in [0, 16^12); (k-1)*16^12 stays far
-# inside BIGINT for any practical k, so the estimate is one exact
-# integer division (no floats anywhere — order-free, oracle-exact)
+# inside BIGINT for any practical k (but EXCEEDS 2^53 for k=64, so the
+# division must be true integer `div`, not `/` — both Spark and DuckDB
+# route `/` through double and would lose low bits). The kth hash is
+# clamped to >= 1: an all-zero 12-hex prefix (probability 16^-12 per
+# value, but possible) would otherwise divide by zero and null the
+# estimate.
 _HASH_SPACE = 16 ** 12
 
 
@@ -46,17 +50,21 @@ def kmv_distinct(df: DataFrame, group_cols, value_col: str,
         Window.partitionBy(*group_cols).orderBy("_h"))
     bottom = hashes.withColumn("_rn", rn).filter(F.col("_rn") <= k)
     kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))
-    n_hashes = F.count("*")
-    est = F.when(
-        n_hashes < k, n_hashes.cast("long")
-    ).otherwise(
-        F.floor(
-            F.lit((k - 1) * _HASH_SPACE)
-            / F.conv(kth, 16, 10).cast("long")
-        ).cast("long")
-    )
     counts = df.filter(F.col(value_col).isNotNull()).groupBy(
         *group_cols).agg(F.count("*").alias("n_rows"))
-    sk = bottom.groupBy(*group_cols).agg(
-        n_hashes.cast("long").alias("n_hashes"), est.alias("kmv_estimate"))
+    num = (k - 1) * _HASH_SPACE
+    sk = (
+        bottom.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_hashes"),
+            F.conv(kth, 16, 10).cast("long").alias("_kth"),
+        )
+        .select(
+            *group_cols,
+            "n_hashes",
+            F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+            .otherwise(F.expr(f"{num}L div greatest(_kth, 1L)"))
+            .alias("kmv_estimate"),
+        )
+    )
     return counts.join(sk, group_cols)

@@ -281,3 +281,33 @@ def test_container_walkers_never_raise_on_truncations():
             p = parse(mut)
             if p is not None:
                 decode(mut, 0, p)
+
+
+def test_avi_walk_survives_deep_list_nesting():
+    """A crafted AVI of ~4000 nested LIST headers must not RecursionError
+    (the walk is iterative with an explicit stack); a valid avih + frame
+    buried at the bottom is still found."""
+    import struct
+
+    from loongcollector_spark.functions.multimodal import try_parse_avi
+
+    depth = 4000
+    avih = struct.pack("<8I", 0, 0, 0, 0, 0, 0, 0, 0) \
+        + struct.pack("<II", 16, 16)
+    inner = (b"avih" + struct.pack("<I", len(avih)) + avih
+             + b"00dc" + struct.pack("<I", 4) + b"fake")
+    body = inner
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"nest" + body
+    blob = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    parsed = try_parse_avi(blob)
+    assert parsed is not None
+    w, h, n, frames = parsed
+    assert (w, h, n) == (16, 16, 1)
+
+    # pure nested-LIST chain with nothing inside: parses to None, no raise
+    empty = b""
+    for _ in range(depth):
+        empty = b"LIST" + struct.pack("<I", len(empty) + 4) + b"nest" + empty
+    assert try_parse_avi(
+        b"RIFF" + struct.pack("<I", len(empty) + 4) + b"AVI " + empty) is None
