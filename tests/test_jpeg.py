@@ -283,6 +283,57 @@ def test_container_walkers_never_raise_on_truncations():
                 decode(mut, 0, p)
 
 
+def test_fast_decoder_matches_reference_bit_exactly():
+    """The vectorized production decoder (LUT Huffman + batched IDCT)
+    must be BYTE-IDENTICAL to the from-spec per-symbol reference decoder
+    over the whole encoder matrix: gray/RGB, 4:4:4/4:2:0, quality sweep,
+    restart intervals, odd (non-multiple-of-8/16) sizes, uniform-block
+    fixtures AND full-entropy random images."""
+    import numpy as np
+
+    from loongcollector_spark.functions.jpegcodec import (
+        encode_jpeg, try_decode_jpeg, try_decode_jpeg_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for i in range(6):
+        h = ((i % 6) + 2) * 16
+        w = ((i % 4) + 2) * 16
+        img = np.kron(((rng.integers(0, 113, (h // 8, w // 8)) * 2 + 16)
+                       % 256).astype(np.uint8), np.ones((8, 8), np.uint8))
+        cases.append(encode_jpeg(img, quality=50))
+    for i in range(6):
+        img = rng.integers(0, 256, (61 + i, 83 + i), dtype=np.uint8)
+        cases.append(encode_jpeg(img, quality=30 + 10 * i))
+    for i in range(4):
+        img = rng.integers(0, 256, (50 + i, 70 + i, 3), dtype=np.uint8)
+        cases.append(encode_jpeg(img, quality=60, subsample=(i % 2 == 0)))
+    for ri in (1, 3, 7):
+        g = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        cases.append(encode_jpeg(g, quality=70, restart_interval=ri))
+        c = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        cases.append(encode_jpeg(c, quality=70, subsample=True,
+                                 restart_interval=ri))
+    for n, blob in enumerate(cases):
+        fast = try_decode_jpeg(blob)
+        ref = try_decode_jpeg_ref(blob)
+        assert fast is not None and ref is not None, n
+        assert fast.shape == ref.shape, n
+        assert (fast == ref).all(), n
+
+    # corrupted streams: both paths must fail soft (None or an array),
+    # never raise — truncations AND byte corruption
+    blob = cases[0]
+    for cut in range(0, len(blob), 11):
+        try_decode_jpeg(blob[:cut])
+        try_decode_jpeg_ref(blob[:cut])
+    for i in range(0, len(blob), 5):
+        mut = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1:]
+        try_decode_jpeg(mut)
+        try_decode_jpeg_ref(mut)
+
+
 def test_avi_walk_survives_deep_list_nesting():
     """A crafted AVI of ~4000 nested LIST headers must not RecursionError
     (the walk is iterative with an explicit stack); a valid avih + frame
