@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from loongcollector_spark.operators import register
-from loongcollector_spark.pbwire import decode_loongsuite_group, decode_sls_loggroup
+from loongcollector_spark.pbwire import decode_batch
 
 _OUT_SCHEMA = (
     "group_id long, log_idx int, log_time long, contents map<string,string>, "
@@ -41,25 +41,41 @@ def parse_from_pb(
 ) -> DataFrame:
     """One input row = one serialized event group; output = one row per
     decoded log event, tagged with the input's ``group_id_col``."""
-    if protocol == "LoongSuite":
-        decode = decode_loongsuite_group
-    elif protocol == "SLS_LogGroup":
-        decode = decode_sls_loggroup
-    else:  # ProcessorParseFromPBNative.cpp:64-67
+    if protocol not in ("LoongSuite", "SLS_LogGroup"):
+        # ProcessorParseFromPBNative.cpp:64-67
         raise ValueError(f"Unsupported protocol '{protocol}'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for gid, payload in zip(pdf[group_id_col], pdf[source_col]):
+            # whole-batch wire decode (pbwire.decode_batch): inline
+            # recursive-descent walkers, ~2x the parse_fields reference
+            # path; malformed payloads come back as None
+            def as_bytes(p):
+                try:  # NULL payloads arrive as None/NaN — marker row
+                    return bytes(p)
+                except Exception:
+                    return None
+
+            groups = decode_batch(
+                [as_bytes(payload) for payload in pdf[source_col]], protocol)
+            # columnar assembly: per-column appends beat building one
+            # tuple per log row and letting pandas re-pivot them
+            c_gid, c_idx, c_time, c_contents = [], [], [], []
+            c_level, c_tags, c_meta, c_ok = [], [], [], []
+            for gid, g in zip(pdf[group_id_col], groups):
                 try:
                     gid = int(gid)  # NULL arrives as NaN/None — marker row,
                 except (TypeError, ValueError):  # never a task kill
                     gid = -1
-                try:
-                    g = decode(bytes(payload))
-                except Exception:
-                    rows.append((gid, -1, 0, {}, "", {}, {}, False))
+                if g is None:
+                    c_gid.append(gid)
+                    c_idx.append(-1)
+                    c_time.append(0)
+                    c_contents.append({})
+                    c_level.append("")
+                    c_tags.append({})
+                    c_meta.append({})
+                    c_ok.append(False)
                     continue
                 tags = g.get("tags", {})
                 meta = g.get("metadata", {})
@@ -71,17 +87,34 @@ def parse_from_pb(
                             ("machine_uuid", g["machine_uuid"]),
                         ] if v
                     }
-                for i, log in enumerate(g["logs"]):
-                    rows.append((
-                        gid, i,
-                        int(log.get("time", log.get("timestamp", 0))),
-                        log["contents"], log.get("level", ""), tags, meta,
-                        True,
-                    ))
-            yield pd.DataFrame(
-                rows, columns=["group_id", "log_idx", "log_time", "contents",
-                               "level", "tags", "metadata", "_decode_ok"],
-            )
+                    for i, log in enumerate(g["logs"]):
+                        c_gid.append(gid)
+                        c_idx.append(i)
+                        tv = log.get("time", 0)
+                        # a crafted wt-2 Time decodes to bytes: clamp to
+                        # 0 instead of raising outside the decode guard
+                        c_time.append(tv if type(tv) is int else 0)
+                        c_contents.append(log["contents"])
+                        c_level.append("")
+                        c_tags.append(tags)
+                        c_meta.append(meta)
+                        c_ok.append(True)
+                else:
+                    for i, log in enumerate(g["logs"]):
+                        c_gid.append(gid)
+                        c_idx.append(i)
+                        tv = log.get("timestamp", 0)
+                        c_time.append(tv if type(tv) is int else 0)
+                        c_contents.append(log["contents"])
+                        c_level.append(log.get("level", ""))
+                        c_tags.append(tags)
+                        c_meta.append(meta)
+                        c_ok.append(True)
+            yield pd.DataFrame({
+                "group_id": c_gid, "log_idx": c_idx, "log_time": c_time,
+                "contents": c_contents, "level": c_level, "tags": c_tags,
+                "metadata": c_meta, "_decode_ok": c_ok,
+            })
 
     return df.select(group_id_col, source_col).mapInPandas(batches, _OUT_SCHEMA)
 

@@ -113,3 +113,96 @@ def test_parse_from_pb_operator(spark):
     # reference Init rejects unsupported protocols (cpp:64-67)
     with pytest.raises(ValueError):
         build_operator({"Type": "processor_parse_from_pb", "Protocol": "OTLP"})
+
+
+def test_fast_walkers_match_reference_decoders():
+    """The inline recursive-descent walkers (decode_batch, the production
+    path) must return IDENTICAL dicts — and identical failure sets — to
+    the parse_fields reference decoders, over round-trip corpora, edge
+    wire-type payloads, odd kv shapes, truncations, and bit flips."""
+    import struct
+
+    from loongcollector_spark.pbwire import (
+        decode_batch, decode_loongsuite_group, decode_sls_loggroup,
+    )
+
+    def varint(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def ld(tag, b):
+        return bytes([tag]) + varint(len(b)) + b
+
+    def kv(k, v):
+        return ld(0x0A, k.encode()) + ld(0x12, v.encode())
+
+    ls = []
+    for g in range(20):
+        evs = b""
+        for i in range(30):
+            log = b"\x08" + varint(1700000000 + i)
+            log += ld(0x12, kv("event_type", f"type_{i % 7}"))
+            log += ld(0x12, kv("props", f"k=v{i};x={g}"))
+            log += ld(0x1A, b"info")
+            evs += ld(0x0A, log)
+        ls.append(ld(0x0A, kv("source", "bench")) + ld(0x1A, evs))
+    sls = []
+    for g in range(10):
+        logs = b""
+        for i in range(20):
+            log = b"\x08" + varint(1700000000 + i)
+            log += ld(0x12, kv("msg", f"line {i} of group {g}"))
+            log += b"\x25" + struct.pack("<I", 123456789 + i)
+            logs += ld(0x0A, log)
+        grp = logs + ld(0x12, b"cat") + ld(0x1A, b"topic")
+        grp += ld(0x22, b"src") + ld(0x2A, b"uuid-1")
+        grp += ld(0x32, kv("tag1", "v1"))
+        sls.append(grp)
+    # edge payloads: empty, wrong wire types on known fields, 10-byte
+    # varint, unknown fields of every wire type, odd kv shapes
+    edges = [
+        b"", b"\x08\x01",
+        ld(0x0A, b"\x08" + b"\xff" * 9 + b"\x01" + ld(0x12, kv("k", "v"))),
+        b"\x0D" + struct.pack("<I", 5),
+        b"\x31" + struct.pack("<Q", 7),
+        ld(0x3A, b"junk"),
+        b"\x38" + varint(12345),
+        b"\x3C",  # wire type 4: both must reject
+    ]
+    kvs = [ld(0x12, b"valfirst") + ld(0x0A, b"k1"), ld(0x12, b"only-value"),
+           ld(0x0A, b"only-key"), kv("big", "x" * 300),
+           kv("k", "v") + ld(0x1A, b"extra")]
+    edges.append(ld(0x1A, b"".join(
+        ld(0x0A, b"\x08\x01" + ld(0x12, c)) for c in kvs)))
+    edges.append(b"".join(
+        ld(0x0A, b"\x08\x01" + ld(0x12, c)) for c in kvs))
+    mal = []
+    for base in (ls[0], sls[0]):
+        for cut in range(0, len(base), 7):
+            mal.append(base[:cut])
+        for i in range(0, len(base), 11):
+            mal.append(base[:i] + bytes([base[i] ^ 0xFF]) + base[i + 1:])
+
+    def ref(payloads, d):
+        out = []
+        for p in payloads:
+            try:
+                out.append(d(p))
+            except Exception:
+                out.append(None)
+        return out
+
+    corpus = ls + sls + edges + mal
+    assert ref(corpus, decode_loongsuite_group) == decode_batch(
+        corpus, "LoongSuite")
+    assert ref(corpus, decode_sls_loggroup) == decode_batch(
+        corpus, "SLS_LogGroup")
+    # None payloads map to None without disturbing neighbors
+    assert decode_batch([None, ls[0], None], "LoongSuite")[0] is None
