@@ -6561,6 +6561,155 @@ FROM conts
 """
 
 
+def q_k8s_entities(spark, sf_dir):
+    """service_kubernetesmeta non-pod kinds (meta_collector_core.go:
+    119-204 Service/Node, meta_collector_app.go:13-49 Deployment):
+    observed objects of three kinds → entity events — genKey md5 ids,
+    Go-JSON object/array packing (map marshals sorted, struct marshals
+    in declaration order), cluster-scoped Node keys. Pure projections,
+    no shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    base_cols = [
+        F.concat(F.lit("ns"), F.pmod(uid, F.lit(5)).cast("string"))
+        .alias("namespace"),
+        F.lit("v1").alias("api_version"),
+        F.create_map(F.lit("app"), F.col("event_type")).alias("labels"),
+        F.when(F.pmod(eid, F.lit(3)) != 0,
+               F.create_map(F.lit("note"), uid.cast("string")))
+        .alias("annotations"),
+        F.col("ts").cast("timestamp").alias("creation_ts"),
+        (eid + 1000).cast("long").alias("first_observed"),
+        (eid + 2000).cast("long").alias("last_observed"),
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("Update"))
+        .otherwise(F.lit("Create")).alias("method"),
+    ]
+    kw = dict(domain="k8s", cluster_id="cid1", interval=15)
+
+    from loongcollector_spark.operators.k8smetaops import (
+        k8s_deployment_entities, k8s_node_entities, k8s_service_entities,
+    )
+
+    svc = k8s_service_entities(ev.filter(F.pmod(eid, F.lit(3)) == 0).select(
+        *base_cols,
+        F.concat(F.lit("svc-"), eid.cast("string")).alias("name"),
+        F.create_map(F.lit("app"), F.col("event_type")).alias("selector"),
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("ClusterIP"))
+        .otherwise(F.lit("NodePort")).alias("type"),
+        F.concat(F.lit("10.1."), F.pmod(uid, F.lit(30)).cast("string"),
+                 F.lit("."), F.pmod(eid, F.lit(250)).cast("string"))
+        .alias("cluster_ip"),
+        F.array(F.struct(
+            (F.pmod(eid, F.lit(3)) + 80).cast("int").alias("port"),
+            (F.pmod(eid, F.lit(3)) + 8080).cast("string")
+            .alias("target_port"),
+            F.lit("TCP").alias("protocol"))).alias("ports"),
+    ), **kw)
+    dep = k8s_deployment_entities(ev.filter(F.pmod(eid, F.lit(3)) == 1).select(
+        *base_cols,
+        F.concat(F.lit("dep-"), eid.cast("string")).alias("name"),
+        F.when(F.pmod(eid, F.lit(7)) != 0,
+               F.create_map(F.lit("app"), F.col("event_type")))
+        .alias("match_labels"),
+        F.when(F.pmod(eid, F.lit(13)) != 0,
+               F.pmod(eid, F.lit(10)).cast("int")).alias("replicas"),
+        F.pmod(eid, F.lit(5)).cast("int").alias("ready_replicas"),
+        F.array(F.struct(
+            F.lit("c0").alias("name"),
+            F.concat(F.lit("img:"), F.pmod(uid, F.lit(9)).cast("string"))
+            .alias("image"))).alias("containers"),
+    ), **kw)
+    node = k8s_node_entities(ev.filter(F.pmod(eid, F.lit(3)) == 2).select(
+        *base_cols,
+        F.concat(F.lit("node-"), eid.cast("string")).alias("name"),
+        F.array(F.struct(
+            F.lit("Ready").alias("type"),
+            F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("True"))
+            .otherwise(F.lit("False")).alias("status"))).alias("conditions"),
+        F.concat(F.lit("10.2."), F.pmod(uid, F.lit(30)).cast("string"),
+                 F.lit("."), F.pmod(eid, F.lit(250)).cast("string"))
+        .alias("internal_ip"),
+        F.concat(F.lit("host-"), eid.cast("string")).alias("host_name"),
+        F.create_map(F.lit("cpu"),
+                     (F.pmod(eid, F.lit(8)) + 1).cast("string"),
+                     F.lit("memory"), F.lit("16Gi")).alias("capacity"),
+        F.create_map(F.lit("cpu"),
+                     F.pmod(eid, F.lit(8)).cast("string")).alias("allocatable"),
+        F.array(
+            F.struct(F.lit("InternalIP").alias("type"),
+                     F.concat(F.lit("10.2."),
+                              F.pmod(uid, F.lit(30)).cast("string"),
+                              F.lit("."),
+                              F.pmod(eid, F.lit(250)).cast("string"))
+                     .alias("address")),
+            F.struct(F.lit("Hostname").alias("type"),
+                     F.concat(F.lit("host-"), eid.cast("string"))
+                     .alias("address"))).alias("addresses"),
+        F.concat(F.lit("prov://"), eid.cast("string")).alias("provider_id"),
+    ), **kw)
+
+    c = F.col("contents")
+    def proj(df, detail, extra):
+        return df.select(
+            c["__entity_type__"].alias("entity_type"),
+            c["__entity_id__"].alias("entity_id"),
+            c["__method__"].alias("method"),
+            c["name"].alias("name"),
+            c["labels"].alias("labels"),
+            c["annotations"].alias("annotations"),
+            c[detail].alias("detail"),
+            c[extra].alias("extra"),
+            c["__first_observed_time__"].alias("first_observed"),
+            c["__keep_alive_seconds__"].alias("keep_alive"),
+        )
+    return (
+        proj(svc, "ports", "cluster_ip")
+        .unionByName(proj(dep, "containers", "replicas"))
+        .unionByName(proj(node, "addresses", "provider_id"))
+    )
+
+
+O_K8S_ENTITIES = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, event_type,
+    'ns' || (uid % 5) AS ns,
+    CASE WHEN event_id % 2 = 0 THEN 'Update' ELSE 'Create' END AS method,
+    '{"app":"' || event_type || '"}' AS labels,
+    CASE WHEN event_id % 3 != 0 THEN '{"note":"' || uid || '"}'
+         ELSE '{}' END AS annotations,
+    cast(event_id + 1000 AS VARCHAR) AS fo
+  FROM events
+)
+SELECT 'k8s.service' AS entity_type,
+  md5('cid1' || 'Service' || ns || 'svc-' || eid) AS entity_id,
+  method, 'svc-' || eid AS name, labels, annotations,
+  '[{"port":"' || (eid % 3 + 80) || '","protocol":"TCP","targetPort":"'
+    || (eid % 3 + 8080) || '"}]' AS detail,
+  '10.1.' || (uid % 30) || '.' || (eid % 250) AS extra,
+  fo AS first_observed, '30' AS keep_alive
+FROM base WHERE eid % 3 = 0
+UNION ALL
+SELECT 'k8s.deployment',
+  md5('cid1' || 'Deployment' || ns || 'dep-' || eid),
+  method, 'dep-' || eid, labels, annotations,
+  '[{"image":"img:' || (uid % 9) || '","name":"c0"}]',
+  CASE WHEN eid % 13 != 0 THEN cast(eid % 10 AS VARCHAR) ELSE '' END,
+  fo, '30'
+FROM base WHERE eid % 3 = 1
+UNION ALL
+SELECT 'k8s.node',
+  md5('cid1' || 'Node' || '' || 'node-' || eid),
+  method, 'node-' || eid, labels, annotations,
+  '[{"type":"InternalIP","address":"10.2.' || (uid % 30) || '.'
+    || (eid % 250) || '"},{"type":"Hostname","address":"host-' || eid
+    || '"}]',
+  'prov://' || eid,
+  fo, '30'
+FROM base WHERE eid % 3 = 2
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -6851,6 +7000,7 @@ QUERIES = {
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
     "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
     "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
+    "k8s_entities": (q_k8s_entities, O_K8S_ENTITIES),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

@@ -89,6 +89,172 @@ def _json_pairs_array(arr: Column, keys: list[str]) -> Column:
     ).otherwise(F.concat(F.lit("["), F.array_join(objs, ","), F.lit("]")))
 
 
+def _json_structs_array(arr: Column, keys: list[str]) -> Column:
+    """array of fixed-key string maps → Go json.Marshal array with the
+    GIVEN key order (struct marshals emit fields in declaration order,
+    e.g. v1.NodeAddress → {"type":…,"address":…}); nil/empty → '[]'."""
+    objs = F.transform(
+        arr,
+        lambda s: F.concat(
+            F.lit("{"),
+            F.concat_ws(",", *[
+                F.concat(F.lit(f'"{k}":'),
+                         _go_jstr(F.coalesce(s[k], F.lit(""))))
+                for k in keys]),
+            F.lit("}")))
+    return F.when(
+        arr.isNull() | (F.size(arr) == 0), F.lit("[]")
+    ).otherwise(F.concat(F.lit("["), F.array_join(objs, ","), F.lit("]")))
+
+
+def _mk_map(pairs) -> Column:
+    flat = []
+    for k, v in pairs:
+        flat += [k, F.coalesce(v, F.lit(""))]
+    return F.map_from_arrays(F.array(*flat[0::2]), F.array(*flat[1::2]))
+
+
+def _common_pairs(domain: str, kind: str, cluster_id: str, interval: int,
+                  namespace_col: Column, name_col: Column) -> list:
+    """processEntityCommonPart (meta_collector.go:271-288): the reserved
+    entity fields + common custom fields, in the reference's Add order."""
+    return [
+        (F.lit("__domain__"), F.lit(domain)),
+        (F.lit("__entity_type__"), _entity_type(domain, kind)),
+        (F.lit("__entity_id__"),
+         _gen_key(cluster_id, F.lit(kind), namespace_col, name_col)),
+        (F.lit("__method__"), F.col("method")),
+        (F.lit("__first_observed_time__"),
+         F.col("first_observed").cast("string")),
+        (F.lit("__last_observed_time__"),
+         F.col("last_observed").cast("string")),
+        (F.lit("__keep_alive_seconds__"), F.lit(str(int(interval) * 2))),
+        (F.lit("__category__"), F.lit("entity")),
+        (F.lit("cluster_id"), F.lit(cluster_id)),
+        (F.lit("kind"), F.lit(kind)),
+        (F.lit("name"), name_col),
+        (F.lit("create_time"),
+         F.date_format(F.col("creation_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")),
+    ]
+
+
+def k8s_service_entities(
+    df: DataFrame, domain: str = "k8s", cluster_id: str = "",
+    interval: int = 30, enable_labels: bool = True,
+    enable_annotations: bool = True,
+) -> DataFrame:
+    """Service frame → entity contents (meta_collector_core.go:166-204
+    processServiceEntity): common part + api_version/namespace,
+    labels/annotations, selector object, type, cluster_ip, and the
+    ports array ({port, protocol, targetPort} maps — Go map marshal,
+    sorted keys; targetPort is the IntOrString string form). Input
+    contract: ``namespace, name, api_version, labels, annotations,
+    selector map<string,string>, type string, cluster_ip string,
+    ports array<struct<port:int, target_port:string, protocol:string>>``
+    plus the observed-frame tail (creation_ts, first_observed,
+    last_observed, method)."""
+    ports_json = _json_pairs_array(
+        F.transform(
+            F.col("ports"),
+            lambda p: F.struct(
+                p["port"].cast("string").alias("port"),
+                p["protocol"].alias("protocol"),
+                p["target_port"].alias("targetPort"))),
+        ["port", "protocol", "targetPort"])
+    pairs = _common_pairs(domain, "Service", cluster_id, interval,
+                          F.col("namespace"), F.col("name")) + [
+        (F.lit("api_version"), F.col("api_version")),
+        (F.lit("namespace"), F.col("namespace")),
+        *([(F.lit("labels"), _json_obj(F.col("labels")))]
+          if enable_labels else []),
+        *([(F.lit("annotations"), _json_obj(F.col("annotations")))]
+          if enable_annotations else []),
+        (F.lit("selector"), _json_obj(F.col("selector"))),
+        (F.lit("type"), F.col("type")),
+        (F.lit("cluster_ip"), F.col("cluster_ip")),
+        (F.lit("ports"), ports_json),
+    ]
+    return df.select(_mk_map(pairs).alias("contents"))
+
+
+def k8s_deployment_entities(
+    df: DataFrame, domain: str = "k8s", cluster_id: str = "",
+    interval: int = 30, enable_labels: bool = True,
+    enable_annotations: bool = True,
+) -> DataFrame:
+    """Deployment frame → entity contents (meta_collector_app.go:13-49
+    processDeploymentEntity): common part + api_version/namespace,
+    labels/annotations, match_labels (nil selector → '{}'), replicas
+    (safeGetInt32String — '' when the pointer is nil), ready_replicas,
+    and the template containers name+image array. Input contract:
+    ``namespace, name, api_version, labels, annotations, match_labels
+    map<string,string>, replicas int (nullable), ready_replicas int,
+    containers array<struct<name:string, image:string>>`` plus the
+    observed-frame tail."""
+    pairs = _common_pairs(domain, "Deployment", cluster_id, interval,
+                          F.col("namespace"), F.col("name")) + [
+        (F.lit("api_version"), F.col("api_version")),
+        (F.lit("namespace"), F.col("namespace")),
+        *([(F.lit("labels"), _json_obj(F.col("labels")))]
+          if enable_labels else []),
+        *([(F.lit("annotations"), _json_obj(F.col("annotations")))]
+          if enable_annotations else []),
+        (F.lit("match_labels"), _json_obj(F.col("match_labels"))),
+        (F.lit("replicas"),
+         F.when(F.col("replicas").isNull(), F.lit(""))
+         .otherwise(F.col("replicas").cast("string"))),
+        (F.lit("ready_replicas"),
+         F.coalesce(F.col("ready_replicas"), F.lit(0)).cast("string")),
+        (F.lit("containers"), _json_pairs_array(
+            F.transform(
+                F.col("containers"),
+                lambda c: F.struct(c["name"].alias("name"),
+                                   c["image"].alias("image"))),
+            ["name", "image"])),
+    ]
+    return df.select(_mk_map(pairs).alias("contents"))
+
+
+def k8s_node_entities(
+    df: DataFrame, domain: str = "k8s", cluster_id: str = "",
+    interval: int = 30, enable_labels: bool = True,
+    enable_annotations: bool = True,
+) -> DataFrame:
+    """Node frame → entity contents (meta_collector_core.go:119-164
+    processNodeEntity): cluster-scoped (namespace '' in the key, no
+    namespace content field, no api_version), labels/annotations, the
+    conditions {type, status} array, internal_ip / host_name picked
+    from the address list, capacity/allocatable quantity maps, the raw
+    addresses array in struct field order ({"type":…,"address":…} —
+    v1.NodeAddress marshals in declaration order, not sorted), and
+    provider_id. Input contract: ``name, labels, annotations,
+    conditions array<struct<type:string, status:string>>, internal_ip,
+    host_name, capacity map<string,string>, allocatable
+    map<string,string>, addresses array<struct<type:string,
+    address:string>>, provider_id`` plus the observed-frame tail."""
+    pairs = _common_pairs(domain, "Node", cluster_id, interval,
+                          F.lit(""), F.col("name")) + [
+        *([(F.lit("labels"), _json_obj(F.col("labels")))]
+          if enable_labels else []),
+        *([(F.lit("annotations"), _json_obj(F.col("annotations")))]
+          if enable_annotations else []),
+        (F.lit("status"), _json_pairs_array(
+            F.transform(
+                F.col("conditions"),
+                lambda c: F.struct(c["type"].alias("type"),
+                                   c["status"].alias("status"))),
+            ["type", "status"])),
+        (F.lit("internal_ip"), F.col("internal_ip")),
+        (F.lit("host_name"), F.col("host_name")),
+        (F.lit("capacity"), _json_obj(F.col("capacity"))),
+        (F.lit("allocatable"), _json_obj(F.col("allocatable"))),
+        (F.lit("addresses"), _json_structs_array(
+            F.col("addresses"), ["type", "address"])),
+        (F.lit("provider_id"), F.col("provider_id")),
+    ]
+    return df.select(_mk_map(pairs).alias("contents"))
+
+
 def k8s_pod_entities(
     df: DataFrame, domain: str = "k8s", cluster_id: str = "",
     interval: int = 30, enable_labels: bool = True,
@@ -196,27 +362,48 @@ def k8s_pod_entities(
     return pods.unionByName(conts)
 
 
+_KIND_PROJECTIONS = {
+    "Service": k8s_service_entities,
+    "Deployment": k8s_deployment_entities,
+    "Node": k8s_node_entities,
+}
+
+
 @register("service_kubernetesmeta",
           keys={"Domain", "ClusterID", "Interval", "EnableLabels",
-                "EnableAnnotations", "Container", "Pod"})
+                "EnableAnnotations", "Container", "Pod", "Kind"})
 def service_kubernetesmeta(cfg: dict):
-    """Registry twin of ServiceK8sMeta's pod path (Pod/Container switches,
+    """Registry twin of ServiceK8sMeta (Pod/Container switches,
     EnableLabels/EnableAnnotations, Interval — wineventlog-style column
-    contract for the observed-object frame)."""
-    if not bool(cfg.get("Pod", True)) and not bool(cfg.get("Container", True)):
+    contract for the observed-object frame). ``Kind`` selects which
+    observed-object frame the input rows carry: ``Pod`` (default, with
+    the Container fan-out) or one of ``Service`` / ``Deployment`` /
+    ``Node`` (meta_collector_core.go:119-204, meta_collector_app.go:
+    13-49) — the reference registers one processor per watched kind the
+    same way."""
+    kind = str(cfg.get("Kind", "Pod"))
+    if kind != "Pod" and kind not in _KIND_PROJECTIONS:
+        raise ValueError(
+            f"service_kubernetesmeta: unsupported Kind '{kind}' "
+            f"(supported: Pod, {', '.join(sorted(_KIND_PROJECTIONS))})")
+    if kind == "Pod" and not bool(cfg.get("Pod", True)) \
+            and not bool(cfg.get("Container", True)):
         raise ValueError(
             "service_kubernetesmeta: Pod and Container both disabled — "
             "nothing to emit")
 
     def run(df: DataFrame) -> DataFrame:
-        return k8s_pod_entities(
-            df, domain=str(cfg.get("Domain", "k8s")),
+        kw = dict(
+            domain=str(cfg.get("Domain", "k8s")),
             cluster_id=str(cfg.get("ClusterID", "")),
             interval=int(cfg.get("Interval", 30)),
             enable_labels=bool(cfg.get("EnableLabels", True)),
             enable_annotations=bool(cfg.get("EnableAnnotations", True)),
-            container=bool(cfg.get("Container", True)),
-            pod=bool(cfg.get("Pod", True)),
         )
+        if kind == "Pod":
+            return k8s_pod_entities(
+                df, container=bool(cfg.get("Container", True)),
+                pod=bool(cfg.get("Pod", True)), **kw)
+        return _KIND_PROJECTIONS[kind](df, **kw)
 
     return run

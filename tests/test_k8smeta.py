@@ -95,3 +95,128 @@ def test_pod_switch(spark):
     with pytest.raises(ValueError, match="nothing to emit"):
         build_operator({"Type": "service_kubernetesmeta",
                         "Pod": False, "Container": False})
+
+
+SVC_SCHEMA = (
+    "namespace string, name string, api_version string, "
+    "labels map<string,string>, annotations map<string,string>, "
+    "selector map<string,string>, type string, cluster_ip string, "
+    "ports array<struct<port:int, target_port:string, protocol:string>>, "
+    "creation_ts timestamp, first_observed long, last_observed long, "
+    "method string"
+)
+
+
+def test_service_entity(spark):
+    """processServiceEntity (meta_collector_core.go:166-204): selector
+    object, type/cluster_ip, ports as sorted-key Go map marshals with
+    the IntOrString target port string."""
+    row = ("ns1", "svc1", "v1", {"app": "web"}, None, {"app": "web"},
+           "ClusterIP", "10.1.2.3",
+           [(80, "8080", "TCP"), (443, "https", "TCP")],
+           None, 1700000000, 1700000100, "Create")
+    df = spark.createDataFrame([row], SVC_SCHEMA)
+    out = build_operator(
+        {"Type": "service_kubernetesmeta", "Kind": "Service",
+         "Domain": "k8s", "ClusterID": "cid1", "Interval": 10})(df)
+    c = out.collect()[0]["contents"]
+    assert c["__entity_type__"] == "k8s.service"
+    assert c["__entity_id__"] == hashlib.md5(
+        b"cid1Servicens1svc1").hexdigest()
+    assert c["selector"] == '{"app":"web"}'
+    assert c["annotations"] == "{}"  # nil map marshals to braces
+    assert c["type"] == "ClusterIP" and c["cluster_ip"] == "10.1.2.3"
+    assert json.loads(c["ports"]) == [
+        {"port": "80", "protocol": "TCP", "targetPort": "8080"},
+        {"port": "443", "protocol": "TCP", "targetPort": "https"},
+    ]
+    # Go map marshal: keys sorted inside each object
+    assert c["ports"].index('"port"') < c["ports"].index('"protocol"')
+    assert c["ports"].index('"protocol"') < c["ports"].index('"targetPort"')
+
+
+DEP_SCHEMA = (
+    "namespace string, name string, api_version string, "
+    "labels map<string,string>, annotations map<string,string>, "
+    "match_labels map<string,string>, replicas int, ready_replicas int, "
+    "containers array<struct<name:string, image:string>>, "
+    "creation_ts timestamp, first_observed long, last_observed long, "
+    "method string"
+)
+
+
+def test_deployment_entity(spark):
+    """processDeploymentEntity (meta_collector_app.go:13-49):
+    match_labels (nil selector -> '{}'), replicas safeGetInt32String
+    ('' for a nil pointer), ready_replicas, containers name+image."""
+    rows = [
+        ("ns1", "dep1", "apps/v1", {"app": "web"}, None, {"app": "web"},
+         3, 2, [("c0", "img:1")], None, 1, 2, "Update"),
+        ("ns1", "dep2", "apps/v1", None, None, None,
+         None, 0, None, None, 1, 2, "Create"),
+    ]
+    df = spark.createDataFrame(rows, DEP_SCHEMA)
+    out = build_operator(
+        {"Type": "service_kubernetesmeta", "Kind": "Deployment",
+         "ClusterID": "cid1"})(df)
+    by_name = {r["contents"]["name"]: r["contents"] for r in out.collect()}
+    d1, d2 = by_name["dep1"], by_name["dep2"]
+    assert d1["__entity_type__"] == "k8s.deployment"
+    assert d1["__entity_id__"] == hashlib.md5(
+        b"cid1Deploymentns1dep1").hexdigest()
+    assert d1["match_labels"] == '{"app":"web"}'
+    assert d1["replicas"] == "3" and d1["ready_replicas"] == "2"
+    assert json.loads(d1["containers"]) == [{"image": "img:1", "name": "c0"}]
+    assert d2["match_labels"] == "{}"  # nil selector
+    assert d2["replicas"] == ""       # nil *int32
+    assert d2["containers"] == "[]"
+
+
+NODE_SCHEMA = (
+    "name string, labels map<string,string>, "
+    "annotations map<string,string>, "
+    "conditions array<struct<type:string, status:string>>, "
+    "internal_ip string, host_name string, "
+    "capacity map<string,string>, allocatable map<string,string>, "
+    "addresses array<struct<type:string, address:string>>, "
+    "provider_id string, creation_ts timestamp, first_observed long, "
+    "last_observed long, method string"
+)
+
+
+def test_node_entity(spark):
+    """processNodeEntity (meta_collector_core.go:119-164):
+    cluster-scoped key (namespace ''), conditions as sorted-key map
+    marshals, addresses in v1.NodeAddress STRUCT field order
+    (type before address), capacity/allocatable quantity maps."""
+    row = ("node1", {"zone": "a"}, None, [("Ready", "True")],
+           "10.2.0.1", "host1", {"cpu": "4", "memory": "16Gi"},
+           {"cpu": "3"}, [("InternalIP", "10.2.0.1"),
+                          ("Hostname", "host1")],
+           "prov://i-1", None, 1, 2, "Update")
+    df = spark.createDataFrame([row], NODE_SCHEMA)
+    out = build_operator(
+        {"Type": "service_kubernetesmeta", "Kind": "Node",
+         "ClusterID": "cid1"})(df)
+    c = out.collect()[0]["contents"]
+    assert c["__entity_type__"] == "k8s.node"
+    assert c["__entity_id__"] == hashlib.md5(b"cid1Nodenode1").hexdigest()
+    assert "namespace" not in c and "api_version" not in c
+    assert json.loads(c["status"]) == [{"status": "True", "type": "Ready"}]
+    assert c["status"].index('"status"') < c["status"].index('"type"')
+    assert c["internal_ip"] == "10.2.0.1" and c["host_name"] == "host1"
+    assert c["capacity"] == '{"cpu":"4","memory":"16Gi"}'
+    assert c["allocatable"] == '{"cpu":"3"}'
+    # struct marshal: declaration order, NOT sorted
+    assert c["addresses"] == (
+        '[{"type":"InternalIP","address":"10.2.0.1"},'
+        '{"type":"Hostname","address":"host1"}]')
+    assert c["provider_id"] == "prov://i-1"
+
+
+def test_unsupported_kind_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_operator({"Type": "service_kubernetesmeta",
+                        "Kind": "ConfigMap"})
