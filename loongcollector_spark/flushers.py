@@ -150,16 +150,27 @@ def format_topic_column(df: DataFrame, pattern: str):
 def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
                         hash_keys: list | None = None,
                         topic: str | None = None,
-                        headers: list[dict] | None = None) -> DataFrame:
+                        headers: list[dict] | None = None,
+                        hash_once: bool = False,
+                        default_key: str = "") -> DataFrame:
     """The (key, value[, topic, headers]) frame flusher_kafka ships to
     the broker — factored out so the serialization contract is testable
-    without a kafka package/broker in the container. PartitionerType
-    'hash' maps HashKeys onto the message key (broker-side hash
-    partitioning, flusher_kafka_v2.go:43-83); random/roundrobin leave
-    the key null. ``topic`` may carry %{content.X}/%{tag.X} placeholders
-    (per-event routing, FlusherKafka.cpp:167-186); ``headers`` is the
-    static per-message header list (KafkaConfig.h:63,117-134) in the
-    kafka writer's array<struct<key,value:binary>> shape."""
+    against the in-process broker model (``kafka_fake``) without a
+    kafka package in the container. PartitionerType 'hash' builds the
+    message key exactly like ``hashPartitionKey``
+    (flusher_kafka_v2.go:345-357): the HashKey values present on the
+    event joined with ``"###"``, falling back to ``default_key`` (the
+    reference uses the logstore name, :240) when none are present;
+    random/roundrobin leave the key null (the partitioner ignores it).
+    The reference iterates a Go map, so ITS multi-key join order is
+    nondeterministic — this engine uses the listed HashKeys order, the
+    deterministic refinement. ``hash_once`` mirrors HashOnce (:332-336,
+    compute the key once and reuse it for every message): the analog
+    here is the frame-wide MIN key, a deterministic "first". ``topic``
+    may carry %{content.X}/%{tag.X} placeholders (per-event routing,
+    FlusherKafka.cpp:167-186); ``headers`` is the static per-message
+    header list (KafkaConfig.h:63,117-134) in the kafka writer's
+    array<struct<key,value:binary>> shape."""
     from loongcollector_spark.serializer import serializable_columns
 
     cols = [c for c in serializable_columns(df) if c != "ts"]
@@ -168,10 +179,16 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
         fields.insert(0, F.unix_timestamp("ts").alias("__time__"))
     value = F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
     sel = [value.alias("value")]
-    if partitioner == "hash" and hash_keys:
-        sel.insert(0, F.concat_ws(
-            "_", *[F.col(k).cast("string") for k in hash_keys]
-        ).alias("key"))
+    if partitioner == "hash":
+        present = [k for k in (hash_keys or []) if k in df.columns]
+        if present:
+            # concat_ws skips nulls = "append only the values present"
+            joined = F.concat_ws(
+                "###", *[F.col(k).cast("string") for k in present])
+            key = F.when(joined == "", F.lit(default_key)).otherwise(joined)
+        else:
+            key = F.lit(default_key)
+        sel.insert(0, key.alias("key"))
     if topic is not None:
         sel.append(format_topic_column(df, topic).alias("topic"))
     if headers:
@@ -180,7 +197,11 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
                      F.lit(h["value"]).cast("binary").alias("value"))
             for h in headers
         ]).alias("headers"))
-    return df.select(*sel)
+    out = df.select(*sel)
+    if partitioner == "hash" and hash_once:
+        first_key = out.agg(F.min("key")).first()[0]
+        out = out.withColumn("key", F.lit(first_key))
+    return out
 
 
 def _parse_kafka_version(s: str) -> tuple:
@@ -319,13 +340,18 @@ def flusher_kafka(cfg: dict):
     partitioner = cfg.get("PartitionerType", "random")
     hash_keys = cfg.get("HashKeys", [])
     headers = cfg.get("Headers", [])
+    hash_once = bool(cfg.get("HashOnce", False))
+    # the reference's defaultHashKey is the pipeline's logstore name
+    # (flusher_kafka_v2.go:240); the config front-end passes it through
+    default_key = str(cfg.get("Logstore", ""))
     options = kafka_producer_options(cfg)  # validates auth/version too
     dynamic = "%{" in topic
 
     def write(df: DataFrame) -> None:
         frame = kafka_payload_frame(df, partitioner, hash_keys,
                                     topic=topic if dynamic else None,
-                                    headers=headers)
+                                    headers=headers, hash_once=hash_once,
+                                    default_key=default_key)
         w = frame.write.format("kafka").options(**options)
         if not dynamic:
             w = w.option("topic", topic)

@@ -217,6 +217,14 @@ def service_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return kafka_records_projection(df)
+
+
+def kafka_records_projection(df: DataFrame) -> DataFrame:
+    """The kafka-source → log-row projection, factored out so the
+    in-process broker model (``kafka_fake.records_frame``) behavior-tests
+    it without a broker: value → text, (topic, partition, offset) →
+    provenance columns with the per-partition offset as ``_line_idx``."""
     return df.select(
         F.col("value").cast("string").alias("text"),
         F.col("topic").alias("_ingest_topic"),

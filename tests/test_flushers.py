@@ -105,7 +105,9 @@ def test_kafka_payload_contract(spark):
     out = kafka_payload_frame(df, "hash", ["conv_id", "turn_idx"])
     assert out.columns == ["key", "value"]
     r = out.first()
-    assert r["key"] == "c1_0"
+    # hashPartitionKey joins the HashKey values with "###"
+    # (flusher_kafka_v2.go:345-357)
+    assert r["key"] == "c1###0"
     v = _json.loads(r["value"])
     assert v["text"] == "hello" and v["conv_id"] == "c1"
     assert isinstance(v["__time__"], int)
@@ -436,3 +438,94 @@ def test_flusher_sleep_and_grpc_payload(spark):
                               ("role", "user"), ("text", "hi"),
                               ("tool", "t")])])
     assert blob == exp
+
+
+def test_kafka_hash_partitioner_roundtrip(spark):
+    """flusher_kafka -> broker -> service_kafka against the in-process
+    broker model: sarama-exact hash partition assignment (FNV-1a 32,
+    int32 cast, abs-mod), same-key co-location, key spread, contiguous
+    per-partition offsets, and the consumer projection reading back
+    every produced message."""
+    import json as _json
+
+    from loongcollector_spark.flushers import kafka_payload_frame
+    from loongcollector_spark.kafka_fake import (
+        FakeKafkaBroker, fnv1a_32, sarama_hash_partition,
+    )
+    from loongcollector_spark.sources import kafka_records_projection
+
+    # sarama's hash is FNV-1a over the key: pin the primitive against
+    # the published FNV test vectors (public domain)
+    assert fnv1a_32(b"") == 2166136261
+    assert fnv1a_32(b"a") == 0xE40C292C
+    assert fnv1a_32(b"foobar") == 0xBF9CF968
+
+    rows = [(f"conv{i % 7}", i, f"msg {i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    frame = kafka_payload_frame(df, "hash", ["conv_id"]).collect()
+
+    broker = FakeKafkaBroker({"turns": 6})
+    acks = broker.produce_rows(frame, "turns", partitioner="hash")
+
+    # every ack carries (partition, offset); partition must equal the
+    # independent sarama computation for that row's key
+    for r, ack in zip(frame, acks):
+        assert ack is not None
+        assert ack[0] == sarama_hash_partition(r["key"].encode(), 6)
+    # same key -> same partition; 7 keys spread over >1 partition
+    key_parts = {}
+    for r, (p, _o) in zip(frame, acks):
+        key_parts.setdefault(r["key"], set()).add(p)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+    assert len({next(iter(ps)) for ps in key_parts.values()}) > 1
+    # offsets are contiguous from 0 within each partition
+    for precs in broker.logs["turns"]:
+        assert [r.offset for r in precs] == list(range(len(precs)))
+
+    # consumer side: service_kafka's projection over the broker view
+    back = kafka_records_projection(broker.records_frame(spark, "turns"))
+    got = back.collect()
+    assert len(got) == 100
+    assert {(_json.loads(r["text"])["conv_id"], _json.loads(r["text"])["turn_idx"])
+            for r in got} == {(c, i) for c, i, _t in rows}
+    # per-partition offset order preserves produce order for a key
+    by_part = {}
+    for r in sorted(got, key=lambda r: (r["_ingest_partition"], r["_line_idx"])):
+        by_part.setdefault(r["_ingest_partition"], []).append(
+            _json.loads(r["text"])["turn_idx"])
+    for seq in by_part.values():
+        assert seq == sorted(seq)
+
+
+def test_kafka_partitioners_and_acks(spark):
+    """roundrobin cycles the counter; random stays in range and is
+    seed-deterministic; RequiredAcks=0 returns no metadata (NoResponse);
+    hash key falls back to the logstore default and joins HashKeys with
+    '###' (hashPartitionKey, flusher_kafka_v2.go:345-357)."""
+    from loongcollector_spark.flushers import kafka_payload_frame
+    from loongcollector_spark.kafka_fake import FakeKafkaBroker
+
+    broker = FakeKafkaBroker({"t": 4})
+    acks = [broker.produce("t", b"v%d" % i, partitioner="roundrobin")
+            for i in range(10)]
+    assert [p for p, _ in acks] == [i % 4 for i in range(10)]
+
+    b2 = FakeKafkaBroker({"t": 4}, seed=7)
+    r1 = [b2.produce("t", b"x", partitioner="random")[0] for _ in range(20)]
+    assert all(0 <= p < 4 for p in r1)
+    b3 = FakeKafkaBroker({"t": 4}, seed=7)
+    assert r1 == [b3.produce("t", b"x", partitioner="random")[0]
+                  for _ in range(20)]
+
+    b0 = FakeKafkaBroker({"t": 2}, required_acks=0)
+    assert b0.produce("t", b"v") is None
+    assert sum(len(p) for p in b0.logs["t"]) == 1  # still delivered
+
+    df = spark.createDataFrame(
+        [("a", 1, None), (None, None, "x")],
+        "conv_id string, turn_idx int, other string")
+    rows = kafka_payload_frame(
+        df, "hash", ["conv_id", "turn_idx"], default_key="store1").collect()
+    keys = sorted(r["key"] for r in rows)
+    # multi-key join with ###; all-null hash keys -> logstore default
+    assert keys == ["a###1", "store1"]
