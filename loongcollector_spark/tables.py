@@ -74,17 +74,34 @@ def write_table(
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
 ) -> None:
-    """Write to an Iceberg table (createOrReplace/append via writeTo) or,
-    without the runtime, to a parquet path with the same partitioning."""
+    """Write to an Iceberg table (createOrReplace/append/
+    overwritePartitions via writeTo) or, without the runtime, to a
+    parquet path with the same partitioning.
+
+    ``mode='overwrite_partitions'`` is the idempotent-resume write: only
+    the partitions present in ``df`` are replaced (Iceberg
+    ``overwritePartitions()``; parquet dynamic partitionOverwriteMode) —
+    re-running a failed batch rewrites its own partitions byte-identical
+    and leaves every other partition untouched, which is the
+    exactly-once replay contract checkpoint.py's manifest assumes
+    (reference ExactlyOnceQueueManager.h:41-96)."""
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in ref:
         w = df.writeTo(ref)
         if mode == "overwrite":
             w.createOrReplace()
+        elif mode == "overwrite_partitions":
+            w.overwritePartitions()
         else:
             w.append()
         return
-    writer = df.write.mode(mode)
+    if mode == "overwrite_partitions":
+        writer = (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+        )
+    else:
+        writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(ref)

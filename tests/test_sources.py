@@ -344,3 +344,71 @@ def test_input_debug_file(spark, tmp_path):
     # default field name and limit contract (models.ContentKey, 1000)
     [r] = input_debug_file(spark, str(p2)).collect()
     assert r["content"] == "x\ny"
+
+
+def test_overwrite_partitions_resume_parquet(spark, tmp_path):
+    """write_table(mode='overwrite_partitions') — the idempotent-resume
+    write: replaying one batch's partitions replaces exactly those
+    partitions and leaves the others untouched (parquet dynamic
+    partition overwrite; the Iceberg path maps to overwritePartitions,
+    exercised by the gated test below when a runtime jar is present)."""
+    from loongcollector_spark import tables
+
+    p = str(tmp_path / "t")
+    day1 = spark.createDataFrame(
+        [("c1", 0, "a", "d1"), ("c2", 0, "b", "d1")],
+        "conv_id string, turn_idx int, text string, day string")
+    day2 = spark.createDataFrame(
+        [("c3", 0, "x", "d2")],
+        "conv_id string, turn_idx int, text string, day string")
+    tables.write_table(day1, p, mode="overwrite", partition_by=("day",))
+    tables.write_table(day2, p, mode="overwrite_partitions",
+                       partition_by=("day",))
+    # replay day2 with corrected rows: only d2 is replaced
+    day2b = spark.createDataFrame(
+        [("c3", 0, "x-fixed", "d2"), ("c4", 0, "y", "d2")],
+        "conv_id string, turn_idx int, text string, day string")
+    tables.write_table(day2b, p, mode="overwrite_partitions",
+                       partition_by=("day",))
+    got = {(r["conv_id"], r["text"]) for r in
+           tables.read_table(spark, p).collect()}
+    assert got == {("c1", "a"), ("c2", "b"), ("c3", "x-fixed"), ("c4", "y")}
+
+
+def test_iceberg_runtime_smoke(tmp_path):
+    """GATED: runs only when an Iceberg runtime jar is on the session
+    classpath (none ships in this container). Exercises the real
+    transcripts DDL (bucket/days partition spec), the write-order
+    ALTER, an append, and the overwritePartitions resume round trip
+    against a local hadoop catalog."""
+    import pytest
+    from pyspark.sql import SparkSession
+
+    from loongcollector_spark import tables
+
+    probe = SparkSession.getActiveSession()
+    if probe is None or not tables.iceberg_available(probe):
+        pytest.skip("no Iceberg runtime jar in this container")
+
+    wh = str(tmp_path / "warehouse")
+    s = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.catalog.lcs",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.lcs.type", "hadoop")
+        .config("spark.sql.catalog.lcs.warehouse", wh)
+        .getOrCreate()
+    )
+    s.sql(tables.transcripts_ddl("db.transcripts"))
+    s.sql(tables.transcripts_write_order_ddl("db.transcripts"))
+    rows = s.createDataFrame(
+        [("c1", 0, "user", "hi", "", "2026-01-01 00:00:00"),
+         ("c1", 1, "assistant", "yo", "", "2026-01-01 00:00:01")],
+        tables.TRANSCRIPT_COLUMNS.replace(" timestamp", " string"),
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tables.write_table(rows, "lcs.db.transcripts", mode="append")
+    fixed = rows.withColumn("text", F.lit("fixed"))
+    tables.write_table(fixed, "lcs.db.transcripts",
+                       mode="overwrite_partitions")
+    got = tables.read_table(s, "lcs.db.transcripts").collect()
+    assert len(got) == 2 and all(r["text"] == "fixed" for r in got)
