@@ -6710,6 +6710,116 @@ FROM base WHERE eid % 3 = 2
 """
 
 
+def q_process_metrics(spark, sf_dir):
+    """metric_process_v2 (input_process.go): regex + threshold + top-N
+    process selection (CPU-top then mem-top with dedup and the
+    MaxProcessCount cap — the reference's append-order semantics) and
+    the metric-log emission contract (__name__/__labels__/__value__/
+    __time_nano__, labels sorted k#$#v with comm truncation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid = F.col("event_id")
+    procs = ev.select(
+        eid.alias("scan_idx"),
+        F.pmod(eid, F.lit(32768)).cast("int").alias("pid"),
+        F.concat(F.lit("/usr/bin/"), F.col("event_type")).alias("exe"),
+        F.concat(F.lit("/usr/bin/"), F.col("event_type"), F.lit(" --run"))
+        .alias("cmdline"),
+        F.col("event_type").alias("comm"),
+        (eid / F.lit(100.0)).alias("cpu_percent"),
+        (eid / F.lit(300.0)).alias("stime_percent"),
+        (eid / F.lit(200.0)).alias("utime_percent"),
+        ((F.lit(200000) - eid) * 1024).cast("long").alias("rss"),
+        eid.cast("long").alias("swap"),
+        (eid * 2).cast("long").alias("vsz"),
+        (eid * 3).cast("long").alias("data"),
+        F.pmod(eid, F.lit(17)).cast("int").alias("threads_num"),
+        F.pmod(eid, F.lit(23)).cast("int").alias("fds_num"),
+        (eid * 5).cast("long").alias("net_in_bytes"),
+        (eid * 6).cast("long").alias("net_in_packet"),
+        (eid * 7).cast("long").alias("net_out_bytes"),
+        (eid * 8).cast("long").alias("net_out_packet"),
+        (eid * 9).cast("long").alias("read_bytes"),
+        (eid * 10).cast("long").alias("write_bytes"),
+        (eid * 11).cast("long").alias("read_count"),
+        (eid * 12).cast("long").alias("write_count"),
+        F.col("ts"),
+    )
+    op = build_operator({
+        "Type": "metric_process_v2", "TopNCPU": 50, "TopNMem": 30,
+        "MinCPULimitPercent": 25.0, "MinMemoryLimitKB": 100,
+        "MaxProcessCount": 60, "Thread": True, "NetIO": True,
+        "ProcessNamesRegex": ["^/usr/bin/(click|error|view)"],
+    })
+    return op(procs)
+
+
+O_PROCESS_METRICS = """
+WITH p AS (
+  SELECT event_id AS scan_idx, event_id % 32768 AS pid,
+    event_type AS comm, ts,
+    event_id / 100.0 AS cpu, event_id / 300.0 AS stp,
+    event_id / 200.0 AS utp,
+    (200000 - event_id) * 1024 AS rss, event_id AS swap,
+    event_id * 2 AS vsz, event_id * 3 AS datam
+  FROM events
+  WHERE regexp_matches('/usr/bin/' || event_type,
+                       '^/usr/bin/(click|error|view)')
+     OR regexp_matches('/usr/bin/' || event_type || ' --run',
+                       '^/usr/bin/(click|error|view)')
+), thr AS (
+  SELECT * FROM p WHERE cpu >= 25.0 OR rss >= 100 * 1024
+), cpu_sel AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY cpu DESC, scan_idx) AS rk
+    FROM thr) WHERE rk <= 50
+), mem_cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY rss DESC, scan_idx) AS mrk
+    FROM thr) WHERE mrk <= 30
+), mem_sel AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (ORDER BY m.mrk) AS slot
+    FROM mem_cand m
+    WHERE m.scan_idx NOT IN (SELECT scan_idx FROM cpu_sel)
+  ) WHERE slot <= 60 - (SELECT count(*) FROM cpu_sel)
+), sel AS (
+  SELECT scan_idx, pid, comm, ts, cpu, stp, utp, rss, swap, vsz, datam
+  FROM cpu_sel
+  UNION ALL
+  SELECT scan_idx, pid, comm, ts, cpu, stp, utp, rss, swap, vsz, datam
+  FROM mem_sel
+), m AS (
+  SELECT sel.*, u.name AS mname,
+    CASE u.name
+      WHEN 'process_cpu_percent' THEN cpu
+      WHEN 'process_cpu_stime_percent' THEN stp
+      WHEN 'process_cpu_utime_percent' THEN utp
+      WHEN 'process_mem_rss' THEN rss
+      WHEN 'process_mem_swap' THEN swap
+      WHEN 'process_mem_vsz' THEN vsz
+      WHEN 'process_mem_data' THEN datam
+      WHEN 'process_threads' THEN scan_idx % 17
+      WHEN 'process_net_in_bytes' THEN scan_idx * 5
+      WHEN 'process_net_in_packet' THEN scan_idx * 6
+      WHEN 'process_net_out_bytes' THEN scan_idx * 7
+      WHEN 'process_net_out_packet' THEN scan_idx * 8
+    END AS v
+  FROM sel, unnest(['process_cpu_percent', 'process_cpu_stime_percent',
+    'process_cpu_utime_percent', 'process_mem_rss', 'process_mem_swap',
+    'process_mem_vsz', 'process_mem_data', 'process_threads',
+    'process_net_in_bytes', 'process_net_in_packet',
+    'process_net_out_bytes', 'process_net_out_packet']) AS u(name)
+)
+SELECT mname AS __name__,
+  'comm#$#' || comm || '|hostname#$#host|ip#$#127.0.0.1|pid#$#' || pid
+    AS __labels__,
+  cast(v AS DOUBLE) AS __value__,
+  epoch_us(ts) * 1000 AS __time_nano__
+FROM m
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7001,6 +7111,7 @@ QUERIES = {
     "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
     "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
     "k8s_entities": (q_k8s_entities, O_K8S_ENTITIES),
+    "process_metrics": (q_process_metrics, O_PROCESS_METRICS),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

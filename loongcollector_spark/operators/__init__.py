@@ -96,6 +96,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     otelops,
     parse,
     pbops,
+    processops,
     prom,
     ratelimit,
     skywalkingops,

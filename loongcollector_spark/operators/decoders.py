@@ -688,10 +688,19 @@ def pyroscope_groups_decode(
 
     @F.pandas_udf("string")
     def stack_id(st):
-        import pandas as pd
+        # seed-0 xxh64 is the Go byte contract (profile.go:96) Spark's
+        # seed-42 builtin can't reproduce; stacktraces repeat heavily
+        # across samples, so memoize per Arrow batch — the Python hash
+        # runs once per DISTINCT stack, not per row
+        memo = {}
 
-        return pd.Series([format(xxh64(s.encode("utf-8"), 0), "x")
-                          for s in st])
+        def h(s):
+            r = memo.get(s)
+            if r is None:
+                r = memo[s] = format(xxh64(s.encode("utf-8"), 0), "x")
+            return r
+
+        return st.map(h)
 
     return parsed.select(
         F.lit(int(start_time_s)).alias("time_sec"),
