@@ -6820,6 +6820,223 @@ FROM m
 """
 
 
+def _synth_system_snapshots(spark, sf_dir):
+    """Two counter snapshots (10 s apart) for 4 hosts, derived from
+    per-host event aggregates: CPU jiffies, mem gauges, TCP counters,
+    two disks (sda + the sda1 partition — excluded from 'total'), two
+    interfaces. The deltas are closed-form so the DuckDB oracle rebuilds
+    every metric row exactly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.groupBy(F.pmod(F.col("user_id"), F.lit(4)).alias("h")).agg(
+        F.count("*").alias("n"))
+
+    def disks(scale):
+        def dev(name, rb, wb, rc, wc, rt, wt, io):
+            return F.struct(
+                F.lit(name).alias("name"), rb.cast("long").alias("read_bytes"),
+                wb.cast("long").alias("write_bytes"),
+                rc.cast("long").alias("read_count"),
+                wc.cast("long").alias("write_count"),
+                rt.cast("long").alias("read_time"),
+                wt.cast("long").alias("write_time"),
+                io.cast("long").alias("io_time"))
+
+        n = F.col("n")
+        s = F.lit(scale)
+        return F.array(
+            dev("sda", n * 1000 + s * 4000, n * 2000 + s * 8000,
+                n * 10 + s * 40, n * 20 + s * 80, n * 100 + s * 400,
+                n * 200 + s * 160, n * 50 + s * 500),
+            dev("sda1", n * 500 + s * 100, n * 1000 + s * 200,
+                n * 5, n * 10 + s * 10, n * 50, n * 100 + s * 30,
+                n * 25 + s * 20),
+        )
+
+    def nets(scale):
+        def itf(name, br, bs, pr, ps, ei, eo, di, do):
+            return F.struct(
+                F.lit(name).alias("name"), br.cast("long").alias("bytes_recv"),
+                bs.cast("long").alias("bytes_sent"),
+                pr.cast("long").alias("packets_recv"),
+                ps.cast("long").alias("packets_sent"),
+                ei.cast("long").alias("errin"), eo.cast("long").alias("errout"),
+                di.cast("long").alias("dropin"),
+                do.cast("long").alias("dropout"))
+
+        n = F.col("n")
+        s = F.lit(scale)
+        return F.array(
+            itf("eth0", n * 900 + s * 5000, n * 800 + s * 6000,
+                n * 9 + s * 50, n * 8 + s * 60, s * 2, s * 1, s * 3,
+                F.lit(0)),
+            itf("lo", n * 10 + s * 100, n * 10 + s * 100,
+                n + s * 10, n + s * 10, F.lit(0), F.lit(0), F.lit(0),
+                F.lit(0)),
+        )
+
+    def snap(idx):
+        h, n, s = F.col("h"), F.col("n"), F.lit(idx)
+        return base.select(
+            F.concat(F.lit("h"), h.cast("string")).alias("host"),
+            F.lit(idx).alias("snap_idx"),
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=s * 10)).alias("snap_ts"),
+            (n + s * 40).cast("double").alias("cpu_user"),
+            (n * 2 + s * 10).cast("double").alias("cpu_system"),
+            (s * 5).cast("double").alias("cpu_nice"),
+            (h + s * 2).cast("double").alias("cpu_irq"),
+            s.cast("double").alias("cpu_softirq"),
+            F.lit(0.0).alias("cpu_guest"),
+            F.lit(0.0).alias("cpu_guest_nice"),
+            (n * 100 + s * 900).cast("double").alias("cpu_idle"),
+            (h + s * 4).cast("double").alias("cpu_iowait"),
+            (s * 2).cast("double").alias("cpu_steal"),
+            F.lit(8).alias("ncpus"),
+            (h * 10 + 0.5).alias("mem_util_pct"),
+            (n * 10).cast("long").alias("mem_cache"),
+            (n * 11).cast("long").alias("mem_free"),
+            (n * 12).cast("long").alias("mem_available"),
+            (n * 13).cast("long").alias("mem_used"),
+            (n * 14).cast("long").alias("mem_total"),
+            (h + 0.25).alias("swap_util_pct"),
+            (h + 0.5).alias("load1"),
+            (h + 0.25).alias("load5"),
+            (h + 0.125).alias("load15"),
+            F.lit(1700000000).cast("long").alias("boot_time"),
+            (n * 100 + s * 200).cast("long").alias("tcp_out_segs"),
+            (n * 50 + s * 300).cast("long").alias("tcp_in_segs"),
+            (n + s * h).cast("long").alias("tcp_retrans_segs"),
+            disks(idx).alias("disks"),
+            nets(idx).alias("interfaces"),
+        )
+
+    return snap(0).unionByName(snap(1))
+
+
+def q_system_metrics(spark, sf_dir):
+    """metric_system_v2 (input_system_v2.go): delta-rate metric
+    computation between two counter snapshots — CPU busy/total jiffy
+    utils, mem/load gauges, per-disk and per-interface rates with the
+    summed 'total' device (partitions excluded from the disk total),
+    zero-ops latency suppression, TCP segment deltas + retransmission
+    percentage."""
+    snaps = _materialized(
+        spark, sf_dir, "system_snapshots", _synth_system_snapshots)
+    op = build_operator({"Type": "metric_system_v2"})
+    out = op(snaps)
+    return out.select(
+        "__name__", "__labels__",
+        F.floor(F.col("__value__") * 10000).cast("long")
+        .alias("value_1e4"),
+        "__time_nano__",
+    )
+
+
+O_SYSTEM_METRICS = """
+WITH base AS (
+  SELECT user_id % 4 AS h, count(*) AS n FROM events GROUP BY 1
+), hosts AS (
+  SELECT h, n,
+    'hostname#$#host|ip#$#127.0.0.1' AS lbl,
+    epoch_us(TIMESTAMP '2026-01-01 00:00:10') * 1000 AS tn
+  FROM base
+), host_rows AS (
+  SELECT u.name AS mname,
+    CASE u.name
+      WHEN 'system_load1' THEN h + 0.5
+      WHEN 'system_load5' THEN h + 0.25
+      WHEN 'system_load15' THEN h + 0.125
+      WHEN 'system_boot_time' THEN 1700000000
+      WHEN 'cpu_count' THEN 8
+      WHEN 'cpu_util' THEN 100.0 * 58 / 964
+      WHEN 'cpu_wait_util' THEN 100.0 * 4 / 964
+      WHEN 'cpu_sys_util' THEN 100.0 * 10 / 964
+      WHEN 'cpu_user_util' THEN 100.0 * 40 / 964
+      WHEN 'cpu_irq_util' THEN 100.0 * 2 / 964
+      WHEN 'cpu_softirq_util' THEN 100.0 * 1 / 964
+      WHEN 'cpu_nice_util' THEN 100.0 * 5 / 964
+      WHEN 'cpu_steal_util' THEN 100.0 * 2 / 964
+      WHEN 'cpu_guest_util' THEN 0.0
+      WHEN 'cpu_guestnice_util' THEN 0.0
+      WHEN 'mem_util' THEN h * 10 + 0.5
+      WHEN 'mem_cache' THEN n * 10
+      WHEN 'mem_free' THEN n * 11
+      WHEN 'mem_available' THEN n * 12
+      WHEN 'mem_used' THEN n * 13
+      WHEN 'mem_total' THEN n * 14
+      WHEN 'mem_swap_util' THEN h + 0.25
+      WHEN 'protocol_tcp_outsegs' THEN 200
+      WHEN 'protocol_tcp_insegs' THEN 300
+      WHEN 'protocol_tcp_retran_segs' THEN h
+      WHEN 'protocol_tcp_retran_util' THEN 100.0 * h / 200
+    END AS v, lbl, tn
+  FROM hosts, unnest(['system_load1', 'system_load5', 'system_load15',
+    'system_boot_time', 'cpu_count', 'cpu_util', 'cpu_wait_util',
+    'cpu_sys_util', 'cpu_user_util', 'cpu_irq_util', 'cpu_softirq_util',
+    'cpu_nice_util', 'cpu_steal_util', 'cpu_guest_util',
+    'cpu_guestnice_util', 'mem_util', 'mem_cache', 'mem_free',
+    'mem_available', 'mem_used', 'mem_total', 'mem_swap_util',
+    'protocol_tcp_outsegs', 'protocol_tcp_insegs',
+    'protocol_tcp_retran_segs', 'protocol_tcp_retran_util']) AS u(name)
+), disk_rows AS (
+  -- deltas over 10s: sda(rb 4000, wb 8000, rc 40, wc 80, rt 400,
+  -- wt 160, io 500); sda1(rb 100, wb 200, rc 0, wc 10, rt 0, wt 30,
+  -- io 20); total = sda only (partition digit excluded)
+  SELECT u.name AS mname,
+    CASE u.name
+      WHEN 'disk_rbps' THEN CASE d.dev WHEN 'sda1' THEN 10.0 ELSE 400.0 END
+      WHEN 'disk_wbps' THEN CASE d.dev WHEN 'sda1' THEN 20.0 ELSE 800.0 END
+      WHEN 'disk_riops' THEN CASE d.dev WHEN 'sda1' THEN 0.0 ELSE 4.0 END
+      WHEN 'disk_wiops' THEN CASE d.dev WHEN 'sda1' THEN 1.0 ELSE 8.0 END
+      WHEN 'disk_rlatency' THEN CASE d.dev WHEN 'sda1' THEN NULL
+                                           ELSE 400.0 / 40 END
+      WHEN 'disk_wlatency' THEN CASE d.dev WHEN 'sda1' THEN 30.0 / 10
+                                           ELSE 160.0 / 80 END
+      WHEN 'disk_util' THEN CASE d.dev
+        WHEN 'total' THEN NULL
+        WHEN 'sda1' THEN 20 * 100.0 / 1000 / 10
+        ELSE 500 * 100.0 / 1000 / 10 END
+    END AS v,
+    'disk#$#' || d.dev || '|hostname#$#host|ip#$#127.0.0.1' AS lbl, tn
+  FROM hosts,
+    unnest(['sda', 'sda1', 'total']) AS d(dev),
+    unnest(['disk_rbps', 'disk_wbps', 'disk_riops', 'disk_wiops',
+            'disk_rlatency', 'disk_wlatency', 'disk_util']) AS u(name)
+), net_rows AS (
+  -- deltas over 10s: eth0(br 5000, bs 6000, pr 50, ps 60, err 3,
+  -- drop 3); lo(br 100, bs 100, pr 10, ps 10); total = both
+  SELECT u.name AS mname,
+    CASE u.name
+      WHEN 'net_in' THEN CASE i.itf WHEN 'eth0' THEN 500.0
+                                    WHEN 'lo' THEN 10.0 ELSE 510.0 END
+      WHEN 'net_out' THEN CASE i.itf WHEN 'eth0' THEN 600.0
+                                     WHEN 'lo' THEN 10.0 ELSE 610.0 END
+      WHEN 'net_in_pkt' THEN CASE i.itf WHEN 'eth0' THEN 5.0
+                                        WHEN 'lo' THEN 1.0 ELSE 6.0 END
+      WHEN 'net_out_pkt' THEN CASE i.itf WHEN 'eth0' THEN 6.0
+                                         WHEN 'lo' THEN 1.0 ELSE 7.0 END
+      WHEN 'net_drop_util' THEN CASE i.itf
+        WHEN 'eth0' THEN 100.0 * 3 / 110
+        WHEN 'lo' THEN 0.0 ELSE 100.0 * 3 / 130 END
+      WHEN 'net_err_util' THEN CASE i.itf
+        WHEN 'eth0' THEN 100.0 * 3 / 110
+        WHEN 'lo' THEN 0.0 ELSE 100.0 * 3 / 130 END
+    END AS v,
+    'hostname#$#host|interface#$#' || i.itf || '|ip#$#127.0.0.1' AS lbl,
+    tn
+  FROM hosts,
+    unnest(['eth0', 'lo', 'total']) AS i(itf),
+    unnest(['net_in', 'net_out', 'net_in_pkt', 'net_out_pkt',
+            'net_drop_util', 'net_err_util']) AS u(name)
+)
+SELECT mname AS __name__, lbl AS __labels__,
+  cast(floor(v * 10000) AS BIGINT) AS value_1e4, tn AS __time_nano__
+FROM (SELECT * FROM host_rows UNION ALL SELECT * FROM disk_rows
+      UNION ALL SELECT * FROM net_rows)
+WHERE v IS NOT NULL
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7112,6 +7329,7 @@ QUERIES = {
     "k8s_pod_entities": (q_k8s_pod_entities, O_K8S_POD_ENTITIES),
     "k8s_entities": (q_k8s_entities, O_K8S_ENTITIES),
     "process_metrics": (q_process_metrics, O_PROCESS_METRICS),
+    "system_metrics": (q_system_metrics, O_SYSTEM_METRICS),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

@@ -103,6 +103,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     snmpops,
     splitops,
     syslogops,
+    systemops,
     timeops,
     wineventops,
 )

@@ -107,3 +107,92 @@ def test_regex_filter_switches_and_labels(spark):
     vals = {r["__name__"]: r["__value__"] for r in out}
     assert vals["process_mem_rss"] == 500 * 1024.0
     assert vals["process_threads"] == 4.0
+
+
+SYS_SCHEMA = (
+    "host string, snap_idx int, snap_ts timestamp, "
+    "cpu_user double, cpu_system double, cpu_nice double, "
+    "cpu_irq double, cpu_softirq double, cpu_guest double, "
+    "cpu_guest_nice double, cpu_idle double, cpu_iowait double, "
+    "cpu_steal double, ncpus int, mem_util_pct double, mem_cache long, "
+    "mem_free long, mem_available long, mem_used long, mem_total long, "
+    "swap_util_pct double, load1 double, load5 double, load15 double, "
+    "boot_time long, tcp_out_segs long, tcp_in_segs long, "
+    "tcp_retrans_segs long, "
+    "disks array<struct<name:string, read_bytes:long, write_bytes:long, "
+    "read_count:long, write_count:long, read_time:long, write_time:long, "
+    "io_time:long>>, "
+    "interfaces array<struct<name:string, bytes_recv:long, "
+    "bytes_sent:long, packets_recv:long, packets_sent:long, errin:long, "
+    "errout:long, dropin:long, dropout:long>>"
+)
+
+
+def _snap(host, idx, ts, user, idle, disks, itfs):
+    return (host, idx, ts, float(user), 2.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+            float(idle), 0.0, 0.0, 4, 50.5, 10, 11, 12, 13, 14, 1.5,
+            0.5, 0.25, 0.125, 1700000000, 1000, 500, 10, disks, itfs)
+
+
+def test_system_metrics_deltas_and_first_round(spark):
+    """metric_system_v2: delta utils need BOTH snapshots (first
+    collection round emits gauges only, like the reference's
+    lastCPUTime.IsZero() guard); per-device rates join on (host, name)
+    so a device absent from the previous snapshot emits nothing."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    t1 = datetime.datetime(2026, 1, 1, 0, 0, 10)
+    d0 = [("sda", 0, 0, 0, 0, 0, 0, 0)]
+    d1 = [("sda", 4000, 8000, 40, 80, 400, 160, 500),
+          ("sdb", 1, 1, 1, 1, 1, 1, 1)]  # new device: no previous -> skip
+    i0 = [("eth0", 0, 0, 0, 0, 0, 0, 0, 0)]
+    i1 = [("eth0", 5000, 6000, 50, 60, 0, 0, 0, 0)]
+    rows = [
+        _snap("a", 0, t0, 100, 900, d0, i0),
+        _snap("a", 1, t1, 158, 1842, d1, i1),
+        # host b: only the CURRENT snapshot (first round)
+        _snap("b", 1, t1, 100, 900, d1, i1),
+    ]
+    df = spark.createDataFrame(rows, SYS_SCHEMA)
+    out = build_operator({"Type": "metric_system_v2"})(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["__name__"], []).append(r)
+
+    # host a: user delta 58, idle delta 942 -> total delta 1000+... busy
+    # delta = 58, total delta = 58 + 942 = 1000
+    cpu = [r for r in by["cpu_util"]]
+    assert len(cpu) == 1  # host b has no previous snapshot
+    assert abs(cpu[0]["__value__"] - 100.0 * 58 / 1000) < 1e-9
+    # gauges emit for BOTH hosts
+    assert len(by["mem_util"]) == 2
+    assert len(by["cpu_count"]) == 2
+    # per-device: sda rates for host a only; sdb skipped (no previous)
+    rbps = [r for r in by["disk_rbps"]]
+    devs = {p.split("#$#")[1].split("|")[0]
+            for r in rbps for p in r["__labels__"].split("|")
+            if p.startswith("disk")}
+    assert devs == {"sda", "total"}
+    for r in rbps:
+        assert r["__value__"] == 400.0
+    # tcp deltas are zero here (same counters): emitted as 0 for host a
+    assert {r["__value__"] for r in by["protocol_tcp_outsegs"]} == {0.0}
+
+
+def test_gpu_metric_fields(spark):
+    """service_gpu_metric (input_gpu_metric.go:88-121): mW->W and
+    bytes->MiB integer divisions, free = total - used."""
+    df = spark.createDataFrame(
+        [(0, 215999, 63, 87, 45, 16 * 1024**3, 5 * 1024**3 + 7, None)],
+        "device int, power_usage_mw long, temperature long, "
+        "gpu_util long, memory_util long, total_memory long, "
+        "used_memory long, ts timestamp")
+    r = build_operator({"Type": "service_gpu_metric"})(df).collect()[0]
+    assert r["metric_type"] == "gpu" and r["device"] == "0"
+    assert r["gpu_power_usage"] == "215"      # 215999 mW div 1000
+    assert r["gpu_temperature"] == "63"
+    assert r["gpu_util"] == "87" and r["gpu_memory_util"] == "45"
+    assert r["gpu_total_memory"] == str(16 * 1024)
+    assert r["gpu_used_memory"] == str(5 * 1024)   # floor of the +7
+    assert r["gpu_free_memory"] == str(11 * 1024 - 1)  # (total-used) div MiB
