@@ -7037,6 +7037,104 @@ WHERE v IS NOT NULL
 """
 
 
+def q_host_meta_nodes(spark, sf_dir):
+    """metric_meta_host (input_host_meta.go + meta_helper.go
+    makeMetaLog): HOST + PROCESS MetaNode log projection — category-
+    keyed attribute JSON, strconv-string labels, genProcessNodeID ids,
+    HOST:<id>:<name> parent strings, empty-cmdline/zero-RSS skips."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    procs = F.array(F.struct(
+        F.pmod(eid, F.lit(32768)).cast("int").alias("pid"),
+        F.when(F.pmod(eid, F.lit(11)) != 0,
+               F.concat(F.lit("/usr/bin/"), F.col("event_type"),
+                        F.lit(" --id "), eid.cast("string")))
+        .otherwise(F.lit("")).alias("cmdline"),
+        F.concat(F.lit("/usr/bin/"), F.col("event_type")).alias("exe"),
+        F.col("event_type").alias("comm"),
+        F.lit(1).cast("int").alias("ppid"),
+        (eid + 7).cast("long").alias("start_time"),
+        F.pmod(eid, F.lit(5)).cast("long").alias("rss"),  # 0 -> skipped
+    ))
+    hosts = ev.select(
+        F.concat(F.lit("hid"), F.pmod(uid, F.lit(4)).cast("string"))
+        .alias("host_id"),
+        F.concat(F.lit("web"), F.pmod(uid, F.lit(4)).cast("string"))
+        .alias("hostname"),
+        F.concat(F.lit("10.3.0."), F.pmod(uid, F.lit(4)).cast("string"))
+        .alias("ip"),
+        F.lit(1700000000).cast("long").alias("boot_time"),
+        F.lit("linux").alias("os"), F.lit("ubuntu").alias("platform"),
+        F.lit("debian").alias("platform_family"),
+        F.lit("22.04").alias("platform_version"),
+        F.lit("5.15.0").alias("kernel_version"),
+        F.lit("x86_64").alias("kernel_arch"),
+        F.lit("kvm").alias("virtualization_system"),
+        F.lit("guest").alias("virtualization_role"),
+        (F.pmod(uid, F.lit(3)) * 8 + 8).cast("int").alias("processor_count"),
+        F.lit(8).cast("int").alias("core_count"),
+        F.lit("GenuineIntel").alias("vendor_id"),
+        F.lit("6").alias("family"), F.lit("85").alias("model"),
+        F.lit("Xeon").alias("model_name"),
+        (F.pmod(uid, F.lit(2)) * 400 + 2200).cast("double").alias("mhz"),
+        F.lit(28160).cast("int").alias("cache_size"),
+        (uid * 1024).cast("long").alias("mem_total"),
+        (uid * 64).cast("long").alias("swap_total"),
+        (uid * 2048).cast("long").alias("vsz_total"),
+        F.array().cast(
+            "array<struct<device:string,opts:string,fstype:string,"
+            "mount_point:string>>").alias("disks"),
+        F.array().cast(
+            "array<struct<index:int,name:string,mtu:int,"
+            "hardware_address:string,flags:array<string>,"
+            "addrs:array<string>>>").alias("nets"),
+        procs.alias("processes"),
+        F.col("ts"),
+    )
+    from loongcollector_spark.operators.hostmetaops import host_meta_nodes
+
+    # one HOST row per input row here (the per-host dedup is the scrape
+    # loop's job); PROCESS fan-out exercises the filters at volume
+    return host_meta_nodes(hosts, process=True).select(
+        "id", "type", "attributes", "labels", "parents")
+
+
+O_HOST_META_NODES = """
+WITH e AS (
+  SELECT event_id AS eid, user_id % 4 AS h, user_id AS uid, event_type
+  FROM events
+)
+SELECT 'hid' || h || '_10.3.0.' || h AS id, 'HOST' AS type,
+  '{"CPU":{"cache_size":28160,"core_count":8,"family":"6","mhz":'
+    || (uid % 2 * 400 + 2200)
+    || ',"model":"85","model_name":"Xeon","processor_count":'
+    || (uid % 3 * 8 + 8) || ',"vendor_id":"GenuineIntel"},'
+    || '"MEM":{"mem_total":' || (uid * 1024) || ',"swap_total":'
+    || (uid * 64) || ',"vsz_total":' || (uid * 2048) || '}}'
+    AS attributes,
+  '{"boot_time":"1700000000","host_id":"hid' || h
+    || '","hostname":"web' || h
+    || '","ip":"10.3.0.' || h || '","kernel_arch":"x86_64",'
+    || '"kernel_version":"5.15.0","os":"linux","platform":"ubuntu",'
+    || '"platform_family":"debian","platform_version":"22.04",'
+    || '"virtualization_role":"guest","virtualization_system":"kvm"}'
+    AS labels,
+  '[]' AS parents
+FROM e
+UNION ALL
+SELECT 'web' || h || '_10.3.0.' || h || '_PROCESS_' || (eid % 32768)
+    || '_' || (eid + 7),
+  'PROCESS',
+  '{"command":"/usr/bin/' || event_type || ' --id ' || eid
+    || '","exe":"/usr/bin/' || event_type || '","name":"' || event_type
+    || '","pid":' || (eid % 32768) || ',"ppid":1}',
+  '{"hostname":"web' || h || '","ip":"10.3.0.' || h || '"}',
+  '["HOST:hid' || h || '_10.3.0.' || h || ':web' || h || '"]'
+FROM e WHERE eid % 11 != 0 AND eid % 5 != 0
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7330,6 +7428,7 @@ QUERIES = {
     "k8s_entities": (q_k8s_entities, O_K8S_ENTITIES),
     "process_metrics": (q_process_metrics, O_PROCESS_METRICS),
     "system_metrics": (q_system_metrics, O_SYSTEM_METRICS),
+    "host_meta_nodes": (q_host_meta_nodes, O_HOST_META_NODES),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

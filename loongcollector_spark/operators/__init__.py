@@ -89,6 +89,7 @@ from loongcollector_spark.operators import (  # noqa: E402,F401
     fieldops,
     filterops,
     grok,
+    hostmetaops,
     httpext,
     k8smetaops,
     metricops,
