@@ -161,17 +161,32 @@ def read_varint(buf, pos: int) -> tuple[int, int]:
 
 def parse_fields(buf) -> list[tuple[int, int, object]]:
     """Walk a message: [(field_no, wire_type, value)]. Len-delimited
-    values are bytes; varint/fixed are ints. Unknown wire types raise."""
+    values are bytes; varint/fixed are ints. Unknown wire types raise.
+    The 1-byte varint case (every tag below field 16, almost every
+    length) is inlined — it feeds every decode walker in this module,
+    so the branch is the shared hot path."""
     out, pos, n = [], 0, len(buf)
     while pos < n:
-        tag, pos = read_varint(buf, pos)
+        tag = buf[pos]
+        if tag < 0x80:
+            pos += 1
+        else:
+            tag, pos = read_varint(buf, pos)
         field_no, wt = tag >> 3, tag & 7
         if field_no == 0:
             raise ValueError("field number 0 is invalid")
         if wt == 0:
-            val, pos = read_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                val = buf[pos]
+                pos += 1
+            else:
+                val, pos = read_varint(buf, pos)
         elif wt == 2:
-            ln, pos = read_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                ln = buf[pos]
+                pos += 1
+            else:
+                ln, pos = read_varint(buf, pos)
             if pos + ln > n:
                 raise ValueError("truncated length-delimited field")
             val = bytes(buf[pos:pos + ln])
