@@ -7135,6 +7135,121 @@ FROM e WHERE eid % 11 != 0 AND eid % 5 != 0
 """
 
 
+def _synth_dhash_jpegs(spark, sf_dir):
+    """One 72x64 q50 uniform-block JPEG per document: doc pairs
+    (2k, 2k+1) share the group-g = doc//2 block values
+    v_g(b) = 128 + 2·((g·7 + b·5) mod 57) over the 8x9 block grid
+    (b = r·9 + c), with the odd doc's cell b0 = g mod 72 re-valued to
+    128 + 2·((g·7 + b0·5 + 20) mod 57) — a near-duplicate differing in
+    at most two dHash comparison bits. Every block value round-trips
+    the q50 encode exactly (the media_decode_jpeg construction), and
+    the 72x64 -> 8x9 box filter lands on block boundaries, so the
+    DuckDB oracle rebuilds every signature closed-form while the engine
+    decodes + resizes + hashes for real."""
+    import numpy as np
+    import pandas as pd
+
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).sort_values("doc_id")
+    ids, blobs = [], []
+    for doc in docs["doc_id"].tolist():
+        g = doc // 2
+        b = np.arange(72, dtype=np.int64)
+        k = (g * 7 + b * 5) % 57
+        if doc % 2 == 1:
+            b0 = g % 72
+            k[b0] = (g * 7 + b0 * 5 + 20) % 57
+        vals = (128 + 2 * k).reshape(8, 9).astype(np.float64)
+        img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+        ids.append(int(doc))
+        blobs.append(encode_jpeg(img, quality=50))
+    return spark.createDataFrame(
+        pd.DataFrame({"media_id": ids, "payload": blobs}),
+        "media_id long, payload binary",
+    )
+
+
+# the closed-form band expressions shared by both dhash oracles: the
+# per-doc block exponent k(b) and the four 16-bit band sums
+_DHASH_ORACLE_BASE = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS g FROM documents
+), k AS (
+  SELECT doc_id,
+    list_transform(range(0, 72), b -> CASE
+      WHEN doc_id % 2 = 1 AND b = g % 72
+        THEN (g * 7 + b * 5 + 20) % 57
+      ELSE (g * 7 + b * 5) % 57 END) AS kv
+  FROM d
+), bits AS (
+  -- bit (r, c): cell value 128+2*kv[b] < right neighbor  (b = r*9+c)
+  SELECT doc_id,
+    list_transform(range(0, 64), i ->
+      CASE WHEN kv[(i // 8) * 9 + (i % 8) + 1]
+              < kv[(i // 8) * 9 + (i % 8) + 2]
+           THEN 1 ELSE 0 END) AS bit
+  FROM k
+), sig AS (
+  SELECT doc_id,
+    cast(list_sum(list_transform(range(0, 16), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh0,
+    cast(list_sum(list_transform(range(16, 32), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh1,
+    cast(list_sum(list_transform(range(32, 48), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh2,
+    cast(list_sum(list_transform(range(48, 64), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh3
+  FROM bits
+)
+"""
+
+
+def q_image_dhash(spark, sf_dir):
+    """Image perceptual hashing (functions/imagehash.py): decode the
+    JPEG fixtures for real, exact box-filter to the 8x9 cell grid,
+    dHash bit pack into four 16-bit bands — signatures hash-checked
+    against the closed-form reconstruction."""
+    from loongcollector_spark.functions.imagehash import image_dhash
+
+    media = _materialized(spark, sf_dir, "dhash_jpegs", _synth_dhash_jpegs)
+    return image_dhash(media)
+
+
+O_IMAGE_DHASH = _DHASH_ORACLE_BASE + """
+SELECT doc_id AS media_id, dh0, dh1, dh2, dh3, true AS ok FROM sig
+"""
+
+
+def q_image_near_dup_pairs(spark, sf_dir):
+    """Image near-dup pairs: dHash hamming <= 3 via 4-band pigeonhole
+    blocking (hamming + first-match residuals inside the join — ids +
+    four smallints shuffle, never pixels). The oracle is the FULL
+    O(n^2) hamming join over the closed-form signatures, proving
+    blocking recall, not just precision."""
+    from loongcollector_spark.functions.imagehash import (
+        image_dhash, image_near_pairs,
+    )
+
+    media = _materialized(spark, sf_dir, "dhash_jpegs", _synth_dhash_jpegs)
+    return image_near_pairs(image_dhash(media), max_hamming=3)
+
+
+O_IMAGE_NEAR_DUP_PAIRS = _DHASH_ORACLE_BASE + """
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  cast(bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
+     + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
+     + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))
+     + bit_count(cast(xor(a.dh3, b.dh3) AS BIGINT)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
+    + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
+    + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))
+    + bit_count(cast(xor(a.dh3, b.dh3) AS BIGINT)) <= 3
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7429,6 +7544,8 @@ QUERIES = {
     "process_metrics": (q_process_metrics, O_PROCESS_METRICS),
     "system_metrics": (q_system_metrics, O_SYSTEM_METRICS),
     "host_meta_nodes": (q_host_meta_nodes, O_HOST_META_NODES),
+    "image_dhash": (q_image_dhash, O_IMAGE_DHASH),
+    "image_near_dup_pairs": (q_image_near_dup_pairs, O_IMAGE_NEAR_DUP_PAIRS),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

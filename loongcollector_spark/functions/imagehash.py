@@ -1,0 +1,172 @@
+"""Image perceptual near-duplicate detection — dHash over REALLY
+decoded pixels.
+
+The standard web-scale image-dedup primitive (difference hash /
+"dHash", public technique — Krawetz, hackerfactor 2013 lineage): box-
+filter the grayscale image to a (hash_h x hash_w+1) cell grid, set bit
+(r, c) when cell[r, c] < cell[r, c+1], giving a 64-bit signature whose
+hamming distance tracks perceptual similarity. This module runs it over
+pixels produced by this engine's own from-spec decoders (JPEG/PNG/PGM),
+so "multimodal dedup" here means decode → hash → blocked pair join, not
+a metadata shortcut.
+
+Exactness story (what makes the hash ORACLE-able, the same trick as
+``media_decode_jpeg``): the box filter is an exact area mean, so when
+the image dimensions are integer multiples of the cell grid each cell
+equals the mean of an aligned pixel block — and for the q50 uniform-
+block JPEG fixtures (every 8x8 block a constant 128+2k) the cell value
+IS the block value, bit-exactly. A closed-form SQL oracle can therefore
+rebuild every signature from the fixture construction while the engine
+path runs the full decode + resize + hash for real.
+
+Scale shape: decode+hash runs Arrow-batched in ``mapInPandas`` (one
+worker per core, payloads never shuffle; signatures are 4 smallint
+bands). Pair generation reuses the SimHash machinery: pigeonhole
+banding on the four 16-bit bands (a pair within hamming 3 of a 64-bit
+hash must agree on ≥1 of 4 bands), hamming + first-match-band residuals
+INSIDE the join so nothing pair-shaped ever shuffles
+(functions/dedup.py:330-382 pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def box_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-mean (box-filter) resize: output cell (r, c) is the
+    average of the image over [r·h/out_h, (r+1)·h/out_h) ×
+    [c·w/out_w, (c+1)·w/out_w), fractional pixel coverage weighted
+    exactly. Two small weight matmuls — no Python per pixel."""
+    h, w = img.shape
+
+    def weights(n_in, n_out):
+        # W[o, i] = overlap of input cell [i, i+1) with output span o
+        edges = np.arange(n_out + 1) * (n_in / n_out)
+        i = np.arange(n_in)
+        lo = np.maximum(edges[:-1, None], i[None, :])
+        hi = np.minimum(edges[1:, None], (i + 1)[None, :])
+        return np.clip(hi - lo, 0.0, None)
+
+    wr = weights(h, out_h)            # (out_h, h)
+    wc = weights(w, out_w).T          # (w, out_w)
+    area = (h / out_h) * (w / out_w)
+    return (wr @ img.astype(np.float64) @ wc) / area
+
+
+def dhash_bands(img: np.ndarray, hash_h: int = 8, hash_w: int = 8):
+    """(b0..b3) 16-bit bands of the 64-bit dHash: cells = box_resize to
+    (hash_h, hash_w+1); bit k = r·hash_w + c set iff
+    cells[r, c] < cells[r, c+1]; band b packs rows 2b and 2b+1
+    (bit j = (r mod 2)·hash_w + c)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    cells = box_resize(np.asarray(img, dtype=np.float64),
+                       hash_h, hash_w + 1)
+    bits = cells[:, :-1] < cells[:, 1:]          # (hash_h, hash_w)
+    rows = (bits.astype(np.int64)
+            << np.arange(hash_w, dtype=np.int64)[None, :]).sum(axis=1)
+    bands = rows[0::2] + (rows[1::2] << hash_w)
+    return tuple(int(b) for b in bands)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """(id, dh0..dh3, ok) — decode each payload (JPEG, then PNG, then
+    PGM) and hash; undecodable payloads emit ok=false zero bands, never
+    a task kill."""
+    from loongcollector_spark.functions.jpegcodec import try_decode_jpeg
+    from loongcollector_spark.functions.multimodal import (
+        try_decode_pgm, try_decode_png,
+    )
+
+    schema = f"{id_col} long, dh0 int, dh1 int, dh2 int, dh3 int, ok boolean"
+
+    def batches(it):
+        for pdf in it:
+            ids, b0, b1, b2, b3, ok = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = None
+                try:
+                    raw = bytes(payload)
+                    img = try_decode_jpeg(raw)
+                    if img is None:
+                        img = try_decode_png(raw)
+                    if img is None:
+                        img = try_decode_pgm(raw)
+                except Exception:
+                    img = None
+                ids.append(int(mid))
+                if img is None:
+                    b0.append(0)
+                    b1.append(0)
+                    b2.append(0)
+                    b3.append(0)
+                    ok.append(False)
+                else:
+                    v0, v1, v2, v3 = dhash_bands(np.asarray(img))
+                    b0.append(v0)
+                    b1.append(v1)
+                    b2.append(v2)
+                    b3.append(v3)
+                    ok.append(True)
+            yield pd.DataFrame({id_col: ids, "dh0": b0, "dh1": b1,
+                                "dh2": b2, "dh3": b3, "ok": ok})
+
+    # repartition before the decode so every core owns a slice (the
+    # multimodal decode pattern); payloads never shuffle afterwards
+    spark = df.sparkSession
+    return (
+        df.select(id_col, payload_col)
+        .repartition(spark.sparkContext.defaultParallelism, id_col)
+        .mapInPandas(batches, schema)
+    )
+
+
+def image_near_pairs(sig: DataFrame, max_hamming: int = 3,
+                     id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming ≤ ``max_hamming``
+    from an ``image_dhash`` frame: pigeonhole banding on the four
+    16-bit bands, hamming + first-match-band residuals inside the join
+    (the simhash_near_pairs shape — ids + four small ints shuffle,
+    never pixels)."""
+    assert max_hamming < 4, (
+        "4-band pigeonhole blocking only guarantees recall for "
+        "hamming <= 3; raise the band count before raising max_hamming")
+    sig = sig.filter(F.col("ok"))
+    bands = sig.select(
+        id_col, "dh0", "dh1", "dh2", "dh3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.col(f"dh{i}").alias("band"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select(id_col, "dh0", "dh1", "dh2", "dh3", "b.band_idx", "b.band")
+    a, b = bands.alias("a"), bands.hint("shuffle_merge").alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.dh{i}").bitwiseXOR(F.col(f"b.dh{i}")))
+        for i in range(4)
+    )
+    first_match = F.lit(True)
+    for i in range(3):
+        first_match = first_match & (
+            (F.col("a.band_idx") <= i)
+            | (F.col(f"a.dh{i}") != F.col(f"b.dh{i}"))
+        )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming <= max_hamming)
+            & first_match,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("media_a"),
+            F.col(f"b.{id_col}").alias("media_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
