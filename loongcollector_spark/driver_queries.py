@@ -7250,6 +7250,92 @@ WHERE bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
 """
 
 
+def _synth_dhash_avis(spark, sf_dir):
+    """One MJPEG AVI per document, 72x64 q50 uniform-block frames:
+    video pairs (2k, 2k+1) are OVERLAPPING CUTS of the same footage —
+    even video v (group g = v//2) holds frames k_g(f) for f = 0..3 with
+    block values 128 + 2·((g·3 + f·11 + b·5) mod 57); the odd video
+    holds frames 1..3 of the same sequence (a head-trimmed copy), so
+    the pair shares 3 exact frame fingerprints."""
+    import numpy as np
+    import pandas as pd
+
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+    from loongcollector_spark.functions.multimodal import encode_avi_mjpeg
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).sort_values("doc_id")
+    b = np.arange(72, dtype=np.int64)
+    ids, blobs = [], []
+    for doc in docs["doc_id"].tolist():
+        g, odd = doc // 2, doc % 2
+        frames = []
+        for f in range(odd, 4):
+            k = (g * 3 + f * 11 + b * 5) % 57
+            vals = (128 + 2 * k).reshape(8, 9).astype(np.float64)
+            img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+            frames.append(encode_jpeg(img, quality=50))
+        ids.append(int(doc))
+        blobs.append(encode_avi_mjpeg(72, 64, frames))
+    return spark.createDataFrame(
+        pd.DataFrame({"media_id": ids, "payload": blobs}),
+        "media_id long, payload binary",
+    )
+
+
+def q_video_near_dups(spark, sf_dir):
+    """Video near-dup detection by shared frame fingerprints
+    (functions/imagehash.py): walk the AVI containers, decode every
+    frame for real, dHash each, join fingerprints across videos and
+    keep pairs sharing >= 2 — trimmed/re-muxed copies collide
+    frame-for-frame. Oracle: the FULL closed-form fingerprint join."""
+    from loongcollector_spark.functions.imagehash import (
+        video_frame_dhash, video_near_dups,
+    )
+
+    media = _materialized(spark, sf_dir, "dhash_avis", _synth_dhash_avis)
+    return video_near_dups(video_frame_dhash(media), min_shared=2)
+
+
+O_VIDEO_NEAR_DUPS = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS odd FROM documents
+), fr AS (
+  SELECT doc_id, g, f.f AS kf
+  FROM d, generate_series(0, 3) AS f(f) WHERE f.f >= odd
+), k AS (
+  SELECT doc_id, kf,
+    list_transform(range(0, 72), b -> (g * 3 + kf * 11 + b * 5) % 57)
+      AS kv
+  FROM fr
+), bits AS (
+  SELECT doc_id, kf,
+    list_transform(range(0, 64), i ->
+      CASE WHEN kv[(i // 8) * 9 + (i % 8) + 1]
+              < kv[(i // 8) * 9 + (i % 8) + 2]
+           THEN 1 ELSE 0 END) AS bit
+  FROM k
+), sig AS (
+  SELECT DISTINCT doc_id,
+    cast(list_sum(list_transform(range(0, 16), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh0,
+    cast(list_sum(list_transform(range(16, 32), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh1,
+    cast(list_sum(list_transform(range(32, 48), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh2,
+    cast(list_sum(list_transform(range(48, 64), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh3
+  FROM bits
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  cast(count(*) AS BIGINT) AS n_shared
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id AND a.dh0 = b.dh0 AND a.dh1 = b.dh1
+ AND a.dh2 = b.dh2 AND a.dh3 = b.dh3
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7546,6 +7632,7 @@ QUERIES = {
     "host_meta_nodes": (q_host_meta_nodes, O_HOST_META_NODES),
     "image_dhash": (q_image_dhash, O_IMAGE_DHASH),
     "image_near_dup_pairs": (q_image_near_dup_pairs, O_IMAGE_NEAR_DUP_PAIRS),
+    "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

@@ -125,6 +125,97 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def video_frame_dhash(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id",
+                      every_n: int = 1) -> DataFrame:
+    """(id, frame_idx, dh0..dh3, ok) — walk each video container (AVI
+    or MP4, detected by magic), decode every ``every_n``-th frame
+    through the real JPEG path, and dHash it. Unparsable containers
+    emit one ok=false marker row; per-frame decode failures skip the
+    frame (a poisoned frame never hides its siblings)."""
+    from loongcollector_spark.functions.multimodal import (
+        decode_avi_frame, decode_mp4_frame, try_parse_avi, try_parse_mp4,
+    )
+
+    schema = (f"{id_col} long, frame_idx int, dh0 int, dh1 int, dh2 int, "
+              f"dh3 int, ok boolean")
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in (id_col, "frame_idx", "dh0", "dh1",
+                                    "dh2", "dh3", "ok")}
+
+            def emit(mid, fi, bands, ok):
+                rows[id_col].append(mid)
+                rows["frame_idx"].append(fi)
+                for i in range(4):
+                    rows[f"dh{i}"].append(bands[i])
+                rows["ok"].append(ok)
+
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                mid = int(mid)
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] == b"RIFF":
+                        parsed = try_parse_avi(raw)
+                        dec = decode_avi_frame
+                    else:
+                        parsed = try_parse_mp4(raw)
+                        dec = decode_mp4_frame
+                    if parsed is None:
+                        emit(mid, -1, (0, 0, 0, 0), False)
+                        continue
+                    n = parsed[2]
+                    for fi in range(0, n, every_n):
+                        img = dec(raw, fi, parsed)
+                        if img is None:
+                            continue
+                        emit(mid, fi, dhash_bands(np.asarray(img)), True)
+                except Exception:
+                    emit(mid, -1, (0, 0, 0, 0), False)
+            yield pd.DataFrame(rows)
+
+    spark = df.sparkSession
+    return (
+        df.select(id_col, payload_col)
+        .repartition(spark.sparkContext.defaultParallelism, id_col)
+        .mapInPandas(batches, schema)
+    )
+
+
+def video_near_dups(frames: DataFrame, min_shared: int = 2,
+                    id_col: str = "media_id") -> DataFrame:
+    """Video near-duplicate pairs by SHARED FRAME FINGERPRINTS: join
+    frame signatures on full (dh0..dh3) equality across videos, count
+    DISTINCT shared fingerprints per pair, keep pairs sharing at least
+    ``min_shared`` — re-encoded / trimmed / re-muxed copies of the same
+    footage collide frame-for-frame while unrelated videos don't. Only
+    (video_id, 4 smallints) shuffle; per-video duplicate frames
+    collapse before the join so a still-frame loop cannot explode the
+    pair count."""
+    sig = (
+        frames.filter(F.col("ok"))
+        .select(id_col, "dh0", "dh1", "dh2", "dh3")
+        .dropDuplicates([id_col, "dh0", "dh1", "dh2", "dh3"])
+    )
+    a, b = sig.alias("a"), sig.hint("shuffle_merge").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dh0") == F.col("b.dh0"))
+        & (F.col("a.dh1") == F.col("b.dh1"))
+        & (F.col("a.dh2") == F.col("b.dh2"))
+        & (F.col("a.dh3") == F.col("b.dh3"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        pairs.groupBy(
+            F.col(f"a.{id_col}").alias("media_a"),
+            F.col(f"b.{id_col}").alias("media_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def image_near_pairs(sig: DataFrame, max_hamming: int = 3,
                      id_col: str = "media_id") -> DataFrame:
     """Near-duplicate image pairs by dHash hamming ≤ ``max_hamming``

@@ -110,3 +110,37 @@ def test_image_near_pairs_blocking_recall(spark):
         [(99, bytearray(b"\xff\xd8garbage"))], "media_id long, payload binary")
     s2 = image_dhash(bad).collect()[0]
     assert s2["ok"] is False
+
+
+def test_video_near_dups_by_shared_frames(spark):
+    """A head-trimmed copy shares its frames' fingerprints with the
+    original (>= min_shared), an unrelated video shares none, a garbage
+    container emits one ok=false marker and no pairs."""
+    from loongcollector_spark.functions.imagehash import (
+        video_frame_dhash, video_near_dups,
+    )
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+    from loongcollector_spark.functions.multimodal import encode_avi_mjpeg
+
+    rng = np.random.default_rng(11)
+
+    def frame(seed):
+        v = 128 + 2 * rng.integers(0, 57, (8, 9)).astype(np.float64)
+        return encode_jpeg(
+            np.kron(v, np.ones((8, 8))).astype(np.uint8), quality=50)
+
+    f1, f2, f3, f4 = frame(1), frame(2), frame(3), frame(4)
+    rows = [
+        (0, bytearray(encode_avi_mjpeg(72, 64, [f1, f2, f3]))),
+        (1, bytearray(encode_avi_mjpeg(72, 64, [f2, f3]))),   # trimmed
+        (2, bytearray(encode_avi_mjpeg(72, 64, [f4]))),       # unrelated
+        (3, bytearray(b"RIFFgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    frames = video_frame_dhash(df)
+    got = frames.collect()
+    assert {r["media_id"] for r in got if not r["ok"]} == {3}
+    assert len([r for r in got if r["ok"]]) == 6  # 3 + 2 + 1 frames
+    pairs = {(r["media_a"], r["media_b"]): r["n_shared"]
+             for r in video_near_dups(frames, min_shared=2).collect()}
+    assert pairs == {(0, 1): 2}
