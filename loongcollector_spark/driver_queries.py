@@ -7336,6 +7336,69 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _synth_energy_wavs(spark, sf_dir):
+    """One PCM16 WAV per document: 65 frames of 1024 samples, every
+    sample in frame f equal to ((doc·13 + f·29) mod 101)·50 — the
+    per-frame mean |amplitude| IS that value exactly, so the energy
+    fingerprint has a closed form while the engine decodes the RIFF
+    container and averages real samples."""
+    import numpy as np
+    import pandas as pd
+
+    from loongcollector_spark.functions.multimodal import encode_wav_pcm16
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).sort_values("doc_id")
+    f = np.arange(65, dtype=np.int64)
+    ids, blobs = [], []
+    for doc in docs["doc_id"].tolist():
+        amp = ((doc * 13 + f * 29) % 101) * 50
+        samples = np.repeat(amp, 1024).astype(np.int16)
+        ids.append(int(doc))
+        blobs.append(encode_wav_pcm16(16000, samples))
+    return spark.createDataFrame(
+        pd.DataFrame({"media_id": ids, "payload": blobs}),
+        "media_id long, payload binary",
+    )
+
+
+def q_audio_energy_hash(spark, sf_dir):
+    """Audio energy-difference fingerprint (functions/imagehash.py):
+    decode the WAV container for real, average |amplitude| per
+    1024-sample frame, dHash the energy sequence into four 16-bit
+    bands (the image_near_pairs banded join serves audio unchanged)."""
+    from loongcollector_spark.functions.imagehash import audio_energy_hash
+
+    media = _materialized(spark, sf_dir, "energy_wavs", _synth_energy_wavs)
+    return audio_energy_hash(media)
+
+
+O_AUDIO_ENERGY_HASH = """
+WITH a AS (
+  SELECT doc_id,
+    list_transform(range(0, 65), f -> (doc_id * 13 + f * 29) % 101)
+      AS amp
+  FROM documents
+), bits AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), i ->
+      CASE WHEN amp[i + 1] < amp[i + 2] THEN 1 ELSE 0 END) AS bit
+  FROM a
+)
+SELECT doc_id AS media_id,
+  cast(list_sum(list_transform(range(0, 16), j ->
+    bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh0,
+  cast(list_sum(list_transform(range(16, 32), j ->
+    bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh1,
+  cast(list_sum(list_transform(range(32, 48), j ->
+    bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh2,
+  cast(list_sum(list_transform(range(48, 64), j ->
+    bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh3,
+  true AS ok
+FROM bits
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7633,6 +7696,7 @@ QUERIES = {
     "image_dhash": (q_image_dhash, O_IMAGE_DHASH),
     "image_near_dup_pairs": (q_image_near_dup_pairs, O_IMAGE_NEAR_DUP_PAIRS),
     "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
+    "audio_energy_hash": (q_audio_energy_hash, O_AUDIO_ENERGY_HASH),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

@@ -125,6 +125,70 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def audio_energy_bands(samples: np.ndarray, frame_len: int = 1024,
+                       n_bits: int = 64):
+    """Audio energy-difference fingerprint: mean |amplitude| per
+    ``frame_len``-sample frame, bit i set iff energy[i] < energy[i+1]
+    (the dHash idea on the time axis — tempo/offset-stable the way the
+    image hash is resize-stable), packed as four 16-bit bands. Frames
+    beyond the clip leave their bits 0, so short clips hash
+    deterministically."""
+    n = len(samples) // frame_len
+    e = (np.abs(samples[:n * frame_len].astype(np.float64))
+         .reshape(n, frame_len).mean(axis=1))
+    bits = np.zeros(n_bits, dtype=np.int64)
+    m = min(n_bits, max(0, n - 1))
+    bits[:m] = e[:m] < e[1:m + 1]
+    per = n_bits // 4
+    vals = (bits.reshape(4, per)
+            << np.arange(per, dtype=np.int64)[None, :]).sum(axis=1)
+    return tuple(int(v) for v in vals)
+
+
+def audio_energy_hash(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id",
+                      frame_len: int = 1024) -> DataFrame:
+    """(id, dh0..dh3, ok) over WAV payloads — same column contract as
+    ``image_dhash``, so ``image_near_pairs`` provides the banded
+    near-dup join for audio unchanged."""
+    from loongcollector_spark.functions.multimodal import try_decode_wav
+
+    schema = f"{id_col} long, dh0 int, dh1 int, dh2 int, dh3 int, ok boolean"
+
+    def batches(it):
+        for pdf in it:
+            ids, b0, b1, b2, b3, ok = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = None
+                try:
+                    dec = try_decode_wav(bytes(payload))
+                except Exception:
+                    dec = None
+                ids.append(int(mid))
+                if dec is None:
+                    b0.append(0)
+                    b1.append(0)
+                    b2.append(0)
+                    b3.append(0)
+                    ok.append(False)
+                else:
+                    v0, v1, v2, v3 = audio_energy_bands(dec[1], frame_len)
+                    b0.append(v0)
+                    b1.append(v1)
+                    b2.append(v2)
+                    b3.append(v3)
+                    ok.append(True)
+            yield pd.DataFrame({id_col: ids, "dh0": b0, "dh1": b1,
+                                "dh2": b2, "dh3": b3, "ok": ok})
+
+    spark = df.sparkSession
+    return (
+        df.select(id_col, payload_col)
+        .repartition(spark.sparkContext.defaultParallelism, id_col)
+        .mapInPandas(batches, schema)
+    )
+
+
 def video_frame_dhash(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "media_id",
                       every_n: int = 1) -> DataFrame:

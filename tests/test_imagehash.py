@@ -144,3 +144,36 @@ def test_video_near_dups_by_shared_frames(spark):
     pairs = {(r["media_a"], r["media_b"]): r["n_shared"]
              for r in video_near_dups(frames, min_shared=2).collect()}
     assert pairs == {(0, 1): 2}
+
+
+def test_audio_energy_hash_short_and_garbage(spark):
+    """Energy fingerprint: frame-aligned constant amplitudes hash to
+    the closed-form bits; clips shorter than 65 frames zero the missing
+    bits; non-WAV payloads emit ok=false."""
+    import numpy as np
+
+    from loongcollector_spark.functions.imagehash import (
+        audio_energy_bands, audio_energy_hash,
+    )
+    from loongcollector_spark.functions.multimodal import encode_wav_pcm16
+
+    amp = np.array([(7 * f * f + 3) % 101 for f in range(65)]) * 50
+    samples = np.repeat(amp, 1024).astype(np.int16)
+    want = audio_energy_bands(samples)
+    bits = [1 if amp[i] < amp[i + 1] else 0 for i in range(64)]
+    manual = tuple(sum(bits[16 * b + j] << j for j in range(16))
+                   for b in range(4))
+    assert want == manual
+
+    short = np.repeat(amp[:3], 1024).astype(np.int16)  # 3 frames: 2 bits
+    sb = audio_energy_bands(short)
+    assert sb[1] == sb[2] == sb[3] == 0 and sb[0] < 4
+
+    rows = [(0, bytearray(encode_wav_pcm16(16000, samples))),
+            (1, bytearray(encode_wav_pcm16(16000, short))),
+            (2, bytearray(b"RIFFnope"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_energy_hash(df).collect()}
+    assert (got[0]["dh0"], got[0]["dh1"], got[0]["dh2"],
+            got[0]["dh3"]) == want
+    assert got[0]["ok"] and got[1]["ok"] and not got[2]["ok"]
