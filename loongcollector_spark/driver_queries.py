@@ -7362,6 +7362,55 @@ def _synth_energy_wavs(spark, sf_dir):
     )
 
 
+def q_media_dedup_clusters(spark, sf_dir):
+    """Cross-modal composition: image dHash near-pairs → connected
+    components → one row per clustered image with the canonical
+    (min-id) survivor and cluster size — the keep-one-per-cluster step
+    of an image dedup pipeline over REAL decoded pixels. Oracle: exact
+    recursive transitive closure over the closed-form pair set."""
+    from pyspark.sql import Window
+
+    from loongcollector_spark.functions.dedup import connected_components
+    from loongcollector_spark.functions.imagehash import (
+        image_dhash, image_near_pairs,
+    )
+
+    media = _materialized(spark, sf_dir, "dhash_jpegs", _synth_dhash_jpegs)
+    pairs = image_near_pairs(image_dhash(media), max_hamming=3).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("media_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(Window.partitionBy("comp")).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+O_MEDIA_DEDUP_CLUSTERS = (_DHASH_ORACLE_BASE.replace(
+    "WITH ", "WITH RECURSIVE ", 1) + """
+, pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
+      + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
+      + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))
+      + bit_count(cast(xor(a.dh3, b.dh3) AS BIGINT)) <= 3
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION SELECT pb, pa FROM pairs
+), reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, r.comp FROM edges e2 JOIN reach r ON e2.dst = r.node
+), comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS media_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  node = cluster_id AS keep
+FROM comp
+""")
+
+
 def q_audio_energy_hash(spark, sf_dir):
     """Audio energy-difference fingerprint (functions/imagehash.py):
     decode the WAV container for real, average |amplitude| per
@@ -7697,6 +7746,7 @@ QUERIES = {
     "image_near_dup_pairs": (q_image_near_dup_pairs, O_IMAGE_NEAR_DUP_PAIRS),
     "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
     "audio_energy_hash": (q_audio_energy_hash, O_AUDIO_ENERGY_HASH),
+    "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),
