@@ -152,6 +152,11 @@ CONFIGS: dict[str, dict] = {
                             "EndpointKey": "tool", "TimeKey": "ts",
                             "SuccessKey": "ok"},
     "ext_default_encoder": {"Format": "prometheus", "SeriesLimit": 2},
+    "metric_process_v2": {"TopNCPU": 2, "TopNMem": 2,
+                          "MinMemoryLimitKB": 0},
+    "metric_system_v2": {},
+    "service_gpu_metric": {},
+    "metric_meta_host": {"Disk": True, "Net": True, "Process": True},
 }
 
 
@@ -330,8 +335,135 @@ def _as_metric_rows(df):
 
 
 # ops that require a non-raw input shape: prep fn applied before the op
+def _as_process_rows(df):
+    """metric_process_v2 consumes observed-process rows; hostile text
+    rides in as exe/cmdline/comm, with null metrics and timestamps."""
+    from pyspark.sql import functions as F
+
+    n = F.col("turn_idx").cast("long")
+    return df.select(
+        F.monotonically_increasing_id().alias("scan_idx"),
+        F.col("turn_idx").cast("int").alias("pid"),
+        F.col("text").alias("exe"), F.col("text").alias("cmdline"),
+        F.col("role").alias("comm"),
+        F.when(n % 2 == 0, n.cast("double")).alias("cpu_percent"),
+        F.lit(None).cast("double").alias("stime_percent"),
+        n.cast("double").alias("utime_percent"),
+        F.when(n % 3 == 0, n * 1024).alias("rss"),
+        n.alias("swap"), n.alias("vsz"),
+        F.lit(None).cast("long").alias("data"),
+        F.lit(None).cast("int").alias("threads_num"),
+        F.lit(None).cast("int").alias("fds_num"),
+        n.alias("net_in_bytes"), n.alias("net_in_packet"),
+        n.alias("net_out_bytes"), n.alias("net_out_packet"),
+        n.alias("read_bytes"), n.alias("write_bytes"),
+        n.alias("read_count"), n.alias("write_count"),
+        F.col("ts"),
+    )
+
+
+def _as_system_snapshots(df):
+    """metric_system_v2 consumes two counter snapshots per host; hostile
+    text is the host key, with null jiffies/gauges/arrays/timestamps."""
+    from pyspark.sql import functions as F
+
+    n = F.col("turn_idx").cast("double")
+    null_l = F.lit(None).cast("long")
+    return df.select(
+        F.col("conv_id").alias("host"),
+        (F.col("turn_idx") % 2).cast("int").alias("snap_idx"),
+        F.col("ts").alias("snap_ts"),
+        n.alias("cpu_user"), n.alias("cpu_system"),
+        F.lit(None).cast("double").alias("cpu_nice"),
+        n.alias("cpu_irq"), n.alias("cpu_softirq"),
+        n.alias("cpu_guest"), n.alias("cpu_guest_nice"),
+        n.alias("cpu_idle"), n.alias("cpu_iowait"), n.alias("cpu_steal"),
+        F.lit(None).cast("int").alias("ncpus"),
+        n.alias("mem_util_pct"), null_l.alias("mem_cache"),
+        null_l.alias("mem_free"), null_l.alias("mem_available"),
+        null_l.alias("mem_used"), null_l.alias("mem_total"),
+        n.alias("swap_util_pct"), n.alias("load1"), n.alias("load5"),
+        n.alias("load15"), null_l.alias("boot_time"),
+        null_l.alias("tcp_out_segs"), null_l.alias("tcp_in_segs"),
+        null_l.alias("tcp_retrans_segs"),
+        F.when(F.col("turn_idx") % 3 == 0, F.array(F.struct(
+            F.col("text").alias("name"), null_l.alias("read_bytes"),
+            null_l.alias("write_bytes"), null_l.alias("read_count"),
+            null_l.alias("write_count"), null_l.alias("read_time"),
+            null_l.alias("write_time"), null_l.alias("io_time"),
+        ))).alias("disks"),
+        F.lit(None).cast(
+            "array<struct<name:string,bytes_recv:long,bytes_sent:long,"
+            "packets_recv:long,packets_sent:long,errin:long,errout:long,"
+            "dropin:long,dropout:long>>").alias("interfaces"),
+    )
+
+
+def _as_gpu_readings(df):
+    from pyspark.sql import functions as F
+
+    n = F.col("turn_idx").cast("long")
+    return df.select(
+        F.col("turn_idx").cast("int").alias("device"),
+        F.when(n % 2 == 0, n * 1000).alias("power_usage_mw"),
+        n.alias("temperature"), n.alias("gpu_util"),
+        F.lit(None).cast("long").alias("memory_util"),
+        (n * 1024).alias("total_memory"),
+        F.when(n % 3 == 0, n).alias("used_memory"),
+        F.col("ts"),
+    )
+
+
+def _as_host_objects(df):
+    """metric_meta_host consumes host rows; hostile text rides in as
+    the hostname, label values, process cmdlines — with null arrays."""
+    from pyspark.sql import functions as F
+
+    null_s = F.lit(None).cast("string")
+    return df.select(
+        F.col("conv_id").alias("host_id"), F.col("text").alias("hostname"),
+        F.col("tool").alias("ip"),
+        F.col("turn_idx").cast("long").alias("boot_time"),
+        F.col("role").alias("os"), null_s.alias("platform"),
+        null_s.alias("platform_family"), null_s.alias("platform_version"),
+        null_s.alias("kernel_version"), null_s.alias("kernel_arch"),
+        null_s.alias("virtualization_system"),
+        null_s.alias("virtualization_role"),
+        F.lit(None).cast("int").alias("processor_count"),
+        F.lit(None).cast("int").alias("core_count"),
+        F.col("text").alias("vendor_id"), null_s.alias("family"),
+        null_s.alias("model"), F.col("text").alias("model_name"),
+        F.lit(None).cast("double").alias("mhz"),
+        F.lit(None).cast("int").alias("cache_size"),
+        F.lit(None).cast("long").alias("mem_total"),
+        F.lit(None).cast("long").alias("swap_total"),
+        F.lit(None).cast("long").alias("vsz_total"),
+        F.when(F.col("turn_idx") % 2 == 0, F.array(F.struct(
+            F.col("text").alias("device"), F.col("role").alias("opts"),
+            null_s.alias("fstype"), F.col("tool").alias("mount_point"),
+        ))).alias("disks"),
+        F.lit(None).cast(
+            "array<struct<index:int,name:string,mtu:int,"
+            "hardware_address:string,flags:array<string>,"
+            "addrs:array<string>>>").alias("nets"),
+        F.when(F.col("turn_idx") % 3 == 0, F.array(F.struct(
+            F.col("turn_idx").cast("int").alias("pid"),
+            F.col("text").alias("cmdline"), F.col("tool").alias("exe"),
+            F.col("role").alias("comm"),
+            F.lit(None).cast("int").alias("ppid"),
+            F.lit(None).cast("long").alias("start_time"),
+            F.col("turn_idx").cast("long").alias("rss"),
+        ))).alias("processes"),
+        F.col("ts"),
+    )
+
+
 PREP = {
     "service_snmp": _as_varbinds,
+    "metric_process_v2": _as_process_rows,
+    "metric_system_v2": _as_system_snapshots,
+    "service_gpu_metric": _as_gpu_readings,
+    "metric_meta_host": _as_host_objects,
     "service_kubernetesmeta": _as_pod_objects,
     "service_skywalking": _as_skywalking_logdata,
     "ext_request_breaker": _as_request_outcomes,
