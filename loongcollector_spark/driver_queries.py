@@ -7411,6 +7411,51 @@ FROM comp
 """)
 
 
+def q_incremental_media_dedup(spark, sf_dir):
+    """Daily-increment media admission (imagehash.
+    incremental_media_admission): odd-id images probe a persisted
+    fingerprint index holding the doc_id%4==0 signatures — statuses
+    new / dup_index / dup_batch with the min-id batch winner, banding
+    keeps both probes bucket-local. Oracle: exact hamming joins over
+    the closed-form signatures."""
+    from loongcollector_spark.functions.imagehash import (
+        image_dhash, incremental_media_admission,
+    )
+
+    media = _materialized(spark, sf_dir, "dhash_jpegs", _synth_dhash_jpegs)
+    sig = image_dhash(media)
+    index = sig.filter(F.pmod(F.col("media_id"), F.lit(4)) == 0)
+    batch = sig.filter(F.pmod(F.col("media_id"), F.lit(2)) == 1)
+    return incremental_media_admission(batch, index)
+
+
+O_INCREMENTAL_MEDIA_DEDUP = _DHASH_ORACLE_BASE + """
+, ix AS (SELECT * FROM sig WHERE doc_id % 4 = 0),
+nb AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+di AS (
+  SELECT DISTINCT n.doc_id FROM nb n JOIN ix x
+    ON bit_count(cast(xor(n.dh0, x.dh0) AS BIGINT))
+     + bit_count(cast(xor(n.dh1, x.dh1) AS BIGINT))
+     + bit_count(cast(xor(n.dh2, x.dh2) AS BIGINT))
+     + bit_count(cast(xor(n.dh3, x.dh3) AS BIGINT)) <= 3
+), db AS (
+  SELECT DISTINCT a.doc_id FROM nb a JOIN nb b
+    ON b.doc_id < a.doc_id
+   AND bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
+     + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
+     + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))
+     + bit_count(cast(xor(a.dh3, b.dh3) AS BIGINT)) <= 3
+)
+SELECT n.doc_id AS media_id, n.dh0, n.dh1, n.dh2, n.dh3,
+  CASE WHEN di.doc_id IS NOT NULL THEN 'dup_index'
+       WHEN db.doc_id IS NOT NULL THEN 'dup_batch'
+       ELSE 'new' END AS status
+FROM nb n
+LEFT JOIN di ON di.doc_id = n.doc_id
+LEFT JOIN db ON db.doc_id = n.doc_id
+"""
+
+
 def q_audio_energy_hash(spark, sf_dir):
     """Audio energy-difference fingerprint (functions/imagehash.py):
     decode the WAV container for real, average |amplitude| per
@@ -7747,6 +7792,7 @@ QUERIES = {
     "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
     "audio_energy_hash": (q_audio_energy_hash, O_AUDIO_ENERGY_HASH),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
+    "incremental_media_dedup": (q_incremental_media_dedup, O_INCREMENTAL_MEDIA_DEDUP),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),

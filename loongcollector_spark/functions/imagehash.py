@@ -189,6 +189,68 @@ def audio_energy_hash(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def incremental_media_admission(
+    batch_sig: DataFrame, index_sig: DataFrame, max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Daily-increment admission for media: probe a NEW batch's dHash
+    signatures against the persisted fingerprint INDEX (all previously
+    admitted media) and against the batch itself — (id, dh0..dh3,
+    status) with status ``new`` / ``dup_index`` / ``dup_batch``
+    (min-id batch winner), the incremental_minhash statuses.
+
+    Scale shape: banding keeps both probes bucket-local — the index is
+    stored banded (4 rows per signature, bucketed on the band value),
+    the daily batch shuffles only (id, band) pairs against it, and the
+    index itself is never re-read beyond the touched buckets. Matches
+    at hamming ≤ ``max_hamming`` via the in-join residual."""
+    def banded(sig, prefix):
+        return sig.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            *[F.col(f"dh{i}").alias(f"{prefix}{i}") for i in range(4)],
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band_idx"),
+                         F.col(f"dh{i}").alias("band"))
+                for i in range(4)
+            ])).alias("b"),
+        ).select(f"{prefix}_id", *[f"{prefix}{i}" for i in range(4)],
+                 "b.band_idx", "b.band")
+
+    batch = batch_sig.filter(F.col("ok")) if "ok" in batch_sig.columns \
+        else batch_sig
+    nb = banded(batch, "n")
+    ib = banded(index_sig, "x")
+    ham_ix = sum(F.bit_count(F.col(f"n{i}").bitwiseXOR(F.col(f"x{i}")))
+                 for i in range(4))
+    dup_index = (
+        nb.join(ib, (nb["band"] == ib["band"])
+                & (nb["band_idx"] == ib["band_idx"])
+                & (ham_ix <= max_hamming))
+        .select(F.col("n_id").alias(id_col)).distinct()
+    )
+    a, b = nb.alias("a"), nb.hint("shuffle_merge").alias("b")
+    ham_bb = sum(F.bit_count(F.col(f"a.n{i}").bitwiseXOR(F.col(f"b.n{i}")))
+                 for i in range(4))
+    dup_batch = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.n_id") > F.col("b.n_id"))
+               & (ham_bb <= max_hamming))
+        .select(F.col("a.n_id").alias(id_col)).distinct()
+    )
+    return (
+        batch.select(id_col, "dh0", "dh1", "dh2", "dh3")
+        .join(dup_index.withColumn("_di", F.lit(True)), id_col, "left")
+        .join(dup_batch.withColumn("_db", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "dh0", "dh1", "dh2", "dh3",
+            F.when(F.col("_di").isNotNull(), F.lit("dup_index"))
+            .when(F.col("_db").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new")).alias("status"),
+        )
+    )
+
+
 def video_frame_dhash(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "media_id",
                       every_n: int = 1) -> DataFrame:

@@ -177,3 +177,32 @@ def test_audio_energy_hash_short_and_garbage(spark):
     assert (got[0]["dh0"], got[0]["dh1"], got[0]["dh2"],
             got[0]["dh3"]) == want
     assert got[0]["ok"] and got[1]["ok"] and not got[2]["ok"]
+
+
+def test_incremental_media_admission_statuses(spark):
+    """All three admission statuses with controlled signatures: an
+    index hit (within hamming 3), a batch-internal dup (min-id winner
+    stays 'new' when it matches nothing indexed), and a novel image."""
+    from loongcollector_spark.functions.imagehash import (
+        incremental_media_admission,
+    )
+
+    sig_schema = "media_id long, dh0 int, dh1 int, dh2 int, dh3 int, ok boolean"
+    index = spark.createDataFrame(
+        [(0, 0x1111, 0x2222, 0x3333, 0x4444, True)],
+        sig_schema.replace(", ok boolean", "") + ", ok boolean")
+    batch = spark.createDataFrame([
+        # hamming 1 from the indexed signature -> dup_index
+        (10, 0x1110, 0x2222, 0x3333, 0x4444, True),
+        # novel pair, hamming 1 apart: 11 is 'new', 12 is 'dup_batch'
+        (11, 0x00FF, 0x7700, 0x0001, 0x0000, True),
+        (12, 0x00FF, 0x7700, 0x0003, 0x0000, True),
+        # novel and alone
+        (13, 0x5A5A, 0x0F0F, 0x55AA, 0x1234, True),
+        # undecodable upstream: excluded entirely
+        (14, 0, 0, 0, 0, False),
+    ], sig_schema)
+    got = {r["media_id"]: r["status"]
+           for r in incremental_media_admission(batch, index).collect()}
+    assert got == {10: "dup_index", 11: "new", 12: "dup_batch",
+                   13: "new"}
