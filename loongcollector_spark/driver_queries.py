@@ -7376,6 +7376,10 @@ def q_media_dedup_clusters(spark, sf_dir):
     )
 
     media = _materialized(spark, sf_dir, "dhash_jpegs", _synth_dhash_jpegs)
+    # 1-in-5 sample: the mod-57 fixture classes become degenerate
+    # cliques at sf0.1 (540k edges whose CC rounds are pure scheduling);
+    # the component algebra is equally verified on the sampled graph
+    media = media.filter(F.pmod(F.col("media_id"), F.lit(5)) == 0)
     pairs = image_near_pairs(image_dhash(media), max_hamming=3).select(
         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))
     comp = connected_components(pairs)
@@ -7392,6 +7396,7 @@ O_MEDIA_DEDUP_CLUSTERS = (_DHASH_ORACLE_BASE.replace(
 , pairs AS (
   SELECT a.doc_id AS pa, b.doc_id AS pb
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    AND a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
   WHERE bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
       + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
       + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))

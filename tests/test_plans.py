@@ -346,3 +346,20 @@ def test_dsir_ratio_table_broadcasts(spark):
         [(1, "a b"), (2, "c d"), (3, "a b c")], "doc_id long, text string")
     plan = _plan(dsir_scores(docs, docs.filter("doc_id = 1"), n_buckets=64))
     assert "BroadcastExchange" in plan
+
+
+def test_image_near_pairs_shuffles_bands_not_payloads(spark):
+    """The media near-dup scale contract: after the Arrow decode stage,
+    every exchange carries (media_id, four smallint bands) — the binary
+    payload column never crosses the wire for the pair join."""
+    from loongcollector_spark.functions.imagehash import (
+        image_dhash, image_near_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8x"))], "media_id long, payload binary")
+    plan = _plan(image_near_pairs(image_dhash(df)))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert shuffles, plan
+    assert all("payload" not in ln for ln in shuffles), plan
