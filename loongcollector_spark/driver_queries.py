@@ -7498,6 +7498,55 @@ FROM bits
 """
 
 
+def q_audio_near_pairs(spark, sf_dir):
+    """Audio near-dup pairs: the image banded pair join runs UNCHANGED
+    over the energy fingerprints (same four-band contract) — hamming
+    <= 3 with pigeonhole recall. Oracle: full O(n^2) hamming join over
+    the closed-form energy bits."""
+    from loongcollector_spark.functions.imagehash import (
+        audio_energy_hash, image_near_pairs,
+    )
+
+    media = _materialized(spark, sf_dir, "energy_wavs", _synth_energy_wavs)
+    return image_near_pairs(audio_energy_hash(media), max_hamming=3)
+
+
+O_AUDIO_NEAR_PAIRS = """
+WITH a AS (
+  SELECT doc_id,
+    list_transform(range(0, 65), f -> (doc_id * 13 + f * 29) % 101)
+      AS amp
+  FROM documents
+), bits AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), i ->
+      CASE WHEN amp[i + 1] < amp[i + 2] THEN 1 ELSE 0 END) AS bit
+  FROM a
+), sig AS (
+  SELECT doc_id,
+    cast(list_sum(list_transform(range(0, 16), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh0,
+    cast(list_sum(list_transform(range(16, 32), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh1,
+    cast(list_sum(list_transform(range(32, 48), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh2,
+    cast(list_sum(list_transform(range(48, 64), j ->
+      bit[j + 1] * (1 << (j % 16)))) AS INT) AS dh3
+  FROM bits
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  cast(bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
+     + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
+     + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))
+     + bit_count(cast(xor(a.dh3, b.dh3) AS BIGINT)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
+    + bit_count(cast(xor(a.dh1, b.dh1) AS BIGINT))
+    + bit_count(cast(xor(a.dh2, b.dh2) AS BIGINT))
+    + bit_count(cast(xor(a.dh3, b.dh3) AS BIGINT)) <= 3
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7796,6 +7845,7 @@ QUERIES = {
     "image_near_dup_pairs": (q_image_near_dup_pairs, O_IMAGE_NEAR_DUP_PAIRS),
     "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
     "audio_energy_hash": (q_audio_energy_hash, O_AUDIO_ENERGY_HASH),
+    "audio_near_pairs": (q_audio_near_pairs, O_AUDIO_NEAR_PAIRS),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
     "incremental_media_dedup": (q_incremental_media_dedup, O_INCREMENTAL_MEDIA_DEDUP),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
