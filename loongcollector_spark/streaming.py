@@ -388,6 +388,78 @@ def minhash_admission_batch(out_dir: str, n_hashes: int = 4,
     return process
 
 
+def media_admission_batch(out_dir: str, max_hamming: int = 3,
+                          id_col: str = "media_id",
+                          payload_col: str = "payload"):
+    """The per-micro-batch MEDIA admission step (the
+    ``minhash_admission_batch`` twin for images): decode + dHash the
+    batch's payloads, probe the persisted fingerprint index (excluding
+    this batch's own partition — the replay-idempotence rule), land
+    decisions, and append the admitted signatures to the index. Exposed
+    as a plain (batch_df, batch_id) callable so replay idempotence is
+    directly testable."""
+    from loongcollector_spark.functions.imagehash import (
+        image_dhash, incremental_media_admission,
+    )
+
+    index_dir = f"{out_dir}/fingerprint_index"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        sig = image_dhash(batch_df, payload_col, id_col).persist()
+        try:
+            try:
+                seen = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select(id_col, "dh0", "dh1", "dh2", "dh3")
+                )
+            except AnalysisException:  # first batch: no index yet
+                seen = spark.createDataFrame(
+                    [], f"{id_col} long, dh0 int, dh1 int, dh2 int, "
+                        f"dh3 int")
+            decisions = incremental_media_admission(
+                sig, seen, max_hamming, id_col).persist()
+            decisions.write.mode("overwrite").parquet(
+                f"{out_dir}/decisions/batch_id={batch_id}")
+            (
+                decisions.filter(F.col("status") == "new")
+                .select(id_col, "dh0", "dh1", "dh2", "dh3")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/batch_id={batch_id}")
+            )
+            decisions.unpersist()
+        finally:
+            sig.unpersist()
+
+    return process
+
+
+def streaming_media_admission(
+    stream_df: DataFrame,
+    out_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    available_now: bool = True,
+):
+    """Streaming near-dup admission for media payloads — continuous
+    ingest of images against the accumulated fingerprint index, with
+    the same exactly-once idempotent-subdir story as
+    ``streaming_minhash_admission``."""
+    process = media_admission_batch(out_dir, max_hamming, id_col,
+                                    payload_col)
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out_dir}/_media_adm_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def multiline_merge_stream(
     stream_df: DataFrame,
     start_pattern: str | None = None,

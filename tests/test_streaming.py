@@ -413,3 +413,55 @@ def test_minhash_admission_replay_is_idempotent(spark, stream_dirs):
     dec = {r["doc_id"]: r["status"] for r in
            spark.read.parquet(f"{out}/decisions").collect()}
     assert dec[11] == "dup_snapshot"
+
+
+def test_media_admission_replay_is_idempotent(spark, stream_dirs):
+    """The media twin of the minhash admission replay contract:
+    re-firing a batch with the same batch_id produces identical
+    decisions (the replay must not see its own first-attempt
+    fingerprints), and a later batch's near-duplicate images land as
+    dup_index against the accumulated fingerprint index."""
+    import numpy as np
+
+    from loongcollector_spark.functions.jpegcodec import encode_jpeg
+    from loongcollector_spark.streaming import media_admission_batch
+
+    _src, out = stream_dirs
+    out = f"{out}/media"
+    process = media_admission_batch(out)
+
+    rng = np.random.default_rng(17)
+
+    def jpeg(bump=0):
+        v = 128 + 2 * rng.integers(0, 50, (8, 9)).astype(np.int64)
+        if bump:
+            v = v.copy()
+            v[0, 0] += 2 * bump
+        return bytearray(encode_jpeg(
+            np.kron(v.astype(np.float64),
+                    np.ones((8, 8))).astype(np.uint8), quality=50))
+
+    state = rng.bit_generator.state
+    img_a = jpeg()
+    rng.bit_generator.state = state
+    img_a_tweaked = jpeg(bump=4)   # same base values, one cell bumped
+    img_b = jpeg()
+
+    b0 = spark.createDataFrame(
+        [(1, img_a), (2, img_b)], "media_id long, payload binary")
+    process(b0, 0)
+    first = sorted((r["media_id"], r["status"]) for r in
+                   spark.read.parquet(f"{out}/decisions").collect())
+    assert first == [(1, "new"), (2, "new")]
+
+    process(b0, 0)  # replay of the SAME batch id
+    again = sorted((r["media_id"], r["status"]) for r in
+                   spark.read.parquet(f"{out}/decisions").collect())
+    assert again == first
+
+    b1 = spark.createDataFrame(
+        [(11, img_a_tweaked)], "media_id long, payload binary")
+    process(b1, 1)
+    dec = {r["media_id"]: r["status"] for r in
+           spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[11] == "dup_index"
