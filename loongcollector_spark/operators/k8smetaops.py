@@ -362,6 +362,43 @@ def k8s_pod_entities(
     return pods.unionByName(conts)
 
 
+def k8s_entity_links(
+    df: DataFrame, src_kind: str, dest_kind: str, relation_type: str,
+    domain: str = "k8s", cluster_id: str = "", interval: int = 30,
+) -> DataFrame:
+    """Entity LINK events (processEntityLinkCommonPart,
+    meta_collector.go:290-305 + the per-pair link processors,
+    meta_collector_app.go:158-254): one row per observed (src, dest)
+    relation — __src/__dest domain/type/id triples with the same genKey
+    md5 ids the entity rows carry, __relation_type__ from the config
+    (e.g. Deployment2Pod), and the reserved method/times/keepalive
+    tail with __category__ = entity_link. Input contract:
+    ``src_namespace, src_name, dest_namespace, dest_name, method
+    string, first_observed long, last_observed long``. Pure
+    projection, no shuffle; link rows join entity rows on the id."""
+    pairs = [
+        (F.lit("__src_domain__"), F.lit(domain)),
+        (F.lit("__src_entity_type__"), _entity_type(domain, src_kind)),
+        (F.lit("__src_entity_id__"),
+         _gen_key(cluster_id, F.lit(src_kind), F.col("src_namespace"),
+                  F.col("src_name"))),
+        (F.lit("__dest_domain__"), F.lit(domain)),
+        (F.lit("__dest_entity_type__"), _entity_type(domain, dest_kind)),
+        (F.lit("__dest_entity_id__"),
+         _gen_key(cluster_id, F.lit(dest_kind), F.col("dest_namespace"),
+                  F.col("dest_name"))),
+        (F.lit("__method__"), F.col("method")),
+        (F.lit("__first_observed_time__"),
+         F.col("first_observed").cast("string")),
+        (F.lit("__last_observed_time__"),
+         F.col("last_observed").cast("string")),
+        (F.lit("__keep_alive_seconds__"), F.lit(str(int(interval) * 2))),
+        (F.lit("__category__"), F.lit("entity_link")),
+        (F.lit("__relation_type__"), F.lit(relation_type)),
+    ]
+    return df.select(_mk_map(pairs).alias("contents"))
+
+
 _KIND_PROJECTIONS = {
     "Service": k8s_service_entities,
     "Deployment": k8s_deployment_entities,

@@ -220,3 +220,30 @@ def test_unsupported_kind_rejected():
     with pytest.raises(ValueError):
         build_operator({"Type": "service_kubernetesmeta",
                         "Kind": "ConfigMap"})
+
+
+def test_entity_links(spark):
+    """processEntityLinkCommonPart (meta_collector.go:290-305): src/dest
+    domain/type/id triples with the same genKey md5 the entity rows use,
+    __relation_type__, __category__=entity_link."""
+    df = spark.createDataFrame(
+        [("ns1", "dep1", "ns1", "pod1", "Update", 100, 200)],
+        "src_namespace string, src_name string, dest_namespace string, "
+        "dest_name string, method string, first_observed long, "
+        "last_observed long")
+    from loongcollector_spark.operators.k8smetaops import k8s_entity_links
+
+    c = k8s_entity_links(
+        df, "Deployment", "Pod", "Deployment2Pod",
+        cluster_id="cid1", interval=10).collect()[0]["contents"]
+    assert c["__src_entity_type__"] == "k8s.deployment"
+    assert c["__src_entity_id__"] == hashlib.md5(
+        b"cid1Deploymentns1dep1").hexdigest()
+    assert c["__dest_entity_type__"] == "k8s.pod"
+    assert c["__dest_entity_id__"] == hashlib.md5(
+        b"cid1Podns1pod1").hexdigest()
+    assert c["__relation_type__"] == "Deployment2Pod"
+    assert c["__category__"] == "entity_link"
+    assert c["__keep_alive_seconds__"] == "20"
+    assert c["__first_observed_time__"] == "100"
+    assert c["__method__"] == "Update"
