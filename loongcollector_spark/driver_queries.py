@@ -7547,6 +7547,116 @@ WHERE bit_count(cast(xor(a.dh0, b.dh0) AS BIGINT))
 """
 
 
+_BPE_N_MERGES = 6
+
+
+def _bpe_oracle_prelude(n_merges: int) -> str:
+    """The unrolled training rounds (train_perceptron's oracle pattern):
+    st0 = word-frequency char states; each round r computes the pair
+    counts p{r}, the argmax merge b{r} (count desc, pair asc), and the
+    merged states st{r+1} via the same leftmost string replace the
+    engine uses."""
+    sql = """
+WITH wf AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+      AS word
+    FROM documents
+  ) WHERE regexp_full_match(word, '[\\x21-\\x7e]+') AND len(word) <= 64
+  GROUP BY word
+), st0 AS (
+  SELECT chr(31) || array_to_string(string_split_regex(word, ''), chr(31))
+      || chr(31) AS state, n
+  FROM wf
+)"""
+    for r in range(n_merges):
+        sql += f""",
+sy{r} AS (SELECT string_split(state, chr(31)) AS syms, n FROM st{r}),
+p{r} AS (
+  SELECT syms[g.i + 1] AS a, syms[g.i + 2] AS b,
+    cast(sum(n) AS BIGINT) AS cnt
+  FROM sy{r}, generate_series(1, 70) AS g(i)
+  WHERE g.i <= len(syms) - 3
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+st{r + 1} AS (
+  SELECT replace(st.state,
+                 chr(31) || b.a || chr(31) || b.b || chr(31),
+                 chr(31) || b.a || b.b || chr(31)) AS state, st.n
+  FROM st{r} st, b{r} b
+)"""
+    return sql
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """In-engine BPE training (functions/tokenizer.py — Sennrich et al.
+    2016): driver-synchronized merge rounds over the word-frequency
+    table, each collecting exactly ONE row (the argmax pair — the
+    model); the oracle unrolls every round as CTEs and replays the
+    merge as the identical leftmost string replace."""
+    from loongcollector_spark.functions.tokenizer import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)],
+        "rank int, pair_a string, pair_b string, cnt long",
+    )
+
+
+O_BPE_TRAIN_MERGES = _bpe_oracle_prelude(_BPE_N_MERGES) + "\n" + " UNION ALL ".join(
+    f"SELECT {r} AS rank, a AS pair_a, b AS pair_b, cnt FROM b{r}"
+    for r in range(_BPE_N_MERGES)
+)
+
+
+def q_bpe_encode_tokens(spark, sf_dir):
+    """BPE application: tokenize every document with the merges trained
+    in-engine — one codegen replace chain per merge, no Python in the
+    apply path. Output fingerprints the full token stream per doc, so
+    the oracle (same unrolled training + the same replace chain in SQL)
+    verifies every token boundary."""
+    from loongcollector_spark.functions.tokenizer import (
+        bpe_encode, bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe_encode(docs, merges)
+
+
+def _bpe_apply_sql(n_merges: int) -> str:
+    state = ("chr(31) || array_to_string(string_split_regex(word, ''), "
+             "chr(31)) || chr(31)")
+    for r in range(n_merges):
+        state = (f"replace({state}, chr(31) || b{r}.a || chr(31) || b{r}.b"
+                 f" || chr(31), chr(31) || b{r}.a || b{r}.b || chr(31))")
+    return state
+
+
+O_BPE_ENCODE_TOKENS = _bpe_oracle_prelude(_BPE_N_MERGES) + f""",
+dw AS (
+  SELECT doc_id, g.i AS pos, words[g.i] AS word
+  FROM (SELECT doc_id,
+          string_split_regex(trim(coalesce(text, '')), '\\s+') AS words
+        FROM documents),
+       generate_series(1, 4096) AS g(i)
+  WHERE g.i <= len(words)
+    AND regexp_full_match(words[g.i], '[\\x21-\\x7e]+')
+    AND len(words[g.i]) <= 64
+), ap AS (
+  SELECT doc_id, pos, {_bpe_apply_sql(_BPE_N_MERGES)} AS state
+  FROM dw, {', '.join(f'b{r}' for r in range(_BPE_N_MERGES))}
+)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_words,
+  cast(sum(len(string_split(state, chr(31))) - 2) AS BIGINT) AS n_tokens,
+  md5(string_agg(replace(trim(state, chr(31)), chr(31), ' '), ' '
+                 ORDER BY pos)) AS tokens_md5
+FROM ap GROUP BY doc_id
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7846,6 +7956,8 @@ QUERIES = {
     "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
     "audio_energy_hash": (q_audio_energy_hash, O_AUDIO_ENERGY_HASH),
     "audio_near_pairs": (q_audio_near_pairs, O_AUDIO_NEAR_PAIRS),
+    "bpe_train_merges": (q_bpe_train_merges, O_BPE_TRAIN_MERGES),
+    "bpe_encode_tokens": (q_bpe_encode_tokens, O_BPE_ENCODE_TOKENS),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
     "incremental_media_dedup": (q_incremental_media_dedup, O_INCREMENTAL_MEDIA_DEDUP),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),
