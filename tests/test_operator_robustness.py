@@ -537,6 +537,15 @@ def test_training_functions_survive_hostile_docs(spark):
     multimodal.extract_features(media).collect()
     multimodal.frame_sample(media).collect()
 
+    from loongcollector_spark.functions import tokenizer
+
+    # BPE over the hostile corpus: non-ASCII and blank docs drop out of
+    # the word table; training on a near-empty vocabulary and applying
+    # zero-or-few merges must both evaluate cleanly
+    merges = tokenizer.bpe_train(docs, n_merges=3)
+    tokenizer.bpe_encode(docs, merges).collect()
+    tokenizer.bpe_encode(docs, []).collect()
+
 
 def test_similarity_survives_hostile_embeddings(spark):
     """zero vectors (zero norm), constant vectors, and nulls through the
