@@ -7657,6 +7657,37 @@ FROM ap GROUP BY doc_id
 """
 
 
+def q_bpe_vocab_table(spark, sf_dir):
+    """The trained tokenizer's vocabulary table: merged symbols in rank
+    order (first rank wins on a re-learned pair), then base characters
+    sorted — deterministic ids, vocabulary-bounded, broadcastable."""
+    from loongcollector_spark.functions.tokenizer import (
+        bpe_train, bpe_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe_vocab(docs, merges)
+
+
+O_BPE_VOCAB_TABLE = _bpe_oracle_prelude(_BPE_N_MERGES) + f""",
+mg AS (
+  SELECT sym, cast(min(r) AS INT) AS token_id FROM (
+    {' UNION ALL '.join(f"SELECT a || b AS sym, {r} AS r FROM b{r}"
+                        for r in range(_BPE_N_MERGES))}
+  ) GROUP BY sym
+), ch AS (
+  SELECT DISTINCT unnest(string_split_regex(word, '')) AS sym FROM wf
+), base AS (
+  SELECT sym,
+    cast(row_number() OVER (ORDER BY sym) - 1 + {_BPE_N_MERGES} AS INT)
+      AS token_id
+  FROM ch WHERE sym != '' AND sym NOT IN (SELECT sym FROM mg)
+)
+SELECT sym, token_id FROM mg UNION ALL SELECT sym, token_id FROM base
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -7958,6 +7989,7 @@ QUERIES = {
     "audio_near_pairs": (q_audio_near_pairs, O_AUDIO_NEAR_PAIRS),
     "bpe_train_merges": (q_bpe_train_merges, O_BPE_TRAIN_MERGES),
     "bpe_encode_tokens": (q_bpe_encode_tokens, O_BPE_ENCODE_TOKENS),
+    "bpe_vocab_table": (q_bpe_vocab_table, O_BPE_VOCAB_TABLE),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
     "incremental_media_dedup": (q_incremental_media_dedup, O_INCREMENTAL_MEDIA_DEDUP),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),

@@ -133,6 +133,39 @@ def bpe_apply_expr(word_col, merges) -> F.Column:
     return state
 
 
+def bpe_vocab(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
+    """The trained tokenizer's vocabulary: every base character of the
+    kept words plus every merged symbol, with deterministic ids —
+    merged symbols first in RANK order (ids 0..n_merges-1, mirroring
+    how BPE vocabularies append merges), then base characters sorted
+    (ids n_merges..). Vocabulary-bounded; broadcast to encoders."""
+    chars = (
+        word_frequencies(df, text_col)
+        .select(F.explode(F.split(
+            F.regexp_replace(F.col("word"), "(.)", "$1" + SEP), SEP))
+            .alias("sym"))
+        .filter(F.col("sym") != "")
+        .distinct()
+    )
+    spark = df.sparkSession
+    # the run-variant can re-learn a pair whose leftover adjacencies
+    # survived an earlier merge round: keep the FIRST rank per symbol
+    seen: dict = {}
+    for i, (a, b, _c) in enumerate(merges):
+        seen.setdefault(a + b, i)
+    merged = spark.createDataFrame(
+        list(seen.items()), "sym string, token_id int"
+    ) if seen else spark.createDataFrame([], "sym string, token_id int")
+    from pyspark.sql import Window
+
+    base = chars.join(merged.select("sym"), "sym", "left_anti").select(
+        "sym",
+        (F.row_number().over(Window.orderBy("sym")) - 1
+         + F.lit(len(merges))).cast("int").alias("token_id"),
+    )
+    return merged.unionByName(base)
+
+
 def bpe_encode(df: DataFrame, merges, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Tokenize each document with a trained merge list: (id, n_words,

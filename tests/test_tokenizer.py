@@ -97,3 +97,25 @@ def test_bpe_leftmost_nonoverlap_merge(spark):
     # run-of-4 variant: the replace consumes the boundary separator)
     want = hashlib.md5(b"aa a aa a a").hexdigest()
     assert r["tokens_md5"] == want and r["n_tokens"] == 5
+
+
+def test_bpe_vocab_ids(spark):
+    from loongcollector_spark.functions.tokenizer import (
+        bpe_train, bpe_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low low lower lowest newest newest")],
+        "doc_id long, text string")
+    merges = bpe_train(df, n_merges=4)
+    vocab = {r["sym"]: r["token_id"] for r in bpe_vocab(df, merges).collect()}
+    # merged symbols take their rank ids
+    for i, (a, b, _c) in enumerate(merges):
+        assert vocab[a + b] in range(4)
+    # base chars: every char of the corpus words, ids from n_merges up,
+    # sorted order, no duplicates
+    base = sorted((tid, s) for s, tid in vocab.items() if tid >= 4)
+    syms = [s for _t, s in base]
+    assert syms == sorted(syms)
+    assert set("lowerst") <= set(vocab)
+    assert len(set(vocab.values())) == len(vocab)
