@@ -2916,6 +2916,60 @@ SELECT doc_a, doc_b, jaccard_1e3 FROM (
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (Broder): |A∩B| / |A| over the
+    exact shingle sets of LSH candidate pairs, BOTH directions — the
+    quoted-whole-inside signal Jaccard misses. Verify cost ∝
+    candidates; ids and 16-byte hashes shuffle, never text."""
+    from loongcollector_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), min_containment_1e3=600)
+
+
+O_CONTAINMENT_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_transform(range(1, len(words) - 3 + 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+sets AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+),
+posting AS (
+  SELECT doc_id, unnest(s) AS g FROM sets
+),
+rare AS (
+  SELECT g FROM posting GROUP BY g HAVING count(*) BETWEEN 2 AND 5
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posting a JOIN rare USING (g) JOIN posting b USING (g)
+  WHERE a.doc_id < b.doc_id
+),
+directed AS (
+  SELECT p.doc_a AS contained, p.doc_b AS container,
+    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS n_contained
+  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id
+               JOIN sets b ON p.doc_b = b.doc_id
+  UNION ALL
+  SELECT p.doc_b, p.doc_a,
+    len(list_intersect(a.s, b.s)), len(b.s)
+  FROM pairs p JOIN sets a ON p.doc_a = a.doc_id
+               JOIN sets b ON p.doc_b = b.doc_id
+)
+SELECT contained, container,
+  cast(floor(1000 * inter / n_contained) AS INT) AS containment_1e3,
+  cast(inter AS BIGINT) AS inter, cast(n_contained AS BIGINT) AS n_contained
+FROM directed WHERE floor(1000 * inter / n_contained) >= 600
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """near-dup clustering: MinHash-LSH pairs → connected components →
     one row per clustered doc with canonical survivor + cluster size.
@@ -7990,6 +8044,7 @@ QUERIES = {
     "bpe_train_merges": (q_bpe_train_merges, O_BPE_TRAIN_MERGES),
     "bpe_encode_tokens": (q_bpe_encode_tokens, O_BPE_ENCODE_TOKENS),
     "bpe_vocab_table": (q_bpe_vocab_table, O_BPE_VOCAB_TABLE),
+    "containment_pairs": (q_containment_pairs, O_CONTAINMENT_PAIRS),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
     "incremental_media_dedup": (q_incremental_media_dedup, O_INCREMENTAL_MEDIA_DEDUP),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),

@@ -602,3 +602,99 @@ def minhash_verified_pairs(
         )
         .filter(F.col("jaccard_1e3") >= min_jaccard_1e3)
     )
+
+
+def containment_pairs(
+    df: DataFrame, shingle: int = 3, max_df: int = 5,
+    min_containment_1e3: int = 700, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-superset detection (Broder's containment,
+    c(A, B) = |A∩B| / |A|): the signal Jaccard misses — a short
+    document quoted whole inside a long one has low Jaccard but
+    containment ≈ 1, which is how sub-document dedup (boilerplate
+    wrappers, quote chains, README-embedded licenses) is actually
+    caught. Emits BOTH directions per candidate pair:
+    (contained, container, containment_1e3, inter, n_contained) for
+    every direction clearing the threshold.
+
+    Candidate generation is NOT minhash banding — banding is tuned for
+    Jaccard and structurally misses tiny-inside-huge pairs (the big
+    doc's minima displace the small doc's). Candidates instead come
+    from RARE-SHINGLE co-occurrence: a contained document shares every
+    one of its shingles with its container, including the rare ones,
+    so pairs co-occurring on any shingle with document frequency ≤
+    ``max_df`` capture every containment whose contained side has at
+    least one non-boilerplate shingle. The df cap bounds the inverted
+    index's pair fan-out (a df-f shingle emits ≤ f(f-1)/2 pairs), which
+    is what makes the candidate join safe at corpus scale; the exact
+    shingle-set intersection then verifies, cost ∝ candidates. Ids and
+    16-byte hashes shuffle, never text."""
+    shingled = _with_shingles(df, text_col, shingle, id_col)
+    sets = (
+        shingled.select(
+            F.col(id_col).alias("_sid"), F.explode("_shingles").alias("_s")
+        )
+        .select("_sid", F.md5(F.col("_s").cast("binary")).alias("_h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sets.groupBy("_sid").agg(F.count("*").alias("_n"))
+    # rare-shingle inverted index: keep hashes with doc frequency in
+    # [2, max_df]; each bucket's self-join emits the candidate pairs
+    rare = (
+        sets.groupBy("_h").agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_h")
+    )
+    posting = sets.join(rare, "_h")
+    cand = (
+        posting.alias("pa")
+        .join(posting.alias("pb"),
+              (F.col("pa._h") == F.col("pb._h"))
+              & (F.col("pa._sid") < F.col("pb._sid")))
+        .select(F.col("pa._sid").alias("doc_a"),
+                F.col("pb._sid").alias("doc_b"))
+        .distinct()
+    )
+    # verify only candidate docs' sets: the semi-join prunes the two
+    # intersection joins to the (usually sparse) candidate population
+    cand = cand.localCheckpoint(eager=False)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("_sid"))
+        .unionByName(cand.select(F.col("doc_b").alias("_sid")))
+        .distinct()
+    )
+    csets = sets.join(cand_docs, "_sid").localCheckpoint(eager=False)
+    inter = (
+        cand.join(csets.alias("sa"), F.col("doc_a") == F.col("sa._sid"))
+        .join(
+            csets.alias("sb"),
+            (F.col("doc_b") == F.col("sb._sid"))
+            & (F.col("sa._h") == F.col("sb._h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    both = (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na._sid"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb._sid"))
+    )
+    directed = both.select(
+        F.col("doc_a").alias("contained"), F.col("doc_b").alias("container"),
+        F.col("_inter").alias("inter"), F.col("na._n").alias("n_contained"),
+    ).unionByName(both.select(
+        F.col("doc_b").alias("contained"), F.col("doc_a").alias("container"),
+        F.col("_inter").alias("inter"), F.col("nb._n").alias("n_contained"),
+    ))
+    return (
+        directed.select(
+            "contained", "container",
+            F.floor(F.try_divide(1000 * F.col("inter"),
+                                 F.col("n_contained")))
+            .cast("int").alias("containment_1e3"),
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_contained").cast("long").alias("n_contained"),
+        )
+        .filter(F.col("containment_1e3") >= min_containment_1e3)
+    )

@@ -617,3 +617,27 @@ def test_pagerank_int_matches_python_model(spark):
     assert got["d"] == base
     # ranks order: c receives from everyone upstream of it
     assert got["c"] > got["b"]
+
+
+def test_containment_asymmetry(spark):
+    """A short doc quoted whole inside a long one: containment ~1000 in
+    the contained->container direction, low Jaccard — the signal the
+    symmetric metric misses; the reverse direction stays below
+    threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally different words here")],
+        "doc_id long, text string")
+    from loongcollector_spark.functions.dedup import (
+        containment_pairs, minhash_verified_pairs,
+    )
+
+    rows = {(r["contained"], r["container"]): r["containment_1e3"]
+            for r in containment_pairs(df, min_containment_1e3=900).collect()}
+    assert rows.get((1, 2), 0) >= 900     # short fully inside long
+    assert (2, 1) not in rows             # reverse direction below
+    # Jaccard on the same pair is far below a near-dup threshold
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard_1e3"] for r in
+           minhash_verified_pairs(df, min_jaccard_1e3=1).collect()}
+    assert jac.get((1, 2), 0) < 300
