@@ -7742,6 +7742,49 @@ SELECT sym, token_id FROM mg UNION ALL SELECT sym, token_id FROM base
 """
 
 
+def q_batcher_flush_batches(spark, sf_dir):
+    """Batcher flush-strategy segmentation (Batcher.h + FlushStrategy.h:
+    26-57): greedy per-conversation batches closed at MinCnt events OR
+    MinSizeBytes bytes, whichever lands first — the sequential-reset
+    semantics a cumsum cannot express; the oracle replays the identical
+    walk as a recursive CTE, one recursion level per turn."""
+    df = transcripts_from_events(spark, sf_dir)
+    op = build_operator({"Type": "batcher", "MinCnt": 8,
+                         "MinSizeBytes": 512})
+    out = op(df)
+    return out.groupBy("conv_id", "batch_seq").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_bytes").cast("long").alias("batch_bytes"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
+O_BATCHER_FLUSH_BATCHES = _ORACLE_T.replace(
+    "WITH ", "WITH RECURSIVE ", 1) + """
+, r AS (
+  SELECT conv_id,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+    turn_idx, strlen(coalesce(text, '')) AS b
+  FROM t
+), reach(conv_id, rn, turn_idx, b, seq, cnt, size) AS (
+  SELECT conv_id, rn, turn_idx, b, 0, 1, b FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r2.conv_id, r2.rn, r2.turn_idx, r2.b,
+    CASE WHEN p.cnt >= 8 OR p.size >= 512 THEN p.seq + 1 ELSE p.seq END,
+    CASE WHEN p.cnt >= 8 OR p.size >= 512 THEN 1 ELSE p.cnt + 1 END,
+    CASE WHEN p.cnt >= 8 OR p.size >= 512 THEN r2.b
+         ELSE p.size + r2.b END
+  FROM r r2 JOIN reach p
+    ON r2.conv_id = p.conv_id AND r2.rn = p.rn + 1
+)
+SELECT conv_id, cast(seq AS INT) AS batch_seq,
+  count(*) AS n_events, cast(sum(b) AS BIGINT) AS batch_bytes,
+  min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+FROM reach GROUP BY conv_id, seq
+"""
+
+
 def q_training_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + shard assignment
     (curation.training_shuffle): seeded-hash re-key, shard from the key
@@ -8045,6 +8088,7 @@ QUERIES = {
     "bpe_encode_tokens": (q_bpe_encode_tokens, O_BPE_ENCODE_TOKENS),
     "bpe_vocab_table": (q_bpe_vocab_table, O_BPE_VOCAB_TABLE),
     "containment_pairs": (q_containment_pairs, O_CONTAINMENT_PAIRS),
+    "batcher_flush_batches": (q_batcher_flush_batches, O_BATCHER_FLUSH_BATCHES),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),
     "incremental_media_dedup": (q_incremental_media_dedup, O_INCREMENTAL_MEDIA_DEDUP),
     "training_shuffle": (q_training_shuffle, O_TRAINING_SHUFFLE),

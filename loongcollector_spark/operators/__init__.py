@@ -81,6 +81,7 @@ def build_chain(configs: list[dict[str, Any]]) -> OperatorFn:
 
 # import for side effect: populates REGISTRY
 from loongcollector_spark.operators import (  # noqa: E402,F401
+    batcherops,
     canalops,
     condops,
     decoders,

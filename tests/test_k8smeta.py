@@ -247,3 +247,24 @@ def test_entity_links(spark):
     assert c["__keep_alive_seconds__"] == "20"
     assert c["__first_observed_time__"] == "100"
     assert c["__method__"] == "Update"
+
+
+def test_batcher_greedy_reset_segmentation(spark):
+    """FlushStrategy count/size gates (FlushStrategy.h:26-57): batches
+    close the moment EITHER threshold is reached after an add, and the
+    accumulators reset — the boundary placement a floor(cumsum/cap)
+    would get wrong (a big event early shifts every later boundary)."""
+    from loongcollector_spark.operators import build_operator
+
+    rows = [("c", 0, "x" * 600),   # closes batch 0 alone (size)
+            ("c", 1, "x" * 100), ("c", 2, "x" * 100),
+            ("c", 3, "x" * 100), ("c", 4, "x" * 300),  # size 600 closes 1
+            ("c", 5, "a"), ("c", 6, "b"), ("c", 7, "c"),
+            ("c", 8, "d")]         # count 4 closes batch 2
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = build_operator({"Type": "batcher", "MinCnt": 4,
+                          "MinSizeBytes": 512})(df)
+    seqs = {r["turn_idx"]: r["batch_seq"] for r in out.collect()}
+    assert seqs == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 2}
+    # cumsum/cap would put turn 4 (cumulative 1200 // 512 = 2) in a
+    # different batch than the greedy reset does — the semantics differ
