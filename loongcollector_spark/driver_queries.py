@@ -8095,3 +8095,42 @@ QUERIES = {
     "script_ratios": (q_script_ratios, O_SCRIPT_RATIOS),
     "incremental_minhash": (q_incremental_minhash, O_INCREMENTAL_MINHASH),
 }
+
+# ---------------------------------------------------------------------------
+# Driver-gate window.  The external correctness driver hash-checks only the
+# FIRST 50 registered queries, and registration above is chronological — so
+# with the natural order, no round-3/4 family (media decode+dedup, BPE,
+# containment, k8s/host metrics, batcher) ever produced a hard driver row.
+# Reorder: keep the flagship + one representative per long-green §2.2/§2.3
+# family up front, then fill the remaining slots with the newest /
+# least-proven queries.  Everything else follows, unchanged — the full
+# 171-query local oracle gate (tools/verify_oracles.py) is order-independent.
+_DRIVER_WINDOW = [
+    # flagship + long-green family representatives (already driver-proven)
+    "pipeline_sink_counts", "parse_regex_nginx", "grok_app_fields",
+    "filter_expression", "dict_map_categories", "route_first_match",
+    "aggregator_base_packs", "spl_pipeline", "merge_multiline", "rate_limit",
+    # round-4 families, never driver-verified
+    "batcher_flush_batches", "containment_pairs",
+    "bpe_train_merges", "bpe_encode_tokens", "bpe_vocab_table",
+    "image_dhash", "image_near_dup_pairs", "video_near_dups",
+    "audio_energy_hash", "audio_near_pairs",
+    "media_dedup_clusters", "incremental_media_dedup", "incremental_minhash",
+    "k8s_pod_entities", "k8s_entities", "process_metrics", "system_metrics",
+    "host_meta_nodes",
+    # round-3 families, never driver-verified
+    "media_resize", "serialized_events",
+    "dedup_exact", "minhash_lsh_pairs", "minhash_verified_pairs",
+    "dedup_clusters",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "semantic_dedup",
+    "otel_trace_spans", "otel_metrics", "prom_parse_metrics", "prom_relabel",
+    "pb_group_roundtrip", "sls_pb_log_hex", "canal_rows",
+    "chat_render", "preference_pairs", "training_shuffle",
+    "gopher_quality", "dsir_scores",
+]
+assert len(_DRIVER_WINDOW) <= 50 and len(set(_DRIVER_WINDOW)) == len(
+    _DRIVER_WINDOW) and set(_DRIVER_WINDOW) <= set(QUERIES)
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW},
+    **{n: q for n, q in QUERIES.items() if n not in set(_DRIVER_WINDOW)},
+}

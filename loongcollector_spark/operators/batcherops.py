@@ -26,7 +26,7 @@ MaxLogCount-style upstream chunking (aggregator_base)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from loongcollector_spark.operators import register
 
@@ -43,12 +43,13 @@ def batcher_assign(
     (the UTF-8 size the strategy accumulates — ``length_utf8`` of the
     size column, 0 for NULL)."""
     group_cols = list(group_cols)
-    out_schema = (df.select(
+    base_schema = df.select(
         *group_cols, order_col,
         F.octet_length(F.coalesce(F.col(size_col), F.lit("")))
-        .alias("event_bytes")).schema.simpleString()
-        .replace("struct<", "").rstrip(">")
-        + ",batch_seq int")
+        .alias("event_bytes")).schema
+    out_schema = T.StructType(
+        list(base_schema.fields)
+        + [T.StructField("batch_seq", T.IntegerType())])
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")

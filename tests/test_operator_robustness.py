@@ -102,6 +102,8 @@ CONFIGS: dict[str, dict] = {
     "aggregator_shardhash": {"SourceKeys": ["conv_id"], "ShardCount": 8,
                              "EnablePackID": True},
     "aggregator_metadata_group": {"GroupMetadataKeys": ["role"]},
+    "batcher": {"MinCnt": 2, "MinSizeBytes": 16, "GroupKey": ["conv_id"],
+                "OrderKey": "turn_idx", "SizeKey": "text"},
     "processor_prom_parse_metric": {"SourceKey": "text"},
     "processor_prom_relabel_metric": {"RelabelConfigs": [
         {"action": "replace", "source_labels": ["role"],
