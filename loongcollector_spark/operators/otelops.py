@@ -212,10 +212,16 @@ def _attrs_json(attrs: Column, drop: tuple[str, ...] = ()) -> Column:
 
 
 def _attr_get(attrs: Column, key: str) -> Column:
-    hit = F.filter(F.coalesce(attrs, F.array()), lambda a: a["key"] == key)
-    return F.when(
-        F.size(hit) > 0, _attr_str(F.element_at(hit, 1)["value"])
-    ).otherwise(F.lit(""))
+    # filter ONCE, format inside the transform lambda (bound variable, so
+    # _attr_str's many value references stay cheap), pick the first — the
+    # previous when(size(hit)>0, _attr_str(element_at(hit,1))) shape
+    # re-inlined the filter+element_at subtree at EVERY value reference
+    # (~13 interpreted lambda scans per attr per row in the trace plan)
+    vals = F.transform(
+        F.filter(F.coalesce(attrs, F.array()), lambda a: a["key"] == key),
+        lambda a: _attr_str(a["value"]),
+    )
+    return F.coalesce(F.get(vals, 0), F.lit(""))
 
 
 _KIND = {1: "internal", 2: "server", 3: "client", 4: "producer", 5: "consumer"}
@@ -243,10 +249,13 @@ def _span_id(raw: Column, need_decode: bool) -> Column:
     # pass-through path: the Go chain is hex-decode → hex-encode (both
     # the json unmarshaler and protojson+NeedDecode), which lowercases
     # well-formed ids and ERRORS the payload otherwise — normalize case
-    # and map a non-hex id to "" (the drop analog of Go's error return)
-    return F.when(
-        val.rlike("^(?:[0-9a-fA-F]{2})*$"), F.lower(val)
-    ).otherwise(F.lit(""))
+    # and map a non-hex id to "" (the drop analog of Go's error return).
+    # translate-emptiness + even length ≡ ^(?:[0-9a-fA-F]{2})*$ without
+    # a per-row regex engine pass (3 ids per span).
+    low = F.lower(val)
+    is_hex = (F.length(F.translate(low, "0123456789abcdef", "")) == 0) & (
+        F.length(low) % 2 == 0)
+    return F.when(is_hex, F.lower(val)).otherwise(F.lit(""))
 
 
 def _events_json(events: Column) -> Column:
@@ -293,13 +302,21 @@ def otel_trace_to_logs(
     rs = parsed.select(
         *passthrough, F.explode("_otlp.resourceSpans").alias("_rs")
     )
+    # resource-level strings are computed HERE — once per resourceSpan,
+    # below the scopeSpan/span Generates (a Generate is a CollapseProject
+    # barrier, so the top per-span projection references them as plain
+    # attributes instead of re-inlining the attribute-array walks)
+    res = F.col("_rs.resource.attributes")
     ss = rs.select(
         *passthrough,
-        F.col("_rs.resource.attributes").alias("_res"),
+        _attr_get(res, "host.name").alias("_host"),
+        _attr_get(res, "service.name").alias("_svc"),
+        _attrs_json(res, drop=("host.name", "service.name"))
+        .alias("_resjson"),
         F.explode("_rs.scopeSpans").alias("_ss"),
     )
     sp = ss.select(
-        *passthrough, "_res",
+        *passthrough, "_host", "_svc", "_resjson",
         F.col("_ss.scope").alias("_scope"),
         F.explode("_ss.spans").alias("_sp"),
     )
@@ -316,7 +333,8 @@ def otel_trace_to_logs(
 def _trace_span_exprs(trace_id_decode: bool, span_id_decode: bool,
                       parent_span_id_decode: bool) -> tuple:
     """(contents map, log_time) expressions over the fixed aliases
-    ``_sp``/``_res``/``_scope`` — cached per (gateway, decode flags)
+    ``_sp``/``_scope`` plus the precomputed resource-level strings
+    ``_host``/``_svc``/``_resjson`` — cached per (gateway, decode flags)
     like ``_metric_row_exprs`` (same py4j-construction-cost rationale)."""
     span = F.col("_sp")
     start = span["startTimeUnixNano"].cast("long")
@@ -325,10 +343,9 @@ def _trace_span_exprs(trace_id_decode: bool, span_id_decode: bool,
         F.unix_micros(F.current_timestamp()) * 1000,  # endNano==0 → now
     ).otherwise(span["endTimeUnixNano"].cast("long"))
     contents = F.create_map(
-        F.lit("host"), _attr_get(F.col("_res"), "host.name"),
-        F.lit("service"), _attr_get(F.col("_res"), "service.name"),
-        F.lit("resource"),
-        _attrs_json(F.col("_res"), drop=("host.name", "service.name")),
+        F.lit("host"), F.col("_host"),
+        F.lit("service"), F.col("_svc"),
+        F.lit("resource"), F.col("_resjson"),
         F.lit("otlp.name"), F.coalesce(F.col("_scope.name"), F.lit("")),
         F.lit("otlp.version"), F.coalesce(F.col("_scope.version"), F.lit("")),
         F.lit("traceID"), _span_id(span["traceId"], trace_id_decode),
