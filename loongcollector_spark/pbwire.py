@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from loongcollector_spark.serializer import (
+    _pb_byte,
     _pb_len_delim,
     _pb_varint,
     concat_binary,
@@ -756,22 +757,36 @@ def _pb_fixed64(bits_col):
     )
 
 
-def prom_timeseries_column(
-    name_col="__name__", labels_col="__labels__",
-    value_col="__value__", time_nano_col="__time_nano__",
-):
-    """One serialized ``prompb.TimeSeries`` per metric-shaped row (the
-    processor_log_to_metric output contract: ``k=v|k=v`` or ``k#$#v``
-    label encoding). The wire tree (IEEE-754 bit closed forms + varint
-    framing) costs ~1 s of py4j construction — cached per process via
-    ``expr_template``."""
-    from loongcollector_spark.operators.common import expr_template
+def _varint_of(v, max_bytes: int = 5):
+    """Varint of a CHEAP-to-duplicate expression (an attribute reference
+    from a prior projection).  Unlike ``_pb_varint`` there is NO
+    ``bind_once`` boundary: bind_once routes through ``transform`` — a
+    CodegenFallback higher-order function — and a single such node
+    excludes the whole containing Project from whole-stage codegen
+    (CollapseCodegenStages.supportCodegen), turning the entire series
+    encode into interpreted eval (measured ~860 µs core-time/row).
+    Referencing an attribute many times is free, so the byte loop
+    duplicates ``v`` and stays codegen-able."""
+    pieces = []
+    for i in range(max_bytes):
+        grp = F.shiftright(v, 7 * i).bitwiseAND(F.lit(0x7F))
+        more = F.shiftright(v, 7 * (i + 1)) > 0
+        byte = _pb_byte(
+            F.when(more, grp.bitwiseOR(F.lit(0x80))).otherwise(grp))
+        if i == 0:
+            pieces.append(byte)
+        else:
+            pieces.append(
+                F.when(F.shiftright(v, 7 * i) > 0, byte)
+                .otherwise(F.lit(b"")))
+    return F.when(v < 128, _pb_byte(v)).otherwise(F.concat(*pieces))
 
-    return expr_template(_prom_timeseries_column)(
-        name_col, labels_col, value_col, time_nano_col)
 
-
-def _prom_timeseries_column(name_col, labels_col, value_col, time_nano_col):
+def _prom_label_bytes(labels_col, name_col):
+    """Sorted, framed prompb Label messages from the ``k=v|k=v`` /
+    ``k#$#v`` label string + ``__name__`` — the one genuinely
+    higher-order part of the series encode (per-label work over a
+    variable-length array), kept in a single isolated projection."""
     pairs = F.transform(
         F.split(F.coalesce(F.col(labels_col), F.lit("")), r"\|"),
         lambda kv: F.struct(
@@ -791,26 +806,121 @@ def _prom_timeseries_column(name_col, labels_col, value_col, time_nano_col):
         pairs, lambda s: (s["name"] != "") & (s["value"] != "")
         & s["value"].isNotNull()
     ))
-    label_msgs = F.transform(
-        pairs,
-        lambda s: _pb_len_delim(0x0A, F.concat(
-            _pb_len_delim(0x0A, s["name"].cast("binary")),
-            _pb_len_delim(0x12, s["value"].cast("binary")),
-        )),
+
+    def vl(n):  # varint byte count of a length
+        return (F.when(n < 128, 1).when(n < 16384, 2)
+                .when(n < 2097152, 3).otherwise(4))
+
+    def frame(s):
+        # Label{name=1,value=2} framed as field 1 of TimeSeries.  The
+        # message length is CLOSED-FORM from the two octet_lengths
+        # (tag+len pairs + payloads), so no per-element bind_once wrap —
+        # struct-field reads of the lambda variable are free to
+        # duplicate, and interpreted cost per label drops ~3x.
+        nb = F.octet_length(s["name"])
+        vb = F.octet_length(s["value"])
+        body_len = nb + vb + F.lit(2) + vl(nb) + vl(vb)
+        return F.concat(
+            F.lit(b"\x0a"), _varint_of(body_len),
+            F.lit(b"\x0a"), _varint_of(nb), s["name"].cast("binary"),
+            F.lit(b"\x12"), _varint_of(vb), s["value"].cast("binary"),
+        )
+
+    return concat_binary(F.transform(pairs, frame))
+
+
+def prom_series_frame(df: DataFrame,
+                      name_col="__name__", labels_col="__labels__",
+                      value_col="__value__", time_nano_col="__time_nano__",
+                      keep=()) -> DataFrame:
+    """``_series`` (serialized, framed ``prompb.TimeSeries``) per
+    metric-shaped row, built as CHAINED PROJECTIONS rather than one
+    Column tree.  Each expensive intermediate (the IEEE-754 bit closed
+    form, the hex string, the frame bodies) is its own multi-referenced
+    column: since Spark 3.3 CollapseProject refuses to inline a non-
+    cheap expression referenced more than once, so the stages survive
+    optimization, each is computed exactly once, and — with no
+    ``bind_once``/HOF node in the scalar stages — the double-bits and
+    varint framing run under whole-stage codegen.  Only the per-label
+    projection (``_prom_label_bytes``) is interpreted.  Byte output is
+    identical to the old single-tree builder (same formulas)."""
+    keep = list(keep)
+    s = df.select(
+        *keep,
+        _prom_label_bytes(labels_col, name_col).alias("_lblbytes"),
+        F.col(value_col).cast("double").alias("_v"),
+        (F.coalesce(F.col(time_nano_col), F.lit(0)).cast("long")
+         / F.lit(1000000)).cast("long").alias("_tsm"),
     )
-    labels_bytes = concat_binary(label_msgs)
-    bits = pb_double_bits(F.col(value_col))
+    # pb_double_bits, unrolled into attribute-referencing stages.  Unlike
+    # the single-tree builder, stage columns evaluate UNCONDITIONALLY
+    # (the NaN/Inf/zero whens live in a later stage and no longer guard
+    # the casts), so degenerate values are replaced by a harmless 1.0
+    # before any cast — the final bits when-chain overrides those rows.
+    a = F.when(
+        F.isnan(F.col("_v")) | (F.abs(F.col("_v")) == F.lit(float("inf")))
+        | (F.col("_v") == 0.0) | F.col("_v").isNull(),
+        F.lit(1.0),
+    ).otherwise(F.abs(F.col("_v")))
+    s = s.select(*keep, "_lblbytes", "_v", "_tsm", a.alias("_a"))
+    s = s.select(*keep, "_lblbytes", "_v", "_tsm", "_a",
+                 F.floor(F.log2("_a")).cast("int").alias("_e0"))
+    e = (
+        F.when(F.col("_a") >= F.pow(F.lit(2.0),
+                                    (F.col("_e0") + 1).cast("double")),
+               F.col("_e0") + 1)
+        .when(F.col("_a") < F.pow(F.lit(2.0), F.col("_e0").cast("double")),
+              F.col("_e0") - 1)
+        .otherwise(F.col("_e0"))
+    )
+    s = s.select(*keep, "_lblbytes", "_v", "_tsm", "_a",
+                 F.greatest(e, F.lit(-1022)).alias("_e"))
+    frac = (F.col("_a") / F.pow(F.lit(2.0), F.col("_e").cast("double"))
+            ) * F.lit(2.0 ** 52)
+    s = s.select(
+        *keep, "_lblbytes", "_v", "_tsm",
+        ((F.col("_e") + 1022).cast("long") * F.lit(1 << 52)
+         + frac.cast("long")).alias("_mag"))
+    sign_bit = F.shiftleft(F.lit(1).cast("long"), 63)
+    bits = (
+        # null value → null bits (the single-tree builder propagated the
+        # null through the arithmetic; the sanitized _a no longer does)
+        F.when(F.col("_v").isNull(), F.lit(None).cast("long"))
+        .when(F.isnan(F.col("_v")), F.lit(0x7FF8000000000000))
+        .when(F.col("_v") == F.lit(float("inf")), F.lit(0x7FF0000000000000))
+        .when(F.col("_v") == F.lit(float("-inf")),
+              F.lit(0x7FF0000000000000).bitwiseOR(sign_bit))
+        .when(F.col("_v") == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.when(F.col("_v") < 0,
+                          F.col("_mag").bitwiseOR(sign_bit))
+                   .otherwise(F.col("_mag")))
+    )
+    s = s.select(*keep, "_lblbytes", "_tsm", bits.alias("_bits"))
+    s = s.select(*keep, "_lblbytes", "_tsm", "_bits",
+                 F.lpad(F.hex(F.col("_bits")), 16, "0").alias("_bhex"))
+    fixed64 = F.unhex(F.concat(
+        *[F.substring(F.col("_bhex"), 15 - 2 * i, 2) for i in range(8)]))
     val_field = F.when(
-        bits != 0, F.concat(F.lit(b"\x09"), _pb_fixed64(bits))
+        F.col("_bits") != 0, F.concat(F.lit(b"\x09"), fixed64)
     ).otherwise(F.lit(b""))
-    ts_ms = (F.coalesce(F.col(time_nano_col), F.lit(0)).cast("long")
-             / F.lit(1000000)).cast("long")
-    # ms epochs need 41 bits — beyond _pb_varint's 5-byte default
+    # ms epochs need 41 bits — beyond the 5-byte varint default
     ts_field = F.when(
-        ts_ms > 0, F.concat(F.lit(b"\x10"), _pb_varint(ts_ms, max_bytes=7))
+        F.col("_tsm") > 0,
+        F.concat(F.lit(b"\x10"), _varint_of(F.col("_tsm"), max_bytes=7)),
     ).otherwise(F.lit(b""))
-    sample = _pb_len_delim(0x12, F.concat(val_field, ts_field))
-    return F.concat(labels_bytes, sample)
+    s = s.select(*keep, "_lblbytes",
+                 F.concat(val_field, ts_field).alias("_sampbody"))
+    # sample body ≤ 17 bytes (9 value + 8 timestamp) → 1-byte varint len
+    sample = F.concat(F.lit(b"\x12"), _pb_byte(F.length("_sampbody")),
+                      F.col("_sampbody"))
+    s = s.select(*keep,
+                 F.concat(F.col("_lblbytes"), sample).alias("_sbody"))
+    s = s.select(*keep, "_sbody",
+                 F.octet_length("_sbody").alias("_slen"))
+    return s.select(
+        *keep,
+        F.concat(F.lit(b"\x0a"), _varint_of(F.col("_slen")),
+                 F.col("_sbody")).alias("_series"))
 
 
 def prom_write_request_frame(df: DataFrame, series_limit: int = 1000,
@@ -820,22 +930,31 @@ def prom_write_request_frame(df: DataFrame, series_limit: int = 1000,
     ``SeriesLimit`` per request (flusher_prometheus SeriesLimit default
     1000, plugins/flusher/prometheus/config.go:19-21). One shuffle on the
     chunk id — each request row is assembled from its own partition."""
-    ts = prom_timeseries_column()
-    keyed = df.select(
-        F.col(order_cols[0]).alias("_p"),
-        F.struct(*[F.col(c) for c in order_cols]).alias("_k"),
-        _pb_len_delim(0x0A, ts).alias("_series"),
+    keyed = prom_series_frame(
+        df.select(
+            F.col(order_cols[0]).alias("_p"),
+            F.struct(*[F.col(c) for c in order_cols]).alias("_k"),
+            "__name__", "__labels__", "__value__", "__time_nano__",
+        ),
+        keep=("_p", "_k"),
     )
     from pyspark.sql import Window
 
-    # chunk WITHIN the first order column (metric name): the window
-    # shuffle partitions by name, so no single-task global sort — a
-    # request never mixes names, which is also how the reference's
-    # per-pipeline batches shake out
+    # chunk WITHIN the first order column (metric name): a request never
+    # mixes names, which is also how the reference's per-pipeline batches
+    # shake out.  The name space is tiny (a handful of metric names), so
+    # a bare partitionBy(name) window serializes the whole frame onto
+    # #names tasks — salt the window with a hash bucket: row numbers are
+    # per (name, salt), every request still holds ≤ series_limit series
+    # of one name (SeriesLimit is a cap, not an exact-packing contract:
+    # the reference flushes partial batches too), and the sort/encode
+    # shuffle fans out across the cluster.
+    salt = F.pmod(F.xxhash64("_k"), F.lit(32))
     rn = F.row_number().over(
-        Window.partitionBy("_p").orderBy("_k")) - 1
+        Window.partitionBy("_p", salt).orderBy("_k")) - 1
     chunked = keyed.withColumn(
-        "_req", F.concat_ws("#", "_p", (rn / series_limit).cast("long")))
+        "_req", F.concat_ws("#", "_p", salt.cast("string"),
+                            (rn / series_limit).cast("long")))
     return chunked.groupBy("_req").agg(
         concat_binary(
             F.transform(
