@@ -7690,15 +7690,20 @@ def _bpe_apply_sql(n_merges: int) -> str:
 
 
 O_BPE_ENCODE_TOKENS = _bpe_oracle_prelude(_BPE_N_MERGES) + f""",
-dw AS (
-  SELECT doc_id, g.i AS pos, words[g.i] AS word
+dw0 AS (
+  -- zipped unnests (DuckDB pairs same-select unnests positionally):
+  -- every word of every doc, no length cap — mirrors the engine's
+  -- posexplode instead of the old generate_series(1, 4096) bound,
+  -- which silently truncated docs past 4096 words
+  SELECT doc_id,
+    unnest(range(1, len(words) + 1)) AS pos,
+    unnest(words) AS word
   FROM (SELECT doc_id,
           string_split_regex(trim(coalesce(text, '')), '\\s+') AS words
-        FROM documents),
-       generate_series(1, 4096) AS g(i)
-  WHERE g.i <= len(words)
-    AND regexp_full_match(words[g.i], '[\\x21-\\x7e]+')
-    AND len(words[g.i]) <= 64
+        FROM documents)
+), dw AS (
+  SELECT doc_id, pos, word FROM dw0
+  WHERE regexp_full_match(word, '[\\x21-\\x7e]+') AND len(word) <= 64
 ), ap AS (
   SELECT doc_id, pos, {_bpe_apply_sql(_BPE_N_MERGES)} AS state
   FROM dw, {', '.join(f'b{r}' for r in range(_BPE_N_MERGES))}

@@ -15,6 +15,7 @@ owns option mapping, serialization shape, and partitioning semantics.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
@@ -166,7 +167,8 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
     nondeterministic — this engine uses the listed HashKeys order, the
     deterministic refinement. ``hash_once`` mirrors HashOnce (:332-336,
     compute the key once and reuse it for every message): the analog
-    here is the frame-wide MIN key, a deterministic "first". ``topic``
+    here is the first row's key in partition order (a one-partition
+    ``limit(1)`` scan, not a frame-wide pass). ``topic``
     may carry %{content.X}/%{tag.X} placeholders (per-event routing,
     FlusherKafka.cpp:167-186); ``headers`` is the static per-message
     header list (KafkaConfig.h:63,117-134) in the kafka writer's
@@ -182,10 +184,18 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
     if partitioner == "hash":
         present = [k for k in (hash_keys or []) if k in df.columns]
         if present:
-            # concat_ws skips nulls = "append only the values present"
+            # concat_ws skips nulls = "append only the values present".
+            # The default applies only when NO hash-key value is present
+            # (all columns null) — the reference appends present values
+            # even when they are empty strings and falls back only when
+            # every map lookup misses (hashPartitionKey,
+            # flusher_kafka_v2.go:344-355), so an event whose only value
+            # is '' keys on '' rather than the logstore default.
             joined = F.concat_ws(
                 "###", *[F.col(k).cast("string") for k in present])
-            key = F.when(joined == "", F.lit(default_key)).otherwise(joined)
+            all_null = functools.reduce(
+                lambda a, b: a & b, [F.col(k).isNull() for k in present])
+            key = F.when(all_null, F.lit(default_key)).otherwise(joined)
         else:
             key = F.lit(default_key)
         sel.insert(0, key.alias("key"))
@@ -199,8 +209,13 @@ def kafka_payload_frame(df: DataFrame, partitioner: str = "random",
         ]).alias("headers"))
     out = df.select(*sel)
     if partitioner == "hash" and hash_once:
-        first_key = out.agg(F.min("key")).first()[0]
-        out = out.withColumn("key", F.lit(first_key))
+        # HashOnce = "first message's key reused for every message"
+        # (flusher_kafka_v2.go:332-336). limit(1) scans one partition
+        # instead of the frame-wide MIN aggregate pass this used to run
+        # — closer to the reference's first-message pick too.
+        first = out.select("key").limit(1).first()
+        out = out.withColumn(
+            "key", F.lit(first[0] if first else default_key))
     return out
 
 

@@ -440,32 +440,39 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
     # giant-component hub labels).
     n_edges = edges.count()
     spark = pairs.sparkSession
-    saved = {
-        "spark.sql.adaptive.enabled":
-            spark.conf.get("spark.sql.adaptive.enabled"),
-        "spark.sql.shuffle.partitions":
-            spark.conf.get("spark.sql.shuffle.partitions"),
-    }
     small_graph = n_edges < 16_000_000
-    loop_edges = edges
-    if small_graph:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        parts = max(8, min(int(saved["spark.sql.shuffle.partitions"]),
-                           n_edges // 2_000_000 + 8))
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        # the edge list was materialized at the SESSION partition count —
-        # without this, every loop round still scans it with one
-        # near-empty task per session partition (the fixed scheduling
-        # latency the AQE-off tuning exists to avoid); coalesce reads
-        # the cache through `parts` tasks, no re-shuffle
-        loop_edges = edges.coalesce(parts)
+    if not small_graph:
+        try:
+            return _cc_loop(edges, max_iter)
+        finally:
+            edges.unpersist()
+    # Small graph: run the loop inside a CLONED session (newSession —
+    # isolated SQLConf over the same SparkContext) with AQE off and
+    # partitions sized to the edge list, so a CONCURRENT query on the
+    # caller's session never observes the tuned conf (the previous
+    # set/restore-in-finally mutated session-global state mid-query).
+    # The edge list crosses sessions JVM-side (javaRDD → createDataFrame
+    # on the clone); it is < 16M rows here by definition, and the label
+    # table comes back the same way so callers join it under their own
+    # session.
+    parts = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                       n_edges // 2_000_000 + 8))
+    cc_spark = spark.newSession()
+    cc_spark.conf.set("spark.sql.adaptive.enabled", "false")
+    cc_spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    ck = edges.localCheckpoint()
+
+    def bridge(df, to_session):
+        jdf = to_session._jsparkSession.createDataFrame(
+            df._jdf.javaRDD().rdd(), df._jdf.schema())
+        return DataFrame(jdf, to_session)
+
     try:
+        loop_edges = bridge(ck, cc_spark).coalesce(parts)
         labels = _cc_loop(loop_edges, max_iter)
+        return bridge(labels.localCheckpoint(), spark)
     finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
         edges.unpersist()
-    return labels
 
 
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:

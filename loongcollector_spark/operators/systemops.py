@@ -19,9 +19,12 @@ Formulas carried over exactly (input_system_v2.go):
   gauges;
 * disk (:198-261): per-device Δbytes/Δt and Δops/Δt rates, Δtime/Δops
   latencies (NaN when no ops — kept), Δio_time·100/1000/Δt utilization
-  (not for "total"); the "total" device sums devices whose name does
-  NOT end in a digit (partitions excluded), while per-device rows are
-  emitted for every device present in both snapshots;
+  (not for "total"); the "total" device sums current devices whose name
+  does NOT end in a digit (partitions excluded, empty names skipped)
+  against LAST round's own sum — asymmetric like lastDiskStat, so a
+  newly appearing disk's full counters enter the total delta — while
+  per-device rows are emitted only for devices present in both
+  snapshots;
 * net (:264-337): per-interface Δ rates + the summed "total" interface
   (only interfaces present in both snapshots contribute), drop/err
   percentages only when Δpackets_total != 0;
@@ -175,7 +178,8 @@ def input_system_metrics(
     )
 
     def device_rates(col_name, fields, build_metrics, label_key,
-                     with_total, total_filter=None):
+                     with_total, total_filter=None,
+                     asym_total_filter=None):
         """Per-device deltas: explode both snapshots' device arrays,
         join on (host, device name), plus the summed 'total' device."""
         c_dev = (
@@ -196,7 +200,27 @@ def input_system_metrics(
         both = c_dev.join(
             p_dev, (F.col("host") == F.col("p_host"))
             & (F.col("name") == F.col("p_name")))
-        if with_total:
+        if with_total and asym_total_filter is not None:
+            # CollectDisk's ASYMMETRIC total (input_system_v2.go:223-259):
+            # the current total sums ALL current qualifying devices while
+            # the previous total is last round's own sum (lastDiskStat) —
+            # a device appearing only in the current snapshot contributes
+            # its full counters to the total delta even though it emits
+            # no per-device row.
+            c_tot = (c_dev.filter(asym_total_filter("name"))
+                     .groupBy("host", "snap_ts")
+                     .agg(*[F.sum(f"c_{f}").alias(f"c_{f}")
+                            for f in fields]))
+            p_tot = (p_dev.filter(asym_total_filter("p_name"))
+                     .groupBy("p_host", "p_ts")
+                     .agg(*[F.sum(f"p_{f}").alias(f"p_{f}")
+                            for f in fields]))
+            totals = (c_tot.join(p_tot, F.col("host") == F.col("p_host"))
+                      .drop("p_host")
+                      .withColumn("name", F.lit("total")))
+            both = both.drop("p_host", "p_name").unionByName(
+                totals, allowMissingColumns=True)
+        elif with_total:
             agg_src = both if total_filter is None else both.filter(
                 total_filter)
             totals = agg_src.groupBy("host", "snap_ts", "p_ts").agg(
@@ -248,10 +272,13 @@ def input_system_metrics(
                         d("io_time") * 100.0 / 1000.0 / dts)),
             ]
 
-        # partitions (name ending in a digit) are excluded from "total"
+        # partitions (name ending in a digit) and empty names are
+        # excluded from "total"; the total is the reference's asymmetric
+        # all-current vs last-round sum, not present-in-both
         out = out.unionByName(device_rates(
             "disks", _DISK_FIELDS, disk_metrics, "disk", True,
-            total_filter=~F.col("name").rlike("[0-9]$")))
+            asym_total_filter=lambda c: (F.col(c) != "")
+            & ~F.col(c).rlike("[0-9]$")))
 
     if net:
         def net_metrics(dts):

@@ -811,11 +811,34 @@ def _sample_limit() -> int | None:
     return int(v) if v else None
 
 
+def _max_keys() -> int:
+    """Cap on schema-dynamic key discovery (LCS_SPL_MAX_KEYS, default
+    10k). A dynamic key becomes an output COLUMN, so a hostile corpus
+    with millions of distinct keys would OOM the driver (and produce an
+    unusable million-column frame) long before the plan failed — fail
+    fast with a clear error instead."""
+    import os
+
+    return int(os.environ.get("LCS_SPL_MAX_KEYS", "10000"))
+
+
+def _collect_keys(distinct_df, what: str) -> list[str]:
+    cap = _max_keys()
+    rows = distinct_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise SplUnsupported(
+            f"{what}: more than {cap} distinct keys discovered; a "
+            f"dynamic key set this large cannot become output columns "
+            f"(raise LCS_SPL_MAX_KEYS to override)")
+    return sorted(r[0] for r in rows)
+
+
 def _distinct_keys(df: DataFrame, map_expr, extra_filter=None) -> list[str]:
     """Resolve a schema-dynamic command's key set: exhaustive distributed
     distinct over the map column's keys (sorted for a deterministic
-    column order); only the key set reaches the driver. With
-    LCS_SPL_SAMPLED_KEYS set, scans only that many rows instead."""
+    column order); only the key set reaches the driver, bounded by
+    ``_max_keys``. With LCS_SPL_SAMPLED_KEYS set, scans only that many
+    rows instead."""
     n = _sample_limit()
     base = df.limit(n) if n else df
     kv = base.select(
@@ -823,7 +846,7 @@ def _distinct_keys(df: DataFrame, map_expr, extra_filter=None) -> list[str]:
     ).filter(F.col("_k").isNotNull() & (F.col("_k") != ""))
     if extra_filter is not None:
         kv = kv.filter(extra_filter)
-    return sorted(r["_k"] for r in kv.select("_k").distinct().collect())
+    return _collect_keys(kv.select("_k").distinct(), "dynamic key discovery")
 
 
 def _sample_json_keys(df: DataFrame, col: str, path: str | None) -> list[str]:
@@ -840,7 +863,7 @@ def _sample_rx_keys(df: DataFrame, col: str, rx: str) -> list[str]:
             F.regexp_extract_all(F.col(col), F.lit(rx), F.lit(1))
         ).alias("_k")
     ).filter(F.col("_k").isNotNull() & (F.col("_k") != ""))
-    return sorted(r["_k"] for r in ks.distinct().collect())
+    return _collect_keys(ks.distinct(), "regex-KV key discovery")
 
 
 def _sample_kv_keys(df: DataFrame, col: str, delim_rx: str, kv_sep: str) -> list[str]:

@@ -464,6 +464,27 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_leaves_session_conf_alone(spark):
+    """The CC loop's AQE-off / partition tuning runs on a CLONED session:
+    the caller's conf must be byte-identical before, DURING (observed by
+    a udf-free concurrent read mid-loop is not possible here, so we
+    assert after + that the clone's values never leaked), and after."""
+    from loongcollector_spark.functions.dedup import connected_components
+
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    before = {k: spark.conf.get(k) for k in keys}
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long")
+    out = connected_components(pairs)
+    assert {k: spark.conf.get(k) for k in keys} == before
+    # the returned frame executes under the CALLER's session (joinable
+    # with caller-session frames, runs with caller conf)
+    assert out.sparkSession is spark
+    ids = spark.range(101).selectExpr("id AS node")
+    assert out.join(ids, "node").count() == 101
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+
 def test_dedup_clusters_keep_flag(spark):
     """dedup_clusters marks exactly one keep=True row (the min doc_id)
     per cluster and sizes match member counts."""

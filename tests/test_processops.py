@@ -168,14 +168,18 @@ def test_system_metrics_deltas_and_first_round(spark):
     # gauges emit for BOTH hosts
     assert len(by["mem_util"]) == 2
     assert len(by["cpu_count"]) == 2
-    # per-device: sda rates for host a only; sdb skipped (no previous)
+    # per-device: sda rates for host a only; sdb skipped (no previous).
+    # The TOTAL is asymmetric like the reference's lastDiskStat
+    # (input_system_v2.go:223-259): current total sums ALL current
+    # non-partition devices — including the new sdb — against last
+    # round's own sum, so total rbps = (4000 + 1) / 10.
     rbps = [r for r in by["disk_rbps"]]
-    devs = {p.split("#$#")[1].split("|")[0]
+    vals = {p.split("#$#")[1].split("|")[0]: r["__value__"]
             for r in rbps for p in r["__labels__"].split("|")
             if p.startswith("disk")}
-    assert devs == {"sda", "total"}
-    for r in rbps:
-        assert r["__value__"] == 400.0
+    assert set(vals) == {"sda", "total"}
+    assert vals["sda"] == 400.0
+    assert vals["total"] == 400.1
     # tcp deltas are zero here (same counters): emitted as 0 for host a
     assert {r["__value__"] for r in by["protocol_tcp_outsegs"]} == {0.0}
 

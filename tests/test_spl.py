@@ -290,6 +290,30 @@ def test_dynamic_keys_are_exhaustive_not_sampled(spark):
     assert "late_kv" in out3.columns
 
 
+def test_dynamic_keys_capped_fail_fast(spark, monkeypatch):
+    """A hostile corpus whose dynamic key cardinality explodes (every
+    row a fresh key) must fail fast with a clear error instead of
+    collecting millions of keys onto the driver and emitting a
+    million-column frame."""
+    import pytest
+
+    from loongcollector_spark.spl import SplUnsupported
+
+    monkeypatch.setenv("LCS_SPL_MAX_KEYS", "50")
+    df = spark.range(200).selectExpr(
+        "id", "concat('{\"k', id, '\":\"v\"}') AS j",
+        "concat('k', id, '=v') AS kv")
+    with pytest.raises(SplUnsupported, match="distinct keys"):
+        spl_run(df, "* | parse-json j")
+    with pytest.raises(SplUnsupported, match="distinct keys"):
+        spl_run(df, "* | parse-kv -regexp kv, '(\\w+)=(\\w+)'")
+    # at-or-under the cap still works
+    monkeypatch.setenv("LCS_SPL_MAX_KEYS", "200")
+    out = spl_run(df, "* | parse-json j")["out"]
+    assert len([c for c in out.columns
+                if c.startswith("k") and c != "kv"]) == 200
+
+
 def test_bounded_random_is_integer_in_range(spark):
     """Presto random(n) is a uniform INTEGER in [0, n); Spark's rand(n)
     would treat n as a seed and return a double — the translation must
