@@ -7390,6 +7390,66 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _synth_avc1_mp4s(spark, sf_dir):
+    """One 'avc1'-fourcc MP4 per document whose samples are
+    DETERMINISTIC ASCII strings (no real H.264 — the container
+    fingerprint path never decodes): video pairs (2k, 2k+1) are
+    overlapping cuts of the same stream — the even video holds samples
+    f = 0..3 with bytes ('G%06d_F%d_' % (g, f)) * 24, the odd video
+    holds samples 1..3 (head-trimmed copy) — so the pair shares 3 exact
+    sample fingerprints and the DuckDB oracle rebuilds every md5 from
+    the same format string."""
+    import pandas as pd
+
+    from loongcollector_spark.functions.multimodal import encode_mp4_video
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).sort_values("doc_id")
+    ids, blobs = [], []
+    for doc in docs["doc_id"].tolist():
+        g, odd = doc // 2, doc % 2
+        samples = [(("G%06d_F%d_" % (g, f)) * 24).encode()
+                   for f in range(odd, 4)]
+        ids.append(int(doc))
+        blobs.append(encode_mp4_video(64, 48, samples, codec="avc1"))
+    return spark.createDataFrame(
+        pd.DataFrame({"media_id": ids, "payload": blobs}),
+        "media_id long, payload binary",
+    )
+
+
+def q_video_container_dedup(spark, sf_dir):
+    """H.264-coverage video dedup WITHOUT a decoder
+    (functions/imagehash.py video_container_fingerprints): walk the MP4
+    stsz/stco sample tables, md5 the compressed sample bytes, join
+    fingerprints across videos, keep pairs sharing >= 2 samples —
+    re-muxed/trimmed avc1 copies collide byte-for-byte. Oracle: md5 of
+    the same closed-form sample strings."""
+    from loongcollector_spark.functions.imagehash import (
+        video_container_dedup, video_container_fingerprints,
+    )
+
+    media = _materialized(spark, sf_dir, "avc1_mp4s", _synth_avc1_mp4s)
+    return video_container_dedup(
+        video_container_fingerprints(media), min_shared=2)
+
+
+O_VIDEO_CONTAINER_DEDUP = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS odd FROM documents
+), sig AS (
+  SELECT DISTINCT doc_id,
+    md5(repeat('G' || lpad(cast(g AS VARCHAR), 6, '0') || '_F'
+               || cast(f.f AS VARCHAR) || '_', 24)) AS fp
+  FROM d, generate_series(0, 3) AS f(f) WHERE f.f >= odd
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  cast(count(*) AS BIGINT) AS n_shared
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.fp = b.fp
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _synth_energy_wavs(spark, sf_dir):
     """One PCM16 WAV per document: 65 frames of 1024 samples, every
     sample in frame f equal to ((doc·13 + f·29) mod 101)·50 — the
@@ -8087,6 +8147,8 @@ QUERIES = {
     "image_dhash": (q_image_dhash, O_IMAGE_DHASH),
     "image_near_dup_pairs": (q_image_near_dup_pairs, O_IMAGE_NEAR_DUP_PAIRS),
     "video_near_dups": (q_video_near_dups, O_VIDEO_NEAR_DUPS),
+    "video_container_dedup": (q_video_container_dedup,
+                              O_VIDEO_CONTAINER_DEDUP),
     "audio_energy_hash": (q_audio_energy_hash, O_AUDIO_ENERGY_HASH),
     "audio_near_pairs": (q_audio_near_pairs, O_AUDIO_NEAR_PAIRS),
     "bpe_train_merges": (q_bpe_train_merges, O_BPE_TRAIN_MERGES),
@@ -8131,7 +8193,9 @@ _DRIVER_WINDOW = [
     "otel_trace_spans", "otel_metrics", "prom_parse_metrics", "prom_relabel",
     "pb_group_roundtrip", "sls_pb_log_hex", "canal_rows",
     "chat_render", "preference_pairs", "training_shuffle",
-    "gopher_quality", "dsir_scores",
+    # round-5 additions go straight into the window
+    "video_container_dedup",
+    "gopher_quality",
 ]
 assert len(_DRIVER_WINDOW) <= 50 and len(set(_DRIVER_WINDOW)) == len(
     _DRIVER_WINDOW) and set(_DRIVER_WINDOW) <= set(QUERIES)

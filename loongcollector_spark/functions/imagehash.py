@@ -342,6 +342,109 @@ def video_near_dups(frames: DataFrame, min_shared: int = 2,
     )
 
 
+def video_container_fingerprints(df: DataFrame,
+                                 payload_col: str = "payload",
+                                 id_col: str = "media_id") -> DataFrame:
+    """(id, sample_idx, fp, codec, ok) — per-sample BYTE fingerprints
+    straight off the container sample tables (MP4 stsz/stco walk, AVI
+    movi chunks), md5 over the COMPRESSED sample bytes, no decode.
+
+    This is the dedup signal for inter-frame codecs (avc1/hvc1) that
+    ``video_frame_dhash`` cannot reach (an H.264 motion-compensated
+    decoder is a library, not a module): re-muxed / trimmed /
+    concatenated copies of the same encoded footage carry identical
+    sample bytes, so their fingerprints collide sample-for-sample even
+    though no frame is ever decoded. Unparsable containers emit one
+    ok=false marker row.
+
+    Scale shape: one hash repartition spreads the payloads across
+    workers (the sf fixtures are single-split files; a many-file layout
+    skips it), the container walk runs in mapInPandas, and only
+    (id, idx, 32-char fp) rows feed downstream — joins carry ids +
+    fingerprints, never payload bytes."""
+    import hashlib
+
+    from loongcollector_spark.functions.multimodal import (
+        try_parse_avi, try_parse_mp4,
+    )
+
+    schema = (f"{id_col} long, sample_idx int, fp string, codec string, "
+              f"ok boolean")
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in (id_col, "sample_idx", "fp", "codec",
+                                    "ok")}
+
+            def emit(mid, si, fp, codec, ok):
+                rows[id_col].append(mid)
+                rows["sample_idx"].append(si)
+                rows["fp"].append(fp)
+                rows["codec"].append(codec)
+                rows["ok"].append(ok)
+
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                mid = int(mid)
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] == b"RIFF":
+                        parsed = try_parse_avi(raw)
+                        codec = "mjpeg" if parsed else None
+                        frames = parsed[3] if parsed else None
+                    else:
+                        parsed = try_parse_mp4(raw)
+                        codec = parsed[4] if parsed else None
+                        frames = parsed[3] if parsed else None
+                    if not frames:
+                        emit(mid, -1, "", "", False)
+                        continue
+                    for si, (off, size) in enumerate(frames):
+                        if off + size > len(raw):
+                            continue  # truncated sample: skip, not fail
+                        emit(mid, si,
+                             hashlib.md5(raw[off:off + size]).hexdigest(),
+                             codec, True)
+                except Exception:
+                    emit(mid, -1, "", "", False)
+            yield pd.DataFrame(rows)
+
+    spark = df.sparkSession
+    return (
+        df.select(id_col, payload_col)
+        .repartition(spark.sparkContext.defaultParallelism, id_col)
+        .mapInPandas(batches, schema)
+    )
+
+
+def video_container_dedup(fps: DataFrame, min_shared: int = 2,
+                          id_col: str = "media_id") -> DataFrame:
+    """Video near-duplicate pairs by SHARED SAMPLE BYTES: join container
+    fingerprints on equality across videos, count DISTINCT shared
+    samples per pair, keep pairs sharing ≥ ``min_shared`` — the
+    ``video_near_dups`` shape with byte fingerprints instead of decoded
+    dHashes, so it covers every codec the container walk reaches.
+    Per-video duplicate samples (still loops) collapse before the
+    join."""
+    sig = (
+        fps.filter(F.col("ok"))
+        .select(id_col, "fp")
+        .dropDuplicates([id_col, "fp"])
+    )
+    a, b = sig.alias("a"), sig.hint("shuffle_merge").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        pairs.groupBy(
+            F.col(f"a.{id_col}").alias("media_a"),
+            F.col(f"b.{id_col}").alias("media_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def image_near_pairs(sig: DataFrame, max_hamming: int = 3,
                      id_col: str = "media_id") -> DataFrame:
     """Near-duplicate image pairs by dHash hamming ≤ ``max_hamming``

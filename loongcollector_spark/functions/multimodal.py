@@ -683,7 +683,19 @@ def encode_mp4_mjpeg(width: int, height: int, jpeg_frames,
                      fps: int = 25) -> bytes:
     """Minimal spec-shaped MP4 with one 'jpeg'-codec video track; all
     samples in one chunk (stsc 1 entry, stco 1 absolute offset)."""
+    return encode_mp4_video(width, height, jpeg_frames, fps=fps,
+                            codec="jpeg")
+
+
+def encode_mp4_video(width: int, height: int, jpeg_frames,
+                     fps: int = 25, codec: str = "jpeg") -> bytes:
+    """``encode_mp4_mjpeg`` generalized over the sample-entry fourcc:
+    with ``codec='avc1'`` (or any other inter-frame fourcc) the sample
+    payloads are opaque bytes — decodable=no, container-walkable=yes —
+    which is exactly the shape the container-fingerprint dedup path
+    exercises."""
     n = len(jpeg_frames)
+    codec_4cc = codec.encode("latin-1")[:4].ljust(4, b"\x00")
     ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isommp41")
     mdat_payload = b"".join(jpeg_frames)
     mdat = _box(b"mdat", mdat_payload)
@@ -705,7 +717,7 @@ def encode_mp4_mjpeg(width: int, height: int, jpeg_frames,
              + _struct.pack(">HH", width, height)
              + _struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
              + b"\x00" * 32 + _struct.pack(">Hh", 24, -1))
-    stsd = _full(b"stsd", _struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stsd = _full(b"stsd", _struct.pack(">I", 1) + _box(codec_4cc, entry))
     stts = _full(b"stts", _struct.pack(">III", 1, n, 1))
     stsc = _full(b"stsc", _struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(b"stsz", _struct.pack(">II", 0, n) + b"".join(

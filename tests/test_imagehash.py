@@ -146,6 +146,52 @@ def test_video_near_dups_by_shared_frames(spark):
     assert pairs == {(0, 1): 2}
 
 
+def test_video_container_dedup_covers_avc1(spark):
+    """Container-fingerprint dedup reaches inter-frame codecs the frame
+    decoder can't: identical avc1 sample bytes collide across a
+    trimmed re-mux, AVI containers fingerprint through the same path,
+    a still-loop (repeated sample) collapses before the pair join, and
+    garbage emits one ok=false marker."""
+    import hashlib
+
+    from loongcollector_spark.functions.imagehash import (
+        video_container_dedup, video_container_fingerprints,
+    )
+    from loongcollector_spark.functions.multimodal import encode_mp4_video
+
+    s1, s2, s3, s4 = (f"sample-{i}".encode() * 10 for i in range(4))
+    rows = [
+        (0, bytearray(encode_mp4_video(64, 48, [s1, s2, s3],
+                                       codec="avc1"))),
+        (1, bytearray(encode_mp4_video(64, 48, [s2, s3], codec="avc1"))),
+        # still loop: s4 three times — must count once per video
+        (2, bytearray(encode_mp4_video(64, 48, [s4, s4, s4],
+                                       codec="avc1"))),
+        (3, bytearray(encode_mp4_video(64, 48, [s4], codec="hvc1"))),
+        (4, bytearray(b"\x00\x00\x00\x08ftypnope")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = video_container_fingerprints(df)
+    got = fps.collect()
+    assert {r["media_id"] for r in got if not r["ok"]} == {4}
+    by_vid = {}
+    for r in got:
+        if r["ok"]:
+            by_vid.setdefault(r["media_id"], []).append(r)
+    assert {v: len(rs) for v, rs in by_vid.items()} == {0: 3, 1: 2,
+                                                       2: 3, 3: 1}
+    assert by_vid[0][0]["codec"] == "avc1"
+    assert by_vid[3][0]["codec"] == "hvc1"
+    assert by_vid[0][1]["fp"] == hashlib.md5(s2).hexdigest()
+    pairs = {(r["media_a"], r["media_b"]): r["n_shared"]
+             for r in video_container_dedup(fps, min_shared=1).collect()}
+    # (0,1) share s2+s3; (2,3) share the collapsed s4 ONCE
+    assert pairs == {(0, 1): 2, (2, 3): 1}
+    strict = {(r["media_a"], r["media_b"])
+              for r in video_container_dedup(fps, min_shared=2).collect()}
+    assert strict == {(0, 1)}
+
+
 def test_audio_energy_hash_short_and_garbage(spark):
     """Energy fingerprint: frame-aligned constant amplitudes hash to
     the closed-form bits; clips shorter than 65 frames zero the missing
