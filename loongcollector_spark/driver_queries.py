@@ -3152,6 +3152,104 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_ann_ivf_refined(spark, sf_dir):
+    """IVF ANN over Lloyd-REFINED centroids (similarity.kmeans_refine):
+    2 driver-synchronized rounds of integer-quantized mean updates from
+    the 16 deterministic seeds, then the same probe-4/score path as
+    ann_ivf_topk. The oracle unrolls both rounds as CTEs (the BPE
+    pattern) and reproduces every centroid bit-for-bit, so cell
+    assignment AND the final top-k are hash-checked. On this fixture
+    refinement lifts recall@5 vs brute force from 3/5 to 4/5 (finds the
+    true top-1 the seed centroids miss) — asserted in
+    tests/test_similarity_refine.py."""
+    from loongcollector_spark.functions.similarity import (
+        ivf_topk, kmeans_refine,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_refine(emb, n_centroids=16, n_rounds=2)
+    return ivf_topk(emb, query_vec_id=0, k=5, nprobe=4, cent=cent)
+
+
+_KM_ROUND = """
+s{r} AS (
+  SELECT v.vec_id, c.cid,
+    list_dot_product(v.emb, c.cvec)
+      / (v.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) AS cs
+  FROM V v, c{p} c
+),
+a{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+        AS rn
+    FROM s{r}
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT a{r}.cid, unnest(range(0, 64)) AS dim, unnest(QV.q) AS qvv
+  FROM a{r} JOIN QV USING (vec_id)
+),
+g{r} AS (
+  SELECT cid, dim, sum(qvv) AS s, count(*) AS n
+  FROM m{r} GROUP BY cid, dim
+),
+n{r} AS (
+  SELECT cid, list(cast(s AS DOUBLE) / (n * 1048576.0) ORDER BY dim)
+    AS cvec
+  FROM g{r} GROUP BY cid
+),
+c{r} AS (
+  SELECT c{p}.cid, coalesce(n{r}.cvec, c{p}.cvec) AS cvec
+  FROM c{p} LEFT JOIN n{r} USING (cid)
+)"""
+
+O_ANN_IVF_REFINED = """
+WITH E AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+EN AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM E),
+V AS (SELECT * FROM EN WHERE nrm > 0),
+QV AS (
+  SELECT vec_id,
+    list_transform(emb, x -> cast(floor(x * 1048576.0) AS BIGINT)) AS q
+  FROM V
+),
+c0 AS (SELECT vec_id AS cid, emb AS cvec FROM EN
+       WHERE vec_id BETWEEN 1 AND 16),""" + _KM_ROUND.format(
+    r=1, p=0) + "," + _KM_ROUND.format(r=2, p=1) + """,
+cc AS (
+  SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM c2
+),
+corpus AS (SELECT vec_id, emb, nrm FROM EN WHERE vec_id != 0),
+scored AS (
+  SELECT v.vec_id, cc.cid,
+    list_dot_product(v.emb, cc.cvec) / (v.nrm * cc.cnorm) AS cs
+  FROM corpus v, cc
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+        AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT emb AS qe, nrm AS qn FROM EN WHERE vec_id = 0),
+qcells AS (
+  SELECT cid FROM cc, q
+  ORDER BY list_dot_product(cvec, qe) / (cnorm * qn) DESC, cid ASC
+  LIMIT 4
+)
+SELECT vec_id, round(
+    list_dot_product(v.emb, q.qe) / (v.nrm * q.qn), 4) AS cos_sim
+FROM corpus v JOIN assign USING (vec_id)
+  JOIN qcells ON assign.cid = qcells.cid, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
 def q_cross_doc_gram_share(spark, sf_dir):
     """ExactSubstr-flavored cross-document repetition (Lee et al. 2022,
     approximated by 5-gram doc-frequency counting): per document, the
@@ -8058,6 +8156,7 @@ QUERIES = {
     "ann_topk_batch": (q_ann_topk_batch, O_ANN_TOPK_BATCH),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
+    "ann_ivf_refined": (q_ann_ivf_refined, O_ANN_IVF_REFINED),
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
     "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
@@ -8194,8 +8293,7 @@ _DRIVER_WINDOW = [
     "pb_group_roundtrip", "sls_pb_log_hex", "canal_rows",
     "chat_render", "preference_pairs", "training_shuffle",
     # round-5 additions go straight into the window
-    "video_container_dedup",
-    "gopher_quality",
+    "video_container_dedup", "ann_ivf_refined",
 ]
 assert len(_DRIVER_WINDOW) <= 50 and len(set(_DRIVER_WINDOW)) == len(
     _DRIVER_WINDOW) and set(_DRIVER_WINDOW) <= set(QUERIES)

@@ -55,6 +55,81 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame, id_col: str,
     )
 
 
+def kmeans_refine(
+    df: DataFrame, n_centroids: int = 16, n_rounds: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Fixed-round Lloyd refinement of the deterministic seed centroids
+    — the drop-in producer for the ``cent`` frame that ``ivf_topk`` /
+    ``semantic_dedup`` / ``pq_topk`` consume (their docstrings call this
+    seam out; until round 5 only the raw seeds existed).
+
+    Replayability (the BPE pattern): each round assigns every
+    positive-norm vector to its nearest centroid (the same struct-argmax
+    as ``_assign_cells``: max cosine, ties → lowest cid), then rebuilds
+    each centroid as the mean of its members' INTEGER-QUANTIZED
+    components — ``floor(x · 2^quant_bits)`` summed as longs (order-free
+    by construction) and divided back as one exact double division, so
+    a SQL oracle unrolls the rounds as CTEs and reproduces every
+    centroid bit-for-bit. Empty cells keep their previous centroid.
+
+    Scale shape: a parameter-server loop like ``bpe_train`` — per round,
+    one broadcast of k centroid vectors against the corpus (no corpus
+    shuffle), one map-side-combined (cid, dim) integer-sum aggregate,
+    and a k×dim collect (bounded by n_centroids·dims, not data size);
+    rounds are driver-synchronized and fixed at ``n_rounds``.
+
+    Returns (cid, cvec array<double>, cnorm) for downstream broadcast.
+    """
+    q_scale = float(1 << quant_bits)
+    e = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("emb"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    e = e.filter(F.col("norm") > 0).persist()
+    spark = df.sparkSession
+    seed_rows = (
+        e.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids))
+        .select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"))
+        .collect()
+    )
+    cents = {int(r["cid"]): list(r["cvec"]) for r in seed_rows}
+    try:
+        for _ in range(n_rounds):
+            cent = spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(cents.items())],
+                "cid long, cvec array<double>",
+            ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+            assign = _assign_cells(e, F.broadcast(cent), id_col,
+                                   out_col="cid")
+            sums = (
+                e.join(assign, id_col)
+                .select(
+                    "cid",
+                    F.posexplode(F.transform(
+                        "emb",
+                        lambda x: F.floor(x * F.lit(q_scale)).cast("long"),
+                    )).alias("dim", "qv"),
+                )
+                .groupBy("cid", "dim")
+                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new_cents = {}
+            for r in sums:
+                new_cents.setdefault(int(r["cid"]), {})[int(r["dim"])] = (
+                    float(r["s"]) / float(r["n"] * q_scale))
+            for cid, dims in new_cents.items():
+                cents[cid] = [dims[d] for d in range(len(dims))]
+            # cells with no members keep their previous centroid
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cents.items())],
+        "cid long, cvec array<double>",
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+
+
 def cosine_topk(
     df: DataFrame, query_vec_id: int = 0, k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -205,15 +280,17 @@ def ivf_topk(
     df: DataFrame, query_vec_id: int = 0, k: int = 5,
     n_centroids: int = 16, nprobe: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     cells (nearest centroid by cosine), probe only the ``nprobe`` cells
     closest to the query, then exact-score the survivors.
 
-    Centroids are the vectors with ids 1..n_centroids — a deterministic
-    seed set both engines reproduce exactly (a k-means refinement would
-    be a drop-in replacement for the ``cent`` frame; seeds keep the
-    assignment argmax bit-checkable against the SQL oracle).
+    Centroids default to the vectors with ids 1..n_centroids — a
+    deterministic seed set both engines reproduce exactly; pass
+    ``cent=kmeans_refine(df, ...)`` for Lloyd-refined centroids (still
+    bit-replayable: the refinement is integer-quantized, so the
+    assignment argmax stays hash-checkable against the SQL oracle).
 
     Scale shape: the build pass is one broadcast of k centroid vectors
     against the corpus (no corpus shuffle) folded map-side into an
@@ -229,10 +306,11 @@ def ivf_topk(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("emb"),
     ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
-    cent = e.filter(
-        (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
-    ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
-             F.col("norm").alias("cnorm"))
+    if cent is None:
+        cent = e.filter(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
+        ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
+                 F.col("norm").alias("cnorm"))
     corpus = e.filter(F.col(id_col) != query_vec_id)
     assign = _assign_cells(corpus, cent, id_col, out_col="cid")
     q = e.filter(F.col(id_col) == query_vec_id).select(
