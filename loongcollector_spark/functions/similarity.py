@@ -381,6 +381,7 @@ def cosine_topk_batch(
 def semantic_dedup(
     df: DataFrame, n_centroids: int = 16, min_cos_1e4: int = 3000,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then drop any
@@ -391,10 +392,10 @@ def semantic_dedup(
     ``embedding_near_dup_pairs`` so the oracle compares integers, not
     rounding modes.
 
-    Centroids are the deterministic seed set (ids 1..n_centroids), same
-    as ``ivf_topk``: a k-means refinement drops into the ``cent`` frame
-    without touching the rest of the plan, but seeds keep the cell
-    assignment bit-checkable against the SQL oracle.
+    Centroids default to the deterministic seed set (ids
+    1..n_centroids), same as ``ivf_topk``; pass
+    ``cent=kmeans_refine(df, ...)`` for Lloyd-refined cells (still
+    bit-replayable — see ``ann_ivf_refined``'s unrolled oracle).
 
     Scale shape: this is exactly why SemDeDup clusters first — the
     pairwise stage is confined WITHIN cells, so its cost is
@@ -411,10 +412,11 @@ def semantic_dedup(
     e = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("emb"),
     ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
-    cent = e.filter(
-        (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
-    ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
-             F.col("norm").alias("cnorm"))
+    if cent is None:
+        cent = e.filter(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
+        ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"),
+                 F.col("norm").alias("cnorm"))
     assign = _assign_cells(e, cent, id_col, out_col="cell")
     members = assign.join(e, id_col).select(id_col, "cell", "emb", "norm")
     a = members.select(
