@@ -469,6 +469,7 @@ def pq_topk(
     df: DataFrame, query_vec_id: int = 0, k: int = 10,
     m: int = 8, n_codes: int = 16, shortlist: int | None = None,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): each vector is
     compressed to ``m`` one-byte codes (nearest sub-codebook centroid
@@ -480,11 +481,12 @@ def pq_topk(
     fetched by id — the standard two-stage deployment (measured on the
     sf0.001 fixture: recall@10 = 9/10 at shortlist 50, 10/10 at 100).
 
-    Codebooks are the subvectors of the vectors with ids
+    Codebooks default to the subvectors of the vectors with ids
     1..``n_codes`` — the same deterministic seed-set convention as
-    ``ivf_topk`` (a k-means refinement drops in as a replacement
-    ``cent`` frame; seeds keep every assignment bit-checkable against
-    the DuckDB oracle).
+    ``ivf_topk``; pass ``cent=kmeans_refine(df, n_centroids=n_codes)``
+    for refined codebooks (cid-dense 1..n_codes, sliced into subspaces
+    the same way). Seeds keep every assignment bit-checkable against
+    the DuckDB oracle.
 
     Scale shape: both the encode pass and the query pass are a
     broadcast of ONE collected-array row (16 centroid vectors / the
@@ -499,26 +501,34 @@ def pq_topk(
     profile ever shows the interpreted lambdas dominating."""
     e = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
-    cent = (
-        e.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_codes))
-        .select(F.struct(F.col(id_col).cast("int").alias("cid"),
-                         F.col("emb").alias("cvec")).alias("c"))
+    if cent is not None:
+        # refined drop-in (kmeans_refine output): cid-dense 1..n_codes
+        # full vectors — the subspace slicing below applies unchanged
+        cent_src = cent.select(
+            F.col("cid").cast("long").alias("cid"), F.col("cvec"))
+    else:
+        cent_src = e.filter(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= n_codes)
+        ).select(F.col(id_col).alias("cid"), F.col("emb").alias("cvec"))
+    cents_arr = (
+        cent_src
+        .select(F.struct(F.col("cid").cast("int").alias("cid"),
+                         F.col("cvec").alias("cvec")).alias("c"))
         .agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
     # one tiny probe action: the ADC lookup indexes the cid-sorted
     # centroid array BY code, which is only valid when the seed ids
     # 1..n_codes are ALL present — a gap would silently misalign codes
-    probe = e.agg(
-        F.max(F.size("emb")).alias("d"),
-        F.count(F.when(F.col(id_col).between(1, n_codes), 1))
-        .alias("nc")).collect()[0]
+    probe = e.agg(F.max(F.size("emb")).alias("d")).collect()[0]
+    nc = cent_src.filter(F.col("cid").between(1, n_codes)).count()
     if probe["d"] is None:
         raise ValueError("pq_topk: empty input frame")
-    if probe["nc"] != n_codes:
+    if nc != n_codes:
         raise ValueError(
-            f"pq_topk: need seed vectors with ids 1..{n_codes} as "
-            f"sub-codebooks; found {probe['nc']} of {n_codes}")
+            f"pq_topk: need sub-codebook vectors with ids 1..{n_codes}; "
+            f"found {nc} of {n_codes}")
     dim = probe["d"]
+    cent = cents_arr
     sub_dim = dim // m
 
     corpus = e.filter(F.col(id_col) != query_vec_id)

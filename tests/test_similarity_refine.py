@@ -123,6 +123,22 @@ def test_empty_cells_keep_previous_centroid(spark):
     assert cent.count() == 16  # no cell dropped
 
 
+def test_pq_topk_accepts_refined_codebooks(spark):
+    from loongcollector_spark.functions.similarity import (
+        kmeans_refine, pq_topk,
+    )
+
+    df = _clustered_embeddings(spark)
+    cent = kmeans_refine(df, n_centroids=16, n_rounds=1)
+    out = pq_topk(df, query_vec_id=0, k=5, m=4, n_codes=16,
+                  cent=cent).collect()
+    assert len(out) == 5
+    # a gapped codebook (missing cids) must be rejected, refined or not
+    with pytest.raises(ValueError, match="sub-codebook"):
+        pq_topk(df, query_vec_id=0, k=5, m=4, n_codes=16,
+                cent=cent.filter("cid != 7"))
+
+
 def test_zero_norm_vectors_are_excluded_from_refinement(spark):
     from loongcollector_spark.functions.similarity import kmeans_refine
 
