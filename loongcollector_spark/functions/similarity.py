@@ -525,8 +525,8 @@ def pq_topk(
         raise ValueError("pq_topk: empty input frame")
     if nc != n_codes:
         raise ValueError(
-            f"pq_topk: need sub-codebook vectors with ids 1..{n_codes}; "
-            f"found {nc} of {n_codes}")
+            f"pq_topk: need vectors with ids 1..{n_codes} as "
+            f"sub-codebooks; found {nc} of {n_codes}")
     dim = probe["d"]
     cent = cents_arr
     sub_dim = dim // m
