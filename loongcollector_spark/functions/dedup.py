@@ -457,22 +457,45 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
     # session.
     parts = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                        n_edges // 2_000_000 + 8))
-    cc_spark = spark.newSession()
-    cc_spark.conf.set("spark.sql.adaptive.enabled", "false")
+    cc_spark = _cc_session(spark)
     cc_spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    ck = edges.localCheckpoint()
 
     def bridge(df, to_session):
+        # JVM-side RDD hand-off between sessions of one context: the
+        # source frame is cache/checkpoint-backed, so the target session
+        # scans those blocks — no python round trip, no extra copy
         jdf = to_session._jsparkSession.createDataFrame(
             df._jdf.javaRDD().rdd(), df._jdf.schema())
         return DataFrame(jdf, to_session)
 
     try:
-        loop_edges = bridge(ck, cc_spark).coalesce(parts)
+        # one localCheckpoint materializes the bridged rows in the clone
+        # so the loop's rounds scan checkpoint blocks instead of paying
+        # the Row conversion per round
+        loop_edges = bridge(edges, cc_spark).coalesce(parts) \
+            .localCheckpoint()
         labels = _cc_loop(loop_edges, max_iter)
-        return bridge(labels.localCheckpoint(), spark)
+        # labels are localCheckpoint-backed from the loop's last round —
+        # bridging reads the checkpoint blocks directly
+        return bridge(labels, spark)
     finally:
         edges.unpersist()
+
+
+_CC_SESSIONS: dict = {}
+
+
+def _cc_session(spark):
+    """One cloned, AQE-off session per SparkContext, reused across CC
+    calls (newSession setup + first-use warmkup otherwise lands on every
+    dedup_clusters query)."""
+    key = spark.sparkContext.applicationId
+    s = _CC_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        _CC_SESSIONS[key] = s
+    return s
 
 
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
