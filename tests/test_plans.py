@@ -363,3 +363,41 @@ def test_image_near_pairs_shuffles_bands_not_payloads(spark):
                 if "Exchange hashpartitioning" in ln]
     assert shuffles, plan
     assert all("payload" not in ln for ln in shuffles), plan
+
+
+def test_prompb_series_encode_stays_whole_stage_codegen(spark):
+    """Round-5 regression pin for the bind_once/WSCG insight: a single
+    CodegenFallback HOF (transform/bind_once) evicts its entire Project
+    from whole-stage codegen. The staged prompb series encode must keep
+    every scalar stage starred (`*(n)` prefix) with AT MOST ONE
+    interpreted Project — the per-label array walk."""
+    from loongcollector_spark.pbwire import prom_series_frame
+
+    df = spark.createDataFrame(
+        [("m", "a=1|b=2", 1.5, 1700000000000000000)],
+        "__name__ string, __labels__ string, __value__ double, "
+        "__time_nano__ long")
+    plan = _plan(prom_series_frame(df))
+    projects = [ln for ln in plan.splitlines() if "Project" in ln]
+    interpreted = [ln for ln in projects
+                   if not ln.lstrip(" +-:").startswith("*")]
+    assert len(projects) >= 6, plan       # the stages survived collapse
+    assert len(interpreted) <= 1, plan    # only the label HOF project
+
+
+def test_otel_trace_attr_walk_not_duplicated(spark):
+    """Round-5 regression pin: _attr_get must filter the resource
+    attribute array ONCE per key (the old when(size(filter))>0 shape
+    re-inlined the interpreted filter lambda ~13x per attribute), and
+    the resource-level strings must be computed below the span Generate,
+    not in the exploded-row projection."""
+    from loongcollector_spark.operators.otelops import otel_trace_to_logs
+
+    df = spark.createDataFrame(
+        [(1, '{"resourceSpans":[]}')], "line_id long, content string")
+    plan = _plan(otel_trace_to_logs(df, "content"))
+    # 2 attr lookups (host.name, service.name) + the resource-json drop
+    # filter = 3 filters over _rs.resource.attributes; allow headroom
+    # but fail long before the old ~26
+    assert plan.count("filter(") <= 6, plan.count("filter(")
+    assert plan.count("from_json") == 1
