@@ -7838,6 +7838,39 @@ def q_bpe_encode_tokens(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer losslessness: decode(encode(word)) must equal the word
+    for EVERY kept word of every document. The engine trains the merges
+    and runs encode → decode; the oracle computes the identity
+    fingerprint straight from the source words WITHOUT running the
+    tokenizer — any lossy merge or split bug breaks the per-doc hash."""
+    from loongcollector_spark.functions.tokenizer import (
+        bpe_roundtrip, bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe_roundtrip(docs, merges)
+
+
+O_BPE_ROUNDTRIP = """
+WITH dw0 AS (
+  SELECT doc_id,
+    unnest(range(1, len(words) + 1)) AS pos,
+    unnest(words) AS word
+  FROM (SELECT doc_id,
+          string_split_regex(trim(coalesce(text, '')), '\\s+') AS words
+        FROM documents)
+), dw AS (
+  SELECT doc_id, pos, word FROM dw0
+  WHERE regexp_full_match(word, '[\\x21-\\x7e]+') AND len(word) <= 64
+)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_words,
+  md5(string_agg(word, ' ' ORDER BY pos)) AS decoded_md5
+FROM dw GROUP BY doc_id
+"""
+
+
 def _bpe_apply_sql(n_merges: int) -> str:
     state = ("chr(31) || array_to_string(string_split_regex(word, ''), "
              "chr(31)) || chr(31)")
@@ -8253,6 +8286,7 @@ QUERIES = {
     "bpe_train_merges": (q_bpe_train_merges, O_BPE_TRAIN_MERGES),
     "bpe_encode_tokens": (q_bpe_encode_tokens, O_BPE_ENCODE_TOKENS),
     "bpe_vocab_table": (q_bpe_vocab_table, O_BPE_VOCAB_TABLE),
+    "bpe_roundtrip": (q_bpe_roundtrip, O_BPE_ROUNDTRIP),
     "containment_pairs": (q_containment_pairs, O_CONTAINMENT_PAIRS),
     "batcher_flush_batches": (q_batcher_flush_batches, O_BATCHER_FLUSH_BATCHES),
     "media_dedup_clusters": (q_media_dedup_clusters, O_MEDIA_DEDUP_CLUSTERS),

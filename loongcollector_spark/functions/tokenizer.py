@@ -133,6 +133,51 @@ def bpe_apply_expr(word_col, merges) -> F.Column:
     return state
 
 
+def bpe_decode_expr(tokens_col) -> F.Column:
+    """Inverse of the tokenizer for ONE word's space-joined token
+    string: BPE symbols partition the word's characters, and kept words
+    are printable-ASCII-no-space, so deleting the joiner spaces IS the
+    exact decode — a single codegen ``replace``."""
+    return F.replace(tokens_col, F.lit(" "), F.lit(""))
+
+
+def bpe_roundtrip(df: DataFrame, merges, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """decode(encode(x)) == x, hash-checked per document: tokenize every
+    kept word, decode the token stream back, and fingerprint the
+    decoded text in word order — (id, n_words, decoded_md5). An oracle
+    computes the SAME fingerprint directly from the source words
+    without ever running the tokenizer, so any lossy merge/split bug
+    breaks the hash. Pure codegen, same shuffle shape as
+    ``bpe_encode`` (one per-doc aggregate)."""
+    pos_word = F.posexplode(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    w = (
+        df.select(id_col, pos_word.alias("pos", "word"))
+        .filter(F.col("word").rlike(_ASCII_WORD)
+                & (F.length("word") <= 64))
+    )
+    state = bpe_apply_expr(F.col("word"), merges)
+    toks = F.array_join(
+        F.slice(F.split(state, SEP), 2,
+                F.size(F.split(state, SEP)) - 2), " ")
+    per_word = w.select(
+        id_col, "pos", bpe_decode_expr(toks).alias("decoded"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pos").alias("o"),
+                                 F.col("decoded").alias("d")))),
+                    lambda s: s["d"],
+                ), " ").cast("binary")).alias("decoded_md5"),
+        )
+    )
+
+
 def bpe_vocab(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
     """The trained tokenizer's vocabulary: every base character of the
     kept words plus every merged symbol, with deterministic ids —

@@ -119,3 +119,28 @@ def test_bpe_vocab_ids(spark):
     assert syms == sorted(syms)
     assert set("lowerst") <= set(vocab)
     assert len(set(vocab.values())) == len(vocab)
+
+
+def test_bpe_roundtrip_is_lossless(spark):
+    """decode(encode(x)) == x for every kept word — the decoded per-doc
+    fingerprint equals the hash of the original kept words, including
+    under the documented same-symbol-run merge variant ('aaaa')."""
+    from loongcollector_spark.functions.tokenizer import (
+        bpe_roundtrip, bpe_train,
+    )
+
+    texts = ["low lower lowest", "aaaa aaa aa", "newest new wide",
+             "", "白日 mixed ascii-word"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = bpe_train(df, n_merges=6)
+    out = {r["doc_id"]: r for r in bpe_roundtrip(df, merges).collect()}
+    for i, text in enumerate(texts):
+        kept = [w for w in text.split() if w.isascii() and w.isprintable()
+                and " " not in w and w != ""]
+        if not kept:
+            assert i not in out
+            continue
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert out[i]["n_words"] == len(kept)
+        assert out[i]["decoded_md5"] == want
