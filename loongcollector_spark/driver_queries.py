@@ -3250,6 +3250,66 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_semantic_dedup_refined(spark, sf_dir):
+    """SemDeDup over the SAME Lloyd-refined centroids as
+    ann_ivf_refined — the second consumer of the kmeans_refine seam,
+    proving the refined cells drop into the cluster-then-prune plan
+    unchanged. Oracle: the unrolled 2-round k-means prelude + the
+    within-cell pairwise tail, all hash-checked."""
+    from loongcollector_spark.functions.similarity import (
+        kmeans_refine, semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_refine(emb, n_centroids=16, n_rounds=2)
+    return semantic_dedup(emb, n_centroids=16, min_cos_1e4=3000,
+                          cent=cent)
+
+
+O_SEMANTIC_DEDUP_REFINED = """
+WITH E AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+EN AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM E),
+V AS (SELECT * FROM EN WHERE nrm > 0),
+QV AS (
+  SELECT vec_id,
+    list_transform(emb, x -> cast(floor(x * 1048576.0) AS BIGINT)) AS q
+  FROM V
+),
+c0 AS (SELECT vec_id AS cid, emb AS cvec FROM EN
+       WHERE vec_id BETWEEN 1 AND 16),""" + _KM_ROUND.format(
+    r=1, p=0) + "," + _KM_ROUND.format(r=2, p=1) + """,
+cc AS (
+  SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM c2
+),
+scored AS (
+  SELECT EN.vec_id, cc.cid,
+    list_dot_product(EN.emb, cc.cvec) / (EN.nrm * cc.cnorm) AS cs
+  FROM EN, cc
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+        AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+m AS (SELECT vec_id, cell, emb FROM cells JOIN E USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE floor(10000 * list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+       * sqrt(list_dot_product(b.emb, b.emb)))) >= 3000
+)
+SELECT m.vec_id, m.cell, dup.vec_id IS NULL AS kept
+FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+"""
+
+
 def q_cross_doc_gram_share(spark, sf_dir):
     """ExactSubstr-flavored cross-document repetition (Lee et al. 2022,
     approximated by 5-gram doc-frequency counting): per document, the
@@ -8190,6 +8250,8 @@ QUERIES = {
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, O_ANN_LSH_BUCKETED),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ann_ivf_refined": (q_ann_ivf_refined, O_ANN_IVF_REFINED),
+    "semantic_dedup_refined": (q_semantic_dedup_refined,
+                               O_SEMANTIC_DEDUP_REFINED),
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "lm_perplexity_filter": (q_lm_perplexity_filter, O_LM_PERPLEXITY_FILTER),
     "cross_doc_gram_share": (q_cross_doc_gram_share, O_CROSS_DOC_GRAM_SHARE),
